@@ -1,0 +1,69 @@
+"""Typed loaders for the fixture tables (TESTDATA.md / FIXTURES.md).
+
+The engine's analog of the reference's *template catalog*
+(/root/reference/src/api/templates.js:47-125 lists/introspects remote
+templates): here the catalog is a local registry of table specs, and
+introspection is ``df.schema`` — see also pipeline/spec.py for the
+user-facing pipeline-spec registry.
+
+All loads are plain ``spark.read.parquet`` so Catalyst keeps predicate
+pushdown / column pruning / partition pruning. The only normalization is
+the `events.ts` nanosecond column (parquet TIMESTAMP(NANOS), unsupported
+by Spark's vectorized reader) which we read as long via
+``spark.sql.legacy.parquet.nanosAsLong`` and truncate to microseconds —
+bit-identical to what DuckDB's reader produces for the same file.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .session import configure
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Small dimension tables: always broadcast-join these (well under the 10 MB
+# default threshold at any SF; region/nation are fixed-size).
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table with engine-canonical types."""
+    configure(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # ns → µs truncation, kept timezone-naive to match the other tables
+        # (timestamp_ntz) and DuckDB's read of the same parquet.
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long")).cast(
+                "timestamp_ntz"
+            ),
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register each table as a temp view so operators can use spark.sql."""
+    for n, df in load_tables(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(n)

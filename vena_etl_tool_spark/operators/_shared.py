@@ -1,0 +1,31 @@
+"""Shared helpers for operator modules.
+
+Numeric discipline for the DuckDB differential oracle: aggregate in exact
+DECIMAL, ship DOUBLE. A per-row double expression (e.g. price * (1-disc)) is
+bit-deterministic in both engines, so casting each row to DECIMAL before a
+sum makes the aggregate order-insensitive and exact; the final cast back to
+DOUBLE is again deterministic and gives both engines the same wire type.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+
+def dsum(col: Column | str, scale: int = 2) -> Column:
+    """Order-insensitive sum of a double column: exact decimal accumulate,
+    double out. Equivalent DuckDB SQL:
+    ``CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE)``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def davg(col: Column | str, scale: int = 2) -> Column:
+    """Order-insensitive average: exact decimal sum / count, in double.
+    Equivalent DuckDB SQL:
+    ``CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE) / COUNT(x)``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double") / F.count(c)

@@ -1,0 +1,80 @@
+"""SparkSession factory + session-level configuration.
+
+Two call sites:
+
+1. Our own tests / bench / CLI build a session via :func:`get_spark`.
+2. The correctness driver hands us an *existing* session; :func:`configure`
+   applies the runtime-settable confs we rely on (UTC timezone, ns-timestamp
+   parquet compatibility, AQE) without rebuilding the session.
+
+Scale notes (100 TB target): every conf set here is either runtime-settable
+or a safe default on a real cluster. Shuffle partition count is only pinned
+for local runs — on a cluster AQE coalescing
+(``spark.sql.adaptive.coalescePartitions.enabled``) picks the real number
+from the advisory partition size, so a hard-coded 32 never ships a bad plan
+to a 1000-executor job.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are safe (and desirable) to set on any session at runtime.
+RUNTIME_CONFS: dict[str, str] = {
+    # Deterministic timestamp semantics for the DuckDB differential oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # The fixture `events` table stores TIMESTAMP(NANOS) which Spark's parquet
+    # reader rejects; read as long and convert in the loader (catalog.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Adaptive execution: runtime re-plan, skew-join splitting, partition
+    # coalescing. Core of the 100 TB story.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for pandas UDF / toPandas paths.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an externally-created session (driver contract)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # A conf may be static on some builds; never fail the query for it.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "vena-etl-tool-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default ``*``)
+    so bench and tests share one knob with the driver harness.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = int(cpus_env) if cpus_env and cpus_env.isdigit() else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return configure(spark)

@@ -1,0 +1,2 @@
+"""Structured Streaming operators (SURVEY.md §B.9). Modules register queries
+on import; batch-equivalence tests live in tests/test_streaming.py."""
