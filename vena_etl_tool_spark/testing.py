@@ -109,8 +109,13 @@ def diff_query(
 
 def run_all(spark: SparkSession, sf_dir: str, only: list[str] | None = None) -> list[DiffResult]:
     con = duckdb_connection(sf_dir)
+    specs = all_specs()
+    if only:
+        unknown = sorted(set(only) - set(specs))
+        if unknown:
+            raise KeyError(f"unknown query name(s): {unknown}; known: {sorted(specs)}")
     results = []
-    for name, spec in sorted(all_specs().items()):
+    for name, spec in sorted(specs.items()):
         if only and name not in only:
             continue
         try:
