@@ -50,11 +50,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # ns → µs truncation, kept timezone-naive to match the other tables
         # (timestamp_ntz) and DuckDB's read of the same parquet.
+        # integer `div`, not `/`: ns epoch values exceed double's 2^53 mantissa
         df = df.withColumn(
             "ts",
-            F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long")).cast(
-                "timestamp_ntz"
-            ),
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
         )
     return df
 

@@ -2,6 +2,20 @@
 
 Module map (SURVEY.md §2 Part B):
 - pricing        §B.4 flagship hash aggregate (M0)
+- projection     §B.2 project / filter / predicates / distinct
+- joins          §B.3 all join kinds incl. broadcast, semi/anti, range, as-of
+- aggregates     §B.4 distinct/approx/statistical/rollup/cube/pivot/collect
+- windows        §B.5 ranking / analytic / frames
+- sortlimit      §B.6 sorts, limits, top-k (global and per-group)
+- setops         §B.7 union / intersect / except
 """
 
-from . import pricing  # noqa: F401
+from . import (  # noqa: F401
+    aggregates,
+    joins,
+    pricing,
+    projection,
+    setops,
+    sortlimit,
+    windows,
+)

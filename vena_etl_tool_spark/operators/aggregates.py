@@ -1,0 +1,253 @@
+"""Aggregation operators beyond the flagship (SURVEY.md §B.4).
+
+All Spark aggregates are automatically partial+final (map-side combine),
+so every query here ships a few rows per task into the shuffle no matter
+the input size. Statistical aggregates are rounded on both sides because
+their merge order is engine-specific; sums/averages use the exact decimal
+discipline from operators/_shared.py.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table, register_views
+from ..registry import register
+from ._shared import dsum
+
+
+@register(
+    "agg_distinct_counts",
+    tags=("aggregate", "distinct"),
+    oracle="""
+SELECT
+  o_orderpriority,
+  COUNT(DISTINCT o_custkey) AS n_customers,
+  COUNT(DISTINCT o_orderstatus) AS n_statuses,
+  CAST(SUM(DISTINCT CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_distinct_price,
+  COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT/SUM(DISTINCT) per group — Catalyst plans the expand +
+    two-phase aggregate; no manual dedup pass needed."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.sum_distinct(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_distinct_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "agg_statistical",
+    tags=("aggregate", "stats"),
+    oracle="""
+SELECT
+  l_returnflag,
+  ROUND(STDDEV_SAMP(l_quantity), 4) + 0.0 AS qty_stddev,
+  ROUND(VAR_SAMP(l_quantity), 4) + 0.0 AS qty_var,
+  ROUND(CORR(l_quantity, l_extendedprice), 4) + 0.0 AS qty_price_corr,
+  ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) + 0.0 AS qty_price_covar,
+  ROUND(SKEWNESS(l_quantity), 4) + 0.0 AS qty_skew,
+  ROUND(KURTOSIS(l_quantity), 4) + 0.0 AS qty_kurt
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_statistical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates; rounded because distributed moment merges
+    are not bit-identical across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # +0.0 canonicalizes IEEE -0.0 to +0.0 (both engines)
+    zero = F.lit(0.0)
+    return li.groupBy("l_returnflag").agg(
+        (F.round(F.stddev_samp("l_quantity"), 4) + zero).alias("qty_stddev"),
+        (F.round(F.var_samp("l_quantity"), 4) + zero).alias("qty_var"),
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 4) + zero).alias(
+            "qty_price_corr"
+        ),
+        (F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2) + zero).alias(
+            "qty_price_covar"
+        ),
+        (F.round(F.skewness("l_quantity"), 4) + zero).alias("qty_skew"),
+        (F.round(F.kurtosis("l_quantity"), 4) + zero).alias("qty_kurt"),
+    )
+
+
+@register(
+    "agg_collect",
+    tags=("aggregate", "collect"),
+    oracle="""
+SELECT
+  o_orderpriority,
+  list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+  COUNT(*) AS n
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set sorted for determinism (collect order is undefined)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_rollup",
+    tags=("aggregate", "rollup"),
+    oracle="""
+SELECT
+  l_returnflag, l_linestatus,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  GROUPING(l_returnflag) AS g_flag,
+  GROUPING(l_linestatus) AS g_status
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING markers (distinguish real NULL keys from
+    subtotal rows)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_quantity").alias("sum_qty"),
+        F.grouping("l_returnflag").cast("long").alias("g_flag"),
+        F.grouping("l_linestatus").cast("long").alias("g_status"),
+    )
+
+
+@register(
+    "agg_cube",
+    tags=("aggregate", "cube"),
+    oracle="""
+SELECT
+  o_orderstatus, o_orderpriority,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions (all 4 grouping sets)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice").alias("total"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    tags=("aggregate", "grouping-sets"),
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via Spark SQL over registered temp views."""
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "agg_pivot",
+    tags=("aggregate", "pivot"),
+    oracle="""
+SELECT
+  l_returnflag,
+  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (never let pivot scan for distinct
+    values at scale — pass the list so it's one aggregate, not two jobs)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"))
+        .select(
+            "l_returnflag",
+            F.col("F").alias("qty_f"),
+            F.col("O").alias("qty_o"),
+        )
+    )
+
+
+@register(
+    "agg_percentiles_exact",
+    tags=("aggregate", "percentile"),
+    oracle="""
+SELECT
+  l_returnflag,
+  ROUND(quantile_cont(l_quantity, 0.25), 4) AS q25,
+  ROUND(quantile_cont(l_quantity, 0.5), 4) AS q50,
+  ROUND(quantile_cont(l_quantity, 0.75), 4) AS q75,
+  ROUND(MEDIAN(l_extendedprice), 4) AS median_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) — matches quantile_cont."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("q25"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("q50"),
+        F.round(F.percentile("l_quantity", F.lit(0.75)), 4).alias("q75"),
+        F.round(F.median("l_extendedprice"), 4).alias("median_price"),
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    tags=("aggregate", "approx"),
+    oracle=None,  # HLL sketches are engine-specific; accuracy asserted in unit tests
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the 100 TB substitute for
+    exact distinct counts; rel-error vs exact is unit-tested (<5%)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+    )
+
+
+@register(
+    "agg_approx_quantile",
+    tags=("aggregate", "approx"),
+    oracle=None,  # KLL/GK sketch values are engine-specific
+)
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx — single-pass mergeable quantile sketch."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
+            "price_quantiles"
+        )
+    )

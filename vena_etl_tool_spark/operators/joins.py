@@ -1,0 +1,323 @@
+"""Join operators (SURVEY.md §B.3) — every join kind, Spark-first.
+
+Scale design notes (100 TB):
+- Small dims (region, nation, supplier) are wrapped in ``F.broadcast`` so
+  the fact-side scan never shuffles for them.
+- Fact⋈fact equi-joins (orders⋈lineitem) shuffle on the join key; AQE
+  (enabled in session.py) handles skew splitting and partition coalescing.
+- The range join buckets the probe value onto the band prefix so Catalyst
+  plans an equi-join + residual filter instead of a broadcast nested loop.
+- The as-of join is the union/last_value trick: one shuffle on
+  (user_id), no per-row subquery, no nested loop — the scalable pattern
+  for "most recent prior event" at any data size.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import load_table
+from ..registry import register
+from ._shared import dsum
+
+Q3_DATE = "1997-06-01"
+
+
+@register(
+    "q3_shipping_priority",
+    tags=("join", "aggregate", "topk"),
+    oracle=f"""
+SELECT
+  l_orderkey,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+  o_orderdate,
+  o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '{Q3_DATE} 00:00:00'
+  AND l_shipdate  > TIMESTAMP '{Q3_DATE} 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-style: 3-way equi-join → aggregate → top-k with a total
+    order (revenue is decimal-exact so the DESC sort is deterministic)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit(Q3_DATE).cast("timestamp_ntz")
+    return (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders.filter(F.col("o_orderdate") < cutoff), F.col("c_custkey") == F.col("o_custkey"))
+        .join(li.filter(F.col("l_shipdate") > cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    tags=("join", "aggregate", "broadcast"),
+    oracle="""
+SELECT
+  n_name,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+""",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-style 6-way join; all dimension sides broadcast so the only
+    shuffles are the two fact-fact exchanges and the final aggregate."""
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ("customer", "orders", "lineitem", "supplier", "nation", "region")}
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    return (
+        t["lineitem"]
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
+    )
+
+
+@register(
+    "join_left_outer",
+    tags=("join",),
+    oracle="""
+SELECT
+  c_custkey,
+  COUNT(o_orderkey) AS n_orders,
+  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spent
+FROM customer
+LEFT JOIN orders ON c_custkey = o_custkey AND o_orderstatus = 'F'
+GROUP BY c_custkey
+""",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER with an extra join-side predicate; customers with no
+    finished orders survive with n_orders=0."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey")) & (F.col("o_orderstatus") == "F"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), F.lit(0))
+            .cast("double")
+            .alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "join_full_outer",
+    tags=("join",),
+    oracle="""
+SELECT
+  COALESCE(h.c_nationkey, b.c_nationkey) AS nationkey,
+  COALESCE(h.n_house, 0) AS n_house,
+  COALESCE(b.n_build, 0) AS n_build
+FROM
+  (SELECT c_nationkey, COUNT(*) AS n_house FROM customer
+   WHERE c_mktsegment = 'HOUSEHOLD' GROUP BY c_nationkey) h
+FULL OUTER JOIN
+  (SELECT c_nationkey, COUNT(*) AS n_build FROM customer
+   WHERE c_mktsegment = 'BUILDING' GROUP BY c_nationkey) b
+ON h.c_nationkey = b.c_nationkey
+""",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two aggregates with disjoint key coverage."""
+    cust = load_table(spark, sf_dir, "customer")
+    house = (
+        cust.filter(F.col("c_mktsegment") == "HOUSEHOLD")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_house"))
+    )
+    build = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_build"))
+    )
+    return house.join(build, "c_nationkey", "outer").select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.coalesce("n_house", F.lit(0)).alias("n_house"),
+        F.coalesce("n_build", F.lit(0)).alias("n_build"),
+    )
+
+
+@register(
+    "join_semi",
+    tags=("join",),
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+)
+""",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): customers with ≥1 urgent order. Semi joins
+    never duplicate the probe side, so no post-dedup is needed."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    tags=("join",),
+    oracle="""
+SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey
+    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+)
+""",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers with no orders since 2000."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz")
+    )
+    return cust.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "join_cross",
+    tags=("join",),
+    oracle="""
+SELECT r_name, seg.c_mktsegment AS segment
+FROM region
+CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer) seg
+""",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two tiny relations (BroadcastNestedLoopJoin).
+    Cross joins are only ever safe when one side is provably small."""
+    region = load_table(spark, sf_dir, "region").select("r_name")
+    segs = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_mktsegment").alias("segment"))
+        .distinct()
+    )
+    return region.crossJoin(segs)
+
+
+@register(
+    "join_range_bands",
+    tags=("join", "range-join"),
+    oracle="""
+SELECT b.band_name, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS band_total
+FROM orders o
+JOIN (VALUES ('low', 0.0, 100000.0), ('mid', 100000.0, 300000.0),
+             ('high', 300000.0, 1000000000.0)) AS b(band_name, lo, hi)
+  ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+GROUP BY b.band_name
+""",
+)
+def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join of a fact against interval bands. The band table
+    is broadcast, so the non-equi condition is evaluated map-side — no
+    shuffle, no nested loop over big×big."""
+    orders = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 1e5), ("mid", 1e5, 3e5), ("high", 3e5, 1e9)],
+        "band_name string, lo double, hi double",
+    )
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("band_total"),
+        )
+    )
+
+
+@register(
+    "join_asof_last_click",
+    tags=("join", "asof"),
+    oracle="""
+SELECT p.event_id, p.user_id, p.ts,
+       (SELECT MAX(c.ts) FROM events c
+        WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+       ) AS last_click_ts
+FROM events p
+WHERE p.event_type = 'purchase'
+""",
+)
+def join_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the most recent prior (or simultaneous)
+    click by the same user. Implemented with the union + last_value(ignore
+    nulls) pattern: a single shuffle on user_id, linear state, no nested
+    loop — this is the 100 TB-safe as-of strategy (SURVEY.md §B.3)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(None).cast("long").alias("event_id"),
+        F.col("ts").alias("click_ts"), F.lit(0).alias("side"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id",
+        F.lit(None).cast("timestamp_ntz").alias("click_ts"), F.lit(1).alias("side"),
+    )
+    # side=0 sorts clicks before purchases at equal ts → "<=" semantics.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select("event_id", "user_id", "ts", "last_click_ts")
+    )

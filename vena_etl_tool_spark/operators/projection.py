@@ -1,0 +1,107 @@
+"""Projection / filter / predicate operators (SURVEY.md §B.2).
+
+The reference's only predicate is a filename-extension check
+(/root/reference/src/utils/fileHandling.js:25-30); here the predicate
+surface is the full Column algebra, expressed declaratively so Catalyst
+pushes every conjunct into the parquet scan (verify with
+``df.explain`` → ``PushedFilters``).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from ..registry import register
+
+
+@register(
+    "filter_project",
+    tags=("projection", "filter"),
+    oracle="""
+SELECT
+  l_orderkey,
+  l_linenumber,
+  CAST(l_quantity AS INT) AS qty_int,
+  CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS DOUBLE) AS net_price,
+  CASE WHEN l_quantity >= 40 THEN 'bulk'
+       WHEN l_quantity >= 10 THEN 'mid'
+       ELSE 'small' END AS qty_band,
+  COALESCE(NULLIF(l_returnflag, 'N'), 'none') AS return_kind,
+  (l_discount BETWEEN 0.02 AND 0.04) AS mid_discount
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  AND l_returnflag IN ('A', 'R')
+  AND l_linestatus LIKE 'F%'
+  AND l_quantity IS NOT NULL
+  AND NOT (l_tax > 0.07)
+""",
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range + IN + LIKE + null-test + negation predicates, then a projection
+    with casts, CASE, COALESCE/NULLIF and boolean-typed derived columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        & F.col("l_returnflag").isin("A", "R")
+        & F.col("l_linestatus").like("F%")
+        & F.col("l_quantity").isNotNull()
+        & ~(F.col("l_tax") > 0.07)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(18,4)")
+        .cast("double")
+        .alias("net_price"),
+        F.when(F.col("l_quantity") >= 40, "bulk")
+        .when(F.col("l_quantity") >= 10, "mid")
+        .otherwise("small")
+        .alias("qty_band"),
+        F.coalesce(F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("none")).alias(
+            "return_kind"
+        ),
+        F.col("l_discount").between(0.02, 0.04).alias("mid_discount"),
+    )
+
+
+@register(
+    "distinct_projection",
+    tags=("projection", "distinct"),
+    oracle="""
+SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+""",
+)
+def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT over a projected column pair (§B.2) — partial-aggregate
+    dedup on each map task before the shuffle."""
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderpriority"
+    ).distinct()
+
+
+@register(
+    "drop_duplicates_subset",
+    tags=("projection", "distinct"),
+    oracle="""
+SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+FROM (
+  SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+)
+GROUP BY c_nationkey, c_mktsegment
+""",
+)
+def drop_duplicates_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates on a key subset; aggregated afterwards so the output
+    is deterministic (the non-key columns dropDuplicates keeps are not)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.select("c_nationkey", "c_mktsegment")
+        .dropDuplicates(["c_nationkey", "c_mktsegment"])
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
