@@ -8,6 +8,9 @@ Module map (SURVEY.md §2 Part B):
 - windows        §B.5 ranking / analytic / frames
 - sortlimit      §B.6 sorts, limits, top-k (global and per-group)
 - setops         §B.7 union / intersect / except
+- scalars        §B.8 string / date / math scalar surface
+- semistructured §B.8 array / map / json / struct / hash functions
+- udfs           §B.10 pandas UDF / applyInPandas / mapInPandas surface
 """
 
 from . import (  # noqa: F401
@@ -15,7 +18,10 @@ from . import (  # noqa: F401
     joins,
     pricing,
     projection,
+    scalars,
+    semistructured,
     setops,
     sortlimit,
+    udfs,
     windows,
 )

@@ -9,6 +9,7 @@ canonical form of every value. Used by tests/test_oracle.py and by
 
 from __future__ import annotations
 
+import datetime
 import math
 import os
 from dataclasses import dataclass
@@ -42,8 +43,14 @@ def _canon_value(v: object) -> object:
         return f"f:{float(v)!r}"
     if isinstance(v, Decimal):
         return f"d:{v.normalize()}"
-    if isinstance(v, (pd.Timestamp,)):
+    if isinstance(v, pd.Timestamp):
         return f"t:{v.isoformat()}"
+    if isinstance(v, datetime.datetime):
+        return f"t:{pd.Timestamp(v).isoformat()}"
+    if isinstance(v, datetime.date):
+        # a bare DATE canonicalizes to its midnight timestamp; queries should
+        # still pin DATE→TIMESTAMP on both sides (driver may be stricter)
+        return f"t:{pd.Timestamp(v).isoformat()}"
     if isinstance(v, (list, tuple)):
         return tuple(_canon_value(x) for x in v)
     if hasattr(v, "tolist"):  # numpy scalar or array
