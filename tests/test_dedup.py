@@ -1,0 +1,123 @@
+"""Invariant tests for the non-oracle dedup operators (SURVEY.md §5.2.3):
+MinHash-LSH and SimHash get planted-duplicate recall + no-false-positive
+checks since no ANSI oracle can express them.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from vena_etl_tool_spark.catalog import load_table
+from vena_etl_tool_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    minhash_signature,
+    doc_shingles,
+    simhash_fingerprints,
+)
+
+BASE_TEXT = (
+    "the quick brown fox jumps over the lazy dog while the spark engine "
+    "shuffles partitions across the cluster during a wide aggregation stage"
+)
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    """12 distinct docs + exact dup of doc 0 + near-dup of doc 1 (one word
+    changed) + unrelated doc."""
+    rows = []
+    for i in range(12):
+        rows.append((i, BASE_TEXT.replace("fox", f"fox{i}") + f" tail{i} " + "pad "*i))
+    rows.append((100, rows[0][1]))  # exact duplicate of doc 0
+    near = rows[1][1].replace("lazy", "sleepy")  # near-dup of doc 1
+    rows.append((101, near))
+    rows.append((200, "completely different content about databases and columnar storage formats nothing shared"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _jaccard(a: str, b: str, n=3) -> float:
+    def sh(t):
+        w = t.split(" ")
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+    A, B = sh(a), sh(b)
+    return len(A & B) / len(A | B)
+
+
+def test_minhash_finds_exact_and_near_dups(planted_docs):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_lsh_pairs(planted_docs, jaccard_threshold=0.5).collect()
+    }
+    assert (0, 100) in pairs and pairs[(0, 100)] == 1.0
+    assert (1, 101) in pairs and pairs[(1, 101)] >= 0.5
+
+
+def test_minhash_no_false_positives(planted_docs):
+    """Every reported pair's jaccard must equal the true 3-gram jaccard
+    and clear the threshold (the exact-verify stage guarantees this)."""
+    texts = {r.doc_id: r.text for r in planted_docs.collect()}
+    for r in minhash_lsh_pairs(planted_docs, jaccard_threshold=0.5).collect():
+        truth = _jaccard(texts[r.doc_a], texts[r.doc_b])
+        assert r.jaccard >= 0.5
+        assert abs(r.jaccard - truth) < 1e-6
+        assert r.doc_a < r.doc_b
+
+
+def test_minhash_signature_similarity_estimate(planted_docs):
+    """MinHash agreement rate ≈ jaccard: identical docs agree on every
+    permutation; unrelated docs agree on (almost) none."""
+    sh = doc_shingles(planted_docs)
+    sigs = {r.doc_id: r.minhash for r in minhash_signature(sh, "doc_id", "sh").collect()}
+    assert sigs[0] == sigs[100]
+    agree_unrelated = sum(a == b for a, b in zip(sigs[0], sigs[200]))
+    assert agree_unrelated <= 4  # 32 perms, true jaccard 0
+
+
+def test_simhash_invariants(planted_docs):
+    fps = {r.doc_id: r.simhash for r in simhash_fingerprints(planted_docs).collect()}
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")  # noqa: E731
+    assert fps[0] == fps[100]  # identical text → identical fingerprint
+    assert ham(fps[1], fps[101]) <= 12  # near-dup → small hamming distance
+    assert ham(fps[0], fps[200]) >= 20  # unrelated → far
+
+
+def test_simhash_bands_cover_fingerprint(spark, sf_dir):
+    from vena_etl_tool_spark.operators.dedup import dedup_simhash
+
+    df = dedup_simhash(spark, sf_dir)
+    row = df.first()
+    recomposed = sum(row[f"band{b}"] << (16 * b) for b in range(4))
+    assert recomposed & (2**64 - 1) == row.simhash & (2**64 - 1)
+
+
+def test_approx_count_distinct_accuracy(spark, sf_dir):
+    from vena_etl_tool_spark.operators.aggregates import agg_approx_distinct
+
+    for r in agg_approx_distinct(spark, sf_dir).collect():
+        rel_err = abs(r.approx_customers - r.exact_customers) / max(r.exact_customers, 1)
+        assert rel_err < 0.05, f"{r.o_orderpriority}: {rel_err}"
+
+
+def test_exact_dedup_collapses_planted_dups(spark, planted_docs):
+    dd = (
+        planted_docs.groupBy("text")
+        .agg(F.min("doc_id").alias("keep"), F.count(F.lit(1)).alias("n"))
+    )
+    by_keep = {r.keep: r.n for r in dd.collect()}
+    assert by_keep[0] == 2  # doc 0 + exact dup 100 collapse
+    assert sum(by_keep.values()) == planted_docs.count()
+
+
+def test_embedding_cosine_pairs_symmetric_bound(spark, sf_dir):
+    from vena_etl_tool_spark.operators.dedup import dedup_embedding_cosine
+
+    rows = dedup_embedding_cosine(spark, sf_dir).collect()
+    emb = {
+        r.vec_id: (r.embedding, r.label)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    for r in rows[:50]:
+        assert r.vec_a < r.vec_b
+        assert -1.0 <= r.cosine <= 1.0
+        assert emb[r.vec_a][1] == emb[r.vec_b][1]  # label-blocked

@@ -1,0 +1,87 @@
+"""Invariant tests for the approximate similarity operators."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from vena_etl_tool_spark.catalog import load_table
+from vena_etl_tool_spark.operators.similarity import (
+    TOP_K,
+    sim_ann_lsh,
+    sim_cosine_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def brute(spark, sf_dir):
+    return sim_cosine_topk(spark, sf_dir).collect()
+
+
+def _numpy_topk(sf_dir: str, spark, k: int):
+    rows = load_table(spark, sf_dir, "embeddings").collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+    out = {}
+    for q in (v for v in vecs if v < 20):
+        scored = []
+        for c, vc in vecs.items():
+            if c == q:
+                continue
+            cos = float(vecs[q] @ vc / (np.linalg.norm(vecs[q]) * np.linalg.norm(vc)))
+            scored.append((round(cos, 6), c))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        out[q] = scored[:k]
+    return out
+
+
+def test_bruteforce_matches_numpy(spark, sf_dir, brute):
+    """The decimal-folded Spark cosine ranking equals a float64 numpy
+    reference (to the rounding used for ties)."""
+    expected = _numpy_topk(sf_dir, spark, TOP_K)
+    got = {}
+    for r in brute:
+        got.setdefault(r.query_id, []).append((r.rk, r.neighbor_id, r.cosine))
+    for q, neighbors in got.items():
+        neighbors.sort()
+        for (rk, nid, cos), (ecos, enid) in zip(neighbors, expected[q]):
+            assert nid == enid, f"query {q} rank {rk}: {nid} != {enid}"
+            assert math.isclose(cos, ecos, abs_tol=1e-5)
+
+
+def test_ann_results_are_true_cosines(spark, sf_dir, brute):
+    """Every ANN hit must carry the exact cosine the brute force computed
+    (candidates are re-scored exactly), and per-query results are ranked."""
+    brute_cos = {(r.query_id, r.neighbor_id): r.cosine for r in brute}
+    ann = sim_ann_lsh(spark, sf_dir).collect()
+    assert len(ann) > 0
+    per_q = {}
+    for r in ann:
+        per_q.setdefault(r.query_id, []).append((r.rk, r.cosine, r.neighbor_id))
+        if (r.query_id, r.neighbor_id) in brute_cos:
+            assert math.isclose(r.cosine, brute_cos[(r.query_id, r.neighbor_id)], abs_tol=1e-9)
+    for q, rows in per_q.items():
+        rows.sort()
+        cosines = [c for _, c, _ in rows]
+        assert cosines == sorted(cosines, reverse=True)
+        assert [rk for rk, _, _ in rows] == list(range(1, len(rows) + 1))
+
+
+def test_ann_finds_planted_duplicate(spark, sf_dir):
+    """A duplicated vector collides in every LSH band, so the ANN search
+    must surface it as the top neighbor with cosine ≈ 1."""
+    from vena_etl_tool_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v0 = emb.filter("vec_id = 3").first()
+    planted = emb.unionByName(
+        emb.sparkSession.createDataFrame(
+            [(99999, v0.embedding, v0.label)], "vec_id long, embedding array<float>, label int"
+        )
+    )
+    bucketed = S.with_sq_norm(planted).select(
+        "vec_id", "embedding", "sq_norm", *S.lsh_bucket_cols()
+    )
+    rows = {r.vec_id: [r[f"bucket{b}"] for b in range(S.LSH_BANDS)] for r in bucketed.collect()}
+    assert rows[3] == rows[99999]

@@ -11,17 +11,25 @@ Module map (SURVEY.md §2 Part B):
 - scalars        §B.8 string / date / math scalar surface
 - semistructured §B.8 array / map / json / struct / hash functions
 - udfs           §B.10 pandas UDF / applyInPandas / mapInPandas surface
+- dedup          §B.11 exact + MinHash-LSH + SimHash + n-gram Jaccard dedup
+- similarity     §B.11 cosine top-k / LSH ANN over embeddings
+- textanalysis   §B.11 lang-id, quality scoring, tokens, fingerprinting
+- multimodal     §B.11 binary-column plumbing (decode stubbed per mandate)
 """
 
 from . import (  # noqa: F401
     aggregates,
+    dedup,
     joins,
+    multimodal,
     pricing,
     projection,
     scalars,
     semistructured,
     setops,
+    similarity,
     sortlimit,
+    textanalysis,
     udfs,
     windows,
 )

@@ -1,0 +1,391 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §B.11).
+
+Five dedup strategies, each designed as a shuffle-minimal Spark plan:
+
+- exact (full text group)          one shuffle on text
+- exact (hash group)               one shuffle on an 8-byte xxhash64 — the
+                                   100 TB variant: the exchange carries a
+                                   long, not the document body
+- n-gram Jaccard (oracle-checked)  shared-shingle blocking self-join —
+                                   never the O(n²) cross product
+- MinHash + LSH banding            signature → band bucket join; the
+                                   standard sublinear near-dup pipeline
+- SimHash                          64-bit fingerprint + banded hamming join
+
+All hashing is JVM-side (xxhash64), zero Python in any hot path. The
+MinHash/SimHash queries return deterministic output (fixed hash seeds),
+but only the n-gram Jaccard is ANSI-SQL-expressible for the DuckDB oracle;
+the LSH families carry invariant unit tests instead (tests/test_dedup.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from ..catalog import load_table
+from ..registry import register
+
+# MinHash parameters: 32 permutations in 8 bands of 4 rows.
+N_MINHASH = 32
+BAND_ROWS = 4
+MERSENNE = 2147483647  # 2^31 - 1
+# Deterministic permutation coefficients (a*h32 + b) mod p — seeds fixed so
+# signatures are stable across runs/executors.
+_A = [(17 + 13 * i) * 2654435761 % MERSENNE for i in range(N_MINHASH)]
+_B = [(31 + 7 * i) * 2246822519 % MERSENNE for i in range(N_MINHASH)]
+
+
+def word_shingles(words: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of a token array (empty if < n tokens)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + k) for k in range(n)]
+            ),
+        )
+    )
+
+
+def doc_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) exploded distinct 3-gram pairs from a documents DF."""
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 3)
+        .select("doc_id", F.explode(word_shingles(F.col("w"))).alias("sh"))
+    )
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_shingles(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_exact",
+    tags=("llm", "dedup"),
+    oracle="""
+SELECT MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies, MIN(n_chars) AS n_chars
+FROM documents
+GROUP BY text
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by full text: keep the lowest doc_id per distinct text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("n_chars").alias("n_chars"),
+    ).drop("text")
+
+
+@register(
+    "dedup_exact_hash",
+    tags=("llm", "dedup"),
+    oracle="""
+SELECT MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY text
+""",
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by 64-bit content hash — the at-scale variant: the
+    shuffle key is 8 bytes instead of the document body. Collision-free in
+    practice (~n²/2⁶⁵); the oracle's text-group result is identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.xxhash64("text").alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .drop("h")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    tags=("llm", "dedup", "jaccard"),
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, len(words) - 1),
+                   i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+  )) AS sh
+  FROM w WHERE len(words) >= 3
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.doc_a, p.doc_b, p.inter,
+       ROUND(CAST(p.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - p.inter), 6) AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+WHERE p.inter >= 2
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard similarity over candidate pairs found by
+    shared-shingle blocking (inverted-index self-join). The blocking join
+    only pairs documents that share ≥1 shingle — at 100 TB this is the
+    difference between a bounded inverted-index join and an O(n²) cross
+    product. Hot shingles should be frequency-capped (see tests)."""
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .filter(F.col("inter") >= 2)
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            F.round(
+                F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_signature(df: DataFrame, id_col: str, shingle_col: str) -> DataFrame:
+    """(id, minhash array of N_MINHASH) from exploded (id, shingle) rows.
+
+    One shuffle (groupBy id); the N permutation mins are computed as N
+    aggregate columns over the same exchange — not N passes.
+    """
+    h32 = (F.xxhash64(F.col(shingle_col)).bitwiseAND(F.lit(0x7FFFFFFF))).alias("h32")
+    with_h = df.select(F.col(id_col), h32)
+    mins = [
+        F.min((F.col("h32") * F.lit(_A[i]) + F.lit(_B[i])) % F.lit(MERSENNE)).alias(
+            f"mh{i}"
+        )
+        for i in range(N_MINHASH)
+    ]
+    agg = with_h.groupBy(id_col).agg(*mins)
+    return agg.select(
+        F.col(id_col),
+        F.array(*[F.col(f"mh{i}") for i in range(N_MINHASH)]).alias("minhash"),
+    )
+
+
+def lsh_bands(df: DataFrame, id_col: str, sig_col: str = "minhash") -> DataFrame:
+    """Explode a minhash signature into (id, band_id, band_key) bucket rows."""
+    n_bands = N_MINHASH // BAND_ROWS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ":",
+                        F.lit(b),
+                        *[
+                            F.element_at(F.col(sig_col), b * BAND_ROWS + r + 1)
+                            for r in range(BAND_ROWS)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return df.select(F.col(id_col), F.explode(bands).alias("bk")).select(
+        id_col, F.col("bk.band_id").alias("band_id"), F.col("bk.band_key").alias("band_key")
+    )
+
+
+@register(
+    "dedup_minhash_signatures",
+    tags=("llm", "dedup", "minhash"),
+    oracle=None,  # xxhash64-based; determinism + invariants in tests/test_dedup.py
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MinHash signature (32 perms) + the 8 LSH band keys.
+    This is the state that gets persisted at scale; band keys are the
+    shuffle keys for candidate generation."""
+    sh = _doc_shingles(spark, sf_dir)
+    sig = minhash_signature(sh, "doc_id", "sh")
+    bands = lsh_bands(sig, "doc_id")
+    return (
+        bands.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("band_key")).alias("band_keys"))
+        .join(sig, "doc_id")
+        .select("doc_id", "minhash", "band_keys")
+    )
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    tags=("llm", "dedup", "minhash"),
+    oracle=None,  # verified-pair output; invariants in tests/test_dedup.py
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup detection: signature → band-bucket
+    self-join (candidates) → exact Jaccard verification ≥ 0.5.
+
+    The candidate join is on (band_id, band_key): only documents agreeing
+    on a full band collide, so the pair count stays near-linear. False
+    positives are then removed by the exact Jaccard check — output pairs
+    are guaranteed true near-dups (tested invariant)."""
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, jaccard_threshold: float = 0.5) -> DataFrame:
+    """MinHash-LSH near-dup pairs from any (doc_id, text) DataFrame —
+    reusable core so tests can plant synthetic duplicates."""
+    sh = doc_shingles(docs).cache()
+    sig = minhash_signature(sh, "doc_id", "sh")
+    bands = lsh_bands(sig, "doc_id")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact-verify candidates
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh"))
+    inter = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= F.lit(jaccard_threshold))
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+@register(
+    "dedup_simhash",
+    tags=("llm", "dedup", "simhash"),
+    oracle=None,  # xxhash64-based fingerprint; invariants in tests/test_dedup.py
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprint per document (token-frequency weighted).
+
+    Single shuffle: explode tokens → groupBy(doc) with 64 conditional sums
+    (one per bit) in one aggregate. The fingerprint is split into four
+    16-bit bands — near-dup candidates at hamming ≤ 3 must agree on ≥1
+    band (pigeonhole), so banding gives the same equi-join candidate
+    structure as MinHash-LSH."""
+    return simhash_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    """SimHash core over any (doc_id, text) DataFrame (reusable for tests)."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).withColumn("th", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    # assemble the fingerprint: sum of set bits (bit 63 via two 62-shifts
+    # to stay inside non-negative bigint literals)
+    fp = None
+    for i in range(64):
+        term = F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = term if fp is None else fp + term
+    out = agg.select("doc_id", fp.alias("simhash"))
+    return out.select(
+        "doc_id",
+        "simhash",
+        *[
+            F.shiftright(F.col("simhash"), 16 * b).bitwiseAND(F.lit(0xFFFF)).alias(f"band{b}")
+            for b in range(4)
+        ],
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    tags=("llm", "dedup", "embedding"),
+    oracle="""
+WITH norms AS (
+  SELECT vec_id, label,
+         (SELECT CAST(SUM(CAST(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE) AS DECIMAL(20,12))) AS DOUBLE)
+          FROM UNNEST(embedding) AS u(x)) AS sq_norm,
+         embedding
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(
+         (SELECT CAST(SUM(CAST(CAST(struct_extract(p, 1) AS DOUBLE) * CAST(struct_extract(p, 2) AS DOUBLE) AS DECIMAL(20,12))) AS DOUBLE)
+          FROM UNNEST(list_zip(a.embedding, b.embedding)) AS t(p))
+         / (SQRT(a.sq_norm) * SQRT(b.sq_norm)), 6) AS cosine
+FROM norms a
+JOIN norms b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE
+  (SELECT CAST(SUM(CAST(CAST(struct_extract(p, 1) AS DOUBLE) * CAST(struct_extract(p, 2) AS DOUBLE) AS DECIMAL(20,12))) AS DOUBLE)
+   FROM UNNEST(list_zip(a.embedding, b.embedding)) AS t(p))
+  / (SQRT(a.sq_norm) * SQRT(b.sq_norm)) >= 0.25
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ 0.25 within label blocks.
+
+    Blocking on `label` stands in for the LSH/IVF bucket at scale — the
+    pair join is per-block, never global. Dot products fold with a DECIMAL
+    accumulator (order-insensitive, oracle-exact)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dot = lambda l, r: F.aggregate(  # noqa: E731
+        F.zip_with(l, r, lambda x, y: (x.cast("double") * y.cast("double")).cast("decimal(20,12)")),
+        F.lit(0).cast("decimal(20,12)"),
+        lambda acc, v: (acc + v).cast("decimal(20,12)"),
+    ).cast("double")
+    norms = emb.select(
+        "vec_id", "label", "embedding", dot(F.col("embedding"), F.col("embedding")).alias("sq_norm")
+    )
+    a = norms.alias("a")
+    b = norms.alias("b")
+    cosine = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.sqrt(F.col("a.sq_norm")) * F.sqrt(F.col("b.sq_norm"))
+    )
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .withColumn("cosine_raw", cosine)
+        .filter(F.col("cosine_raw") >= 0.25)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round("cosine_raw", 6).alias("cosine"),
+        )
+    )

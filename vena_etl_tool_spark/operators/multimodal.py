@@ -1,0 +1,136 @@
+"""Multimodal column handling (SURVEY.md §B.11).
+
+Design: image/audio/video payloads are opaque ``binary`` columns traveling
+next to a typed metadata struct. All *plumbing* — schema, partition-friendly
+batch shapes, Arrow-batched mapInPandas decode slots — is real and tested;
+the actual codec calls are stubbed deterministically because the container
+ships no media libraries (mandated stub: the decode seam raises/fakes in a
+clearly-marked spot; swap `_fake_decode` for PIL/libav at deploy time).
+
+No media fixture exists, so the binary payload is synthesized from
+`documents.text` (utf-8 bytes) — byte-level plumbing is identical.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from ..registry import register
+
+DECODE_BATCH_COLS = (
+    "doc_id long, n_bytes long, fake_width int, fake_height int, "
+    "mean_byte double, feature_dim int"
+)
+
+
+@register(
+    "multimodal_binary_metadata",
+    tags=("llm", "multimodal"),
+    oracle="""
+SELECT
+  doc_id,
+  octet_length(encode(text)) AS n_bytes,
+  length(text) AS n_chars_txt,
+  source AS media_source,
+  octet_length(encode(text)) % 7 AS shard
+FROM documents
+""",
+)
+def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing that IS SQL-expressible: payload synthesis
+    (encode to bytes), byte length, shard assignment from payload bytes —
+    the partitioning layer any media pipeline needs before decode."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).alias("n_bytes"),
+        F.length("text").alias("n_chars_txt"),
+        F.col("source").alias("media_source"),
+        (F.octet_length(payload) % 7).alias("shard"),
+    )
+
+
+def _fake_decode(payload: bytes) -> dict:
+    """STUB — deterministic fake of a media decode.
+
+    Real deployment replaces this with e.g. PIL.Image.open(BytesIO(payload))
+    / soundfile.read; the container has no media libs (environment
+    mandate), so we derive stable fake metadata/features from the bytes
+    themselves. Raising NotImplementedError here would poison every batch,
+    hence fake-not-raise.
+    """
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    return {
+        "n_bytes": int(arr.size),
+        "fake_width": int(arr[:4].sum() % 640) if arr.size else 0,
+        "fake_height": int(arr[4:8].sum() % 480) if arr.size >= 8 else 0,
+        "mean_byte": float(arr.mean()) if arr.size else 0.0,
+        "feature_dim": 16,
+    }
+
+
+@register(
+    "multimodal_decode_features",
+    tags=("llm", "multimodal"),
+    oracle=None,  # decode is a stubbed seam (no media libs in container)
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode/feature-extract slot: binary payload → mapInPandas with
+    Arrow batches → typed feature columns.
+
+    This is the real 100 TB shape: decode is embarrassingly parallel,
+    stays off the driver, and the batch iterator keeps memory bounded to
+    one Arrow batch per core. Only `_fake_decode` is a stub."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_fake_decode(p) for p in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = docs.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return with_payload.mapInPandas(decode_batches, DECODE_BATCH_COLS)
+
+
+@register(
+    "multimodal_frame_sample",
+    tags=("llm", "multimodal"),
+    oracle="""
+SELECT doc_id, frame_idx, n_frames
+FROM (
+  SELECT doc_id,
+         unnest(range(0, CAST(floor(length(text) / 50) AS BIGINT) * 10, 10)) AS frame_idx,
+         CAST(floor(length(text) / 50) AS BIGINT) AS n_frames
+  FROM documents
+)
+WHERE n_frames > 0
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: derive a per-asset frame count (fake: one
+    frame per 50 bytes), emit every 10th frame index via sequence+explode —
+    the row-expansion pattern video pipelines use before per-frame decode."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_frames = F.floor(F.length("text") / 50).cast("long")
+    frames = docs.select(
+        "doc_id",
+        n_frames.alias("n_frames"),
+    ).filter(F.col("n_frames") > 0)
+    return frames.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), (F.col("n_frames") - 1) * 10, F.lit(10).cast("long"))
+        ).alias("frame_idx"),
+        "n_frames",
+    )

@@ -1,0 +1,252 @@
+"""Text analysis for training-data pipelines (SURVEY.md §B.11):
+token counting, quality scoring, language-ID heuristic, fingerprinting,
+word frequencies.
+
+Everything is built-in expression work (split / explode / regexp / groupBy)
+— whole-stage codegen, no Python. Each query is a single scan + at most one
+shuffle, so the plans are 100 TB-shaped by construction.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import load_table
+from ..registry import register
+
+# tiny deterministic stopword list used by the quality score
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+# deterministic marker tokens per language for the lang-id heuristic
+LANG_MARKERS = {
+    "en": ("the", "a", "fast", "slow"),
+    "es": ("data", "query", "row"),
+    "de": ("hash", "key", "batch"),
+    "fr": ("window", "order", "group"),
+    "zh": ("spark", "table", "line"),
+}
+
+
+@register(
+    "text_token_stats",
+    tags=("llm", "text"),
+    oracle="""
+SELECT
+  doc_id,
+  lang,
+  len(string_split(text, ' ')) AS n_tokens,
+  len(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
+  length(text) AS n_chars_computed,
+  n_chars,
+  ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        / len(string_split(text, ' ')), 6) AS ttr
+FROM documents
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenization: token count, unique count, type-token
+    ratio; cross-checks the fixture's n_chars."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(words).alias("n_tokens"),
+        F.size(F.array_distinct(words)).alias("n_unique_tokens"),
+        F.length("text").alias("n_chars_computed"),
+        "n_chars",
+        F.round(
+            F.size(F.array_distinct(words)).cast("double") / F.size(words), 6
+        ).alias("ttr"),
+    )
+
+
+@register(
+    "text_bpe_token_estimate",
+    tags=("llm", "text"),
+    oracle="""
+SELECT
+  doc_id,
+  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_ish,
+  CAST(ceil(length(replace(text, ' ', '')) / 4.0) AS BIGINT) AS n_char4_estimate
+FROM documents
+""",
+)
+def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count estimation with a BPE-ish regex (letter runs / digit
+    runs / single punctuation) plus the chars/4 heuristic LLM pipelines
+    use for budget estimates."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0))).alias(
+            "n_bpe_ish"
+        ),
+        F.ceil(F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / 4.0)
+        .cast("long")
+        .alias("n_char4_estimate"),
+    )
+
+
+@register(
+    "text_quality_score",
+    tags=("llm", "text", "quality"),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, text,
+         string_split(text, ' ') AS words,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents
+)
+SELECT
+  doc_id, lang, n_tok,
+  ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE) / n_tok, 6) AS avg_word_len,
+  ROUND(CAST(len(list_filter(words, w -> list_contains({list(STOPWORDS)!r}, w))) AS DOUBLE)
+        / n_tok, 6) AS stopword_ratio,
+  ROUND(CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+        / length(text), 6) AS punct_ratio,
+  (n_tok BETWEEN 20 AND 1000) AND
+    (CAST(len(list_distinct(words)) AS DOUBLE) / n_tok > 0.2) AS quality_pass
+FROM t
+""",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: average word length, stopword ratio,
+    punctuation ratio, and a pass/fail gate (length band + lexical
+    diversity) — the standard pre-training corpus filters."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_tok = F.size(words)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("n_tok"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / n_tok, 6
+        ).alias("avg_word_len"),
+        F.round(
+            F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w))).cast("double")
+            / n_tok,
+            6,
+        ).alias("stopword_ratio"),
+        F.round(
+            F.length(F.regexp_replace("text", "[a-z0-9 ]", "")).cast("double")
+            / F.length("text"),
+            6,
+        ).alias("punct_ratio"),
+        (
+            n_tok.between(20, 1000)
+            & (F.size(F.array_distinct(words)).cast("double") / n_tok > 0.2)
+        ).alias("quality_pass"),
+    )
+
+
+def _langid_score_sql(lang: str) -> str:
+    toks = LANG_MARKERS[lang]
+    return (
+        f"len(list_filter(string_split(text, ' '), w -> list_contains({list(toks)!r}, w)))"
+    )
+
+
+@register(
+    "text_langid",
+    tags=("llm", "text", "langid"),
+    oracle=f"""
+WITH scores AS (
+  SELECT doc_id, lang,
+         {_langid_score_sql('en')} AS s_en,
+         {_langid_score_sql('es')} AS s_es,
+         {_langid_score_sql('de')} AS s_de,
+         {_langid_score_sql('fr')} AS s_fr,
+         {_langid_score_sql('zh')} AS s_zh
+  FROM documents
+)
+SELECT doc_id, lang AS actual_lang, s_en, s_es, s_de, s_fr, s_zh,
+       CASE greatest(s_en, s_es, s_de, s_fr, s_zh)
+         WHEN s_en THEN 'en' WHEN s_es THEN 'es' WHEN s_de THEN 'de'
+         WHEN s_fr THEN 'fr' ELSE 'zh' END AS predicted_lang
+FROM scores
+""",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID heuristic: score each language by marker
+    hits, argmax with a fixed precedence order for ties. (The fixture's
+    text is synthetic word soup, so the *operator* — per-language scoring
+    + deterministic argmax — is what's under test, not model quality.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    scores = {}
+    for lang, toks in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(t) for t in toks])
+        scores[lang] = F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        *[scores[lang].alias(f"s_{lang}") for lang in ("en", "es", "de", "fr", "zh")],
+    )
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in ("en", "es", "de", "fr", "zh")])
+    predicted = (
+        F.when(F.col("s_en") == best, "en")
+        .when(F.col("s_es") == best, "es")
+        .when(F.col("s_de") == best, "de")
+        .when(F.col("s_fr") == best, "fr")
+        .otherwise("zh")
+    )
+    return scored.withColumn("predicted_lang", predicted)
+
+
+@register(
+    "text_wordfreq_topk",
+    tags=("llm", "text", "topk"),
+    oracle="""
+SELECT tok, n, rk FROM (
+  SELECT tok, n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rk
+  FROM (
+    SELECT tok, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok
+  )
+)
+WHERE rk <= 20
+""",
+)
+def text_wordfreq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 token frequencies (explode → count → top-k).
+    Partial aggregation collapses each task to its local vocabulary before
+    the shuffle, so the exchange is vocabulary-sized, not corpus-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        counts.orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(20)
+        .withColumn("rk", F.row_number().over(Window.orderBy(F.col("n").desc(), F.col("tok"))))
+    )
+
+
+@register(
+    "text_fingerprint",
+    tags=("llm", "text", "fingerprint"),
+    oracle="""
+SELECT
+  doc_id,
+  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,
+  md5(text) AS exact_hash
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-form fingerprint (sorted distinct token bag → md5): robust
+    to token order/duplication, the classic fuzzy-dedup key; plus the
+    exact content hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    canon = F.concat_ws(" ", F.sort_array(F.array_distinct(F.split("text", " "))))
+    return docs.select(
+        "doc_id",
+        F.md5(canon).alias("fingerprint"),
+        F.md5("text").alias("exact_hash"),
+    )
