@@ -1,0 +1,50 @@
+"""Batch-equivalence + lifecycle tests for streaming operators (§5.2.3)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from vena_etl_tool_spark.catalog import load_table
+from vena_etl_tool_spark.streaming.queries import events_stream, stream_tumbling_window
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir):
+    """availableNow streaming windowed agg == the same agg run in batch."""
+    streamed = {
+        (r.window_start, r.event_type): (r.n, r.total_value)
+        for r in stream_tumbling_window(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    batch = {
+        (r["window"]["start"].replace(tzinfo=None), r.event_type): (r.n, r.total_value)
+        for r in ev.groupBy(F.window(F.col("ts").cast("timestamp"), "5 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .collect()
+    }
+    assert streamed == batch
+
+
+def test_stream_query_lifecycle(spark, sf_dir):
+    """Submit → status → progress → stop: the reference's job lifecycle
+    (upload/status/cancel) mapped onto a StreamingQuery handle."""
+    q = (
+        events_stream(spark, sf_dir)
+        .select("event_id")
+        .writeStream.format("memory")
+        .queryName("lifecycle_probe")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.id is not None
+    status = q.status  # observable mid-flight or after
+    assert "message" in status
+    q.awaitTermination()
+    assert not q.isActive
+    assert q.exception() is None
+    total = sum(int(p["numInputRows"]) for p in q.recentProgress)
+    assert total == load_table(spark, sf_dir, "events").count()
+    q.stop()  # idempotent stop on a finished query

@@ -1,0 +1,105 @@
+"""Retrying HTTP batch sink.
+
+Reference parity: `fetchWithRetry` — non-2xx throws, sleep backoff, recurse
+with retries-1 and backoff*2; defaults 3 attempts / 300 ms
+(/root/reference/src/api/templates.js:19-41, defaults src/config.js:10-11);
+the upload POST itself at templates.js:140-160.
+
+Spark-first shape: the POST happens *per partition on the executors*
+(``foreachPartition``), so a 100 TB export is N_partitions independent,
+retrying uploads — not one driver-RAM buffer like the reference. Batches
+carry an idempotency key (partition id + attempt-stable content hash) so
+at-least-once retries are safe to dedup server-side.
+
+The transport is injectable: the default uses urllib, tests inject a fake
+(this container has no network egress).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+DEFAULT_RETRIES = 3  # config.js:10
+DEFAULT_BACKOFF_S = 0.3  # config.js:11 (300 ms)
+
+Transport = Callable[[str, bytes, dict], int]  # (url, body, headers) -> http status
+
+
+def _default_transport(url: str, body: bytes, headers: dict) -> int:
+    import urllib.request
+
+    req = urllib.request.Request(url, data=body, headers=headers, method="POST")
+    with urllib.request.urlopen(req, timeout=30) as resp:  # noqa: S310
+        return resp.status
+
+
+def post_with_retry(
+    url: str,
+    body: bytes,
+    headers: dict,
+    transport: Transport = _default_transport,
+    retries: int = DEFAULT_RETRIES,
+    backoff_s: float = DEFAULT_BACKOFF_S,
+    sleep: Callable[[float], None] = time.sleep,
+) -> int:
+    """Exponential-backoff retry loop: attempt, sleep b, b*2, b*4 …
+    (templates.js:19-41; doubling at :39). Raises after the final attempt."""
+    attempt = 0
+    while True:
+        try:
+            status = transport(url, body, headers)
+            if status < 200 or status >= 300:
+                raise IOError(f"HTTP error {status}")
+            return status
+        except Exception:
+            if attempt >= retries:
+                raise
+            sleep(backoff_s * (2**attempt))
+            attempt += 1
+
+
+@dataclass
+class HttpSinkConfig:
+    url: str
+    headers: dict | None = None
+    batch_size: int = 500
+    retries: int = DEFAULT_RETRIES
+    backoff_s: float = DEFAULT_BACKOFF_S
+
+
+def write_http(df: DataFrame, cfg: HttpSinkConfig, transport: Transport | None = None) -> None:
+    """POST each partition as JSONL batches with retry. Executor-side; the
+    driver never sees the data."""
+    url, headers = cfg.url, dict(cfg.headers or {"content-type": "application/jsonl"})
+    batch_size, retries, backoff = cfg.batch_size, cfg.retries, cfg.backoff_s
+    tp = transport or _default_transport
+
+    def send_partition(rows) -> None:
+        import hashlib
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        batch: list[str] = []
+
+        def flush() -> None:
+            if not batch:
+                return
+            body = "\n".join(batch).encode("utf-8")
+            idem = hashlib.sha256(body).hexdigest()[:16]
+            hdrs = {**headers, "idempotency-key": f"p{pid}-{idem}"}
+            post_with_retry(url, body, hdrs, tp, retries, backoff)
+            batch.clear()
+
+        for row in rows:
+            batch.append(json.dumps(row.asDict(), default=str))
+            if len(batch) >= batch_size:
+                flush()
+        flush()
+
+    df.foreachPartition(send_partition)

@@ -1,0 +1,239 @@
+"""Structured Streaming operators (SURVEY.md §B.9) over the `events` table.
+
+Each query drives a real StreamingQuery: file-stream source (explicit
+schema — never infer on a stream), watermark, windowed/stateful transform,
+memory sink, ``availableNow`` trigger (process-everything-then-stop). The
+result table is returned as the query DataFrame, which makes streaming
+semantics oracle-checkable: with availableNow over static input, windowed
+aggregates must equal their batch equivalents (time_bucket arithmetic in
+DuckDB) — SURVEY.md §5.2.3's batch-equivalence strategy, enforced by the
+driver's hash check rather than a bespoke test.
+
+Scale notes: watermarks bound state; window aggs shuffle on (window, key);
+session windows shuffle on the session key; stream-static joins broadcast
+the static side. Complete output mode is used only for windowed aggregates
+(append would hold the trailing windows in state at end-of-stream); at
+true streaming scale these sinks would use append + watermark expiry.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import register
+from ..session import configure
+
+# Physical read schema for the events parquet under nanosAsLong.
+EVENTS_STREAM_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream source over the events parquet with the ns→µs fix."""
+    configure(spark)
+    # the file-stream source wants a directory: point at sf_dir and glob the
+    # one table file. ts stays TIMESTAMP (session tz = UTC) — watermarks
+    # reject TIMESTAMP_NTZ; outputs cast to ntz at the wire.
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_table(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
+    """Execute a streaming transform to completion (availableNow) into a
+    memory sink; return the sink table. This is the batch-equivalence
+    harness: same code path as a long-running stream, bounded input."""
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
+    "stream_tumbling_window",
+    tags=("streaming", "window"),
+    oracle="""
+SELECT
+  time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+  time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS window_end,
+  event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2, 3
+""",
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregate (5-minute windows) run as a
+    real stream; availableNow makes it exactly the batch time_bucket."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = ev.groupBy(F.window("ts", "5 minutes"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+    out = agg.select(
+        F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+        F.col("window.end").cast("timestamp_ntz").alias("window_end"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+    return run_to_table(out, "stream_tumbling_window", "complete")
+
+
+@register(
+    "stream_sliding_window",
+    tags=("streaming", "window"),
+    oracle="""
+SELECT window_start, COUNT(*) AS n
+FROM (
+  SELECT time_bucket(INTERVAL '5 minutes', ts) - (off.o * INTERVAL '5 minutes') AS window_start
+  FROM events
+  CROSS JOIN (VALUES (0), (1)) AS off(o)
+)
+GROUP BY window_start
+""",
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10-minute length, 5-minute slide): each event lands
+    in two windows; the oracle unrolls the two bucket offsets."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = ev.groupBy(F.window("ts", "10 minutes", "5 minutes")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    out = agg.select(
+        F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+        "n",
+    )
+    return run_to_table(out, "stream_sliding_window", "complete")
+
+
+@register(
+    "stream_session_window",
+    tags=("streaming", "session"),
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL '30 minutes'
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), sessions AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '30 minutes' AS session_end,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, sess_no
+""",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute inactivity gap) per user — Spark's
+    session_window vs the classic gaps-and-islands SQL as the oracle."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = ev.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    out = agg.select(
+        "user_id",
+        F.col("session_window.start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_window.end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+    )
+    return run_to_table(out, "stream_session_window", "complete")
+
+
+@register(
+    "stream_dedup",
+    tags=("streaming", "dedup"),
+    oracle="""
+SELECT DISTINCT user_id, event_type FROM events
+""",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup: watermark-bounded dropDuplicates state. Output is
+    key-only (the kept row among duplicates is arrival-order dependent;
+    the key set is deterministic)."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    dd = ev.dropDuplicates(["user_id", "event_type"]).select("user_id", "event_type")
+    return run_to_table(dd, "stream_dedup", "append")
+
+
+@register(
+    "stream_static_join",
+    tags=("streaming", "join"),
+    oracle="""
+SELECT m.category, COUNT(*) AS n,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events e
+JOIN (VALUES ('click', 'engagement'), ('view', 'engagement'),
+             ('purchase', 'revenue'), ('signup', 'growth'),
+             ('error', 'ops')) AS m(event_type, category)
+  ON e.event_type = m.event_type
+GROUP BY m.category
+""",
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the static dimension is broadcast to every
+    micro-batch; aggregation follows in the same streaming plan."""
+    dim = spark.createDataFrame(
+        [
+            ("click", "engagement"),
+            ("view", "engagement"),
+            ("purchase", "revenue"),
+            ("signup", "growth"),
+            ("error", "ops"),
+        ],
+        "event_type string, category string",
+    )
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    joined = ev.join(F.broadcast(dim), "event_type")
+    agg = joined.groupBy("category").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+    return run_to_table(agg, "stream_static_join", "complete")
+
+
+@register(
+    "stream_lifecycle_metrics",
+    tags=("streaming", "jobs"),
+    oracle="""
+SELECT COUNT(*) AS rows_processed FROM events
+""",
+)
+def stream_lifecycle_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Job lifecycle (reference A10-A12 analog: submit → observe → stop):
+    run a stream, then report rows-processed from the query's progress
+    telemetry — the engine-side equivalent of the reference's job-status
+    endpoint (/root/reference/src/api/jobs.js:14-59)."""
+    ev = events_stream(spark, sf_dir)
+    q = (
+        ev.select("event_id")
+        .writeStream.format("memory")
+        .queryName("stream_lifecycle_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    total = sum(int(p["numInputRows"]) for p in q.recentProgress)
+    assert not q.isActive
+    return spark.createDataFrame([(total,)], "rows_processed long")
