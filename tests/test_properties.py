@@ -1,0 +1,70 @@
+"""Property-based spot checks (SURVEY.md §5.2.5): algebraic identities that
+must hold for any data, run over hypothesis-generated frames."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=-1000, max_value=1000),
+        st.sampled_from(["x", "y", "z"]),
+        st.one_of(st.none(), st.integers(min_value=0, max_value=100)),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+_settings = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(rows=rows_strategy)
+@_settings
+def test_filter_partition_identity(spark, rows):
+    """count(p) + count(!p) == count() for a null-safe predicate."""
+    df = spark.createDataFrame(rows, "v long, tag string, opt int")
+    p = F.coalesce(F.col("opt"), F.lit(-1)) > 50
+    assert df.filter(p).count() + df.filter(~p).count() == df.count()
+
+
+@given(rows=rows_strategy)
+@_settings
+def test_union_except_roundtrip(spark, rows):
+    """(A ∪all B) exceptAll B == A as a multiset."""
+    df = spark.createDataFrame(rows, "v long, tag string, opt int")
+    a = df.filter(F.col("tag") != "z")
+    b = df.filter(F.col("tag") == "z")
+    roundtrip = a.unionAll(b).exceptAll(b)
+    assert sorted(map(tuple, roundtrip.collect())) == sorted(map(tuple, a.collect()))
+
+
+@given(rows=rows_strategy)
+@_settings
+def test_row_number_is_permutation(spark, rows):
+    """row_number over any total order is exactly 1..n per partition key."""
+    df = spark.createDataFrame(
+        [(i, *r) for i, r in enumerate(rows)], "uid long, v long, tag string, opt int"
+    )
+    w = Window.partitionBy("tag").orderBy("v", "uid")
+    rn = df.withColumn("rn", F.row_number().over(w))
+    for tag_rows in (
+        rn.groupBy("tag").agg(F.sort_array(F.collect_list("rn")).alias("rns")).collect()
+    ):
+        assert tag_rows.rns == list(range(1, len(tag_rows.rns) + 1))
+
+
+@given(rows=rows_strategy)
+@_settings
+def test_groupby_sum_equals_global_sum(spark, rows):
+    """Sum of per-group sums == global sum (long arithmetic, exact)."""
+    df = spark.createDataFrame(rows, "v long, tag string, opt int")
+    per_group = df.groupBy("tag").agg(F.sum("v").alias("s"))
+    total_from_groups = per_group.agg(F.sum("s")).first()[0]
+    assert total_from_groups == df.agg(F.sum("v")).first()[0]

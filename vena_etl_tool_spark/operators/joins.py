@@ -143,6 +143,25 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_right_outer",
+    tags=("join",),
+    oracle="""
+SELECT n_name, c_custkey
+FROM (SELECT * FROM customer WHERE c_acctbal > 9500) c
+RIGHT JOIN nation ON c_nationkey = n_nationkey
+""",
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join: every nation survives even with no rich customer
+    (null c_custkey)."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9500)
+    nation = load_table(spark, sf_dir, "nation")
+    return cust.join(
+        nation, F.col("c_nationkey") == F.col("n_nationkey"), "right"
+    ).select("n_name", "c_custkey")
+
+
+@register(
     "join_full_outer",
     tags=("join",),
     oracle="""
