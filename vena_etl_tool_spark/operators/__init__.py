@@ -19,6 +19,7 @@ Module map (SURVEY.md §2 Part B):
 
 from . import (  # noqa: F401
     aggregates,
+    analytics,
     dedup,
     joins,
     multimodal,
@@ -28,6 +29,7 @@ from . import (  # noqa: F401
     semistructured,
     setops,
     similarity,
+    skew,
     sortlimit,
     textanalysis,
     udfs,

@@ -1,0 +1,137 @@
+"""Additional multi-join analytics in the TPC-H idiom — deeper coverage of
+the join+aggregate surface a reference user's reporting queries exercise
+(customer/market/nation rollups over the order history).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from ..registry import register
+from ._shared import dsum
+
+
+@register(
+    "q7_nation_volume",
+    tags=("join", "aggregate"),
+    oracle="""
+SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+       year(l_shipdate) AS ship_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS volume
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE cn.n_name <> sn.n_name
+GROUP BY cn.n_name, sn.n_name, year(l_shipdate)
+HAVING COUNT(*) >= 5
+""",
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-style cross-nation shipping volume: two aliased broadcast
+    joins against the same dimension + a HAVING filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("volume"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .filter(F.col("_n") >= 5)
+        .drop("_n")
+    )
+
+
+@register(
+    "q10_returned_items",
+    tags=("join", "aggregate", "topk"),
+    oracle="""
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue_lost
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue_lost DESC, c_custkey
+LIMIT 20
+""",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-style: top-20 customers by returned-item revenue in a
+    year — join + aggregate + deterministic top-k."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue_lost"))
+        .orderBy(F.col("revenue_lost").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "market_share_by_year",
+    tags=("join", "aggregate", "window"),
+    oracle="""
+WITH yearly AS (
+  SELECT c_mktsegment, year(o_orderdate) AS yr,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS seg_total
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment, year(o_orderdate)
+)
+SELECT c_mktsegment, yr, seg_total,
+       ROUND(seg_total / SUM(seg_total) OVER (PARTITION BY yr), 6) AS share
+FROM yearly
+""",
+)
+def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market share per segment-year: aggregate then a windowed ratio —
+    the aggregate-then-window composition pattern."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    from pyspark.sql import Window
+
+    yearly = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", F.year("o_orderdate").alias("yr"))
+        .agg(dsum("o_totalprice").alias("seg_total"))
+    )
+    w = Window.partitionBy("yr")
+    return yearly.select(
+        "c_mktsegment",
+        "yr",
+        "seg_total",
+        F.round(F.col("seg_total") / F.sum("seg_total").over(w), 6).alias("share"),
+    )

@@ -122,6 +122,28 @@ def higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "explode_functions",
+    tags=("semistructured", "array"),
+    oracle="""
+SELECT vec_id, u.pos AS pos, u.val AS val
+FROM (
+  SELECT vec_id,
+         unnest(list_transform(range(1, len(embedding) + 1),
+                               i -> {'pos': i - 1, 'val': embedding[i]})) AS u
+  FROM embeddings
+  WHERE vec_id < 5
+)
+""",
+)
+def explode_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: array → (position, value) rows — the row-expansion
+    primitive under shingling/frame-sampling. explode_outer semantics
+    (null/empty arrays) are unit-tested."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5)
+    return emb.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+
+
+@register(
     "map_functions",
     tags=("semistructured", "map"),
     oracle="""
