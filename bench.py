@@ -44,8 +44,16 @@ def main() -> int:
     spark = get_spark("bench")
     specs = all_specs()
 
-    # JVM/codegen warmup on the smallest fixture
-    materialize(specs["q1_pricing_summary"].fn(spark, "/root/testdata/sf0.001"))
+    # JVM/codegen warmup: run every headline query once on the smallest
+    # fixture so the timed pass measures data-proportional cost, not
+    # first-use JIT/codegen compilation.
+    warmup_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warmup_dir) and warmup_dir != sf_dir:
+        for name in HEADLINE:
+            try:
+                materialize(specs[name].fn(spark, warmup_dir))
+            except Exception:
+                pass
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -1,0 +1,98 @@
+"""Edge-case unit tests per SURVEY.md §5.2.4: nulls in join keys, empty
+inputs/partitions, duplicate keys, explode_outer null semantics, timestamp
+boundaries."""
+
+from __future__ import annotations
+
+import datetime
+
+import pyspark.sql.functions as F
+
+
+def test_null_join_keys_never_match(spark):
+    """SQL equi-join semantics: NULL keys match nothing (not even NULL)."""
+    a = spark.createDataFrame([(1, "a"), (None, "b"), (2, "c")], "k int, va string")
+    b = spark.createDataFrame([(1, "x"), (None, "y")], "k int, vb string")
+    inner = a.join(b, "k").collect()
+    assert [(r.k, r.vb) for r in inner] == [(1, "x")]
+    left = a.join(b, "k", "left").orderBy("va").collect()
+    assert [r.vb for r in left] == ["x", None, None]
+    # null-safe equality (<=>) is the explicit opt-in
+    nullsafe = a.join(b, a["k"].eqNullSafe(b["k"])).count()
+    assert nullsafe == 2
+
+
+def test_empty_input_through_operators(spark):
+    empty = spark.createDataFrame([], "k int, v double")
+    assert empty.groupBy("k").agg(F.sum("v")).count() == 0
+    assert empty.join(spark.range(5), empty.k == F.col("id")).count() == 0
+    assert empty.agg(F.sum("v")).first()[0] is None  # global agg: one row, null sum
+    assert empty.orderBy("v").limit(3).count() == 0
+
+
+def test_duplicate_join_keys_multiply(spark):
+    a = spark.createDataFrame([(1,), (1,)], "k int")
+    b = spark.createDataFrame([(1, "x"), (1, "y")], "k int, v string")
+    assert a.join(b, "k").count() == 4  # bag semantics: 2×2
+    assert a.join(b, "k", "left_semi").count() == 2  # semi never multiplies
+
+
+def test_explode_outer_preserves_empty_and_null(spark):
+    df = spark.createDataFrame(
+        [(1, [10, 20]), (2, []), (3, None)], "id int, xs array<int>"
+    )
+    inner = df.select("id", F.explode("xs").alias("x"))
+    assert {r.id for r in inner.collect()} == {1}
+    outer = df.select("id", F.explode_outer("xs").alias("x"))
+    rows = {(r.id, r.x) for r in outer.collect()}
+    assert rows == {(1, 10), (1, 20), (2, None), (3, None)}
+
+
+def test_timestamp_boundaries_utc(spark):
+    """Session is pinned UTC: epoch math has no DST surprises, and
+    ns-fixture truncation (catalog.py) is exact at µs precision."""
+    df = spark.createDataFrame(
+        [(datetime.datetime(1969, 12, 31, 23, 59, 59, 999999),),
+         (datetime.datetime(1970, 1, 1, 0, 0, 0, 0),),
+         (datetime.datetime(2038, 1, 19, 3, 14, 8, 0),)],
+        "ts timestamp",
+    )
+    # two epoch extractors, two boundary semantics: unix_timestamp drops the
+    # sub-second part (pre-epoch 1969-12-31T23:59:59.999999 → 0), while
+    # cast('long') floors (→ -1). Engine code uses cast for oracle queries.
+    via_fn = [r.e for r in df.select(F.unix_timestamp("ts").alias("e")).collect()]
+    assert via_fn == [0, 0, 2147483648]
+    via_cast = [r.e for r in df.select(F.col("ts").cast("long").alias("e")).collect()]
+    assert via_cast == [-1, 0, 2147483648]  # floor, epoch, >int32 (no Y2038 wrap)
+
+
+def test_corrupt_free_csv_has_empty_quarantine(spark, tmp_path):
+    from vena_etl_tool_spark.pipeline.ingest import ingest_csv
+    from vena_etl_tool_spark.pipeline.spec import default_registry
+
+    p = tmp_path / "clean.csv"
+    header = ("l_orderkey,l_partkey,l_suppkey,l_linenumber,l_quantity,"
+              "l_extendedprice,l_discount,l_tax,l_returnflag,l_linestatus,l_shipdate")
+    p.write_text(header + "\n1,2,3,1,5.0,100.0,0.05,0.02,N,O,1996-01-02 00:00:00\n")
+    res = ingest_csv(spark, str(p), default_registry().get("lineitem-csv"))
+    assert (res.n_good, res.n_quarantined) == (1, 0)
+
+
+def test_window_on_single_row_partitions(spark):
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame([(i, i) for i in range(5)], "k int, v int")
+    w = Window.partitionBy("k").orderBy("v")
+    out = df.select(
+        F.lag("v").over(w).alias("prev"),
+        F.row_number().over(w).alias("rn"),
+        F.percent_rank().over(w).alias("pr"),
+    ).collect()
+    assert all(r.prev is None and r.rn == 1 and r.pr == 0.0 for r in out)
+
+
+def test_many_empty_partitions(spark):
+    """Operators must survive heavily over-partitioned (mostly empty) RDDs."""
+    df = spark.range(0, 10).repartition(64)
+    assert df.groupBy((F.col("id") % 3).alias("m")).count().count() == 3
+    assert df.orderBy(F.col("id").desc()).limit(2).count() == 2
