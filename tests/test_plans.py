@@ -1,0 +1,71 @@
+"""Physical-plan regression tests — the 100 TB claims from SCALE.md,
+asserted against the executed plan so a refactor can't silently lose
+pushdown, broadcast, or top-k physical strategies."""
+
+from __future__ import annotations
+
+import pytest
+
+from vena_etl_tool_spark.registry import all_specs
+
+_SPECS = all_specs()
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = _SPECS[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushdown_and_pruning(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema  # unused columns pruned from the scan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_q5_all_dims_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    assert "TakeOrderedAndProject" in plan_of(spark, sf_dir, "topk_global")
+    assert "TakeOrderedAndProject" in plan_of(spark, sf_dir, "q10_returned_items")
+
+
+def test_range_join_is_broadcast_not_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "join_range_bands")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_join_is_single_window_no_loop(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "join_asof_last_click")
+    assert "Window" in plan
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"):
+        assert bad not in plan, f"as-of should not plan a {bad}"
+
+
+def test_blocking_joins_are_equi(spark, sf_dir):
+    """The dedup/similarity candidate joins must be hash/merge equi-joins
+    on block keys, never nested loops over the full corpus."""
+    for name in ("dedup_ngram_jaccard", "dedup_minhash_lsh_pairs"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_semi_anti_physical(spark, sf_dir):
+    assert "LeftSemi" in plan_of(spark, sf_dir, "join_semi")
+    assert "LeftAnti" in plan_of(spark, sf_dir, "join_anti")
+
+
+@pytest.mark.parametrize("name", ["window_frames", "topn_per_group"])
+def test_windows_are_partitioned(spark, sf_dir, name):
+    """No scale-path window may collapse to a single partition."""
+    df = _SPECS[name].fn(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "windowspecdefinition(" in opt.lower()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan

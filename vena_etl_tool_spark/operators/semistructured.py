@@ -167,6 +167,41 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "map_functions_extra",
+    tags=("semistructured", "map"),
+    oracle=None,  # map iteration order is engine-specific; invariants unit-tested
+)
+def map_functions_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rest of the map family: map_from_arrays, map_concat, map_filter,
+    transform_values, map_entries — outputs flattened to sorted arrays so
+    the result is deterministic despite map iteration order."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 100)
+    base = ev.select(
+        "event_id",
+        F.map_from_arrays(
+            F.array(F.lit("type"), F.lit("uid")),
+            F.array(F.col("event_type"), F.col("user_id").cast("string")),
+        ).alias("m1"),
+        F.create_map(F.lit("val"), F.col("value").cast("string")).alias("m2"),
+    )
+    combined = base.select(
+        "event_id",
+        F.map_concat("m1", "m2").alias("m"),
+    )
+    shaped = combined.select(
+        "event_id",
+        F.map_filter("m", lambda k, v: k != "uid").alias("kept"),
+        F.transform_values("m", lambda k, v: F.upper(v)).alias("upped"),
+    )
+    return shaped.select(
+        "event_id",
+        F.sort_array(F.map_keys("kept")).alias("kept_keys"),
+        F.sort_array(F.map_values("upped")).alias("upped_vals"),
+        F.size(F.map_entries("upped")).alias("n_entries"),
+    )
+
+
+@register(
     "struct_functions",
     tags=("semistructured", "struct"),
     oracle="""
