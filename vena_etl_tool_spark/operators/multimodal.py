@@ -89,9 +89,26 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays off the driver, and the batch iterator keeps memory bounded to
     one Arrow batch per core. Only `_fake_decode` is a stub."""
 
+    # NOTE: the closure must be self-contained (no references to this
+    # package's module globals — the decode logic is inlined from
+    # _fake_decode): executors may not have the repo on sys.path; see
+    # session._ship_package.
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np  # local import: worker-side namespace only
+        import pandas as pd
+
+        def decode(payload: bytes) -> dict:
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            return {
+                "n_bytes": int(arr.size),
+                "fake_width": int(arr[:4].sum() % 640) if arr.size else 0,
+                "fake_height": int(arr[4:8].sum() % 480) if arr.size >= 8 else 0,
+                "mean_byte": float(arr.mean()) if arr.size else 0.0,
+                "feature_dim": 16,
+            }
+
         for pdf in batches:
-            feats = [_fake_decode(p) for p in pdf["payload"]]
+            feats = [decode(p) for p in pdf["payload"]]
             out = pd.DataFrame(feats)
             out.insert(0, "doc_id", pdf["doc_id"].values)
             yield out

@@ -38,6 +38,48 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Worker-side callables (pandas UDFs, applyInPandasWithState fns) may be
+    cloudpickled *by reference* to this module; if the driver wasn't
+    launched from the repo root the workers can't import it. Shipping a
+    zip via addPyFile puts the package on every worker's sys.path
+    regardless of the driver's cwd.
+    """
+    if getattr(spark, "_vena_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    stamp = int(max(
+        os.path.getmtime(os.path.join(root, f))
+        for root, _, files in os.walk(pkg_dir)
+        for f in files
+        if f.endswith(".py")
+    ))
+    zip_path = os.path.join(tempfile.gettempdir(), f"vena_etl_tool_spark_{stamp}.zip")
+    if not os.path.exists(zip_path):
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for root, _, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.join(
+                            "vena_etl_tool_spark", os.path.relpath(full, pkg_dir)
+                        )
+                        zf.write(full, rel)
+        os.replace(tmp, zip_path)
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # e.g. Connect sessions without an SC; worker closures are
+        # self-contained anyway for the shipped operators
+    spark._vena_pkg_shipped = True  # type: ignore[attr-defined]
+
+
 def configure(spark: SparkSession) -> SparkSession:
     """Apply runtime confs to an externally-created session (driver contract)."""
     for k, v in RUNTIME_CONFS.items():
@@ -46,6 +88,7 @@ def configure(spark: SparkSession) -> SparkSession:
         except Exception:
             # A conf may be static on some builds; never fail the query for it.
             pass
+    _ship_package(spark)
     return spark
 
 

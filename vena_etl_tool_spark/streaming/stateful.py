@@ -14,11 +14,8 @@ bounded run ends the stream) are how production pipelines expire idle keys.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.state import GroupStateTimeout
 
 from ..registry import register
 from .queries import events_stream, run_to_table
@@ -27,25 +24,29 @@ STATE_SCHEMA = "n long, total double, last_ts timestamp"
 OUTPUT_SCHEMA = "user_id long, n_events long, total_value double"
 
 
-def _update_user_state(
-    key: tuple,
-    batches: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Fold each micro-batch into (count, sum, last_ts) state and emit the
-    updated running aggregate for the key."""
-    (user_id,) = key
-    n, total, last_ts = state.get if state.exists else (0, 0.0, None)
-    for pdf in batches:
-        n += len(pdf)
-        # decimal-style rounding to keep the sum deterministic vs the oracle
-        total = round(total + float(pdf["value"].round(2).sum()), 2)
-        batch_max = pdf["ts"].max()
-        last_ts = batch_max if last_ts is None else max(last_ts, batch_max)
-    state.update((n, total, last_ts))
-    yield pd.DataFrame(
-        {"user_id": [user_id], "n_events": [n], "total_value": [float(total)]}
-    )
+def make_update_user_state():
+    """Build the stateful update fn as a self-contained closure (no refs to
+    this package's globals — executors may not have the repo on sys.path)."""
+
+    def update_user_state(key, batches, state):
+        """Fold each micro-batch into (count, sum, last_ts) state and emit
+        the updated running aggregate for the key."""
+        import pandas as pd
+
+        (user_id,) = key
+        n, total, last_ts = state.get if state.exists else (0, 0.0, None)
+        for pdf in batches:
+            n += len(pdf)
+            # decimal-style rounding keeps the sum deterministic vs the oracle
+            total = round(total + float(pdf["value"].round(2).sum()), 2)
+            batch_max = pdf["ts"].max()
+            last_ts = batch_max if last_ts is None else max(last_ts, batch_max)
+        state.update((n, total, last_ts))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_value": [float(total)]}
+        )
+
+    return update_user_state
 
 
 @register(
@@ -67,7 +68,7 @@ def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFram
 
     ev = events_stream(spark, sf_dir).select("user_id", "ts", "value")
     updated = ev.groupBy("user_id").applyInPandasWithState(
-        _update_user_state,
+        make_update_user_state(),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
