@@ -31,6 +31,7 @@ from . import (  # noqa: F401
     similarity,
     skew,
     sortlimit,
+    subqueries,
     textanalysis,
     udfs,
     windows,
