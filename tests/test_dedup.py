@@ -74,6 +74,24 @@ def test_minhash_signature_similarity_estimate(planted_docs):
     assert agree_unrelated <= 4  # 32 perms, true jaccard 0
 
 
+def test_minhash_hot_bucket_cap(spark, planted_docs):
+    """A mass-duplicated text floods its band buckets; the cap drops those
+    buckets (no quadratic pair blowup) while distinct near-dup pairs in
+    small buckets survive."""
+    hot = spark.createDataFrame(
+        [(1000 + i, "hot boilerplate text repeated across the corpus many many times over") for i in range(30)],
+        "doc_id long, text string",
+    )
+    docs = planted_docs.unionByName(hot)
+    uncapped = minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()
+    capped = minhash_lsh_pairs(docs, jaccard_threshold=0.5, max_bucket_size=10).collect()
+    hot_pairs = [r for r in uncapped if r.doc_a >= 1000]
+    assert len(hot_pairs) == 30 * 29 // 2  # quadratic blowup without the cap
+    capped_keys = {(r.doc_a, r.doc_b) for r in capped}
+    assert not any(a >= 1000 for a, _ in capped_keys)  # hot bucket dropped
+    assert (0, 100) in capped_keys and (1, 101) in capped_keys  # real dups kept
+
+
 def test_simhash_invariants(planted_docs):
     fps = {r.doc_id: r.simhash for r in simhash_fingerprints(planted_docs).collect()}
     ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")  # noqa: E731

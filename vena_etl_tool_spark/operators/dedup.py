@@ -245,12 +245,32 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
 
 
-def minhash_lsh_pairs(docs: DataFrame, jaccard_threshold: float = 0.5) -> DataFrame:
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    jaccard_threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
     """MinHash-LSH near-dup pairs from any (doc_id, text) DataFrame —
-    reusable core so tests can plant synthetic duplicates."""
+    reusable core so tests can plant synthetic duplicates.
+
+    ``max_bucket_size`` is the hot-key guard (SCALE.md): a band bucket
+    shared by k documents produces k² candidate pairs, so one
+    boilerplate-heavy bucket can dominate the join. Capping drops buckets
+    larger than the limit (bounded recall loss — exact dedup upstream
+    should have removed mass-duplicate text already).
+    """
     sh = doc_shingles(docs).cache()
     sig = minhash_signature(sh, "doc_id", "sh")
     bands = lsh_bands(sig, "doc_id")
+    if max_bucket_size is not None:
+        bucket_sizes = bands.groupBy("band_id", "band_key").agg(
+            F.count(F.lit(1)).alias("_bsz")
+        )
+        bands = (
+            bands.join(bucket_sizes, ["band_id", "band_key"])
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (

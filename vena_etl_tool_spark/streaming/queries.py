@@ -213,6 +213,52 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_join",
+    tags=("streaming", "join"),
+    oracle="""
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL '30 minutes' AND c.ts <= p.ts
+""",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: purchases ⋈ clicks by user within a
+    30-minute lookback. Both sides watermarked + a two-sided time-range
+    condition — exactly what Spark needs to bound the join state (each
+    side's rows expire once the other side's watermark passes the range).
+    availableNow makes the result the batch interval join (the oracle)."""
+    ev = events_stream(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select("purchase_id", "click_id", "user_id")
+    return run_to_table(joined, "stream_stream_join", "append")
+
+
+@register(
     "stream_lifecycle_metrics",
     tags=("streaming", "jobs"),
     oracle="""
