@@ -92,6 +92,21 @@ def test_minhash_hot_bucket_cap(spark, planted_docs):
     assert (0, 100) in capped_keys and (1, 101) in capped_keys  # real dups kept
 
 
+def test_ml_minhash_agrees_with_sql_minhash(planted_docs):
+    """The pyspark.ml MinHashLSH twin finds the same planted duplicates as
+    the pure-SQL pipeline (cross-validation of the two implementations)."""
+    from vena_etl_tool_spark.operators.ml_lsh import ml_minhash_pairs
+
+    ml_pairs = {(r.doc_a, r.doc_b) for r in ml_minhash_pairs(planted_docs).collect()}
+    assert (0, 100) in ml_pairs
+    assert (1, 101) in ml_pairs
+    sql_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(planted_docs, jaccard_threshold=0.5).collect()
+    }
+    assert {(0, 100), (1, 101)} <= sql_pairs
+
+
 def test_simhash_invariants(planted_docs):
     fps = {r.doc_id: r.simhash for r in simhash_fingerprints(planted_docs).collect()}
     ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")  # noqa: E731

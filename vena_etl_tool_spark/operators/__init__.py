@@ -22,6 +22,7 @@ from . import (  # noqa: F401
     analytics,
     dedup,
     joins,
+    ml_lsh,
     multimodal,
     pricing,
     projection,

@@ -29,6 +29,7 @@ Commands:
   cancel <job-id>               Cancel a running job
   templates                     List registered pipeline specs
   template <spec-id>            Show one spec's full definition
+  run <query> [sf_dir] [n]      Run a registered analytics query
   help                          Show this message
 """
 
@@ -106,6 +107,35 @@ def cmd_cancel(args: list[str], spark, audit, jobs: JobRegistry, specs) -> int:
         return 1
 
 
+def cmd_run(args: list[str], spark, audit: AuditLog, jobs, specs) -> int:
+    """Run any registered analytics query: run <query-name> [sf_dir] [n].
+    The engine-side extension of the reference's surface — the remote ETL
+    service's transformations, executed locally and inspectably."""
+    from ..catalog import DEFAULT_SF_DIR
+    from ..registry import all_specs
+
+    qspecs = all_specs()
+    if not args or args[0] not in qspecs:
+        print("❌ Usage: run <query-name> [sf_dir] [n_rows]")
+        if args:
+            close = [n for n in sorted(qspecs) if args[0].lower() in n][:8]
+            print(f"   Unknown query {args[0]!r}." + (f" Close: {close}" if close else ""))
+        else:
+            print(f"   {len(qspecs)} queries available — see OPERATORS.md")
+        return 1
+    name = args[0]
+    sf_dir = args[1] if len(args) > 1 else DEFAULT_SF_DIR
+    n = int(args[2]) if len(args) > 2 else 20
+    started = time.time()
+    df = qspecs[name].fn(spark, sf_dir)
+    df.show(n, truncate=False)
+    audit.log_api_operation(
+        {"operation": "run_query", "query": name, "sfDir": sf_dir,
+         "durationSeconds": round(time.time() - started, 2)}
+    )
+    return 0
+
+
 def cmd_templates(args, spark, audit: AuditLog, jobs, specs) -> int:
     rows = specs.list()
     audit.log_api_operation({"operation": "list_templates", "count": len(rows)})
@@ -135,6 +165,7 @@ COMMANDS = {
     "cancel": cmd_cancel,
     "templates": cmd_templates,
     "template": cmd_template,
+    "run": cmd_run,
 }
 
 
