@@ -229,6 +229,78 @@ def text_wordfreq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_chunk_windows",
+    tags=("llm", "text", "chunking"),
+    oracle="""
+SELECT doc_id, chunk_idx,
+       array_to_string(words[(chunk_idx * 5 + 1):(chunk_idx * 5 + 10)], ' ') AS chunk_text
+FROM (
+  SELECT doc_id, string_split(text, ' ') AS words,
+         unnest(range(0, CAST(ceil((len(string_split(text, ' ')) - 5) / 5.0) AS BIGINT))) AS chunk_idx
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 10
+)
+""",
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (10-token windows, stride 5) — the
+    context-window preparation op for LLM training data, as a pure
+    builtin-expression plan (sequence → transform → explode)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_chunks = F.ceil((F.size(F.col("words")) - 5) / 5.0).cast("long")
+    chunks = (
+        docs.select("doc_id", F.split("text", " ").alias("words"))
+        .filter(F.size("words") >= 10)
+        .select(
+            "doc_id",
+            F.col("words"),
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_idx"),
+        )
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.concat_ws(
+            " ", F.slice(F.col("words"), (F.col("chunk_idx") * 5 + 1).cast("int"), 10)
+        ).alias("chunk_text"),
+    )
+
+
+@register(
+    "udtf_chunk_text",
+    tags=("llm", "text", "udtf"),
+    oracle=None,  # same semantics as text_chunk_windows; equality unit-tested
+)
+def udtf_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same chunker as a real Python UDTF (SURVEY §B.10's table
+    function row): one input row → N output rows from imperative code.
+    Exists for API-surface parity; the builtin-expression version above is
+    the production path (JVM-side, no Python)."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="chunk_doc_id: bigint, chunk_idx: bigint, chunk_text: string")
+    class ChunkText:
+        def eval(self, doc_id: int, text: str, window: int, stride: int):
+            words = text.split(" ")
+            if len(words) < window:
+                return
+            idx = 0
+            for start in range(0, len(words) - stride, stride):
+                yield doc_id, idx, " ".join(words[start : start + window])
+                idx += 1
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.lateralJoin(
+        ChunkText(F.col("doc_id").outer(), F.col("text").outer(), lit(10), lit(5))
+    ).select(
+        F.col("chunk_doc_id").alias("doc_id"),
+        "chunk_idx",
+        "chunk_text",
+        F.col("n_chars").alias("orig_chars"),
+    )
+
+
+@register(
     "text_fingerprint",
     tags=("llm", "text", "fingerprint"),
     oracle="""
