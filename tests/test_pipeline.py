@@ -99,6 +99,16 @@ def test_audit_log_channels(tmp_path):
         assert json.loads(raw)
 
 
+def test_basic_auth_headers():
+    from vena_etl_tool_spark.pipeline.http_sink import basic_auth_headers
+
+    h = basic_auth_headers("user", "pass")
+    assert h["authorization"] == "Basic dXNlcjpwYXNz"  # base64("user:pass")
+    assert h["accept"] == "application/json"
+    with pytest.raises(ValueError):
+        basic_auth_headers("user", "")
+
+
 def test_post_with_retry_backoff():
     attempts, sleeps = [], []
 

@@ -50,6 +50,25 @@ def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "json_functions_extra",
+    tags=("semistructured", "json"),
+    oracle=None,  # to_json whitespace/quoting is engine-specific; unit-tested
+)
+def json_functions_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rest of the JSON family: to_json (struct → string), json_tuple
+    (multi-path extraction), schema_of_json on a literal (NEVER per-row at
+    scale — one inference, reused as a plan constant)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 50)
+    inferred = F.schema_of_json(F.lit('{"k": 1}'))
+    return ev.select(
+        "event_id",
+        F.to_json(F.struct(F.col("event_type"), F.col("user_id"))).alias("as_json"),
+        F.json_tuple(F.col("props"), "k").alias("k_str"),
+        inferred.alias("inferred_schema"),
+    )
+
+
+@register(
     "array_functions",
     tags=("semistructured", "array"),
     oracle="""

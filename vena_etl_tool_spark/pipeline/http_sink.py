@@ -30,6 +30,19 @@ DEFAULT_BACKOFF_S = 0.3  # config.js:11 (300 ms)
 Transport = Callable[[str, bytes, dict], int]  # (url, body, headers) -> http status
 
 
+def basic_auth_headers(username: str, password: str) -> dict:
+    """Basic-auth request headers (reference A4:
+    /root/reference/src/auth/index.js:11-26 — `Basic base64(user:pass)`
+    plus the JSON accept header). Credentials must be present — fail fast
+    like the reference's config validation (src/config.js:28-34)."""
+    import base64
+
+    if not username or not password:
+        raise ValueError("username and password are required for basic auth")
+    token = base64.b64encode(f"{username}:{password}".encode()).decode("ascii")
+    return {"accept": "application/json", "authorization": f"Basic {token}"}
+
+
 def _default_transport(url: str, body: bytes, headers: dict) -> int:
     import urllib.request
 
