@@ -361,20 +361,20 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     oracle="""
 WITH norms AS (
   SELECT vec_id, label,
-         (SELECT CAST(SUM(CAST(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE) AS DECIMAL(20,12))) AS DOUBLE)
+         (SELECT CAST(SUM(CAST(FLOOR(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
           FROM UNNEST(embedding) AS u(x)) AS sq_norm,
          embedding
   FROM embeddings
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        ROUND(
-         (SELECT CAST(SUM(CAST(CAST(struct_extract(p, 1) AS DOUBLE) * CAST(struct_extract(p, 2) AS DOUBLE) AS DECIMAL(20,12))) AS DOUBLE)
+         (SELECT CAST(SUM(CAST(FLOOR(CAST(struct_extract(p, 1) AS DOUBLE) * CAST(struct_extract(p, 2) AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
           FROM UNNEST(list_zip(a.embedding, b.embedding)) AS t(p))
          / (SQRT(a.sq_norm) * SQRT(b.sq_norm)), 6) AS cosine
 FROM norms a
 JOIN norms b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE
-  (SELECT CAST(SUM(CAST(CAST(struct_extract(p, 1) AS DOUBLE) * CAST(struct_extract(p, 2) AS DOUBLE) AS DECIMAL(20,12))) AS DOUBLE)
+  (SELECT CAST(SUM(CAST(FLOOR(CAST(struct_extract(p, 1) AS DOUBLE) * CAST(struct_extract(p, 2) AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
    FROM UNNEST(list_zip(a.embedding, b.embedding)) AS t(p))
   / (SQRT(a.sq_norm) * SQRT(b.sq_norm)) >= 0.25
 """,
@@ -385,12 +385,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Blocking on `label` stands in for the LSH/IVF bucket at scale — the
     pair join is per-block, never global. Dot products fold with a DECIMAL
     accumulator (order-insensitive, oracle-exact)."""
+    from .similarity import dot_exact as dot  # scaled-long exact fold
+
     emb = load_table(spark, sf_dir, "embeddings")
-    dot = lambda l, r: F.aggregate(  # noqa: E731
-        F.zip_with(l, r, lambda x, y: (x.cast("double") * y.cast("double")).cast("decimal(20,12)")),
-        F.lit(0).cast("decimal(20,12)"),
-        lambda acc, v: (acc + v).cast("decimal(20,12)"),
-    ).cast("double")
     norms = emb.select(
         "vec_id", "label", "embedding", dot(F.col("embedding"), F.col("embedding")).alias("sq_norm")
     )
