@@ -253,14 +253,33 @@ def minhash_lsh_pairs(
     """MinHash-LSH near-dup pairs from any (doc_id, text) DataFrame —
     reusable core so tests can plant synthetic duplicates.
 
+    Plan shape: ONE aggregate pass over exploded shingles computes the
+    32 permutation minima AND the shingle-hash set per document; band
+    bucketing + self-join yields candidates; verification is
+    array_intersect over the pre-collected hash sets (two hash joins on
+    doc ids) — no second pass over the exploded shingles.
+
     ``max_bucket_size`` is the hot-key guard (SCALE.md): a band bucket
     shared by k documents produces k² candidate pairs, so one
     boilerplate-heavy bucket can dominate the join. Capping drops buckets
     larger than the limit (bounded recall loss — exact dedup upstream
     should have removed mass-duplicate text already).
     """
-    sh = doc_shingles(docs).cache()
-    sig = minhash_signature(sh, "doc_id", "sh")
+    sh = doc_shingles(docs)
+    with_h = sh.select("doc_id", F.xxhash64("sh").alias("h64"))
+    h32 = F.col("h64").bitwiseAND(F.lit(0x7FFFFFFF))
+    mins = [
+        F.min((h32 * F.lit(_A[i]) + F.lit(_B[i])) % F.lit(MERSENNE)).alias(f"mh{i}")
+        for i in range(N_MINHASH)
+    ]
+    per_doc = with_h.groupBy("doc_id").agg(
+        *mins,
+        F.collect_list("h64").alias("hs"),  # shingles are pre-distinct
+        F.count(F.lit(1)).alias("n_sh"),
+    ).cache()
+    sig = per_doc.select(
+        "doc_id", F.array(*[F.col(f"mh{i}") for i in range(N_MINHASH)]).alias("minhash")
+    )
     bands = lsh_bands(sig, "doc_id")
     if max_bucket_size is not None:
         bucket_sizes = bands.groupBy("band_id", "band_key").agg(
@@ -283,19 +302,20 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # exact-verify candidates
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh"))
-    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh"))
-    inter = (
-        cand.join(sh_a, "doc_a")
-        .join(sh_b, ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    # exact-verify candidates: array_intersect over the pre-collected
+    # shingle-hash sets (hash-collision odds ~n_sh²/2⁶⁴ per pair — nil)
+    sets_a = per_doc.select(
+        F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"), F.col("n_sh").alias("na")
     )
+    sets_b = per_doc.select(
+        F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"), F.col("n_sh").alias("nb")
+    )
+    # per-doc hash sets are ~1KB/doc — broadcastable far beyond test scale;
+    # at true corpus scale drop the hints and let AQE pick the strategy
     return (
-        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        cand.join(F.broadcast(sets_a), "doc_a")
+        .join(F.broadcast(sets_b), "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
         .withColumn(
             "jaccard",
             F.round(
