@@ -70,6 +70,38 @@ def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ansi_safe_casts",
+    tags=("projection", "ansi"),
+    oracle="""
+SELECT
+  event_id,
+  TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_ok,
+  TRY_CAST(event_type AS INTEGER) AS not_a_number,
+  value / NULLIF(CAST(user_id % 7 AS DOUBLE), 0.0) AS guarded_div
+FROM events
+WHERE event_id < 200
+""",
+)
+def ansi_safe_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expressions under ANSI mode (Spark 4 default): try_cast
+    yields NULL where a plain cast would raise; division guarded with
+    nullif. The engine's ingest-grade arithmetic never kills a 100 TB job
+    on one malformed value."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    return ev.select(
+        "event_id",
+        F.expr("try_cast(get_json_object(props, '$.k') AS int)").alias("k_ok"),
+        # NOTE: no all-NULL DATE columns on the wire — pandas renders those
+        # as NaT on one engine and None on the other
+        F.expr("try_cast(event_type AS int)").alias("not_a_number"),
+        (
+            F.col("value")
+            / F.nullif((F.col("user_id") % 7).cast("double"), F.lit(0.0))
+        ).alias("guarded_div"),
+    )
+
+
+@register(
     "distinct_projection",
     tags=("projection", "distinct"),
     oracle="""

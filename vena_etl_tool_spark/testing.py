@@ -43,6 +43,8 @@ def _canon_value(v: object) -> object:
         return f"f:{float(v)!r}"
     if isinstance(v, Decimal):
         return f"d:{v.normalize()}"
+    if v is pd.NaT:
+        return "<null>"
     if isinstance(v, pd.Timestamp):
         return f"t:{v.isoformat()}"
     if isinstance(v, datetime.datetime):
