@@ -199,6 +199,35 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unpivot_melt",
+    tags=("aggregate", "unpivot"),
+    oracle="""
+WITH pivoted AS (
+  SELECT
+    l_returnflag,
+    CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+    CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag, status_col, qty
+FROM pivoted
+UNPIVOT (qty FOR status_col IN (qty_f, qty_o))
+""",
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide → long, the inverse of agg_pivot — pivot then
+    unpivot round-trips the per-status quantities into rows."""
+    wide = agg_pivot(spark, sf_dir)
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["qty_f", "qty_o"],
+        variableColumnName="status_col",
+        valueColumnName="qty",
+    ).filter(F.col("qty").isNotNull())
+
+
+@register(
     "agg_percentiles_exact",
     tags=("aggregate", "percentile"),
     oracle="""

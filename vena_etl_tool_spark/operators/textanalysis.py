@@ -301,6 +301,44 @@ def udtf_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dataset_split_assign",
+    tags=("llm", "text", "splitting"),
+    oracle="""
+WITH assigned AS (
+  SELECT doc_id, lang,
+         CASE
+           WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train'
+           WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM documents
+)
+SELECT split, lang, COUNT(*) AS n
+FROM assigned
+GROUP BY split, lang
+""",
+)
+def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed train/val/test split (~75/12.5/12.5 by md5 first
+    hex digit of the stable id). THE deterministic splitting pattern for
+    training corpora: no RNG state, stable under re-partitioning and
+    re-runs, reproducible across engines — md5 is the cross-engine
+    contract (vs seeded rand(), which is partitioning-dependent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    first_hex = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(first_hex.isin(*"0123456789ab"), "train")
+        .when(first_hex.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
     "text_fingerprint",
     tags=("llm", "text", "fingerprint"),
     oracle="""
