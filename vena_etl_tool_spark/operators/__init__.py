@@ -21,6 +21,7 @@ from . import (  # noqa: F401
     aggregates,
     analytics,
     dedup,
+    ingestion,
     joins,
     ml_lsh,
     multimodal,

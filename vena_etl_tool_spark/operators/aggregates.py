@@ -87,17 +87,20 @@ def agg_statistical(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT
   o_orderpriority,
-  list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
   COUNT(*) AS n
 FROM orders
 GROUP BY o_orderpriority
 """,
 )
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect_set sorted for determinism (collect order is undefined)."""
+    """collect_set sorted for determinism (collect order is undefined).
+    The array is serialized to a ','-joined string at the query boundary
+    so the result is scalar-typed (array outputs aren't canonicalizable
+    by the harness hash); sort-before-join keeps it deterministic."""
     orders = load_table(spark, sf_dir, "orders")
     return orders.groupBy("o_orderpriority").agg(
-        F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.concat_ws(",", F.sort_array(F.collect_set("o_orderstatus"))).alias("statuses"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -273,10 +276,19 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # KLL/GK sketch values are engine-specific
 )
 def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percentile_approx — single-pass mergeable quantile sketch."""
+    """percentile_approx — single-pass mergeable quantile sketch. The
+    three quantiles are emitted as scalar columns (not the raw array) so
+    the output is harness-hashable."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_linestatus").agg(
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
-            "price_quantiles"
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias("pq")
+        )
+        .select(
+            "l_linestatus",
+            F.element_at("pq", 1).alias("price_p50"),
+            F.element_at("pq", 2).alias("price_p95"),
+            F.element_at("pq", 3).alias("price_p99"),
         )
     )

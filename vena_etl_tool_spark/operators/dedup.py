@@ -26,6 +26,11 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from ..catalog import load_table
 from ..registry import register
 
+# Hot-shingle guard for the n-gram Jaccard blocking join: shingles shared
+# by more than this many documents are dropped before the self-join (a
+# shingle with document frequency k emits k² candidate rows).
+SHINGLE_DF_CAP = 100
+
 # MinHash parameters: 32 permutations in 8 bands of 4 rows.
 N_MINHASH = 32
 BAND_ROWS = 4
@@ -108,12 +113,15 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS words FROM documents
-), sh AS (
+), sh_all AS (
   SELECT doc_id, unnest(list_distinct(
     list_transform(range(1, len(words) - 1),
                    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
   )) AS sh
   FROM w WHERE len(words) >= 3
+), sh AS (
+  SELECT doc_id, sh FROM sh_all
+  WHERE sh IN (SELECT sh FROM sh_all GROUP BY sh HAVING COUNT(*) <= 100)
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
 ), pairs AS (
@@ -134,8 +142,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared-shingle blocking (inverted-index self-join). The blocking join
     only pairs documents that share ≥1 shingle — at 100 TB this is the
     difference between a bounded inverted-index join and an O(n²) cross
-    product. Hot shingles should be frequency-capped (see tests)."""
-    sh = _doc_shingles(spark, sf_dir)
+    product. Hot shingles (document frequency > SHINGLE_DF_CAP) are dropped
+    before the join — one stop-word-ish shingle shared by k docs would
+    otherwise emit k² candidate rows. The cap is applied before the size
+    computation too, so the output is the exact Jaccard of the df-capped
+    shingle sets (the oracle applies the identical cap)."""
+    sh_all = _doc_shingles(spark, sf_dir)
+    dfreq = sh_all.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+    sh = (
+        sh_all.join(dfreq, "sh")
+        .filter(F.col("_df") <= SHINGLE_DF_CAP)
+        .select("doc_id", "sh")
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -217,7 +235,9 @@ def lsh_bands(df: DataFrame, id_col: str, sig_col: str = "minhash") -> DataFrame
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document MinHash signature (32 perms) + the 8 LSH band keys.
     This is the state that gets persisted at scale; band keys are the
-    shuffle keys for candidate generation."""
+    shuffle keys for candidate generation. Both arrays are serialized to
+    JSON strings at the query boundary so the output is scalar-typed
+    (harness-hashable); the persisted-at-scale form stays array-typed."""
     sh = _doc_shingles(spark, sf_dir)
     sig = minhash_signature(sh, "doc_id", "sh")
     bands = lsh_bands(sig, "doc_id")
@@ -225,7 +245,11 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands.groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("band_key")).alias("band_keys"))
         .join(sig, "doc_id")
-        .select("doc_id", "minhash", "band_keys")
+        .select(
+            "doc_id",
+            F.to_json("minhash").alias("minhash"),
+            F.to_json("band_keys").alias("band_keys"),
+        )
     )
 
 
@@ -248,7 +272,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_lsh_pairs(
     docs: DataFrame,
     jaccard_threshold: float = 0.5,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 50,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs from any (doc_id, text) DataFrame —
     reusable core so tests can plant synthetic duplicates.
@@ -310,11 +334,12 @@ def minhash_lsh_pairs(
     sets_b = per_doc.select(
         F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"), F.col("n_sh").alias("nb")
     )
-    # per-doc hash sets are ~1KB/doc — broadcastable far beyond test scale;
-    # at true corpus scale drop the hints and let AQE pick the strategy
+    # no broadcast hints: the per-doc hash-set side is corpus-sized, so a
+    # forced broadcast is an OOM at scale — AQE picks broadcast on its own
+    # whenever the side is actually under the threshold
     return (
-        cand.join(F.broadcast(sets_a), "doc_a")
-        .join(F.broadcast(sets_b), "doc_b")
+        cand.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
         .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
         .withColumn(
             "jaccard",
@@ -375,54 +400,170 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "dedup_embedding_cosine",
-    tags=("llm", "dedup", "embedding"),
-    oracle="""
+# Embedding-LSH blocking for dedup_embedding_cosine: 8 bands × 6 sign bits
+# against fixed random hyperplanes (seed pinned). Bucket bits come from the
+# SIGN of an integer-exact scaled-long dot product (same trick as
+# similarity.dot_exact), so Spark and DuckDB compute bit-identical buckets —
+# the banding itself is oracle-checkable, not just the re-score.
+EMB_LSH_BANDS = 8
+EMB_LSH_BITS = 6
+EMB_DIM = 64
+COSINE_NEAR_DUP = 0.25
+
+
+def _emb_planes() -> "list[list[list[float]]]":
+    import numpy as np
+
+    rng = np.random.default_rng(20250813)
+    return rng.normal(size=(EMB_LSH_BANDS, EMB_LSH_BITS, EMB_DIM)).tolist()
+
+
+_EMB_PLANES = _emb_planes()
+
+
+def _plane_sign(emb_col: Column, plane: list[float]) -> Column:
+    """Sign bit of <emb, plane>, via an order-insensitive scaled-long fold
+    (exact: identical result in any engine, no FP merge-order hazard)."""
+    lit_plane = F.array(*[F.lit(float(v)) for v in plane])
+    acc = F.aggregate(
+        F.zip_with(
+            emb_col,
+            lit_plane,
+            lambda x, p: F.floor(x.cast("double") * p * F.lit(1e12)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    return acc > 0
+
+
+def emb_bucket_cols(emb_col: Column) -> list[Column]:
+    """One integer bucket id per band (6 sign bits each)."""
+    cols = []
+    for band in range(EMB_LSH_BANDS):
+        bucket = None
+        for bit in range(EMB_LSH_BITS):
+            term = F.when(
+                _plane_sign(emb_col, _EMB_PLANES[band][bit]), F.lit(1 << bit)
+            ).otherwise(F.lit(0))
+            bucket = term if bucket is None else bucket + term
+        cols.append(bucket.alias(f"eb{band}"))
+    return cols
+
+
+def _sql_plane_sign(emb_expr: str, plane: list[float]) -> str:
+    lits = ", ".join(repr(float(v)) for v in plane)
+    return (
+        f"(SELECT SUM(CAST(FLOOR(CAST(struct_extract(p, 1) AS DOUBLE)"
+        f" * struct_extract(p, 2) * 1e12) AS BIGINT))"
+        f" FROM UNNEST(list_zip({emb_expr}, [{lits}])) AS t(p)) > 0"
+    )
+
+
+def _sql_bucket(emb_expr: str, band: int) -> str:
+    bits = [
+        f"CASE WHEN {_sql_plane_sign(emb_expr, _EMB_PLANES[band][bit])}"
+        f" THEN {1 << bit} ELSE 0 END"
+        for bit in range(EMB_LSH_BITS)
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
+def _emb_cosine_oracle() -> str:
+    buckets = ",\n         ".join(
+        f"{_sql_bucket('embedding', band)} AS eb{band}" for band in range(EMB_LSH_BANDS)
+    )
+    band_match = " OR ".join(f"a.eb{b} = b.eb{b}" for b in range(EMB_LSH_BANDS))
+    dot_ab = (
+        "(SELECT CAST(SUM(CAST(FLOOR(CAST(struct_extract(p, 1) AS DOUBLE)"
+        " * CAST(struct_extract(p, 2) AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12"
+        " FROM UNNEST(list_zip(a.embedding, b.embedding)) AS t(p))"
+    )
+    return f"""
 WITH norms AS (
-  SELECT vec_id, label,
+  SELECT vec_id,
          (SELECT CAST(SUM(CAST(FLOOR(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
           FROM UNNEST(embedding) AS u(x)) AS sq_norm,
-         embedding
+         embedding,
+         {buckets}
   FROM embeddings
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       ROUND(
-         (SELECT CAST(SUM(CAST(FLOOR(CAST(struct_extract(p, 1) AS DOUBLE) * CAST(struct_extract(p, 2) AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
-          FROM UNNEST(list_zip(a.embedding, b.embedding)) AS t(p))
-         / (SQRT(a.sq_norm) * SQRT(b.sq_norm)), 6) AS cosine
+       ROUND({dot_ab} / (SQRT(a.sq_norm) * SQRT(b.sq_norm)), 6) AS cosine
 FROM norms a
-JOIN norms b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE
-  (SELECT CAST(SUM(CAST(FLOOR(CAST(struct_extract(p, 1) AS DOUBLE) * CAST(struct_extract(p, 2) AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
-   FROM UNNEST(list_zip(a.embedding, b.embedding)) AS t(p))
-  / (SQRT(a.sq_norm) * SQRT(b.sq_norm)) >= 0.25
-""",
+JOIN norms b ON ({band_match}) AND a.vec_id < b.vec_id
+WHERE {dot_ab} / (SQRT(a.sq_norm) * SQRT(b.sq_norm)) >= {COSINE_NEAR_DUP}
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    tags=("llm", "dedup", "embedding"),
+    oracle=_emb_cosine_oracle(),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: cosine ≥ 0.25 within label blocks.
+    """Embedding near-dup pairs: cosine ≥ 0.25 among LSH-blocked candidates.
 
-    Blocking on `label` stands in for the LSH/IVF bucket at scale — the
-    pair join is per-block, never global. Dot products fold with a DECIMAL
-    accumulator (order-insensitive, oracle-exact)."""
+    Blocking is random-hyperplane LSH (8 bands × 6 sign bits): only pairs
+    agreeing on at least one full band's bucket are scored, so the pair
+    join is per-bucket — sublinear in corpus size, never the all-pairs
+    product (at 100 TB the bucket join is the only shuffle that matters).
+    Candidate re-scoring uses the integer-exact scaled-long dot fold, and
+    the bucket bits themselves are integer-exact too, so the DuckDB oracle
+    reproduces the *same blocking* and the same cosines bit-for-bit.
+    Recall vs the unblocked all-pairs baseline is asserted in
+    tests/test_dedup.py (banding trades recall for candidate volume;
+    more bands raise recall at linear candidate cost)."""
     from .similarity import dot_exact as dot  # scaled-long exact fold
 
     emb = load_table(spark, sf_dir, "embeddings")
     norms = emb.select(
-        "vec_id", "label", "embedding", dot(F.col("embedding"), F.col("embedding")).alias("sq_norm")
+        "vec_id",
+        "embedding",
+        dot(F.col("embedding"), F.col("embedding")).alias("sq_norm"),
+        *emb_bucket_cols(F.col("embedding")),
     )
-    a = norms.alias("a")
-    b = norms.alias("b")
-    cosine = dot(F.col("a.embedding"), F.col("b.embedding")) / (
-        F.sqrt(F.col("a.sq_norm")) * F.sqrt(F.col("b.sq_norm"))
+    bands_arr = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), F.col(f"eb{b}").alias("bucket"))
+            for b in range(EMB_LSH_BANDS)
+        ]
     )
-    return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .withColumn("cosine_raw", cosine)
-        .filter(F.col("cosine_raw") >= 0.25)
+    flat = norms.select(
+        "vec_id", "embedding", "sq_norm", F.explode(bands_arr).alias("bb")
+    ).select(
+        "vec_id",
+        "embedding",
+        "sq_norm",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+    a = flat.alias("a")
+    b = flat.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round("cosine_raw", 6).alias("cosine"),
+            F.col("a.embedding").alias("emb_a"),
+            F.col("b.embedding").alias("emb_b"),
+            F.col("a.sq_norm").alias("sq_a"),
+            F.col("b.sq_norm").alias("sq_b"),
         )
+        # a pair can collide in several bands; payload cols are functionally
+        # dependent on the pair so subset-dedup is deterministic
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    cosine = dot(F.col("emb_a"), F.col("emb_b")) / (
+        F.sqrt(F.col("sq_a")) * F.sqrt(F.col("sq_b"))
+    )
+    return (
+        cand.withColumn("cosine_raw", cosine)
+        .filter(F.col("cosine_raw") >= COSINE_NEAR_DUP)
+        .select("vec_a", "vec_b", F.round("cosine_raw", 6).alias("cosine"))
     )

@@ -194,5 +194,5 @@ def scalar_functions_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.months_between(
             F.lit("2024-03-15").cast("date"), F.lit("2024-01-15").cast("date")
         ).alias("mb"),
-        F.sequence(F.lit(1), F.col("p_size") % 4 + 1).alias("seq"),
+        F.to_json(F.sequence(F.lit(1), F.col("p_size") % 4 + 1)).alias("seq"),
     )

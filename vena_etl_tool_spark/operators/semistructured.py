@@ -214,8 +214,8 @@ def map_functions_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return shaped.select(
         "event_id",
-        F.sort_array(F.map_keys("kept")).alias("kept_keys"),
-        F.sort_array(F.map_values("upped")).alias("upped_vals"),
+        F.concat_ws(",", F.sort_array(F.map_keys("kept"))).alias("kept_keys"),
+        F.concat_ws(",", F.sort_array(F.map_values("upped"))).alias("upped_vals"),
         F.size(F.map_entries("upped")).alias("n_entries"),
     )
 

@@ -18,6 +18,8 @@ true streaming scale these sinks would use append + watermark expiry.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -90,6 +92,66 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_value",
     )
     return run_to_table(out, "stream_tumbling_window", "complete")
+
+
+@register(
+    "stream_tumbling_append",
+    tags=("streaming", "window", "sink"),
+    oracle="""
+WITH wm AS (SELECT MAX(ts) - INTERVAL '10 minutes' AS w FROM events)
+SELECT
+  time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+  time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS window_end,
+  event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2, 3
+HAVING window_end <= (SELECT w FROM wm)
+""",
+)
+def stream_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production shape of the tumbling-window aggregate: APPEND output
+    mode into a parquet file sink with a checkpoint — watermark expiry
+    emits each window exactly once, state is bounded, and the sink is a
+    distributed file target instead of a driver-resident memory table.
+    Only windows closed by the final watermark (max event time − 10 min)
+    are emitted; the oracle applies the same cutoff. This is the variant
+    that runs at 100 TB: `stream_tumbling_window` (complete/memory) exists
+    for the batch-equivalence check, this one for the real sink path."""
+    import shutil
+    import tempfile
+
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = ev.groupBy(F.window("ts", "5 minutes"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+    out = agg.select(
+        F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+        F.col("window.end").cast("timestamp_ntz").alias("window_end"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+    workdir = tempfile.mkdtemp(prefix="stream_tumbling_append_")
+    sink_dir = os.path.join(workdir, "sink")
+    ckpt_dir = os.path.join(workdir, "ckpt")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", ckpt_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = spark.read.schema(out.schema).parquet(sink_dir)
+    # materialize before the tempdir vanishes (result rows are tiny: one
+    # per closed window × event_type)
+    rows = result.collect()
+    shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
 
 
 @register(
