@@ -28,9 +28,15 @@ HEADLINE = [
     "join_asof_last_click",
     "dedup_exact_hash",
     "dedup_minhash_lsh_pairs",
+    "dedup_embedding_cosine",
     "sim_cosine_topk",
     "text_wordfreq_topk",
+    "text_chunk_windows",
+    "setop_except_all",
+    "subquery_lateral_topn",
+    "udf_grouped_agg",
     "stream_tumbling_window",
+    "stream_tumbling_append",
 ]
 
 

@@ -28,6 +28,14 @@ def main() -> None:
         "at sf0.01 by the driver; *rows-only* ops carry invariant unit tests "
         "instead (tests/).",
         "",
+        "The driver hash-checks the first 50 entries of `queries()` per "
+        "round. `registry.DRIVER_WINDOW` pins that window explicitly — it "
+        "spans every operator module (tests/test_registry_order.py) and "
+        "rotates across rounds so every query eventually lands a "
+        "driver-checked row; the local gate "
+        "(`python -m vena_etl_tool_spark.testing`) diffs all "
+        f"{len(specs)} every run.",
+        "",
         "| query | module | check | tags | summary |",
         "|---|---|---|---|---|",
     ]

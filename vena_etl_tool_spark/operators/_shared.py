@@ -10,7 +10,7 @@ DOUBLE is again deterministic and gives both engines the same wire type.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 
 
 def dsum(col: Column | str, scale: int = 2) -> Column:
@@ -20,6 +20,22 @@ def dsum(col: Column | str, scale: int = 2) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def spread_small(df: "DataFrame") -> "DataFrame":
+    """Repartition a narrow input up to the session's default parallelism.
+
+    A small or single-file table scans into fewer partitions than cores,
+    serializing every downstream map stage (LSH projections, shingle
+    explodes) onto one thread. At real scale the input partitioning
+    already exceeds parallelism and this is a no-op — it never adds a
+    shuffle for a big corpus, only for inputs too narrow to saturate the
+    cluster (where the shuffle is cheap by construction).
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        return df.repartition(parallelism)
+    return df
 
 
 def davg(col: Column | str, scale: int = 2) -> Column:

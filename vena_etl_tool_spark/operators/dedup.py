@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 
 from ..catalog import load_table
 from ..registry import register
+from ._shared import spread_small
 
 # Hot-shingle guard for the n-gram Jaccard blocking join: shingles shared
 # by more than this many documents are dropped before the self-join (a
@@ -63,7 +64,7 @@ def doc_shingles(docs: DataFrame) -> DataFrame:
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return doc_shingles(load_table(spark, sf_dir, "documents"))
+    return doc_shingles(spread_small(load_table(spark, sf_dir, "documents")))
 
 
 @register(
@@ -266,7 +267,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     on a full band collide, so the pair count stays near-linear. False
     positives are then removed by the exact Jaccard check — output pairs
     are guaranteed true near-dups (tested invariant)."""
-    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+    return minhash_lsh_pairs(spread_small(load_table(spark, sf_dir, "documents")))
 
 
 def minhash_lsh_pairs(
@@ -366,7 +367,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-bit bands — near-dup candidates at hamming ≤ 3 must agree on ≥1
     band (pigeonhole), so banding gives the same equi-join candidate
     structure as MinHash-LSH."""
-    return simhash_fingerprints(load_table(spark, sf_dir, "documents"))
+    return simhash_fingerprints(spread_small(load_table(spark, sf_dir, "documents")))
 
 
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
@@ -421,33 +422,31 @@ def _emb_planes() -> "list[list[list[float]]]":
 _EMB_PLANES = _emb_planes()
 
 
-def _plane_sign(emb_col: Column, plane: list[float]) -> Column:
-    """Sign bit of <emb, plane>, via an order-insensitive scaled-long fold
-    (exact: identical result in any engine, no FP merge-order hazard)."""
-    lit_plane = F.array(*[F.lit(float(v)) for v in plane])
-    acc = F.aggregate(
-        F.zip_with(
-            emb_col,
-            lit_plane,
-            lambda x, p: F.floor(x.cast("double") * p * F.lit(1e12)).cast("long"),
-        ),
-        F.lit(0).cast("long"),
-        lambda a, v: a + v,
+def _plane_sign_expr(emb_expr: str, plane: list[float]) -> str:
+    """SQL for the sign bit of <emb, plane>, via an order-insensitive
+    scaled-long fold (exact: identical result in any engine, no FP
+    merge-order hazard). Generated as a STRING, not composed Columns — a
+    48-plane × 64-coefficient tree built via the Column API costs tens of
+    thousands of py4j round trips (~5 s of driver time per plan); one
+    F.expr per band is ~free."""
+    lits = ", ".join(f"{float(v)!r}D" for v in plane)
+    return (
+        f"aggregate(zip_with({emb_expr}, array({lits}),"
+        f" (x, p) -> CAST(FLOOR(CAST(x AS DOUBLE) * p * 1e12) AS BIGINT)),"
+        f" CAST(0 AS BIGINT), (acc, v) -> acc + v) > 0"
     )
-    return acc > 0
 
 
-def emb_bucket_cols(emb_col: Column) -> list[Column]:
+def emb_bucket_cols(emb_expr: str = "embedding") -> list[Column]:
     """One integer bucket id per band (6 sign bits each)."""
     cols = []
     for band in range(EMB_LSH_BANDS):
-        bucket = None
-        for bit in range(EMB_LSH_BITS):
-            term = F.when(
-                _plane_sign(emb_col, _EMB_PLANES[band][bit]), F.lit(1 << bit)
-            ).otherwise(F.lit(0))
-            bucket = term if bucket is None else bucket + term
-        cols.append(bucket.alias(f"eb{band}"))
+        bits = " + ".join(
+            f"CASE WHEN {_plane_sign_expr(emb_expr, _EMB_PLANES[band][bit])}"
+            f" THEN {1 << bit} ELSE 0 END"
+            for bit in range(EMB_LSH_BITS)
+        )
+        cols.append(F.expr(bits).alias(f"eb{band}"))
     return cols
 
 
@@ -516,13 +515,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     more bands raise recall at linear candidate cost)."""
     from .similarity import dot_exact as dot  # scaled-long exact fold
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_small(load_table(spark, sf_dir, "embeddings"))
+    # cache: the signature frame feeds both sides of the self-join and the
+    # re-score; without it the projection folds run once per consumer
     norms = emb.select(
         "vec_id",
         "embedding",
         dot(F.col("embedding"), F.col("embedding")).alias("sq_norm"),
-        *emb_bucket_cols(F.col("embedding")),
-    )
+        *emb_bucket_cols("embedding"),
+    ).cache()
     bands_arr = F.array(
         *[
             F.struct(F.lit(b).alias("band"), F.col(f"eb{b}").alias("bucket"))

@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from ..catalog import load_table
 from ..registry import register
+from ._shared import spread_small
 
 TOP_K = 5
 N_QUERIES = 20  # vec_id < 20 are the query vectors
@@ -89,7 +90,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-k for a query subset: broadcast the
     query vectors against the partitioned corpus, score JVM-side, keep the
     per-query top-k with a window (ties broken by neighbor_id)."""
-    emb = with_sq_norm(load_table(spark, sf_dir, "embeddings"))
+    emb = with_sq_norm(spread_small(load_table(spark, sf_dir, "embeddings")))
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -128,24 +129,25 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lsh_bucket_cols() -> list[Column]:
     """One bucket id per band: sign-bit signature against fixed hyperplanes.
 
-    The hyperplane dot products are plain SQL sums over element_at — all
-    JVM codegen. Planes are literals (broadcast with the plan), seed
-    pinned for determinism.
+    The hyperplane dot products are plain SQL folds — all JVM codegen.
+    Planes are literals (broadcast with the plan), seed pinned for
+    determinism. Each band is ONE generated-SQL F.expr, not a composed
+    Column tree: 48 planes × 64 coefficients via the Column API costs
+    tens of thousands of py4j round trips (~seconds of driver time).
     """
     cols = []
     for band in range(LSH_BANDS):
         bits = []
         for bit in range(LSH_BITS):
             plane = _PLANES[band, bit]
-            proj = None
-            for i in range(64):
-                term = F.element_at("embedding", i + 1).cast("double") * float(plane[i])
-                proj = term if proj is None else proj + term
-            bits.append(F.when(proj > 0, F.lit(1 << bit)).otherwise(F.lit(0)))
-        bucket = bits[0]
-        for b in bits[1:]:
-            bucket = bucket + b
-        cols.append(bucket.alias(f"bucket{band}"))
+            lits = ", ".join(f"{float(v)!r}D" for v in plane)
+            proj = (
+                f"aggregate(zip_with(embedding, array({lits}),"
+                f" (x, p) -> CAST(x AS DOUBLE) * p),"
+                f" 0.0D, (acc, v) -> acc + v)"
+            )
+            bits.append(f"CASE WHEN {proj} > 0 THEN {1 << bit} ELSE 0 END")
+        cols.append(F.expr(" + ".join(bits)).alias(f"bucket{band}"))
     return cols
 
 
@@ -161,7 +163,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape at scale: corpus → 4 bucket columns (map-only) → explode to
     (band, bucket) rows → shuffle join with the query buckets → candidate
     set ≪ corpus → exact scoring → per-query top-k window."""
-    emb = with_sq_norm(load_table(spark, sf_dir, "embeddings"))
+    emb = with_sq_norm(spread_small(load_table(spark, sf_dir, "embeddings")))
     bucketed = emb.select(
         "vec_id", "label", "embedding", "sq_norm", *lsh_bucket_cols()
     )

@@ -87,7 +87,21 @@ def diff_query(
     sf_dir: str,
 ) -> DiffResult:
     """Run one registered query against its oracle; return the comparison."""
-    spark_pdf = spec.fn(spark, sf_dir).toPandas()
+    sdf = spec.fn(spark, sf_dir)
+    # The driver's canonicalizer cannot factorize array/map cells (numpy
+    # arrays / dicts are unhashable) — any such output column is a hard
+    # failure HERE so it never reaches the driver as a red row. Queries
+    # must serialize collections at the boundary (to_json / concat_ws).
+    nonscalar = [
+        f"{fld.name}:{fld.dataType.simpleString()}"
+        for fld in sdf.schema.fields
+        if fld.dataType.typeName() in ("array", "map")
+    ]
+    if nonscalar:
+        return DiffResult(
+            spec.name, False, f"non-scalar output columns (driver-unhashable): {nonscalar}"
+        )
+    spark_pdf = sdf.toPandas()
     if spec.oracle is None:
         ok = len(spark_pdf) >= 0
         return DiffResult(spec.name, ok, f"rows-only: {len(spark_pdf)} rows")
