@@ -26,10 +26,13 @@ HEADLINE = [
     "topk_global",
     "agg_rollup",
     "join_asof_last_click",
+    "sessionize_events",
     "dedup_exact_hash",
     "dedup_minhash_lsh_pairs",
     "dedup_embedding_cosine",
     "sim_cosine_topk",
+    "sim_ann_ivf",
+    "embedding_quantize_int8",
     "text_wordfreq_topk",
     "text_chunk_windows",
     "setop_except_all",

@@ -85,3 +85,47 @@ def test_ann_finds_planted_duplicate(spark, sf_dir):
     )
     rows = {r.vec_id: [r[f"bucket{b}"] for b in range(S.LSH_BANDS)] for r in bucketed.collect()}
     assert rows[3] == rows[99999]
+
+
+def test_ivf_results_are_true_cosines_with_recall(spark, sf_dir, brute):
+    """IVF hits carry exact cosines, are correctly ranked, and the probe
+    search recovers a reasonable share of the true top-k (2/16 of the
+    space probed ⇒ recall can't be total; it must beat random chance)."""
+    from vena_etl_tool_spark.operators.similarity import sim_ann_ivf
+
+    brute_cos = {(r.query_id, r.neighbor_id): r.cosine for r in brute}
+    brute_sets = {}
+    for r in brute:
+        brute_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    ivf = sim_ann_ivf(spark, sf_dir).collect()
+    assert len(ivf) > 0
+    per_q = {}
+    hits = total = 0
+    for r in ivf:
+        per_q.setdefault(r.query_id, []).append((r.rk, r.cosine, r.neighbor_id))
+        if (r.query_id, r.neighbor_id) in brute_cos:
+            assert math.isclose(r.cosine, brute_cos[(r.query_id, r.neighbor_id)], abs_tol=1e-9)
+    for q, rows in per_q.items():
+        rows.sort()
+        cosines = [c for _, c, _ in rows]
+        assert cosines == sorted(cosines, reverse=True)
+        assert [rk for rk, _, _ in rows] == list(range(1, len(rows) + 1))
+        got = {nid for _, _, nid in rows}
+        hits += len(got & brute_sets.get(q, set()))
+        total += len(brute_sets.get(q, set()))
+    # random 2-of-16 probing would land ~12.5%; the IVF must do better
+    assert hits / total > 0.2, f"IVF recall too low: {hits}/{total}"
+
+
+def test_int8_quantization_error_bound(spark, sf_dir):
+    """max_err_e6 proves the per-element round-trip error is at most half
+    a quantization step (scale⁻¹/2) for every vector."""
+    from vena_etl_tool_spark.operators.similarity import embedding_quantize_int8
+
+    rows = embedding_quantize_int8(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        step_e6 = 1e6 / (2.0 * r.scale)
+        assert r.max_err_e6 <= step_e6 + 1, (r.vec_id, r.max_err_e6, step_e6)
+        assert len(r.qvals.split(",")) == 64
+        assert all(-127 <= int(v) <= 127 for v in r.qvals.split(","))

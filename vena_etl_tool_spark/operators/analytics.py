@@ -135,3 +135,68 @@ def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seg_total",
         F.round(F.col("seg_total") / F.sum("seg_total").over(w), 6).alias("share"),
     )
+
+
+@register(
+    "sessionize_events",
+    tags=("window", "events", "llm"),
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, event_type,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_sec,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT event_type) AS n_event_types
+FROM numbered
+GROUP BY user_id, session_idx
+""",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization — the gaps-and-islands rewrite of the
+    reference-mandated session grouping (the batch twin of
+    ``stream_session_window``): flag a session boundary wherever the gap
+    to the previous event of the same user exceeds 30 minutes, turn the
+    flags into session ordinals with a running sum, then aggregate one
+    row per (user, session).
+
+    Scale shape: both window passes and the final aggregate share ONE
+    hash partitioning on user_id — Catalyst reuses the exchange, so the
+    whole sessionization is a single shuffle of the events table however
+    large it is. No per-user collect, no Python.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    gap_sec = F.col("ts").cast("timestamp").cast("long") - F.lag("ts").over(w).cast("timestamp").cast("long")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(gap_sec.isNull() | (gap_sec > 30 * 60), 1).otherwise(0).alias("new_session"),
+    )
+    numbered = flagged.withColumn("session_idx", F.sum("new_session").over(run))
+    return (
+        numbered.groupBy("user_id", "session_idx")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            (F.max("ts").cast("timestamp").cast("long") - F.min("ts").cast("timestamp").cast("long")).alias("duration_sec"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("event_type").alias("n_event_types"),
+        )
+    )

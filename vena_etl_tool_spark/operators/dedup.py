@@ -307,11 +307,14 @@ def minhash_lsh_pairs(
     )
     bands = lsh_bands(sig, "doc_id")
     if max_bucket_size is not None:
-        bucket_sizes = bands.groupBy("band_id", "band_key").agg(
-            F.count(F.lit(1)).alias("_bsz")
-        )
+        # hot-bucket count via a window over the same (band_id, band_key)
+        # partitioning the candidate self-join shuffles on anyway — one
+        # exchange, no extra aggregate+join round trip
+        from pyspark.sql import Window
+
+        bsz_w = Window.partitionBy("band_id", "band_key")
         bands = (
-            bands.join(bucket_sizes, ["band_id", "band_key"])
+            bands.withColumn("_bsz", F.count(F.lit(1)).over(bsz_w))
             .filter(F.col("_bsz") <= max_bucket_size)
             .drop("_bsz")
         )

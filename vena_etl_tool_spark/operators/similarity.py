@@ -15,6 +15,8 @@ per band.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -210,4 +212,241 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", "neighbor_id", F.round("cosine_raw", 6).alias("cosine"), "rk")
+    )
+
+
+@register(
+    "embedding_quantize_int8",
+    tags=("llm", "embedding", "quantization"),
+    oracle="""
+WITH scaled AS (
+  SELECT vec_id, label, embedding,
+         127.0 / NULLIF(list_max(list_transform(embedding,
+                                 x -> ABS(CAST(x AS DOUBLE)))), 0.0) AS scale
+  FROM embeddings
+), quant AS (
+  SELECT vec_id, label, embedding, scale,
+         list_transform(embedding,
+             x -> GREATEST(-127, LEAST(127,
+                  CAST(FLOOR(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT)))) AS q
+  FROM scaled
+)
+SELECT vec_id, label, scale,
+       array_to_string(q, ',') AS qvals,
+       list_max(list_transform(list_zip(embedding, q),
+           p -> CAST(FLOOR(ABS(CAST(struct_extract(p, 1) AS DOUBLE)
+                               - struct_extract(p, 2) / scale) * 1e6) AS BIGINT)))
+         AS max_err_e6
+FROM quant
+""",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the 100 TB
+    storage/IO lever: 4 bytes/dim float32 → 1 byte/dim int8 (plus one
+    scale double per vector) cuts the corpus footprint ~4× and the ANN
+    candidate-scan bandwidth with it. Per-vector max-abs scaling,
+    round-half-up pinned as floor(x*scale + 0.5) on BOTH engines (no
+    banker's-rounding ambiguity), clamp to [-127, 127].
+
+    Everything is builtin higher-order array functions — zero Python, one
+    map-only stage, no shuffle. The quantized vector is serialized CSV at
+    the query boundary (driver-hashable); `max_err_e6` proves the
+    round-trip error bound (≤ half a quantization step) per vector.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    max_abs = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    scaled = emb.withColumn("scale", F.lit(127.0) / F.nullif(max_abs, F.lit(0.0)))
+    q = F.transform(
+        "embedding",
+        lambda x: F.greatest(
+            F.lit(-127).cast("long"),
+            F.least(
+                F.lit(127).cast("long"),
+                F.floor(x.cast("double") * F.col("scale") + F.lit(0.5)),
+            ),
+        ),
+    )
+    quant = scaled.withColumn("q", q)
+    err = F.array_max(
+        F.zip_with(
+            "embedding",
+            "q",
+            lambda x, qi: F.floor(
+                F.abs(x.cast("double") - qi.cast("double") / F.col("scale")) * F.lit(1e6)
+            ),
+        )
+    )
+    return quant.select(
+        "vec_id",
+        "label",
+        "scale",
+        F.concat_ws(",", F.transform("q", lambda v: v.cast("string"))).alias("qvals"),
+        err.alias("max_err_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: the second scale path the mandate names ("an IVF
+# or LSH-bucketed variant"). Fixed deterministic centroids stand in for an
+# offline k-means codebook (at 100 TB you'd train pyspark.ml.KMeans on a
+# sample and broadcast the cluster centers; the plan shape is identical).
+# All centroid math is scaled-integer (exact in any engine), so assignment —
+# and therefore the whole query, approximation included — is
+# DuckDB-oracle-checkable, which neither LSH path is (those are
+# recall-tested instead).
+# ---------------------------------------------------------------------------
+
+IVF_CENTROIDS = 16
+IVF_NPROBE = 2
+
+_IVF_RAW = np.random.default_rng(20240614).normal(size=(IVF_CENTROIDS, 64))
+_IVF_CENTS = (_IVF_RAW / np.linalg.norm(_IVF_RAW, axis=1, keepdims=True)).astype(
+    np.float64
+)
+# Python-computed integer literal per centroid: sum(floor(c*c*1e12)).
+# Embedded identically in both engines' SQL — no cross-engine float risk.
+_IVF_C_SQ = [
+    int(sum(math.floor(float(c) * float(c) * 1e12) for c in row)) for row in _IVF_CENTS
+]
+
+
+def _ivf_scores_spark() -> str:
+    """Spark SQL for the 16-element BIGINT score array: element i is
+    |cᵢ|²−2⟨x,cᵢ⟩ (scaled 1e12) — argmin over i is the nearest-centroid
+    assignment (the |x|² term is constant per row and cancels). ONE array
+    column, computed once; consumers argmin/explode the array instead of
+    re-referencing 16 fold expressions (which Catalyst's project-collapse
+    would otherwise inline 16× into a LEAST/CASE tree — a plan-size
+    explosion that takes minutes to optimize)."""
+    elems = []
+    for i in range(IVF_CENTROIDS):
+        lits = ", ".join(f"{float(v)!r}D" for v in _IVF_CENTS[i])
+        dot = (
+            f"aggregate(zip_with(embedding, array({lits}),"
+            f" (x, p) -> CAST(FLOOR(CAST(x AS DOUBLE) * p * 1e12) AS BIGINT)),"
+            f" CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        )
+        elems.append(f"CAST({_IVF_C_SQ[i]} AS BIGINT) - 2 * ({dot})")
+    return "array(" + ", ".join(elems) + ")"
+
+
+def _ivf_scores_duck() -> str:
+    elems = []
+    for i in range(IVF_CENTROIDS):
+        lits = ", ".join(f"{float(v)!r}" for v in _IVF_CENTS[i])
+        dot = (
+            f"CAST(list_sum(list_transform(list_zip(embedding, [{lits}]),"
+            f" p -> CAST(FLOOR(CAST(struct_extract(p, 1) AS DOUBLE)"
+            f" * struct_extract(p, 2) * 1e12) AS BIGINT))) AS BIGINT)"
+        )
+        elems.append(f"CAST({_IVF_C_SQ[i]} AS BIGINT) - 2 * {dot}")
+    return "[" + ", ".join(elems) + "]"
+
+
+_IVF_ORACLE = f"""
+WITH scored AS (
+  SELECT vec_id, label, embedding,
+         (SELECT CAST(SUM(CAST(FLOOR(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
+          FROM UNNEST(embedding) AS u(x)) AS sq_norm,
+         {_ivf_scores_duck()} AS scores,
+         list_transform(generate_series(1, {IVF_CENTROIDS}),
+                        i -> {{'s': scores[i], 'cid': i - 1}}) AS score_structs
+  FROM embeddings
+), assigned AS (
+  SELECT vec_id, label, embedding, sq_norm,
+         list_position(scores, list_min(scores)) - 1 AS cent
+  FROM scored
+), probes AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, sq_norm AS q_sq, cid AS cent
+  FROM (
+    SELECT vec_id, embedding, sq_norm, u.cid AS cid, u.s AS s,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY u.s, u.cid) AS prn
+    FROM scored, UNNEST(score_structs) AS t(u)
+    WHERE vec_id < {N_QUERIES}
+  ) WHERE prn <= {IVF_NPROBE}
+), cand AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+         (SELECT CAST(SUM(CAST(FLOOR(CAST(struct_extract(pp, 1) AS DOUBLE) * CAST(struct_extract(pp, 2) AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
+          FROM UNNEST(list_zip(p.q_emb, c.embedding)) AS t(pp))
+         / (SQRT(p.q_sq) * SQRT(c.sq_norm)) AS cosine
+  FROM probes p JOIN assigned c ON c.cent = p.cent AND c.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, neighbor_label, ROUND(cosine, 6) AS cosine, rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM cand
+)
+WHERE rk <= {TOP_K}
+"""
+
+
+@register(
+    "sim_ann_ivf",
+    tags=("llm", "similarity", "ivf"),
+    oracle=_IVF_ORACLE,
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k: every corpus vector is assigned to its nearest
+    centroid (map-only argmin over one codegen'd score array — no shuffle,
+    no explode on the corpus side); each query probes its IVF_NPROBE
+    nearest centroid lists; candidates come from the equi-join on the
+    centroid id and are exactly re-scored.
+
+    Scale shape: the corpus side stays partitioned and is touched by one
+    projection; the candidate set is ~NPROBE/IVF_CENTROIDS of the corpus
+    per query (vs. the full corpus for brute force). Centroid scores are
+    scaled-integer exact, so assignment is deterministic and the whole
+    query — including the approximation — is hash-checked against the
+    DuckDB twin."""
+    emb = with_sq_norm(spread_small(load_table(spark, sf_dir, "embeddings")))
+    scored = emb.select(
+        "vec_id", "label", "embedding", "sq_norm",
+        F.expr(_ivf_scores_spark()).alias("scores"),
+    )
+    corpus = scored.select(
+        "vec_id", "label", "embedding", "sq_norm",
+        (F.expr("array_position(scores, array_min(scores))") - 1)
+        .cast("int")
+        .alias("cent"),
+    )
+    prn_w = Window.partitionBy("query_id").orderBy("s", "p_cent")
+    probes = (
+        scored.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("sq_norm").alias("q_sq"),
+            F.posexplode("scores").alias("p_cent", "s"),
+        )
+        .withColumn("prn", F.row_number().over(prn_w))
+        .filter(F.col("prn") <= IVF_NPROBE)
+        .select("query_id", "q_emb", "q_sq", "p_cent")
+    )
+    cand = corpus.join(
+        F.broadcast(probes),
+        (F.col("cent") == F.col("p_cent")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        "q_emb", "q_sq", "embedding", "sq_norm",
+    )
+    scored_cand = cand.withColumn(
+        "cosine_raw",
+        dot_exact(F.col("q_emb"), F.col("embedding"))
+        / (F.sqrt("q_sq") * F.sqrt("sq_norm")),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored_cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            F.round("cosine_raw", 6).alias("cosine"),
+            "rk",
+        )
     )

@@ -70,6 +70,9 @@ def _load_all() -> None:
 DRIVER_WINDOW: tuple[str, ...] = (
     # changed/new this round
     "ingest_quarantine_counts",
+    "sim_ann_ivf",
+    "embedding_quantize_int8",
+    "sessionize_events",
     "stream_tumbling_append",
     "agg_collect",
     "agg_approx_quantile",
@@ -111,13 +114,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stream_stream_join",
     "stream_stateful_running_totals",
     "explode_functions",
-    "struct_functions",
-    "hash_functions",
     # per-family flagships (green last round; keep a fresh row)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q7_nation_volume",
-    "agg_rollup",
     "filter_project",
     "multimodal_binary_metadata",
     "dedup_ml_minhash",
