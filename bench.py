@@ -34,6 +34,7 @@ HEADLINE = [
     "sim_ann_ivf",
     "embedding_quantize_int8",
     "text_wordfreq_topk",
+    "corpus_curation_pipeline",
     "text_chunk_windows",
     "setop_except_all",
     "subquery_lateral_topn",

@@ -69,3 +69,27 @@ def test_windows_are_partitioned(spark, sf_dir, name):
     assert "windowspecdefinition(" in opt.lower()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_sessionize_single_exchange(spark, sf_dir):
+    """Both session windows and the final aggregate must reuse ONE
+    hash partitioning on user_id (SCALE.md round-2 claim)."""
+    plan = plan_of(spark, sf_dir, "sessionize_events")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_quantize_is_map_only(spark, sf_dir):
+    """int8 quantization is a pure projection: no exchange anywhere."""
+    plan = plan_of(spark, sf_dir, "embedding_quantize_int8")
+    assert "Exchange" not in plan
+
+
+def test_ivf_corpus_side_shape(spark, sf_dir):
+    """IVF: probes are broadcast; the corpus is never exploded (the
+    centroid assignment is a scalar projection, candidates come from the
+    broadcast equi-ish join)."""
+    plan = plan_of(spark, sf_dir, "sim_ann_ivf")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # exactly one Generate (posexplode of the 20 query score arrays);
+    # a corpus-side explode would add a second
+    assert plan.count("Generate") == 1

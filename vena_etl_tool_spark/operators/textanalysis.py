@@ -360,3 +360,112 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(canon).alias("fingerprint"),
         F.md5("text").alias("exact_hash"),
     )
+
+
+_CUR_LANGS = ("en", "es", "de", "fr", "zh")
+
+
+@register(
+    "corpus_curation_pipeline",
+    tags=("llm", "text", "dedup", "quality", "splitting", "pipeline"),
+    oracle=f"""
+WITH dedup AS (
+  SELECT doc_id, lang, text
+  FROM documents
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
+), feats AS (
+  SELECT doc_id, text,
+         string_split(text, ' ') AS words,
+         len(string_split(text, ' ')) AS n_tok,
+         {_langid_score_sql('en')} AS s_en,
+         {_langid_score_sql('es')} AS s_es,
+         {_langid_score_sql('de')} AS s_de,
+         {_langid_score_sql('fr')} AS s_fr,
+         {_langid_score_sql('zh')} AS s_zh
+  FROM dedup
+), gated AS (
+  SELECT doc_id, n_tok,
+         CASE greatest(s_en, s_es, s_de, s_fr, s_zh)
+           WHEN s_en THEN 'en' WHEN s_es THEN 'es' WHEN s_de THEN 'de'
+           WHEN s_fr THEN 'fr' ELSE 'zh' END AS predicted_lang
+  FROM feats
+  WHERE n_tok BETWEEN 20 AND 1000
+    AND CAST(len(list_distinct(words)) AS DOUBLE) / n_tok > 0.2
+)
+SELECT split, predicted_lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM (
+  SELECT *,
+         CASE
+           WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train'
+           WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM gated
+)
+GROUP BY split, predicted_lang
+""",
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus curation — the composite pipeline a
+    pre-training data job actually runs, as ONE declarative plan:
+
+      exact dedup (keep lowest doc_id per text)
+        → quality gate (20 ≤ tokens ≤ 1000, lexical diversity > 0.2)
+        → language ID (marker-token argmax)
+        → content-addressed train/val/test split (md5 of doc_id)
+        → per-(split, language) doc/token accounting
+
+    Each stage reuses the registered single-op semantics (dedup_exact,
+    text_quality_score, text_langid, dataset_split_assign), so this row
+    proves the operators COMPOSE — Catalyst fuses the gates and scores
+    into the post-dedup projection: the plan is scan → one text shuffle
+    (dedup window) → codegen'd filters/scores → one partial+final
+    aggregate. No Python anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    dedup_w = Window.partitionBy("text").orderBy("doc_id")
+    kept = (
+        docs.select("doc_id", "text")
+        .withColumn("_rn", F.row_number().over(dedup_w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    words = F.split("text", " ")
+    n_tok = F.size(words)
+    scores = {}
+    for lang in _CUR_LANGS:
+        arr = F.array(*[F.lit(t) for t in LANG_MARKERS[lang]])
+        scores[lang] = F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+    feats = kept.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        (F.size(F.array_distinct(words)).cast("double") / n_tok).alias("_diversity"),
+        *[scores[lang].alias(f"s_{lang}") for lang in _CUR_LANGS],
+    )
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in _CUR_LANGS])
+    predicted = (
+        F.when(F.col("s_en") == best, "en")
+        .when(F.col("s_es") == best, "es")
+        .when(F.col("s_de") == best, "de")
+        .when(F.col("s_fr") == best, "fr")
+        .otherwise("zh")
+    )
+    gated = (
+        feats.filter(F.col("n_tok").between(20, 1000) & (F.col("_diversity") > 0.2))
+        .withColumn("predicted_lang", predicted)
+    )
+    first_hex = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(first_hex.isin(*"0123456789ab"), "train")
+        .when(first_hex.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+    return (
+        gated.select(split.alias("split"), "predicted_lang", "n_tok")
+        .groupBy("split", "predicted_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )

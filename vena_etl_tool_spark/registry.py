@@ -71,6 +71,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # changed/new this round
     "ingest_quarantine_counts",
     "sim_ann_ivf",
+    "corpus_curation_pipeline",
     "embedding_quantize_int8",
     "sessionize_events",
     "stream_tumbling_append",
@@ -113,7 +114,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stream_static_join",
     "stream_stream_join",
     "stream_stateful_running_totals",
-    "explode_functions",
     # per-family flagships (green last round; keep a fresh row)
     "q1_pricing_summary",
     "q3_shipping_priority",

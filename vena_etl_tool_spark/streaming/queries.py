@@ -46,19 +46,45 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+# Streaming state partitions are sized to STATE CARDINALITY (thousands of
+# open windows/keys in these queries), not input volume — each state
+# partition costs per-batch store open/commit/snapshot I/O, so running the
+# batch default (32) quadruples fixed overhead for zero parallelism gain.
+# The count is locked into the checkpoint at first start; a 100 TB
+# deployment with millions of live keys keeps the cluster default instead.
+STREAM_STATE_PARTITIONS = 8
+
+
+class _state_partitions:
+    """Temporarily pin spark.sql.shuffle.partitions while a streaming query
+    starts (the value is captured into the stream's checkpoint); always
+    restores the session value."""
+
+    def __init__(self, spark: SparkSession, n: int = STREAM_STATE_PARTITIONS):
+        self.spark, self.n = spark, n
+
+    def __enter__(self) -> None:
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc) -> None:
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
 def run_to_table(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
     """Execute a streaming transform to completion (availableNow) into a
     memory sink; return the sink table. This is the batch-equivalence
     harness: same code path as a long-running stream, bounded input."""
     spark = stream_df.sparkSession
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -137,15 +163,16 @@ def stream_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     workdir = tempfile.mkdtemp(prefix="stream_tumbling_append_")
     sink_dir = os.path.join(workdir, "sink")
     ckpt_dir = os.path.join(workdir, "ckpt")
-    q = (
-        out.writeStream.format("parquet")
-        .option("path", sink_dir)
-        .option("checkpointLocation", ckpt_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark):
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", ckpt_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     result = spark.read.schema(out.schema).parquet(sink_dir)
     # materialize before the tempdir vanishes (result rows are tiny: one
     # per closed window × event_type)
