@@ -1,0 +1,95 @@
+"""Empirical scaling check for the LLM-pipeline operators (SCALE.md).
+
+Builds a key-shifted 10x replica of documents/embeddings under /tmp and
+times the dedup/similarity/curation family warm at 1x vs 10x. Sublinear
+blocking (LSH buckets, shingle inverted index, IVF cells) should keep the
+10x/1x wall-clock ratio far below the 100x a quadratic candidate step
+would show; near-constant overhead queries ride the extra parallelism.
+
+Usage: python tools/scale_check.py [sf_dir] (default /root/testdata/sf0.1)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from vena_etl_tool_spark.catalog import TABLES, load_table  # noqa: E402
+from vena_etl_tool_spark.registry import all_specs  # noqa: E402
+from vena_etl_tool_spark.session import get_spark  # noqa: E402
+
+QUERIES = (
+    "dedup_exact_hash",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "sim_ann_ivf",
+    "embedding_quantize_int8",
+    "corpus_curation_pipeline",
+    "sessionize_events",
+)
+REPLICAS = 10
+
+
+def build_replica(spark, sf_dir: str, out_dir: str) -> None:
+    """documents/embeddings/events replicated with shifted keys (unique ids,
+    same content distribution — near-dup structure is preserved per copy);
+    other tables symlink-copied so load_table still works."""
+    os.makedirs(out_dir, exist_ok=True)
+    n_docs = 10_000_000  # id shift stride ≫ any fixture id
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = load_table(spark, sf_dir, "events")
+    rep = F.explode(F.sequence(F.lit(0), F.lit(REPLICAS - 1))).alias("rep")
+    docs.select("*", rep).withColumn(
+        "doc_id", F.col("doc_id") + F.col("rep").cast("long") * n_docs
+    ).drop("rep").write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
+    emb.select("*", rep).withColumn(
+        "vec_id", F.col("vec_id") + F.col("rep").cast("long") * n_docs
+    ).drop("rep").write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
+    ev.select("*", rep).withColumn(
+        "event_id", F.col("event_id") + F.col("rep").cast("long") * n_docs
+    ).withColumn(
+        "user_id", F.col("user_id") + F.col("rep").cast("long") * n_docs
+    ).drop("rep").withColumn(
+        "ts", F.unix_micros(F.col("ts").cast("timestamp")) * 1000
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
+    for t in TABLES:
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(sf_dir, f"{t}.parquet"), dst)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("scale-check")
+    specs = all_specs()
+    out_dir = tempfile.mkdtemp(prefix="scale10x_")
+    try:
+        build_replica(spark, sf_dir, out_dir)
+        print(f"| query | {os.path.basename(sf_dir)} | {REPLICAS}x | ratio |")
+        print("|---|---|---|---|")
+        for name in QUERIES:
+            fn = specs[name].fn
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()  # warm
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            base = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            fn(spark, out_dir).write.mode("overwrite").format("noop").save()
+            big = time.perf_counter() - t0
+            print(f"| {name} | {base:.2f}s | {big:.2f}s | {big / base:.1f} |")
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

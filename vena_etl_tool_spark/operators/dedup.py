@@ -533,12 +533,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(EMB_LSH_BANDS)
         ]
     )
-    flat = norms.select(
-        "vec_id", "embedding", "sq_norm", F.explode(bands_arr).alias("bb")
-    ).select(
+    # SKINNY band join: the 8x-exploded self-join shuffles only
+    # (vec_id, band, bucket) rows — the 64-float embeddings never ride the
+    # explode or the candidate exchange. Payloads are joined back BY ID
+    # after pair-dedup, so each embedding crosses the wire once per side
+    # however many bands/collisions there are (same shape as the minhash
+    # verify step).
+    flat = norms.select("vec_id", F.explode(bands_arr).alias("bb")).select(
         "vec_id",
-        "embedding",
-        "sq_norm",
         F.col("bb.band").alias("band"),
         F.col("bb.bucket").alias("bucket"),
     )
@@ -554,15 +556,21 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.col("a.embedding").alias("emb_a"),
-            F.col("b.embedding").alias("emb_b"),
-            F.col("a.sq_norm").alias("sq_a"),
-            F.col("b.sq_norm").alias("sq_b"),
         )
-        # a pair can collide in several bands; payload cols are functionally
-        # dependent on the pair so subset-dedup is deterministic
+        # a pair can collide in several bands
         .dropDuplicates(["vec_a", "vec_b"])
     )
+    payload_a = norms.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("sq_norm").alias("sq_a"),
+    )
+    payload_b = norms.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("sq_norm").alias("sq_b"),
+    )
+    cand = cand.join(payload_a, "vec_a").join(payload_b, "vec_b")
     cosine = dot(F.col("emb_a"), F.col("emb_b")) / (
         F.sqrt(F.col("sq_a")) * F.sqrt(F.col("sq_b"))
     )

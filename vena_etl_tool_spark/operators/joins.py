@@ -306,19 +306,20 @@ def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_asof_last_click",
     tags=("join", "asof"),
     oracle="""
-SELECT p.event_id, p.user_id, p.ts,
-       (SELECT MAX(c.ts) FROM events c
-        WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
-       ) AS last_click_ts
-FROM events p
-WHERE p.event_type = 'purchase'
+SELECT p.event_id, p.user_id, p.ts, c.ts AS last_click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
 """,
 )
 def join_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for each purchase, the most recent prior (or simultaneous)
     click by the same user. Implemented with the union + last_value(ignore
     nulls) pattern: a single shuffle on user_id, linear state, no nested
-    loop — this is the 100 TB-safe as-of strategy (SURVEY.md §B.3)."""
+    loop — this is the 100 TB-safe as-of strategy (SURVEY.md §B.3). The
+    oracle is DuckDB's native ASOF JOIN, so the window rewrite is checked
+    against a real as-of implementation, not a correlated-subquery
+    emulation."""
     ev = load_table(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id", "ts", F.lit(None).cast("long").alias("event_id"),

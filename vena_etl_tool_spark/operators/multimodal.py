@@ -151,3 +151,60 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("frame_idx"),
         "n_frames",
     )
+
+
+@register(
+    "multimodal_resize_plan",
+    tags=("llm", "multimodal", "resize"),
+    oracle="""
+WITH dims AS (
+  SELECT doc_id,
+         octet_length(encode(text)) % 640 + 1 AS orig_w,
+         (octet_length(encode(text)) * 7) % 480 + 1 AS orig_h
+  FROM documents
+), scaled AS (
+  SELECT doc_id, orig_w, orig_h,
+         LEAST(224.0 / orig_w, 224.0 / orig_h) AS scale
+  FROM dims
+)
+SELECT doc_id, orig_w, orig_h,
+       ROUND(scale, 6) AS scale,
+       GREATEST(CAST(FLOOR(orig_w * scale) AS BIGINT), 1) AS target_w,
+       GREATEST(CAST(FLOOR(orig_h * scale) AS BIGINT), 1) AS target_h,
+       GREATEST(CAST(FLOOR(orig_w * scale) AS BIGINT), 1)
+         * GREATEST(CAST(FLOOR(orig_h * scale) AS BIGINT), 1) * 3 AS est_bytes
+FROM scaled
+""",
+)
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning for a media pipeline: aspect-preserving fit into a
+    224x224 box — per-asset scale factor, target geometry, and output-size
+    estimate, all codegen'd SQL (no Python). Source dimensions are derived
+    deterministically from payload bytes (decode stub, same convention as
+    `_fake_decode`); in deployment the dims come from the mapInPandas
+    decode seam (`multimodal_decode_features`) and the actual pixel
+    resample runs in that same Arrow-batched slot. The *planning* layer —
+    what to resize to, how much output to provision — is what matters to
+    the distributed job and is fully oracle-checked here."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_bytes = F.octet_length(F.encode(F.col("text"), "utf-8"))
+    dims = docs.select(
+        "doc_id",
+        (n_bytes % 640 + 1).alias("orig_w"),
+        ((n_bytes * 7) % 480 + 1).alias("orig_h"),
+    )
+    scale = F.least(
+        F.lit(224.0) / F.col("orig_w"), F.lit(224.0) / F.col("orig_h")
+    )
+    scaled = dims.withColumn("scale", scale)
+    tw = F.greatest(F.floor(F.col("orig_w") * F.col("scale")), F.lit(1).cast("long"))
+    th = F.greatest(F.floor(F.col("orig_h") * F.col("scale")), F.lit(1).cast("long"))
+    return scaled.select(
+        "doc_id",
+        "orig_w",
+        "orig_h",
+        F.round("scale", 6).alias("scale"),
+        tw.alias("target_w"),
+        th.alias("target_h"),
+        (tw * th * 3).alias("est_bytes"),
+    )

@@ -116,11 +116,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stream_stateful_running_totals",
     # per-family flagships (green last round; keep a fresh row)
     "q1_pricing_summary",
-    "q3_shipping_priority",
+    "join_asof_last_click",
     "q7_nation_volume",
     "filter_project",
-    "multimodal_binary_metadata",
-    "dedup_ml_minhash",
+    "multimodal_resize_plan",
+    "sim_ann_ivf_kmeans",
 )
 
 
