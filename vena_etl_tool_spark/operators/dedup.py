@@ -579,3 +579,132 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine_raw") >= COSINE_NEAR_DUP)
         .select("vec_a", "vec_b", F.round("cosine_raw", 6).alias("cosine"))
     )
+
+
+CLUSTER_JACCARD = 0.5
+
+_CC_ORACLE = """
+WITH RECURSIVE w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), sh_all AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, len(words) - 1),
+                   i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+  )) AS sh
+  FROM w WHERE len(words) >= 3
+), sh AS (
+  SELECT doc_id, sh FROM sh_all
+  WHERE sh IN (SELECT sh FROM sh_all GROUP BY sh HAVING COUNT(*) <= 100)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), edges AS (
+  SELECT p.doc_a, p.doc_b
+  FROM pairs p
+  JOIN sizes sa ON sa.doc_id = p.doc_a
+  JOIN sizes sb ON sb.doc_id = p.doc_b
+  WHERE p.inter >= 2
+    AND CAST(p.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - p.inter) >= 0.5
+), nodes AS (
+  SELECT doc_a AS node FROM edges UNION SELECT doc_b FROM edges
+), bidir AS (
+  SELECT doc_a AS src, doc_b AS dst FROM edges
+  UNION ALL SELECT doc_b, doc_a FROM edges
+), reach AS (
+  SELECT node, node AS label FROM nodes
+  UNION
+  SELECT b.dst AS node, r.label FROM reach r JOIN bidir b ON b.src = r.node
+), cc AS (
+  SELECT node AS doc_id, MIN(label) AS cluster_root FROM reach GROUP BY node
+)
+SELECT cc.doc_id, cc.cluster_root, n.n_members,
+       cc.doc_id = cc.cluster_root AS keep
+FROM cc JOIN (SELECT cluster_root AS r, COUNT(*) AS n_members
+              FROM cc GROUP BY cluster_root) n ON n.r = cc.cluster_root
+"""
+
+
+def connected_components(edges: DataFrame, src: str, dst: str, max_iter: int = 20) -> DataFrame:
+    """Min-label propagation connected components over an undirected edge
+    list; returns (node, cluster_root). Deterministic: every node converges
+    to the minimum id reachable from it.
+
+    Iterative-join shape (SURVEY.md §5.2.3 class): each round is one
+    shuffle join edges⋈labels + a min-aggregate; rounds needed = component
+    diameter (near-dup clusters are shallow — single digits). Lineage is
+    truncated per round with localCheckpoint so the plan doesn't grow
+    unboundedly; convergence is detected by a changed-label count and the
+    loop is capped at ``max_iter`` as a runaway guard."""
+    bidir = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).unionAll(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
+    bidir = bidir.cache()
+    labels = (
+        bidir.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        msgs = (
+            bidir.join(labels, bidir["src"] == labels["node"])
+            .groupBy("dst")
+            .agg(F.min("label").alias("cand"))
+        )
+        new_labels = (
+            labels.join(msgs, labels["node"] == msgs["dst"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("cand"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@register(
+    "dedup_cluster_assign",
+    tags=("llm", "dedup", "jaccard", "clustering"),
+    oracle=_CC_ORACLE,
+)
+def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER assignment — the dedup endgame: verified near-dup
+    pairs (3-gram Jaccard ≥ 0.5, same semantics as `dedup_ngram_jaccard`)
+    are treated as edges; connected components give each document its
+    cluster root (minimum doc_id reachable), cluster size, and a
+    keep/drop flag (keep = the root). The oracle twin computes the same
+    components with a DuckDB recursive CTE (transitive closure + MIN) —
+    an *iterative* distributed algorithm with a hash-exact oracle.
+
+    At 100 TB the iteration count is the near-dup cluster diameter
+    (single digits in practice); each round is one edges⋈labels shuffle,
+    and the edge list — already pair-verified output, ≪ corpus — is the
+    only state."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).filter(
+        F.col("jaccard") >= CLUSTER_JACCARD
+    )
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    sizes = cc.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        cc.join(sizes, "label")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("cluster_root"),
+            "n_members",
+            (F.col("node") == F.col("label")).alias("keep"),
+        )
+    )

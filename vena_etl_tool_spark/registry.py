@@ -81,6 +81,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "scalar_functions_extra",
     "map_functions_extra",
     "dedup_ngram_jaccard",
+    "dedup_cluster_assign",
     "dedup_minhash_lsh_pairs",
     "dedup_embedding_cosine",
     # families without a driver row last round
@@ -108,7 +109,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_quality_score",
     "text_langid",
     "text_wordfreq_topk",
-    "dataset_split_assign",
     "stream_tumbling_window",
     "stream_dedup",
     "stream_static_join",
