@@ -65,11 +65,16 @@ def main() -> int:
             except Exception:
                 pass
 
+    # two timed passes, keep the min: local[32] wall-clock is noisy (GC,
+    # page cache, CI neighbors); min-of-2 reports steady-state plan cost
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        start = time.perf_counter()
-        materialize(specs[name].fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - start, 3)
+    for _ in range(2):
+        for name in HEADLINE:
+            start = time.perf_counter()
+            materialize(specs[name].fn(spark, sf_dir))
+            t = round(time.perf_counter() - start, 3)
+            if name not in timings or t < timings[name]:
+                timings[name] = t
 
     total = round(sum(timings.values()), 3)
     print(
