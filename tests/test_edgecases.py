@@ -96,3 +96,24 @@ def test_many_empty_partitions(spark):
     df = spark.range(0, 10).repartition(64)
     assert df.groupBy((F.col("id") % 3).alias("m")).count().count() == 3
     assert df.orderBy(F.col("id").desc()).limit(2).count() == 2
+
+
+def test_hll_sketch_rollup_accuracy(spark, sf_dir):
+    """Merged per-month HLL sketches estimate the per-year distinct
+    customer count within 5% of exact."""
+    import pyspark.sql.functions as F
+
+    from vena_etl_tool_spark.catalog import load_table
+    from vena_etl_tool_spark.operators.aggregates import agg_hll_sketch_rollup
+
+    est = {r.yr: r.est_customers for r in agg_hll_sketch_rollup(spark, sf_dir).collect()}
+    orders = load_table(spark, sf_dir, "orders")
+    exact = {
+        r.yr: r.n
+        for r in orders.groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for yr, e in est.items():
+        assert abs(e - exact[yr]) / exact[yr] < 0.05, (yr, e, exact[yr])

@@ -292,3 +292,33 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("pq", 3).alias("price_p99"),
         )
     )
+
+
+@register(
+    "agg_hll_sketch_rollup",
+    tags=("aggregate", "approx", "sketch"),
+    oracle=None,  # DataSketches HLL registers are engine-specific;
+    # estimate-vs-exact tolerance is unit-tested (tests/test_edgecases.py)
+)
+def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable sketch STATE as data — the 100 TB distinct-count pattern
+    `approx_count_distinct` hides: per-month HLL sketches are materialized
+    once (this is what you'd persist with each daily partition), then the
+    year rollup MERGES the sketches (`hll_union_agg`) instead of
+    re-scanning the raw fact table. At scale this turns every
+    distinct-count rollup after the first into a KB-sized merge job.
+    HLL register updates are max-based, so estimates are deterministic
+    under any partitioning/merge order (safe for the hash harness's
+    rows-only check and for cross-run comparison)."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+    ).agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+    return (
+        monthly.groupBy("yr")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_customers"),
+            F.count(F.lit(1)).alias("n_months"),
+        )
+        .select("yr", "est_customers", "n_months")
+    )
