@@ -93,3 +93,12 @@ def test_ivf_corpus_side_shape(spark, sf_dir):
     # exactly one Generate (posexplode of the 20 query score arrays);
     # a corpus-side explode would add a second
     assert plan.count("Generate") == 1
+
+
+def test_bucketized_range_join_is_equi(spark, sf_dir):
+    """The interval self-join must plan as a shuffled equi-join on
+    (user_id, cell) — never a nested loop over per-user history."""
+    plan = plan_of(spark, sf_dir, "join_range_bucketized")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan

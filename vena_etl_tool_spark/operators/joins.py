@@ -341,3 +341,59 @@ def join_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("side") == 1)
         .select("event_id", "user_id", "ts", "last_click_ts")
     )
+
+
+@register(
+    "join_range_bucketized",
+    tags=("join", "range-join", "interval"),
+    oracle="""
+SELECT a.event_id AS event_a, b.event_id AS event_b,
+       CAST(date_diff('second', a.ts, b.ts) AS BIGINT) AS gap_sec
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '60 seconds'
+ AND a.event_id <> b.event_id
+""",
+)
+def join_range_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big×big interval self-join via the equi-prefix (bucketize) rewrite
+    — SURVEY.md §4.2's at-scale range-join strategy, as a registered plan:
+    pairs of events by the same user within 60 seconds.
+
+    A naive theta join (u = u AND ts diff ≤ 60s) on two fact-sized inputs
+    is a nested loop over every user's full history. The rewrite buckets
+    time into 60 s cells and equi-joins on (user_id, cell) for each of the
+    two cells a 60 s window can touch (b's cell = a's or a's + 1), then
+    applies the exact interval predicate to the tiny per-bucket candidate
+    set. Every join is a plain shuffled equi-join; worst-case work is
+    bounded by events-per-(user, minute)², never history²."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    base = ev.select(
+        "event_id", "user_id", "ts", sec.alias("sec"), (sec / 60).cast("long").alias("cell")
+    )
+    # side a explodes to the 2 cells its 60s look-ahead window can reach;
+    # side b keeps its single home cell → candidates = equi-join on
+    # (user_id, cell)
+    a = base.select(
+        F.col("event_id").alias("event_a"),
+        "user_id",
+        F.col("sec").alias("sec_a"),
+        F.explode(F.array(F.col("cell"), F.col("cell") + 1)).alias("cell"),
+    )
+    b = base.select(
+        F.col("event_id").alias("event_b"),
+        "user_id",
+        F.col("sec").alias("sec_b"),
+        "cell",
+    )
+    return (
+        a.join(b, ["user_id", "cell"])
+        .filter(
+            (F.col("sec_b") > F.col("sec_a"))
+            & (F.col("sec_b") <= F.col("sec_a") + 60)
+            & (F.col("event_a") != F.col("event_b"))
+        )
+        .select("event_a", "event_b", (F.col("sec_b") - F.col("sec_a")).alias("gap_sec"))
+    )

@@ -469,3 +469,39 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("long").alias("n_tokens"),
         )
     )
+
+
+@register(
+    "text_redact",
+    tags=("llm", "text", "redaction"),
+    oracle="""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[0-9]{3,}'))     AS n_num_redactions,
+       len(regexp_extract_all(text, '[a-z]{12,}'))    AS n_long_redactions,
+       regexp_replace(regexp_replace(text, '[0-9]{3,}', '[NUM]', 'g'),
+                      '[a-z]{12,}', '[TOKEN]', 'g')   AS scrubbed_prefix_src,
+       length(regexp_replace(regexp_replace(text, '[0-9]{3,}', '[NUM]', 'g'),
+                             '[a-z]{12,}', '[TOKEN]', 'g')) AS scrubbed_len
+FROM documents
+""",
+)
+def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern redaction — the scrubbing pass a training-data pipeline runs
+    before anything ships: long digit runs → [NUM], very long lowercase
+    tokens → [TOKEN] (stand-ins for the PII/secret patterns — account
+    numbers, keys — a production rule pack would carry; the operator shape
+    is the rule pack applied via builtin regexp_replace, zero Python).
+    Patterns are chosen from the regex subset with identical Java/RE2
+    semantics so the DuckDB twin is exact. Emits per-doc redaction counts
+    (the audit record) and the scrubbed text + its length."""
+    docs = load_table(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", "[0-9]{3,}", "[NUM]"), "[a-z]{12,}", "[TOKEN]"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]{3,}"))).alias("n_num_redactions"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]{12,}"))).alias("n_long_redactions"),
+        scrubbed.alias("scrubbed_prefix_src"),
+        F.length(scrubbed).alias("scrubbed_len"),
+    )

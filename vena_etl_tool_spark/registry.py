@@ -96,7 +96,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "topn_per_group",
     "sort_global_ranked",
     "sim_cosine_topk",
-    "sim_ann_lsh",
+    "text_redact",
     "skew_salted_aggregate",
     "skew_salted_join",
     "subquery_correlated_scalar",
@@ -117,7 +117,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # per-family flagships (green last round; keep a fresh row)
     "q1_pricing_summary",
     "join_asof_last_click",
-    "q7_nation_volume",
+    "join_range_bucketized",
     "filter_project",
     "multimodal_resize_plan",
     "sim_ann_ivf_kmeans",
