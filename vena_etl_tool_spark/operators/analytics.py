@@ -200,3 +200,71 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("event_type").alias("n_event_types"),
         )
     )
+
+
+@register(
+    "funnel_conversion",
+    tags=("window", "events", "aggregate"),
+    oracle="""
+WITH stages AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view'     THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'click'    THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events
+  GROUP BY user_id
+), flags AS (
+  SELECT user_id,
+         t_view IS NOT NULL AS viewed,
+         t_view IS NOT NULL AND t_click IS NOT NULL AND t_click >= t_view AS clicked_after_view,
+         t_view IS NOT NULL AND t_click IS NOT NULL AND t_purchase IS NOT NULL
+           AND t_click >= t_view AND t_purchase >= t_click AS purchased_after_click
+  FROM stages
+)
+SELECT COUNT(*) AS n_users,
+       CAST(SUM(CASE WHEN viewed THEN 1 ELSE 0 END) AS BIGINT) AS stage_view,
+       CAST(SUM(CASE WHEN clicked_after_view THEN 1 ELSE 0 END) AS BIGINT) AS stage_click,
+       CAST(SUM(CASE WHEN purchased_after_click THEN 1 ELSE 0 END) AS BIGINT) AS stage_purchase,
+       ROUND(CAST(SUM(CASE WHEN purchased_after_click THEN 1 ELSE 0 END) AS DOUBLE)
+             / NULLIF(SUM(CASE WHEN viewed THEN 1 ELSE 0 END), 0), 6) AS view_to_purchase_rate
+FROM flags
+""",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase): a user advances a
+    stage only if the stage's FIRST occurrence is at-or-after the previous
+    stage's first occurrence. One conditional-aggregation pass per user —
+    the min-per-stage trick keeps it a single shuffle + tiny global
+    rollup, no per-user event sorting, no sequence UDF."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    stages = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & F.col("t_click").isNotNull() & (F.col("t_click") >= F.col("t_view"))
+    purchased = (
+        clicked
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_purchase") >= F.col("t_click"))
+    )
+    flags = stages.select(
+        viewed.alias("viewed"),
+        clicked.alias("clicked"),
+        purchased.alias("purchased"),
+    )
+    cnt = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0)).cast("long")  # noqa: E731
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        cnt("viewed").alias("stage_view"),
+        cnt("clicked").alias("stage_click"),
+        cnt("purchased").alias("stage_purchase"),
+        F.round(
+            cnt("purchased").cast("double") / F.nullif(cnt("viewed"), F.lit(0)), 6
+        ).alias("view_to_purchase_rate"),
+    )

@@ -94,7 +94,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "setop_except_all",
     "topk_global",
     "topn_per_group",
-    "sort_global_ranked",
+    "funnel_conversion",
     "sim_cosine_topk",
     "text_redact",
     "skew_salted_aggregate",
