@@ -172,3 +172,18 @@ def test_embedding_cosine_pairs_precision_and_recall(spark, sf_dir):
     assert truth, "fixture has no qualifying pairs — test is vacuous"
     recall = len(got & truth) / len(truth)
     assert recall >= 0.2, f"banding recall too low: {recall:.3f}"
+
+
+def test_levenshtein_finds_planted_edits(spark, planted_docs, tmp_path):
+    """The edit-distance dedup must surface the exact dup (dist 0) and the
+    one-word near-dup, and every reported pair must satisfy the cutoff."""
+    from vena_etl_tool_spark.operators.dedup import LEV_MAX_RATIO, dedup_levenshtein
+
+    planted_docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = dedup_levenshtein(spark, str(tmp_path)).collect()
+    pairs = {(r.doc_a, r.doc_b): r for r in rows}
+    assert (0, 100) in pairs and pairs[(0, 100)].edit_dist == 0
+    assert (1, 101) in pairs and 0 < pairs[(1, 101)].edit_dist <= 6
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert r.edit_ratio <= LEV_MAX_RATIO + 1e-9

@@ -21,7 +21,7 @@ the LSH families carry invariant unit tests instead (tests/test_dedup.py).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from ..catalog import load_table
 from ..registry import register
@@ -707,4 +707,88 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
             (F.col("node") == F.col("label")).alias("keep"),
         )
+    )
+
+
+LEV_MIN_SHARED = 3       # blocking: ≥3 shared 3-gram shingles
+LEV_MAX_LEN_GAP = 20     # blocking: byte-length band
+LEV_MAX_RATIO = 0.5      # verify: edit distance / max(len) cutoff
+
+
+@register(
+    "dedup_levenshtein",
+    tags=("llm", "dedup", "edit-distance"),
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), sh_all AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, len(words) - 1),
+                   i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+  )) AS sh
+  FROM w WHERE len(words) >= 3
+), sh AS (
+  SELECT doc_id, sh FROM sh_all
+  WHERE sh IN (SELECT sh FROM sh_all GROUP BY sh HAVING COUNT(*) <= {SHINGLE_DF_CAP})
+), cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= {LEV_MIN_SHARED}
+)
+SELECT c.doc_a, c.doc_b,
+       levenshtein(x.text, y.text) AS edit_dist,
+       ROUND(CAST(levenshtein(x.text, y.text) AS DOUBLE)
+             / GREATEST(length(x.text), length(y.text)), 6) AS edit_ratio
+FROM cand c
+JOIN documents x ON x.doc_id = c.doc_a
+JOIN documents y ON y.doc_id = c.doc_b
+WHERE ABS(length(x.text) - length(y.text)) <= {LEV_MAX_LEN_GAP}
+  AND CAST(levenshtein(x.text, y.text) AS DOUBLE)
+      / GREATEST(length(x.text), length(y.text)) <= {LEV_MAX_RATIO}
+""",
+)
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs — the sixth dedup strategy: cheap
+    blocking first (LEV_MIN_SHARED shared 3-gram shingles under the
+    hot-shingle cap, plus a LEV_MAX_LEN_GAP byte-length band), then the
+    O(n*m) levenshtein verify runs ONLY on the tiny candidate set.
+    At 100 TB the quadratic-cost primitive never touches the corpus — it
+    touches blocked candidates, which the inverted-index join bounds.
+    Both engines implement standard Levenshtein, so the query is
+    hash-checked end to end."""
+    sh_all = _doc_shingles(spark, sf_dir)
+    dfreq_w = Window.partitionBy("sh")
+    sh = (
+        sh_all.withColumn("_df", F.count(F.lit(1)).over(dfreq_w))
+        .filter(F.col("_df") <= SHINGLE_DF_CAP)
+        .select("doc_id", "sh")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    cand = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("_inter"))
+        .filter(F.col("_inter") >= LEV_MIN_SHARED)
+        .drop("_inter")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    x = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    y = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    verified = (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .filter(
+            F.abs(F.length("text_a") - F.length("text_b")) <= LEV_MAX_LEN_GAP
+        )
+        .withColumn("edit_dist", F.levenshtein("text_a", "text_b"))
+        .withColumn(
+            "edit_ratio",
+            F.col("edit_dist").cast("double")
+            / F.greatest(F.length("text_a"), F.length("text_b")),
+        )
+        .filter(F.col("edit_ratio") <= LEV_MAX_RATIO)
+    )
+    return verified.select(
+        "doc_a", "doc_b", "edit_dist", F.round("edit_ratio", 6).alias("edit_ratio")
     )

@@ -505,3 +505,64 @@ def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         scrubbed.alias("scrubbed_prefix_src"),
         F.length(scrubbed).alias("scrubbed_len"),
     )
+
+
+SALIENCE_TOP_K = 3
+
+
+@register(
+    "text_term_salience",
+    tags=("llm", "text", "tfidf"),
+    oracle=f"""
+WITH tf AS (
+  SELECT doc_id, w AS term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''
+  GROUP BY doc_id, w
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE) / df.df) AS salience
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, ROUND(salience, 6) AS salience, rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY salience DESC, term) AS rk
+  FROM scored
+)
+WHERE rk <= {SALIENCE_TOP_K}
+""",
+)
+def text_term_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characteristic-term extraction per document — tf·idf-shaped
+    keyword scoring: term frequency × inverse document frequency as the
+    exact rational tf·(N/df) (no ln(): logarithms differ by ULPs across
+    engines and would break the hash gate; the RANKING a keyword
+    extractor needs is identical since ln is monotone). Top-K terms per
+    doc via a window.
+
+    Plan: one explode + two hash aggregates (tf by (doc, term), df by
+    term) + a broadcast-sized df join — the df table is vocabulary-sized,
+    *not* corpus-sized, so at 100 TB the join is the small side and the
+    heavy exchanges are the two aggregates over exploded tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()  # scalar: one cheap count, becomes a plan literal
+    scored = tf.join(df, "term").withColumn(
+        "salience",
+        F.col("tf").cast("double") * (F.lit(float(n_docs)) / F.col("df")),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("salience").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= SALIENCE_TOP_K)
+        .select("doc_id", "term", F.round("salience", 6).alias("salience"), "rk")
+    )

@@ -86,10 +86,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_embedding_cosine",
     # families without a driver row last round
     "window_ranking",
-    "window_analytic",
+    "text_term_salience",
     "window_frames",
     "setop_union_all",
-    "setop_union_by_name",
+    "dedup_levenshtein",
     "setop_intersect_all",
     "setop_except_all",
     "topk_global",
