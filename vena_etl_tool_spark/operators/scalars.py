@@ -196,3 +196,33 @@ def scalar_functions_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mb"),
         F.to_json(F.sequence(F.lit(1), F.col("p_size") % 4 + 1)).alias("seq"),
     )
+
+
+@register(
+    "bitwise_functions",
+    tags=("scalar", "bitwise"),
+    oracle="""
+SELECT p_partkey,
+       p_partkey & 255                    AS low_byte,
+       p_partkey | 4096                   AS with_flag,
+       xor(p_partkey, 21845)              AS xored,
+       p_partkey << 3                     AS shifted_left,
+       p_partkey >> 2                     AS shifted_right,
+       CAST(bit_count(p_partkey) AS INT)  AS popcount
+FROM part
+WHERE p_partkey <= 500
+""",
+)
+def bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar family (flag masks, shard extraction, popcount) —
+    pure codegen expressions, exact in any engine."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    return part.select(
+        "p_partkey",
+        F.col("p_partkey").bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.col("p_partkey").bitwiseOR(F.lit(4096)).alias("with_flag"),
+        F.col("p_partkey").bitwiseXOR(F.lit(21845)).alias("xored"),
+        F.shiftleft("p_partkey", 3).alias("shifted_left"),
+        F.shiftright("p_partkey", 2).alias("shifted_right"),
+        F.bit_count("p_partkey").alias("popcount"),
+    )

@@ -110,7 +110,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_langid",
     "text_wordfreq_topk",
     "stream_tumbling_window",
-    "stream_dedup",
+    "stream_foreach_batch_sink",
     "stream_static_join",
     "stream_stream_join",
     "stream_stateful_running_totals",

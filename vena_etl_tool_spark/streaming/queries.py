@@ -372,3 +372,45 @@ def stream_lifecycle_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = sum(int(p["numInputRows"]) for p in q.recentProgress)
     assert not q.isActive
     return spark.createDataFrame([(total,)], "rows_processed long")
+
+
+@register(
+    "stream_foreach_batch_sink",
+    tags=("streaming", "sink", "pipeline"),
+    oracle="""
+SELECT CAST(0 AS BIGINT) AS batch_id, COUNT(*) AS n_rows,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events
+""",
+)
+def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch — the arbitrary-sink bridge (JDBC / HTTP / multi-table
+    writes) with per-batch idempotency: each micro-batch arrives as a
+    batch DataFrame keyed by batch_id; keying sink writes by that id gives
+    exactly-once effects across checkpoint replays (the streaming home of
+    the reference's retry+idempotent upload, A7/A10 — see
+    pipeline/http_sink.py and streaming/foreach_batch.py). availableNow
+    over the fixture is one batch, so the per-batch audit the sink
+    function records is deterministic and oracle-checkable."""
+    import tempfile
+
+    from .foreach_batch import run_foreach_batch
+
+    audit: list[tuple[int, int, int]] = []
+
+    def record_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # stand-in for the idempotent external write: aggregate the batch
+        # (distributed) and record the per-batch audit row keyed by
+        # batch_id — the idempotency key a real sink would use for dedup
+        row = batch_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("event_type").alias("t"),
+        ).first()
+        audit.append((batch_id, row.n, row.t))
+
+    ev = events_stream(spark, sf_dir)
+    with tempfile.TemporaryDirectory(prefix="feb_ckpt_") as ckpt:
+        run_foreach_batch(ev, record_batch, ckpt, "stream_foreach_batch_sink")
+    return spark.createDataFrame(
+        sorted(audit), "batch_id long, n_rows long, n_types long"
+    )
