@@ -519,14 +519,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import dot_exact as dot  # scaled-long exact fold
 
     emb = spread_small(load_table(spark, sf_dir, "embeddings"))
-    # cache: the signature frame feeds both sides of the self-join and the
-    # re-score; without it the projection folds run once per consumer
-    norms = emb.select(
-        "vec_id",
-        "embedding",
-        dot(F.col("embedding"), F.col("embedding")).alias("sq_norm"),
-        *emb_bucket_cols("embedding"),
-    ).cache()
     bands_arr = F.array(
         *[
             F.struct(F.lit(b).alias("band"), F.col(f"eb{b}").alias("bucket"))
@@ -535,14 +527,24 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # SKINNY band join: the 8x-exploded self-join shuffles only
     # (vec_id, band, bucket) rows — the 64-float embeddings never ride the
-    # explode or the candidate exchange. Payloads are joined back BY ID
-    # after pair-dedup, so each embedding crosses the wire once per side
-    # however many bands/collisions there are (same shape as the minhash
-    # verify step).
-    flat = norms.select("vec_id", F.explode(bands_arr).alias("bb")).select(
+    # explode or the candidate exchange. The 48 bucket folds are computed
+    # exactly once (this frame is the join's only consumer — no cache
+    # needed, no cache materialization paid); payloads re-scan the parquet
+    # and compute only the single sq_norm fold, joined back BY ID after
+    # pair-dedup so each embedding crosses the wire once per side.
+    flat = (
+        emb.select("vec_id", *emb_bucket_cols("embedding"))
+        .select("vec_id", F.explode(bands_arr).alias("bb"))
+        .select(
+            "vec_id",
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
+        )
+    )
+    norms = emb.select(
         "vec_id",
-        F.col("bb.band").alias("band"),
-        F.col("bb.bucket").alias("bucket"),
+        "embedding",
+        dot(F.col("embedding"), F.col("embedding")).alias("sq_norm"),
     )
     a = flat.alias("a")
     b = flat.alias("b")
