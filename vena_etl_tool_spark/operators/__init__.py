@@ -10,6 +10,7 @@ Module map (SURVEY.md §2 Part B):
 - setops         §B.7 union / intersect / except
 - scalars        §B.8 string / date / math scalar surface
 - semistructured §B.8 array / map / json / struct / hash functions
+- tpch_suite     §B.3/§B.4 deep TPC-H-pattern coverage (q4/q6/q13/…/q22)
 - udfs           §B.10 pandas UDF / applyInPandas / mapInPandas surface
 - dedup          §B.11 exact + MinHash-LSH + SimHash + n-gram Jaccard dedup
 - similarity     §B.11 cosine top-k / LSH ANN over embeddings
@@ -35,6 +36,7 @@ from . import (  # noqa: F401
     sortlimit,
     subqueries,
     textanalysis,
+    tpch_suite,
     udfs,
     windows,
 )

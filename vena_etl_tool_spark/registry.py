@@ -106,19 +106,21 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "udf_grouped_agg",
     "udf_apply_in_pandas",
     "udf_map_in_pandas",
-    "text_quality_score",
     "text_langid",
-    "text_wordfreq_topk",
+    # pricing/projection flagships (keep a fresh row; also family coverage)
+    "q1_pricing_summary",
+    "filter_project",
     "stream_tumbling_window",
     "stream_foreach_batch_sink",
     "stream_static_join",
     "stream_stream_join",
     "stream_stateful_running_totals",
-    # per-family flagships (green last round; keep a fresh row)
-    "q1_pricing_summary",
-    "join_asof_last_click",
+    # new TPC-H-pattern suite representatives (operators/tpch_suite.py)
+    "q17_small_quantity_revenue",
+    "q21_sole_returner",
+    "q6_revenue_forecast",
+    # new-this-round rows-only queries that still need a first driver row
     "join_range_bucketized",
-    "filter_project",
     "multimodal_resize_plan",
     "sim_ann_ivf_kmeans",
 )
