@@ -36,6 +36,7 @@ from . import (  # noqa: F401
     sortlimit,
     subqueries,
     textanalysis,
+    timeseries,
     tpch_suite,
     udfs,
     windows,

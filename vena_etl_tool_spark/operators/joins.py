@@ -397,3 +397,56 @@ def join_range_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_a", "event_b", (F.col("sec_b") - F.col("sec_a")).alias("gap_sec"))
     )
+
+
+@register(
+    "merge_upsert_actions",
+    tags=("join", "outer", "merge"),
+    oracle="""
+WITH target AS (
+  SELECT c_custkey, c_acctbal FROM customer
+), updates AS (
+  SELECT o_custkey AS u_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS new_balance
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+  GROUP BY o_custkey
+)
+SELECT COALESCE(c_custkey, u_custkey) AS custkey,
+       CASE WHEN c_custkey IS NULL THEN 'insert'
+            WHEN u_custkey IS NULL THEN 'keep'
+            ELSE 'update' END AS action,
+       CASE WHEN u_custkey IS NULL THEN c_acctbal ELSE new_balance END
+         AS merged_balance
+FROM target FULL OUTER JOIN updates ON c_custkey = u_custkey
+""",
+)
+def merge_upsert_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE/upsert semantics (WHEN MATCHED UPDATE / NOT MATCHED
+    INSERT / NOT MATCHED BY SOURCE KEEP) expressed as a single full outer
+    join — the engine-level rewrite behind every table-format MERGE. The
+    updates side is an aggregate of the late-window orders; both sides
+    hash-partition on the merge key, so the merge is one shuffle each
+    side and the action tagging is pure projection."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    updates = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp_ntz"))
+        .groupBy(F.col("o_custkey").alias("u_custkey"))
+        .agg(dsum("o_totalprice").alias("new_balance"))
+    )
+    joined = cust.join(
+        updates, F.col("c_custkey") == F.col("u_custkey"), "full_outer"
+    )
+    action = (
+        F.when(F.col("c_custkey").isNull(), "insert")
+        .when(F.col("u_custkey").isNull(), "keep")
+        .otherwise("update")
+    )
+    return joined.select(
+        F.coalesce("c_custkey", "u_custkey").alias("custkey"),
+        action.alias("action"),
+        F.when(F.col("u_custkey").isNull(), F.col("c_acctbal"))
+        .otherwise(F.col("new_balance"))
+        .alias("merged_balance"),
+    )

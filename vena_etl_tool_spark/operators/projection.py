@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table
 from ..registry import register
+from ._shared import dsum
 
 
 @register(
@@ -136,4 +137,40 @@ def drop_duplicates_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["c_nationkey", "c_mktsegment"])
         .groupBy("c_nationkey", "c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "sample_stratified",
+    tags=("projection", "sampling"),
+    oracle="""
+WITH sampled AS (
+  SELECT c_mktsegment, c_custkey, c_acctbal
+  FROM customer
+  WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1)
+          IN ('0','1','2','3')
+)
+SELECT c_mktsegment, COUNT(*) AS n_sampled,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+FROM sampled
+GROUP BY c_mktsegment
+""",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~25% stratified sample: keep a row iff the first hex
+    digit of md5(key) falls in a fixed 4/16 bucket set. Unlike
+    ``df.sample()`` / ``sampleBy()`` (seeded per-partition RNG — result
+    changes with partitioning), the content-addressed predicate is stable
+    across engines, re-runs and repartitions, and it pipelines inside the
+    scan with zero shuffle — the only shuffle here is the verification
+    rollup."""
+    cust = load_table(spark, sf_dir, "customer")
+    first_hex = F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1)
+    return (
+        cust.filter(first_hex.isin("0", "1", "2", "3"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            dsum("c_acctbal").alias("bal_sum"),
+        )
     )

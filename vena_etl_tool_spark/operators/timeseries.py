@@ -1,0 +1,229 @@
+"""Time-series operators over the events stream — resample/gap-fill,
+trailing-window moving aggregates, and exact-arithmetic anomaly scoring.
+
+These are the batch time-series primitives a metrics/observability user of
+the reference would expect next to sessionization (analytics.py): densify a
+sparse series onto a regular grid, smooth it, and flag outliers. All three
+stay in whole-stage codegen — the time grid is generated distributed
+(``sequence`` + ``explode``, no driver-side loop), and the statistics are
+computed from exact integer/decimal sums so the DuckDB oracle matches
+bit-for-bit (stddev_samp over doubles would be summation-order-dependent).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import load_table
+from ..registry import register
+from ._shared import dsum
+
+
+@register(
+    "ts_gapfill_hourly",
+    tags=("timeseries", "events"),
+    oracle="""
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+  FROM events
+), grid AS (
+  SELECT g.hour_ts, t.event_type
+  FROM (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_ts
+        FROM bounds) g
+  CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+), counts AS (
+  SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+         COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT grid.hour_ts, grid.event_type,
+       COALESCE(counts.n, 0) AS n,
+       COALESCE(counts.total_value, 0.0) AS total_value
+FROM grid LEFT JOIN counts USING (hour_ts, event_type)
+""",
+)
+def ts_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample the event stream onto a dense hourly grid per event type,
+    filling silent hours with zero — the densify step every downstream
+    moving-window or charting consumer needs.
+
+    Scale shape: the grid is built distributed — ``sequence()`` runs on a
+    1-row bounds aggregate and ``explode`` fans it out; no driver-side
+    range loop, no collect. The grid side is tiny (hours × types) so AQE
+    broadcasts it against the aggregated counts; the only full shuffle is
+    the counts aggregate of the raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hour_ts")
+    )
+    types = ev.select("event_type").distinct()
+    grid = hours.crossJoin(types)
+    counts = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_ts"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value", 4).alias("total_value"),
+    )
+    return grid.join(counts, ["hour_ts", "event_type"], "left").select(
+        "hour_ts",
+        "event_type",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+    )
+
+
+@register(
+    "ts_moving_average",
+    tags=("timeseries", "window", "events"),
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS day_total
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT event_type, day, day_total,
+       ROUND(CAST(SUM(CAST(day_total AS DECIMAL(18,4))) OVER w AS DOUBLE)
+             / COUNT(*) OVER w, 6) AS ma7
+FROM daily
+WINDOW w AS (PARTITION BY event_type
+             ORDER BY CAST(day - DATE '1970-01-01' AS BIGINT)
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+)
+def ts_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day moving average of daily value totals per event type.
+    RANGE framing over epoch-days (not ROWS) so a missing day shortens
+    the window instead of silently reaching further back — the correct
+    semantics for sparse series. The daily aggregate and the window share
+    the event_type hash partitioning: one shuffle end-to-end."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(dsum("value", 4).alias("day_total"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_date(F.col("day")))  # epoch days
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "day_total",
+        F.round(
+            F.sum(F.col("day_total").cast("decimal(18,4)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w),
+            6,
+        ).alias("ma7"),
+    )
+
+
+@register(
+    "ts_anomaly_zscore",
+    tags=("timeseries", "statistics", "events"),
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         COUNT(*) AS n
+  FROM events
+  GROUP BY 1, 2
+), stats AS (
+  SELECT event_type,
+         COUNT(*) AS n_days,
+         SUM(n) AS total,
+         SUM(n * n) AS total_sq
+  FROM daily
+  GROUP BY event_type
+)
+SELECT d.event_type, d.day, d.n,
+       ROUND((d.n - CAST(s.total AS DOUBLE) / s.n_days)
+             / sqrt((s.total_sq - CAST(s.total AS DOUBLE) * s.total / s.n_days)
+                    / (s.n_days - 1)), 6) AS zscore,
+       ABS((d.n - CAST(s.total AS DOUBLE) / s.n_days)
+           / sqrt((s.total_sq - CAST(s.total AS DOUBLE) * s.total / s.n_days)
+                  / (s.n_days - 1))) > 2.0 AS is_anomaly
+FROM daily d JOIN stats s USING (event_type)
+""",
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score anomaly flags over daily event counts. The mean
+    and sample variance come from exact integer sums (Σn, Σn² are BIGINTs
+    — no floating-point accumulation), so the score is bit-identical in
+    any engine and under any partitioning; ``stddev_samp`` over doubles
+    would not be. The per-type stats table is tiny → broadcast back."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n").alias("total"),
+        F.sum(F.col("n") * F.col("n")).alias("total_sq"),
+    )
+    mean = F.col("total").cast("double") / F.col("n_days")
+    var = (
+        F.col("total_sq") - F.col("total").cast("double") * F.col("total") / F.col("n_days")
+    ) / (F.col("n_days") - 1)
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day",
+        "n",
+        F.round(z, 6).alias("zscore"),
+        (F.abs(z) > 2.0).alias("is_anomaly"),
+    )
+
+
+@register(
+    "scd2_priority_history",
+    tags=("timeseries", "window", "scd"),
+    oracle="""
+WITH ordered AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+         lag(o_orderpriority) OVER w AS prev_priority
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+), changes AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+  FROM ordered
+  WHERE prev_priority IS NULL OR prev_priority <> o_orderpriority
+)
+SELECT o_custkey AS custkey, o_orderpriority AS priority,
+       o_orderdate AS valid_from,
+       lead(o_orderdate) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS valid_to,
+       lead(o_orderdate) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
+FROM changes
+""",
+)
+def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history build: collapse each
+    customer's order-priority timeline into change intervals with
+    valid_from / valid_to / is_current — the standard warehouse pattern
+    for reconstructing attribute history from an event log. Both window
+    passes share one hash partitioning on custkey (single shuffle);
+    run-length collapse via lag-compare, interval close via lead."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = (
+        orders.withColumn("prev_priority", F.lag("o_orderpriority").over(w))
+        .filter(
+            F.col("prev_priority").isNull()
+            | (F.col("prev_priority") != F.col("o_orderpriority"))
+        )
+    )
+    valid_to = F.lead("o_orderdate").over(w)
+    return changes.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )

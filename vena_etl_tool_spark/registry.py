@@ -110,7 +110,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # pricing/projection flagships (keep a fresh row; also family coverage)
     "q1_pricing_summary",
     "filter_project",
-    "stream_tumbling_window",
+    "ts_moving_average",
     "stream_foreach_batch_sink",
     "stream_static_join",
     "stream_stream_join",
