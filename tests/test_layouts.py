@@ -1,0 +1,68 @@
+"""Layout operators: the on-disk claims (partition pruning, ORC predicate
+pushdown, Z-order block locality) asserted against the executed plan and
+the produced rows — the write-side analog of tests/test_plans.py."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from vena_etl_tool_spark.operators import layouts
+from vena_etl_tool_spark.registry import all_specs
+
+_SPECS = all_specs()
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_partitioned_read_prunes_directories(spark, sf_dir):
+    df = _SPECS["layout_partitioned_pruning"].fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "PartitionFilters" in plan
+    assert "o_year" in plan.split("PartitionFilters")[1].splitlines()[0]
+    # the layout really is multi-directory, so the filter had partitions
+    # to eliminate — and the one directory holds exactly the year's rows
+    import os
+
+    root = layouts.layout_dir(sf_dir, "orders_by_year")
+    year_dirs = [d for d in os.listdir(root) if d.startswith("o_year=")]
+    assert len(year_dirs) > 1 and "o_year=2001" in year_dirs
+    direct = spark.read.parquet(os.path.join(root, "o_year=2001")).count()
+    assert direct == df.agg(F.sum("n")).first()[0]
+
+
+def test_orc_readback_pushes_predicate(spark, sf_dir):
+    df = _SPECS["layout_orc_roundtrip"].fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "OrcScan" in plan or "Format: ORC" in plan or "orc" in plan.lower()
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_zorder_blocks_are_local_in_both_dims(spark, sf_dir):
+    """Fixing the top 4 interleaved bits (zkey >> 8) bounds BOTH source
+    dimensions to a 16-wide range — the property that makes a zkey sort
+    skippable on either column's min/max stats."""
+    rows = _SPECS["layout_zorder_stats"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.zblock < 256
+        assert r.max_x - r.min_x <= 15
+        assert r.max_y - r.min_y <= 15
+
+
+def test_zorder_key_is_a_bijection_of_buckets(spark, sf_dir):
+    """16-bit Morton interleave is invertible: distinct (x,y) bucket pairs
+    and distinct zkeys must 1:1."""
+    from vena_etl_tool_spark.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    x = (F.col("o_custkey") % 256).cast("long")
+    y = (F.unix_date(F.col("o_orderdate").cast("date")) % 256).cast("long")
+    z = orders.select(x.alias("x"), y.alias("y")).withColumn(
+        "zkey", layouts._morton16(F.col("x"), F.col("y"))
+    )
+    n_pairs, n_keys = z.agg(
+        F.countDistinct("x", "y"), F.countDistinct("zkey")
+    ).first()
+    assert n_pairs == n_keys

@@ -24,6 +24,7 @@ from . import (  # noqa: F401
     dedup,
     ingestion,
     joins,
+    layouts,
     ml_lsh,
     multimodal,
     pricing,

@@ -88,7 +88,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "window_ranking",
     "text_term_salience",
     "window_frames",
-    "setop_union_all",
+    "layout_partitioned_pruning",
     "dedup_levenshtein",
     "setop_intersect_all",
     "setop_except_all",
