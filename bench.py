@@ -62,8 +62,9 @@ def main() -> int:
         for name in HEADLINE:
             try:
                 materialize(specs[name].fn(spark, warmup_dir))
-            except Exception:
-                pass
+            except Exception as exc:  # surface early — a broken query would
+                # otherwise crash mid-timed-pass with no warmup breadcrumb
+                print(f"WARMUP FAIL {name}: {exc}", file=sys.stderr)
 
     # two timed passes, keep the min: local[32] wall-clock is noisy (GC,
     # page cache, CI neighbors); min-of-2 reports steady-state plan cost

@@ -17,14 +17,30 @@ def test_window_is_exactly_the_first_entries():
     assert tuple(names[: len(registry.DRIVER_WINDOW)]) == registry.DRIVER_WINDOW
 
 
-def test_window_spans_every_operator_module():
+def test_window_has_no_oracle_less_queries():
+    # The driver records `no_oracle` as an ERROR row — a rows-only query in
+    # the checked window is a guaranteed red slot (VERDICT r2 item #4).
     specs = registry.all_specs()
-    all_modules = {s.fn.__module__ for s in specs.values()}
-    window_modules = {
-        specs[n].fn.__module__ for n in registry.DRIVER_WINDOW[:50]
-    }
-    uncovered = sorted(m.rsplit(".", 1)[-1] for m in all_modules - window_modules)
-    assert not uncovered, f"families outside the driver's 50-query window: {uncovered}"
+    rows_only = [n for n in registry.DRIVER_WINDOW if specs[n].oracle is None]
+    assert not rows_only, f"oracle-less queries burn driver slots: {rows_only}"
+
+
+def test_rotation_completes_oracle_backed_coverage():
+    # r1∪r2 driver-green ∪ the r3 window must cover every oracle-backed
+    # query — the whole point of the r3 window (VERDICT r2 item #5).
+    import json
+    import os
+
+    green: set[str] = set()
+    for rnd in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+        path = os.path.join(os.path.dirname(__file__), "..", rnd)
+        if os.path.exists(path):
+            with open(path) as f:
+                green |= {n for n, v in json.load(f).items() if v.get("hash_match")}
+    specs = registry.all_specs()
+    oracle_backed = {n for n, s in specs.items() if s.oracle is not None}
+    residue = sorted(oracle_backed - green - set(registry.DRIVER_WINDOW))
+    assert not residue, f"oracle-backed queries never driver-checked: {residue}"
 
 
 def test_window_holds_at_least_50():

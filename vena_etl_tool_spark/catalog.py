@@ -8,10 +8,14 @@ user-facing pipeline-spec registry.
 
 All loads are plain ``spark.read.parquet`` so Catalyst keeps predicate
 pushdown / column pruning / partition pruning. The only normalization is
-the `events.ts` nanosecond column (parquet TIMESTAMP(NANOS), unsupported
-by Spark's vectorized reader) which we read as long via
-``spark.sql.legacy.parquet.nanosAsLong`` and truncate to microseconds —
-bit-identical to what DuckDB's reader produces for the same file.
+the `events.ts` nanosecond column (parquet TIMESTAMP(NANOS)), handled
+**dtype-adaptively**: depending on the Spark build/confs the parquet
+reader surfaces it either as BIGINT nanoseconds (older builds honoring
+``spark.sql.legacy.parquet.nanosAsLong``) or natively as TIMESTAMP_NTZ
+truncated to microseconds (pyspark 4.1+, where that conf is a no-op).
+We branch on the *observed* dtype — never on the conf — and normalize to
+``timestamp_ntz`` at microsecond precision, bit-identical to what
+DuckDB's reader produces for the same file.
 """
 
 from __future__ import annotations
@@ -48,14 +52,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     configure(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ns → µs truncation, kept timezone-naive to match the other tables
-        # (timestamp_ntz) and DuckDB's read of the same parquet.
-        # integer `div`, not `/`: ns epoch values exceed double's 2^53 mantissa
-        df = df.withColumn(
-            "ts",
-            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
-        )
+        df = df.withColumn("ts", _normalize_event_ts(dict(df.dtypes)["ts"]))
     return df
+
+
+def _normalize_event_ts(loaded_dtype: str) -> F.Column:
+    """Canonical `ts` expression for whatever dtype the reader produced.
+
+    - ``bigint``: raw nanoseconds (nanosAsLong path) — integer `div`, not
+      `/`, because ns epoch values exceed double's 2^53 mantissa; truncate
+      to µs exactly as DuckDB does.
+    - ``timestamp_ntz``: the reader already truncated ns → µs natively
+      (pyspark 4.1+); pass through.
+    - ``timestamp``: session-tz read; re-type to ntz (session tz is UTC so
+      the wall clock is unchanged).
+    """
+    if loaded_dtype == "bigint":
+        return F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+    return F.col("ts").cast("timestamp_ntz")
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

@@ -413,6 +413,12 @@ EMB_LSH_BANDS = 8
 EMB_LSH_BITS = 6
 EMB_DIM = 64
 COSINE_NEAR_DUP = 0.25
+# Pairs-per-vector output cap (VERDICT r2: uncapped output is quadratic in
+# duplicate multiplicity — a 1M-copy near-dup cluster at 100 TB would emit
+# ~10^12 pairs). Keeping the top-K strongest matches per lower-id vector
+# bounds output at K×n while preserving every vector's best dup evidence;
+# downstream cluster assignment only needs connectivity, not the clique.
+EMB_PAIRS_PER_VEC = 10
 
 
 def _emb_planes() -> "list[list[list[float]]]":
@@ -489,12 +495,17 @@ WITH norms AS (
          embedding,
          {buckets}
   FROM embeddings
+), scored AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {dot_ab} / (SQRT(a.sq_norm) * SQRT(b.sq_norm)) AS cosine_raw
+  FROM norms a
+  JOIN norms b ON ({band_match}) AND a.vec_id < b.vec_id
 )
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       ROUND({dot_ab} / (SQRT(a.sq_norm) * SQRT(b.sq_norm)), 6) AS cosine
-FROM norms a
-JOIN norms b ON ({band_match}) AND a.vec_id < b.vec_id
-WHERE {dot_ab} / (SQRT(a.sq_norm) * SQRT(b.sq_norm)) >= {COSINE_NEAR_DUP}
+SELECT vec_a, vec_b, ROUND(cosine_raw, 6) AS cosine
+FROM scored
+WHERE cosine_raw >= {COSINE_NEAR_DUP}
+QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_a ORDER BY cosine_raw DESC, vec_b)
+        <= {EMB_PAIRS_PER_VEC}
 """
 
 
@@ -576,9 +587,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine = dot(F.col("emb_a"), F.col("emb_b")) / (
         F.sqrt(F.col("sq_a")) * F.sqrt(F.col("sq_b"))
     )
+    # pairs-per-vector cap: top-K by strength per lower-id vector — bounds
+    # output linearly in corpus size (see EMB_PAIRS_PER_VEC). The order key
+    # (cosine_raw DESC, vec_b) is a total order and cosine_raw derives from
+    # the integer-exact dot fold, so Spark and DuckDB rank identically.
+    per_vec = Window.partitionBy("vec_a").orderBy(F.desc("cosine_raw"), F.asc("vec_b"))
     return (
         cand.withColumn("cosine_raw", cosine)
         .filter(F.col("cosine_raw") >= COSINE_NEAR_DUP)
+        .withColumn("rn", F.row_number().over(per_vec))
+        .filter(F.col("rn") <= EMB_PAIRS_PER_VEC)
         .select("vec_a", "vec_b", F.round("cosine_raw", 6).alias("cosine"))
     )
 

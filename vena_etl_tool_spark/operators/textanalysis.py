@@ -555,10 +555,18 @@ def text_term_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("term") != "")
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = docs.count()  # scalar: one cheap count, becomes a plan literal
-    scored = tf.join(df, "term").withColumn(
-        "salience",
-        F.col("tf").cast("double") * (F.lit(float(n_docs)) / F.col("df")),
+    # N as a broadcast scalar INSIDE the plan (single-row cross join), not a
+    # driver-side docs.count() action — keeps the whole query one job and
+    # avoids a separate corpus pass at 100 TB.
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "salience",
+            F.col("tf").cast("double") * (F.col("n_docs") / F.col("df")),
+        )
+        .drop("n_docs")
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("salience").desc(), F.col("term"))
     return (

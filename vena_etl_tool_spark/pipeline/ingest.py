@@ -82,11 +82,17 @@ def ingest_csv(spark: SparkSession, path: str, spec: PipelineSpec) -> IngestResu
         F.col(CORRUPT_COL).alias("raw_record"),
         F.input_file_name().alias("source_file"),
     )
+    # one action for both counts (a single scan materializes the cache);
+    # count(col) counts non-nulls, so corrupt rows are exactly its value
+    counts = raw.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.col(CORRUPT_COL)).alias("n_bad"),
+    ).first()
     return IngestResult(
         good=good,
         quarantine=quarantine,
-        n_good=good.count(),
-        n_quarantined=quarantine.count(),
+        n_good=counts.n_total - counts.n_bad,
+        n_quarantined=counts.n_bad,
     )
 
 

@@ -67,62 +67,67 @@ def _load_all() -> None:
 # a hard correctness row last round, then flagships. The remainder follow
 # alphabetically; the window rotates across rounds so every query
 # eventually lands a driver-checked row (see OPERATORS.md).
+# Round-3 window policy (VERDICT r2 items #4/#5): ONLY oracle-backed
+# queries (rows-only entries can never produce a green driver row — the
+# driver records `no_oracle` as an error), ordered as: every oracle-backed
+# query with no driver-green row in r1∪r2 (46 of them — this completes the
+# rotation: after r3 every one of the 117 oracle-backed queries has had a
+# driver-checked row), then 4 re-validation slots for events-reading
+# queries fixed by the r3 dtype-adaptive loader change.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # changed/new this round
-    "ingest_quarantine_counts",
-    "sim_ann_ivf",
-    "corpus_curation_pipeline",
-    "embedding_quantize_int8",
+    # events/timestamp cluster repaired this round — freshest evidence first
     "sessionize_events",
-    "stream_tumbling_append",
-    "agg_collect",
-    "agg_approx_quantile",
-    "dedup_minhash_signatures",
-    "scalar_functions_extra",
-    "map_functions_extra",
-    "dedup_ngram_jaccard",
-    "dedup_cluster_assign",
-    "dedup_minhash_lsh_pairs",
-    "dedup_embedding_cosine",
-    # families without a driver row last round
-    "window_ranking",
-    "text_term_salience",
-    "window_frames",
-    "layout_partitioned_pruning",
-    "dedup_levenshtein",
-    "setop_intersect_all",
-    "setop_except_all",
-    "topk_global",
-    "topn_per_group",
     "funnel_conversion",
-    "sim_cosine_topk",
-    "text_redact",
-    "skew_salted_aggregate",
-    "skew_salted_join",
-    "subquery_correlated_scalar",
-    "subquery_in_not_in",
-    "subquery_lateral_topn",
-    "udf_pandas_scalar_norm",
-    "udf_grouped_agg",
+    "ts_moving_average",
+    "ts_gapfill_hourly",
+    "ts_anomaly_zscore",
+    "join_range_bucketized",
+    "map_functions",
     "udf_apply_in_pandas",
     "udf_map_in_pandas",
-    "text_langid",
-    # pricing/projection flagships (keep a fresh row; also family coverage)
-    "q1_pricing_summary",
-    "filter_project",
-    "ts_moving_average",
-    "stream_foreach_batch_sink",
-    "stream_static_join",
+    "udf_sql_registered",
+    "stream_tumbling_append",
+    "stream_tumbling_window",
+    "stream_sliding_window",
+    "stream_session_window",
     "stream_stream_join",
-    "stream_stateful_running_totals",
-    # new TPC-H-pattern suite representatives (operators/tpch_suite.py)
-    "q17_small_quantity_revenue",
-    "q21_sole_returner",
-    "q6_revenue_forecast",
-    # new-this-round rows-only queries that still need a first driver row
-    "join_range_bucketized",
-    "multimodal_resize_plan",
-    "sim_ann_ivf_kmeans",
+    "stream_dedup",
+    "stream_lifecycle_metrics",
+    # oracle-backed, never driver-checked before this round
+    "bitwise_functions",
+    "dataset_split_assign",
+    "explode_functions",
+    "hash_functions",
+    "layout_orc_roundtrip",
+    "layout_zorder_stats",
+    "merge_upsert_actions",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_filter",
+    "q22_dormant_balance",
+    "q4_priority_exists",
+    "sample_stratified",
+    "scd2_priority_history",
+    "setop_except",
+    "setop_intersect",
+    "setop_union_all",
+    "setop_union_by_name",
+    "setop_union_distinct",
+    "sort_global_ranked",
+    "struct_functions",
+    "text_bpe_token_estimate",
+    "text_chunk_windows",
+    "text_fingerprint",
+    "text_quality_score",
+    "text_token_stats",
+    "text_wordfreq_topk",
+    "window_analytic",
+    # re-validation: events-reading queries green in r1, loader changed in r3
+    "ansi_safe_casts",
+    "json_functions",
+    "join_asof_last_click",
+    "q1_pricing_summary",
 )
 
 

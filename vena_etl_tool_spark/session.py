@@ -25,8 +25,11 @@ from pyspark.sql import SparkSession
 RUNTIME_CONFS: dict[str, str] = {
     # Deterministic timestamp semantics for the DuckDB differential oracle.
     "spark.sql.session.timeZone": "UTC",
-    # The fixture `events` table stores TIMESTAMP(NANOS) which Spark's parquet
-    # reader rejects; read as long and convert in the loader (catalog.py).
+    # The fixture `events` table stores TIMESTAMP(NANOS). Older Spark builds
+    # honor this conf (ts reads as BIGINT ns); pyspark 4.1+ ignores it and
+    # reads natively as TIMESTAMP_NTZ µs. Harmless either way — the loader
+    # (catalog._normalize_event_ts) branches on the OBSERVED dtype, never on
+    # this conf.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Adaptive execution: runtime re-plan, skew-join splitting, partition
     # coalescing. Core of the 100 TB story.

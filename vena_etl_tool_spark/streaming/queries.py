@@ -26,24 +26,54 @@ from pyspark.sql import DataFrame, SparkSession
 from ..registry import register
 from ..session import configure
 
-# Physical read schema for the events parquet under nanosAsLong.
-EVENTS_STREAM_SCHEMA = (
+# Physical read schemas for the events parquet, by how this Spark build
+# surfaces the file's TIMESTAMP(NANOS) column (see catalog._normalize_event_ts):
+# native builds (pyspark 4.1+) truncate ns → µs and a `timestamp` read slot
+# yields correct values; nanosAsLong builds need a `long` slot + ns → µs div.
+_SCHEMA_TS_NATIVE = (
+    "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+)
+_SCHEMA_TS_LONG = (
     "event_id long, ts long, user_id long, event_type string, value double, props string"
 )
 
+# Cache of the probed events-ts read dtype, keyed by sf_dir (stable per run).
+_TS_DTYPE_CACHE: dict[str, str] = {}
+
+
+def _events_ts_dtype(spark: SparkSession, sf_dir: str) -> str:
+    """Batch-probe the dtype the parquet reader produces for events.ts.
+
+    Footer-only read (no data scan). Streams must declare their schema up
+    front, so we branch on the same observed dtype as the batch loader —
+    never on `nanosAsLong`, which pyspark 4.1+ silently ignores.
+    """
+    if sf_dir not in _TS_DTYPE_CACHE:
+        batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        _TS_DTYPE_CACHE[sf_dir] = dict(batch.dtypes)["ts"]
+    return _TS_DTYPE_CACHE[sf_dir]
+
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-stream source over the events parquet with the ns→µs fix."""
+    """File-stream source over the events parquet, normalized to µs TIMESTAMP.
+
+    ts is TIMESTAMP (session tz = UTC) — watermarks reject TIMESTAMP_NTZ;
+    outputs cast to ntz at the wire. The file-stream source wants a
+    directory: point at sf_dir and glob the one table file.
+    """
     configure(spark)
-    # the file-stream source wants a directory: point at sf_dir and glob the
-    # one table file. ts stays TIMESTAMP (session tz = UTC) — watermarks
-    # reject TIMESTAMP_NTZ; outputs cast to ntz at the wire.
-    raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    if _events_ts_dtype(spark, sf_dir) == "bigint":
+        raw = (
+            spark.readStream.schema(_SCHEMA_TS_LONG)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return (
+        spark.readStream.schema(_SCHEMA_TS_NATIVE)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 # Streaming state partitions are sized to STATE CARDINALITY (thousands of
@@ -160,7 +190,15 @@ def stream_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "total_value",
     )
-    workdir = tempfile.mkdtemp(prefix="stream_tumbling_append_")
+    # Stable per-run sink (NOT a TemporaryDirectory): the result DataFrame
+    # is returned as a distributed parquet read, so the files must outlive
+    # this function. At scale windows×keys is unbounded — pulling the sink
+    # through the driver with collect() would cap the operator; reading it
+    # back keeps the whole path executor-side.
+    workdir = os.path.join(
+        tempfile.gettempdir(), "vena_stream_sinks", "stream_tumbling_append"
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
     sink_dir = os.path.join(workdir, "sink")
     ckpt_dir = os.path.join(workdir, "ckpt")
     with _state_partitions(spark):
@@ -173,12 +211,7 @@ def stream_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    result = spark.read.schema(out.schema).parquet(sink_dir)
-    # materialize before the tempdir vanishes (result rows are tiny: one
-    # per closed window × event_type)
-    rows = result.collect()
-    shutil.rmtree(workdir, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return spark.read.schema(out.schema).parquet(sink_dir)
 
 
 @register(
