@@ -20,6 +20,8 @@ the LSH families carry invariant unit tests instead (tests/test_dedup.py).
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 
@@ -40,6 +42,35 @@ MERSENNE = 2147483647  # 2^31 - 1
 # signatures are stable across runs/executors.
 _A = [(17 + 13 * i) * 2654435761 % MERSENNE for i in range(N_MINHASH)]
 _B = [(31 + 7 * i) * 2246822519 % MERSENNE for i in range(N_MINHASH)]
+
+
+def md5_hash60(col: Column) -> Column:
+    """Cross-engine 60-bit shingle hash: top 15 hex chars of md5 as bigint.
+
+    Exists so the minhash queries can be ORACLE-EXACT: Spark's default
+    xxhash64 has no DuckDB equivalent, but md5 is bit-identical in both
+    (Spark: conv(substr(md5(x),1,15),16,10); DuckDB:
+    ('0x'||substr(md5(x),1,15))::BIGINT — verified equal). The scale path
+    keeps xxhash64 (~10× cheaper than md5); the hash choice changes no
+    plan shape, so the oracle still verifies the permutation/banding/
+    Jaccard logic that actually matters.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+_SQL_MD5_H60 = "(('0x' || substr(md5({col}), 1, 15))::BIGINT)"
+
+# Shared DuckDB CTE: distinct 3-gram shingles per document (mirrors
+# doc_shingles below).
+_SQL_SHINGLES_CTE = """
+w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, len(words) - 1),
+                   i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+  )) AS sh
+  FROM w WHERE len(words) >= 3
+)"""
 
 
 def word_shingles(words: Column, n: int = 3) -> Column:
@@ -181,13 +212,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_signature(df: DataFrame, id_col: str, shingle_col: str) -> DataFrame:
+def minhash_signature(
+    df: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    hash_expr: Callable[[Column], Column] | None = None,
+) -> DataFrame:
     """(id, minhash array of N_MINHASH) from exploded (id, shingle) rows.
 
     One shuffle (groupBy id); the N permutation mins are computed as N
     aggregate columns over the same exchange — not N passes.
+    ``hash_expr`` defaults to xxhash64 (scale path); pass :func:`md5_hash60`
+    for the oracle-exact variant.
     """
-    h32 = (F.xxhash64(F.col(shingle_col)).bitwiseAND(F.lit(0x7FFFFFFF))).alias("h32")
+    hfn = hash_expr or F.xxhash64
+    h32 = (hfn(F.col(shingle_col)).bitwiseAND(F.lit(0x7FFFFFFF))).alias("h32")
     with_h = df.select(F.col(id_col), h32)
     mins = [
         F.min((F.col("h32") * F.lit(_A[i]) + F.lit(_B[i])) % F.lit(MERSENNE)).alias(
@@ -202,24 +241,31 @@ def minhash_signature(df: DataFrame, id_col: str, shingle_col: str) -> DataFrame
     )
 
 
-def lsh_bands(df: DataFrame, id_col: str, sig_col: str = "minhash") -> DataFrame:
-    """Explode a minhash signature into (id, band_id, band_key) bucket rows."""
+def lsh_bands(
+    df: DataFrame, id_col: str, sig_col: str = "minhash", hashed_keys: bool = True
+) -> DataFrame:
+    """Explode a minhash signature into (id, band_id, band_key) bucket rows.
+
+    ``hashed_keys=True`` (scale default) compresses each band's 4 values to
+    one xxhash64 long — an 8-byte shuffle key. ``False`` keeps the plain
+    ``b:v0:v1:v2:v3`` string so DuckDB can rebuild identical keys.
+    """
     n_bands = N_MINHASH // BAND_ROWS
+
+    def key(b: int) -> Column:
+        plain = F.concat_ws(
+            ":",
+            F.lit(b),
+            *[
+                F.element_at(F.col(sig_col), b * BAND_ROWS + r + 1)
+                for r in range(BAND_ROWS)
+            ],
+        )
+        return F.xxhash64(plain) if hashed_keys else plain
+
     bands = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.xxhash64(
-                    F.concat_ws(
-                        ":",
-                        F.lit(b),
-                        *[
-                            F.element_at(F.col(sig_col), b * BAND_ROWS + r + 1)
-                            for r in range(BAND_ROWS)
-                        ],
-                    )
-                ).alias("band_key"),
-            )
+            F.struct(F.lit(b).alias("band_id"), key(b).alias("band_key"))
             for b in range(n_bands)
         ]
     )
@@ -228,36 +274,127 @@ def lsh_bands(df: DataFrame, id_col: str, sig_col: str = "minhash") -> DataFrame
     )
 
 
+def _minhash_sig_oracle() -> str:
+    h60 = _SQL_MD5_H60.format(col="sh")
+    mins = ",\n         ".join(
+        f"MIN((({h60} & 2147483647) * {_A[i]} + {_B[i]}) % {MERSENNE}) AS mh{i}"
+        for i in range(N_MINHASH)
+    )
+    bks = ",\n       ".join(
+        "("
+        + " || ':' || ".join(
+            [f"'{b}'"]
+            + [f"CAST(mh{b * BAND_ROWS + r} AS VARCHAR)" for r in range(BAND_ROWS)]
+        )
+        + f") AS bk{b}"
+        for b in range(N_MINHASH // BAND_ROWS)
+    )
+    return f"""
+WITH {_SQL_SHINGLES_CTE},
+mins AS (
+  SELECT doc_id,
+         {mins}
+  FROM sh GROUP BY doc_id
+)
+SELECT doc_id,
+       {", ".join(f"mh{i}" for i in range(N_MINHASH))},
+       {bks}
+FROM mins
+"""
+
+
 @register(
     "dedup_minhash_signatures",
     tags=("llm", "dedup", "minhash"),
-    oracle=None,  # xxhash64-based; determinism + invariants in tests/test_dedup.py
+    oracle=_minhash_sig_oracle(),
 )
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document MinHash signature (32 perms) + the 8 LSH band keys.
     This is the state that gets persisted at scale; band keys are the
-    shuffle keys for candidate generation. Both arrays are serialized to
-    JSON strings at the query boundary so the output is scalar-typed
-    (harness-hashable); the persisted-at-scale form stays array-typed."""
+    shuffle keys for candidate generation.
+
+    Oracle-exact (r2 verdict stretch #10): the shingle hash here is
+    :func:`md5_hash60` — bit-identical in Spark and DuckDB — so the driver
+    verifies the whole permutation + banding pipeline, not just row counts.
+    The scale deployment swaps in xxhash64 (same plan, cheaper hash) via
+    :func:`minhash_signature`'s ``hash_expr``. Output is flat scalar
+    columns (mh0..mh31, bk0..bk7) so the harness can value-hash it."""
     sh = _doc_shingles(spark, sf_dir)
-    sig = minhash_signature(sh, "doc_id", "sh")
-    bands = lsh_bands(sig, "doc_id")
-    return (
-        bands.groupBy("doc_id")
-        .agg(F.sort_array(F.collect_list("band_key")).alias("band_keys"))
-        .join(sig, "doc_id")
-        .select(
-            "doc_id",
-            F.to_json("minhash").alias("minhash"),
-            F.to_json("band_keys").alias("band_keys"),
-        )
+    sig = minhash_signature(sh, "doc_id", "sh", hash_expr=md5_hash60)
+    mh = [F.element_at("minhash", i + 1).alias(f"mh{i}") for i in range(N_MINHASH)]
+    bks = [
+        F.concat_ws(
+            ":",
+            F.lit(b),
+            *[
+                F.element_at("minhash", b * BAND_ROWS + r + 1)
+                for r in range(BAND_ROWS)
+            ],
+        ).alias(f"bk{b}")
+        for b in range(N_MINHASH // BAND_ROWS)
+    ]
+    return sig.select("doc_id", *mh, *bks)
+
+
+def _minhash_pairs_oracle(jaccard_threshold: float = 0.5, max_bucket: int = 50) -> str:
+    h60 = _SQL_MD5_H60.format(col="sh")
+    mins = ",\n         ".join(
+        f"MIN(((h & 2147483647) * {_A[i]} + {_B[i]}) % {MERSENNE}) AS mh{i}"
+        for i in range(N_MINHASH)
     )
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_id, ("
+        + " || ':' || ".join(
+            [f"'{b}'"]
+            + [f"CAST(mh{b * BAND_ROWS + r} AS VARCHAR)" for r in range(BAND_ROWS)]
+        )
+        + ") AS band_key FROM mins"
+        for b in range(N_MINHASH // BAND_ROWS)
+    )
+    return f"""
+WITH {_SQL_SHINGLES_CTE},
+h AS (SELECT doc_id, {h60} AS h FROM sh),
+mins AS (
+  SELECT doc_id,
+         {mins}
+  FROM h GROUP BY doc_id
+),
+bands AS (
+{band_rows}
+),
+bcap AS (
+  SELECT band_id, band_key FROM bands
+  GROUP BY band_id, band_key HAVING COUNT(*) <= {max_bucket}
+),
+bf AS (SELECT b.* FROM bands b JOIN bcap USING (band_id, band_key)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bf a JOIN bf b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(DISTINCT ha.h) AS inter
+  FROM cand c
+  JOIN h ha ON ha.doc_id = c.doc_a
+  JOIN h hb ON hb.doc_id = c.doc_b AND hb.h = ha.h
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       ROUND(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE ROUND(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 6)
+      >= {jaccard_threshold}
+"""
 
 
 @register(
     "dedup_minhash_lsh_pairs",
     tags=("llm", "dedup", "minhash"),
-    oracle=None,  # verified-pair output; invariants in tests/test_dedup.py
+    oracle=_minhash_pairs_oracle(),
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection: signature → band-bucket
@@ -266,14 +403,24 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The candidate join is on (band_id, band_key): only documents agreeing
     on a full band collide, so the pair count stays near-linear. False
     positives are then removed by the exact Jaccard check — output pairs
-    are guaranteed true near-dups (tested invariant)."""
-    return minhash_lsh_pairs(spread_small(load_table(spark, sf_dir, "documents")))
+    are guaranteed true near-dups (tested invariant).
+
+    Oracle-exact via the md5-based cross-engine hash + plain-string band
+    keys (DuckDB rebuilds both bit-for-bit — see md5_hash60); the scale
+    path keeps xxhash64 + 8-byte hashed band keys, same plan shape."""
+    return minhash_lsh_pairs(
+        spread_small(load_table(spark, sf_dir, "documents")),
+        hash_expr=md5_hash60,
+        hashed_band_keys=False,
+    )
 
 
 def minhash_lsh_pairs(
     docs: DataFrame,
     jaccard_threshold: float = 0.5,
     max_bucket_size: int | None = 50,
+    hash_expr: Callable[[Column], Column] | None = None,
+    hashed_band_keys: bool = True,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs from any (doc_id, text) DataFrame —
     reusable core so tests can plant synthetic duplicates.
@@ -290,8 +437,9 @@ def minhash_lsh_pairs(
     larger than the limit (bounded recall loss — exact dedup upstream
     should have removed mass-duplicate text already).
     """
+    hfn = hash_expr or F.xxhash64
     sh = doc_shingles(docs)
-    with_h = sh.select("doc_id", F.xxhash64("sh").alias("h64"))
+    with_h = sh.select("doc_id", hfn(F.col("sh")).alias("h64"))
     h32 = F.col("h64").bitwiseAND(F.lit(0x7FFFFFFF))
     mins = [
         F.min((h32 * F.lit(_A[i]) + F.lit(_B[i])) % F.lit(MERSENNE)).alias(f"mh{i}")
@@ -305,7 +453,7 @@ def minhash_lsh_pairs(
     sig = per_doc.select(
         "doc_id", F.array(*[F.col(f"mh{i}") for i in range(N_MINHASH)]).alias("minhash")
     )
-    bands = lsh_bands(sig, "doc_id")
+    bands = lsh_bands(sig, "doc_id", hashed_keys=hashed_band_keys)
     if max_bucket_size is not None:
         # hot-bucket count via a window over the same (band_id, band_key)
         # partitioning the candidate self-join shuffles on anyway — one

@@ -123,11 +123,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_token_stats",
     "text_wordfreq_topk",
     "window_analytic",
+    # newly oracle-backed this round (md5-based cross-engine minhash)
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh_pairs",
     # re-validation: events-reading queries green in r1, loader changed in r3
     "ansi_safe_casts",
-    "json_functions",
     "join_asof_last_click",
-    "q1_pricing_summary",
 )
 
 
