@@ -414,3 +414,332 @@ def q22_dormant_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal").alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    tags=("join", "subquery", "broadcast"),
+    oracle="""
+WITH eu_supp AS (
+  SELECT s_suppkey, s_name, s_acctbal
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+), unit AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(l_extendedprice / l_quantity) AS min_unit_price
+  FROM lineitem
+  JOIN eu_supp ON l_suppkey = s_suppkey
+  GROUP BY l_partkey, l_suppkey
+), best AS (
+  SELECT l_partkey, MIN(min_unit_price) AS best_price
+  FROM unit GROUP BY l_partkey
+)
+SELECT p.p_partkey, u.l_suppkey AS s_suppkey, s.s_name,
+       ROUND(u.min_unit_price, 6) AS unit_price
+FROM unit u
+JOIN best b ON u.l_partkey = b.l_partkey AND u.min_unit_price = b.best_price
+JOIN part p ON u.l_partkey = p.p_partkey
+JOIN eu_supp s ON u.l_suppkey = s.s_suppkey
+WHERE p.p_size >= 40 AND p.p_type = 'SMALL'
+""",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2-style (fixture-adapted: no partsupp table, so the
+    part×supplier cost relation is derived from lineitem unit prices):
+    for each qualifying part, the EUROPE supplier(s) offering the minimum
+    unit price. The correlated MIN subquery decorrelates to a per-part
+    aggregate joined back on (part, price) — two hash aggregates sharing
+    the (l_partkey, l_suppkey) exchange, then broadcast dims. MIN of a
+    per-row double is order-insensitive, so the equality join on the
+    minimum is engine-exact."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = load_table(spark, sf_dir, "nation")
+    supp = load_table(spark, sf_dir, "supplier")
+    eu_supp = supp.join(
+        F.broadcast(
+            nation.join(
+                F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+            )
+        ),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name")
+    li = load_table(spark, sf_dir, "lineitem")
+    unit = (
+        li.join(F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "min_unit_price"
+            )
+        )
+    )
+    best = unit.groupBy("l_partkey").agg(F.min("min_unit_price").alias("best_price"))
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") >= 40) & (F.col("p_type") == "SMALL")
+    )
+    return (
+        unit.join(
+            best,
+            (unit.l_partkey == best.l_partkey)
+            & (unit.min_unit_price == best.best_price),
+        )
+        .drop(best.l_partkey)
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey",
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            F.round("min_unit_price", 6).alias("unit_price"),
+        )
+    )
+
+
+@register(
+    "q9_product_profit",
+    tags=("join", "aggregate"),
+    oracle="""
+SELECT n_name AS supp_nation, year(o_orderdate) AS o_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY n_name, year(o_orderdate)
+""",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-style product-line profit by supplier nation and year
+    (fixture-adapted: no partsupp, so profit is the discounted revenue
+    term only). The part filter lands before the join (pushdown); part /
+    supplier / nation are broadcast; the only big exchange is
+    lineitem⋈orders on orderkey, then a small (nation × year) aggregate."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("supp_nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("profit"))
+    )
+
+
+@register(
+    "q11_important_value",
+    tags=("join", "subquery", "aggregate"),
+    oracle="""
+WITH asia_value AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+              AS DOUBLE) AS value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS p_partkey, value
+FROM asia_value
+WHERE value > (SELECT SUM(value) * 0.001 FROM asia_value)
+""",
+)
+def q11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11-style important-stock scan (fixture-adapted: value is
+    ASIA-supplied discounted revenue per part instead of partsupp cost ×
+    qty). The global threshold is an uncorrelated scalar aggregate over
+    the SAME per-part frame — computed once and crossed in as a 1-row
+    broadcast, so the per-part aggregate is not recomputed. The heavy
+    exchange is one groupBy(l_partkey)."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("value"))
+    )
+    threshold = per_part.agg((F.sum("value") * 0.001).alias("threshold"))
+    return (
+        per_part.crossJoin(F.broadcast(threshold))
+        .filter(F.col("value") > F.col("threshold"))
+        .select(F.col("l_partkey").alias("p_partkey"), "value")
+    )
+
+
+@register(
+    "q12_late_shipments",
+    tags=("join", "aggregate"),
+    oracle="""
+SELECT l_returnflag,
+       COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 END) AS high_line_count,
+       COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                  THEN 1 END) AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_returnflag
+""",
+)
+def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12-style late-shipment priority split (fixture-adapted:
+    grouped by returnflag — there is no shipmode column). The year filter
+    prunes the lineitem scan; the late predicate is a join-time interval
+    comparison; the priority split is one conditional aggregate over a
+    3-row group domain."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    tags=("join", "subquery", "aggregate"),
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+              AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+""",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-style top supplier: the revenue "view" is one aggregate
+    over the pruned half-year scan; the MAX is an uncorrelated scalar over
+    that same frame, crossed in as a 1-row broadcast. Revenue totals are
+    exact decimal sums, so the equality-to-max predicate (ties included,
+    per the spec) is engine-exact."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp_ntz"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+            "total_revenue"
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q16_part_supplier_diversity",
+    tags=("join", "aggregate", "distinct"),
+    oracle="""
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 7, 14, 23, 36, 45, 49, 50)
+  AND s_acctbal >= 0
+GROUP BY p_brand, p_type, p_size
+""",
+)
+def q16_part_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-style supplier diversity per (brand, type, size)
+    (fixture-adapted: the part↔supplier relation comes from lineitem; the
+    excluded-supplier complaint filter becomes a negative-balance filter).
+    Distinct-count aggregate over broadcast-joined dims — the expensive
+    part is the two-phase distinct on (group, suppkey)."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_size").isin(1, 7, 14, 23, 36, 45, 49, 50))
+    )
+    supp = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") >= 0)
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_quantity_share_suppliers",
+    tags=("join", "aggregate", "semi"),
+    oracle="""
+WITH red_qty AS (
+  SELECT l_suppkey, SUM(l_quantity) AS total_qty
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_name LIKE 'red%'
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, n_name, total_qty
+FROM red_qty
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE total_qty > 500
+""",
+)
+def q20_quantity_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20-style: suppliers who moved significant volume of a
+    product line in a year (fixture-adapted: the partsupp availqty
+    half-of-stock predicate becomes an absolute volume threshold).
+    Aggregate-then-filter (HAVING) on the supplier key, with part as a
+    broadcast pre-join filter; l_quantity is integer-valued in the
+    fixtures so SUM is exact in both engines."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp_ntz"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 500)
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name", "total_qty")
+    )

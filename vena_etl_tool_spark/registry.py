@@ -131,6 +131,19 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "join_asof_last_click",
 )
 
+# Oracle-backed queries added AFTER the r3 window was frozen at 50 — they
+# rotate into the r4 window. Kept explicit so tests + ROUND notes can audit
+# that nothing silently escapes driver coverage (target residue < 20).
+ROTATION_RESIDUE: tuple[str, ...] = (
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_value",
+    "q12_late_shipments",
+    "q15_top_supplier",
+    "q16_part_supplier_diversity",
+    "q20_quantity_share_suppliers",
+)
+
 
 def all_specs() -> dict[str, QuerySpec]:
     _load_all()
