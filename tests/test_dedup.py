@@ -120,8 +120,9 @@ def test_simhash_bands_cover_fingerprint(spark, sf_dir):
 
     df = dedup_simhash(spark, sf_dir)
     row = df.first()
-    recomposed = sum(row[f"band{b}"] << (16 * b) for b in range(4))
-    assert recomposed & (2**64 - 1) == row.simhash & (2**64 - 1)
+    # registered query is the 60-bit oracle-exact variant: 4 × 15-bit bands
+    recomposed = sum(row[f"band{b}"] << (15 * b) for b in range(4))
+    assert recomposed == row.simhash >= 0
 
 
 def test_approx_count_distinct_accuracy(spark, sf_dir):

@@ -505,48 +505,100 @@ def minhash_lsh_pairs(
     )
 
 
+def _simhash_oracle(n_bits: int = 60) -> str:
+    h60 = _SQL_MD5_H60.format(col="tok")
+    bit_sums = ",\n         ".join(
+        f"SUM(CASE WHEN (th >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(n_bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(n_bits)
+    )
+    band_w = n_bits // 4
+    mask = (1 << band_w) - 1
+    bands = ",\n       ".join(
+        f"(simhash >> {band_w * b}) & {mask} AS band{b}" for b in range(4)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+h AS (SELECT doc_id, {h60} AS th FROM t),
+bits AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM h GROUP BY doc_id
+),
+fp AS (SELECT doc_id, {fp} AS simhash FROM bits)
+SELECT doc_id, simhash,
+       {bands}
+FROM fp
+"""
+
+
 @register(
     "dedup_simhash",
     tags=("llm", "dedup", "simhash"),
-    oracle=None,  # xxhash64-based fingerprint; invariants in tests/test_dedup.py
+    oracle=_simhash_oracle(),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprint per document (token-frequency weighted).
+    """SimHash fingerprint per document (token-frequency weighted).
 
-    Single shuffle: explode tokens → groupBy(doc) with 64 conditional sums
-    (one per bit) in one aggregate. The fingerprint is split into four
-    16-bit bands — near-dup candidates at hamming ≤ 3 must agree on ≥1
-    band (pigeonhole), so banding gives the same equi-join candidate
-    structure as MinHash-LSH."""
-    return simhash_fingerprints(spread_small(load_table(spark, sf_dir, "documents")))
+    Single shuffle: explode tokens → groupBy(doc) with one conditional sum
+    per bit in one aggregate. The fingerprint is split into four bands —
+    near-dup candidates at hamming ≤ 3 must agree on ≥1 band (pigeonhole),
+    so banding gives the same equi-join candidate structure as MinHash-LSH.
+
+    Oracle-exact: this entry uses the 60-bit md5-based cross-engine hash
+    (md5_hash60) so DuckDB rebuilds the identical fingerprint; the scale
+    path keeps 64-bit xxhash64 via the core's defaults (same plan)."""
+    return simhash_fingerprints(
+        spread_small(load_table(spark, sf_dir, "documents")),
+        hash_expr=md5_hash60,
+        n_bits=60,
+    )
 
 
-def simhash_fingerprints(docs: DataFrame) -> DataFrame:
-    """SimHash core over any (doc_id, text) DataFrame (reusable for tests)."""
+def simhash_fingerprints(
+    docs: DataFrame,
+    hash_expr: Callable[[Column], Column] | None = None,
+    n_bits: int = 64,
+) -> DataFrame:
+    """SimHash core over any (doc_id, text) DataFrame (reusable for tests).
+
+    ``n_bits`` must be divisible by 4 (band split); defaults to 64-bit
+    xxhash64 — pass (md5_hash60, 60) for the oracle-exact variant.
+    """
+    hfn = hash_expr or F.xxhash64
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    ).withColumn("th", F.xxhash64("tok"))
+    ).withColumn("th", hfn(F.col("tok")))
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{i}")
-        for i in range(64)
+        for i in range(n_bits)
     ]
     agg = toks.groupBy("doc_id").agg(*bit_sums)
-    # assemble the fingerprint: sum of set bits (bit 63 via two 62-shifts
-    # to stay inside non-negative bigint literals)
+    # assemble the fingerprint: sum of set bits (the top bit, when
+    # n_bits=64, stays inside non-negative bigint literals via shiftleft)
     fp = None
-    for i in range(64):
+    for i in range(n_bits):
         term = F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
             F.lit(0).cast("long")
         )
         fp = term if fp is None else fp + term
     out = agg.select("doc_id", fp.alias("simhash"))
+    band_w = n_bits // 4
+    mask = (1 << band_w) - 1
     return out.select(
         "doc_id",
         "simhash",
         *[
-            F.shiftright(F.col("simhash"), 16 * b).bitwiseAND(F.lit(0xFFFF)).alias(f"band{b}")
+            F.shiftright(F.col("simhash"), band_w * b)
+            .bitwiseAND(F.lit(mask))
+            .alias(f"band{b}")
             for b in range(4)
         ],
     )

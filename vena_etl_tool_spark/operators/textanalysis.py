@@ -574,3 +574,139 @@ def text_term_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= SALIENCE_TOP_K)
         .select("doc_id", "term", F.round("salience", 6).alias("salience"), "rk")
     )
+
+
+# Sequence packing (GPT-style pretraining data prep): documents are
+# concatenated in a deterministic order with a separator token and chunked
+# into fixed-length training sequences. Packing runs WITHIN each `source`
+# shard — at 100 TB a global concatenation order would mean one global
+# sort, while per-shard windows partition cleanly (one exchange on
+# `source`, AQE-splittable); shards are independently packable by design.
+PACK_SEQ_LEN = 512
+
+
+def _pack_offsets(docs: DataFrame) -> DataFrame:
+    """Per-doc token counts and concatenation offsets within each source."""
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # +1: separator token appended after every document
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    return toks.withColumn(
+        "end_off", F.sum(F.col("n_tokens") + 1).over(w)
+    ).withColumn("start_off", F.col("end_off") - (F.col("n_tokens") + 1))
+
+
+@register(
+    "dataset_pack_sequences",
+    tags=("llm", "packing", "window"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+offs AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(SUM(n_tokens + 1) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS end_off
+  FROM toks
+)
+SELECT doc_id, source, n_tokens,
+       end_off - (n_tokens + 1) AS start_off,
+       (end_off - (n_tokens + 1)) // {PACK_SEQ_LEN} AS first_seq,
+       (end_off - 1) // {PACK_SEQ_LEN} AS last_seq,
+       (end_off - 1) // {PACK_SEQ_LEN}
+         - (end_off - (n_tokens + 1)) // {PACK_SEQ_LEN} + 1 AS n_seqs
+FROM offs
+""",
+)
+def dataset_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc → training-sequence assignment for concat-and-chunk packing
+    ({PACK_SEQ_LEN}-token sequences, whitespace tokenizer, one separator
+    token between docs). Output maps every document to its byte-exact
+    [first_seq, last_seq] span — the record a dataloader needs to locate
+    any document inside the packed corpus. One window over (source,
+    doc_id); no shuffle beyond the per-shard partition exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    offs = _pack_offsets(docs)
+    L = PACK_SEQ_LEN
+    return offs.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "start_off",
+        F.floor(F.col("start_off") / L).alias("first_seq"),
+        F.floor((F.col("end_off") - 1) / L).alias("last_seq"),
+        (
+            F.floor((F.col("end_off") - 1) / L)
+            - F.floor(F.col("start_off") / L)
+            + 1
+        ).alias("n_seqs"),
+    )
+
+
+@register(
+    "dataset_pack_stats",
+    tags=("llm", "packing", "aggregate"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+offs AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(SUM(n_tokens + 1) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS end_off
+  FROM toks
+),
+spans AS (
+  SELECT doc_id, source,
+         (end_off - (n_tokens + 1)) // {PACK_SEQ_LEN} AS first_seq,
+         (end_off - 1) // {PACK_SEQ_LEN} AS last_seq
+  FROM offs
+)
+SELECT source, CAST(seq_id AS BIGINT) AS seq_id, COUNT(*) AS n_docs,
+       COUNT(CASE WHEN seq_id > first_seq THEN 1 END) AS n_continuation_docs
+FROM spans, UNNEST(range(first_seq, last_seq + 1)) AS t(seq_id)
+GROUP BY source, seq_id
+""",
+)
+def dataset_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sequence packing stats: how many documents each packed
+    {PACK_SEQ_LEN}-token sequence draws from, and how many of those are
+    continuations (docs that started in an earlier sequence) — the
+    attention-masking metadata a packed-pretraining dataloader consumes.
+    The doc→seq span explode is bounded (a doc spans ⌈tokens/L⌉+1 seqs),
+    then one aggregate on (source, seq_id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    offs = _pack_offsets(docs)
+    L = PACK_SEQ_LEN
+    spans = offs.select(
+        "doc_id",
+        "source",
+        F.floor(F.col("start_off") / L).alias("first_seq"),
+        F.floor((F.col("end_off") - 1) / L).alias("last_seq"),
+    )
+    return (
+        spans.select(
+            "doc_id",
+            "source",
+            "first_seq",
+            F.explode(F.sequence("first_seq", "last_seq")).alias("seq_id"),
+        )
+        .groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("seq_id") > F.col("first_seq"), 1)).alias(
+                "n_continuation_docs"
+            ),
+        )
+    )

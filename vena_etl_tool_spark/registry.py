@@ -142,6 +142,9 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     "q15_top_supplier",
     "q16_part_supplier_diversity",
     "q20_quantity_share_suppliers",
+    "dedup_simhash",
+    "dataset_pack_sequences",
+    "dataset_pack_stats",
 )
 
 
