@@ -710,3 +710,158 @@ def dataset_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "text_repetition_ratio",
+    tags=("llm", "text", "quality"),
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(words)),
+                               i -> words[i] || ' ' || words[i+1])) AS bg
+  FROM w WHERE len(words) >= 2
+),
+cnt AS (SELECT doc_id, bg, COUNT(*) AS n FROM bg GROUP BY doc_id, bg)
+SELECT doc_id,
+       CAST(SUM(n) AS BIGINT) AS n_bigrams,
+       COUNT(*) AS n_distinct_bigrams,
+       ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(n), 6) AS dup_bigram_ratio,
+       ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) AS top_bigram_share
+FROM cnt GROUP BY doc_id
+""",
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher/MassiveText filter
+    family): duplicate-bigram fraction and most-frequent-bigram share per
+    document — high values flag boilerplate/spam for corpus filtering.
+    One explode + two hash aggregates, the second on doc_id only; the
+    exchange carries (doc, bigram) partial counts, never raw text."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    bigrams = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1),"
+        " i -> concat_ws(' ', element_at(split(text, ' '), i),"
+        " element_at(split(text, ' '), i + 1)))"
+    )
+    bg = (
+        docs.filter(F.size(words) >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bg"))
+    )
+    cnt = bg.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("n"))
+    return cnt.groupBy("doc_id").agg(
+        F.sum("n").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("n_distinct_bigrams"),
+        F.round(1.0 - F.count(F.lit(1)).cast("double") / F.sum("n"), 6).alias(
+            "dup_bigram_ratio"
+        ),
+        F.round(F.max("n").cast("double") / F.sum("n"), 6).alias("top_bigram_share"),
+    )
+
+
+@register(
+    "text_contamination_check",
+    tags=("llm", "text", "dedup"),
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+tri AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(words) - 1),
+                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS tg
+  FROM w WHERE len(words) >= 3
+),
+bench AS (SELECT DISTINCT tg FROM tri WHERE doc_id % 100 = 0),
+train AS (SELECT doc_id, tg FROM tri WHERE doc_id % 100 <> 0)
+SELECT t.doc_id, COUNT(*) AS n_shared_trigrams,
+       COUNT(*) >= 5 AS contaminated
+FROM train t JOIN bench b ON t.tg = b.tg
+GROUP BY t.doc_id
+""",
+)
+def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing ≥5
+    distinct 3-grams with a held-out benchmark set (here: every 100th doc,
+    a deterministic stand-in for an eval suite). The join is n-gram ⋈
+    n-gram — the benchmark side is tiny and broadcast, so at 100 TB this
+    is one map-side join over the exploded training n-grams, the same
+    shape real decontamination pipelines use."""
+    docs = load_table(spark, sf_dir, "documents")
+    tri = doc_trigram_sets(docs)
+    bench = (
+        tri.filter(F.col("doc_id") % 100 == 0).select("tg").distinct()
+    )
+    train = tri.filter(F.col("doc_id") % 100 != 0)
+    return (
+        train.join(F.broadcast(bench), "tg")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_trigrams"))
+        .withColumn("contaminated", F.col("n_shared_trigrams") >= 5)
+    )
+
+
+def doc_trigram_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, tg) distinct word-trigram rows — shared by contamination
+    and dedup shapes."""
+    from .dedup import word_shingles
+
+    words = F.split("text", " ")
+    return (
+        docs.select("doc_id", words.alias("w"))
+        .filter(F.size("w") >= 3)
+        .select("doc_id", F.explode(word_shingles(F.col("w"))).alias("tg"))
+    )
+
+
+@register(
+    "dataset_mixture_weights",
+    tags=("llm", "sampling", "aggregate"),
+    oracle="""
+WITH per_domain AS (
+  SELECT lang, source, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang, source
+),
+tot AS (SELECT SUM(n_tokens) AS total_tokens, COUNT(*) AS n_domains FROM per_domain)
+SELECT lang, source, n_docs, n_tokens,
+       ROUND(CAST(n_tokens AS DOUBLE) / total_tokens, 6) AS actual_share,
+       ROUND(1.0 / n_domains, 6) AS target_share,
+       ROUND((1.0 / n_domains) / (CAST(n_tokens AS DOUBLE) / total_tokens), 6)
+         AS sampling_weight
+FROM per_domain, tot
+""",
+)
+def dataset_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting: per (lang, source) token mass and the
+    sampling weight that rebalances the corpus to a uniform target
+    mixture (weight = target_share / actual_share — the multiplier a
+    sampler applies per domain). One aggregate over the corpus plus a
+    1-row broadcast of the totals; domain count is small by construction
+    so the weight table itself is broadcast-sized downstream."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_domain = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    )
+    tot = per_domain.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_domains"),
+    )
+    actual = F.col("n_tokens").cast("double") / F.col("total_tokens")
+    target = F.lit(1.0) / F.col("n_domains")
+    return (
+        per_domain.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(actual, 6).alias("actual_share"),
+            F.round(target, 6).alias("target_share"),
+            F.round(target / actual, 6).alias("sampling_weight"),
+        )
+    )

@@ -145,6 +145,9 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     "dedup_simhash",
     "dataset_pack_sequences",
     "dataset_pack_stats",
+    "text_repetition_ratio",
+    "text_contamination_check",
+    "dataset_mixture_weights",
 )
 
 
