@@ -619,6 +619,14 @@ COSINE_NEAR_DUP = 0.25
 # bounds output at K×n while preserving every vector's best dup evidence;
 # downstream cluster assignment only needs connectivity, not the clique.
 EMB_PAIRS_PER_VEC = 10
+# Hot-bucket guard on the candidate join itself (same rationale as the
+# minhash max_bucket_size): a band bucket holding k vectors contributes k²
+# candidate scorings, so mass-duplicate embeddings make one bucket dominate
+# the stage (the 10× scale_check showed 7.6× wall-clock from exactly this).
+# Buckets over the cap are dropped — bounded recall loss; at 100 TB you
+# additionally raise EMB_LSH_BITS so 2^bits tracks corpus size and expected
+# bucket occupancy stays constant.
+EMB_BUCKET_CAP = 200
 
 
 def _emb_planes() -> "list[list[list[float]]]":
@@ -681,11 +689,14 @@ def _emb_cosine_oracle() -> str:
     buckets = ",\n         ".join(
         f"{_sql_bucket('embedding', band)} AS eb{band}" for band in range(EMB_LSH_BANDS)
     )
-    band_match = " OR ".join(f"a.eb{b} = b.eb{b}" for b in range(EMB_LSH_BANDS))
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, {b} AS band, eb{b} AS bucket FROM norms"
+        for b in range(EMB_LSH_BANDS)
+    )
     dot_ab = (
         "(SELECT CAST(SUM(CAST(FLOOR(CAST(struct_extract(p, 1) AS DOUBLE)"
         " * CAST(struct_extract(p, 2) AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12"
-        " FROM UNNEST(list_zip(a.embedding, b.embedding)) AS t(p))"
+        " FROM UNNEST(list_zip(na.embedding, nb.embedding)) AS t(p))"
     )
     return f"""
 WITH norms AS (
@@ -695,11 +706,22 @@ WITH norms AS (
          embedding,
          {buckets}
   FROM embeddings
+), bands AS (
+{band_rows}
+), bcap AS (
+  SELECT band, bucket FROM bands
+  GROUP BY band, bucket HAVING COUNT(*) <= {EMB_BUCKET_CAP}
+), bf AS (SELECT b.* FROM bands b JOIN bcap USING (band, bucket)
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bf a JOIN bf b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 ), scored AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         {dot_ab} / (SQRT(a.sq_norm) * SQRT(b.sq_norm)) AS cosine_raw
-  FROM norms a
-  JOIN norms b ON ({band_match}) AND a.vec_id < b.vec_id
+  SELECT c.vec_a, c.vec_b,
+         {dot_ab} / (SQRT(na.sq_norm) * SQRT(nb.sq_norm)) AS cosine_raw
+  FROM cand c
+  JOIN norms na ON na.vec_id = c.vec_a
+  JOIN norms nb ON nb.vec_id = c.vec_b
 )
 SELECT vec_a, vec_b, ROUND(cosine_raw, 6) AS cosine
 FROM scored
@@ -751,6 +773,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bb.band").alias("band"),
             F.col("bb.bucket").alias("bucket"),
         )
+    )
+    # hot-bucket cap (EMB_BUCKET_CAP): count over the same (band, bucket)
+    # partitioning the self-join shuffles on anyway — no extra exchange
+    bsz_w = Window.partitionBy("band", "bucket")
+    flat = (
+        flat.withColumn("_bsz", F.count(F.lit(1)).over(bsz_w))
+        .filter(F.col("_bsz") <= EMB_BUCKET_CAP)
+        .drop("_bsz")
     )
     norms = emb.select(
         "vec_id",

@@ -136,6 +136,9 @@ def lsh_bucket_cols() -> list[Column]:
     determinism. Each band is ONE generated-SQL F.expr, not a composed
     Column tree: 48 planes × 64 coefficients via the Column API costs
     tens of thousands of py4j round trips (~seconds of driver time).
+    Sign bits come from the scaled-LONG integer fold (same trick as
+    dot_exact), so buckets are order-insensitive and bit-identical to the
+    DuckDB oracle's — which is what makes sim_ann_lsh oracle-checkable.
     """
     cols = []
     for band in range(LSH_BANDS):
@@ -145,22 +148,86 @@ def lsh_bucket_cols() -> list[Column]:
             lits = ", ".join(f"{float(v)!r}D" for v in plane)
             proj = (
                 f"aggregate(zip_with(embedding, array({lits}),"
-                f" (x, p) -> CAST(x AS DOUBLE) * p),"
-                f" 0.0D, (acc, v) -> acc + v)"
+                f" (x, p) -> CAST(FLOOR(CAST(x AS DOUBLE) * p * 1e12) AS BIGINT)),"
+                f" CAST(0 AS BIGINT), (acc, v) -> acc + v)"
             )
             bits.append(f"CASE WHEN {proj} > 0 THEN {1 << bit} ELSE 0 END")
         cols.append(F.expr(" + ".join(bits)).alias(f"bucket{band}"))
     return cols
 
 
+def _lsh_sql_bucket(band: int) -> str:
+    """DuckDB twin of lsh_bucket_cols for one band (bit-identical)."""
+    bits = []
+    for bit in range(LSH_BITS):
+        lits = ", ".join(repr(float(v)) for v in _PLANES[band, bit])
+        sign = (
+            f"(SELECT SUM(CAST(FLOOR(CAST(struct_extract(p, 1) AS DOUBLE)"
+            f" * struct_extract(p, 2) * 1e12) AS BIGINT))"
+            f" FROM UNNEST(list_zip(embedding, [{lits}])) AS t(p)) > 0"
+        )
+        bits.append(f"CASE WHEN {sign} THEN {1 << bit} ELSE 0 END")
+    return "(" + " + ".join(bits) + ")"
+
+
+def _ann_lsh_oracle() -> str:
+    buckets = ",\n         ".join(
+        f"{_lsh_sql_bucket(b)} AS bucket{b}" for b in range(LSH_BANDS)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, {b} AS band, bucket{b} AS bucket FROM norms"
+        for b in range(LSH_BANDS)
+    )
+    dot_ab = (
+        "(SELECT CAST(SUM(CAST(FLOOR(CAST(struct_extract(p, 1) AS DOUBLE)"
+        " * CAST(struct_extract(p, 2) AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12"
+        " FROM UNNEST(list_zip(na.embedding, nb.embedding)) AS t(p))"
+    )
+    return f"""
+WITH norms AS (
+  SELECT vec_id, embedding,
+         (SELECT CAST(SUM(CAST(FLOOR(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
+          FROM UNNEST(embedding) AS u(x)) AS sq_norm,
+         {buckets}
+  FROM embeddings
+), flat AS (
+{band_rows}
+), q AS (
+  SELECT vec_id AS query_id, band, bucket FROM flat WHERE vec_id < {N_QUERIES}
+), cand AS (
+  SELECT DISTINCT f.vec_id AS neighbor_id, q.query_id
+  FROM flat f JOIN q USING (band, bucket)
+  WHERE f.vec_id <> q.query_id
+), scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         {dot_ab} / (SQRT(na.sq_norm) * SQRT(nb.sq_norm)) AS cosine_raw
+  FROM cand c
+  JOIN norms na ON na.vec_id = c.query_id
+  JOIN norms nb ON nb.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, ROUND(cosine_raw, 6) AS cosine, rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine_raw DESC, neighbor_id) AS rk
+  FROM scored
+)
+WHERE rk <= {TOP_K}
+"""
+
+
 @register(
     "sim_ann_lsh",
     tags=("llm", "similarity", "lsh"),
-    oracle=None,  # approximate; recall vs brute force asserted in tests/test_similarity.py
+    oracle=_ann_lsh_oracle(),
 )
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH candidate generation
     (equi-join on band buckets) + exact cosine re-scoring of candidates.
+
+    Oracle-exact even though APPROXIMATE: bucket sign bits and the
+    re-scoring dot both use the scaled-LONG integer fold, so DuckDB
+    reproduces the same candidate set and the same top-k — the oracle
+    checks the index algorithm, recall tests check its quality.
 
     Plan shape at scale: corpus → 4 bucket columns (map-only) → explode to
     (band, bucket) rows → shuffle join with the query buckets → candidate

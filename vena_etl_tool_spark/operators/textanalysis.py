@@ -269,13 +269,26 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "udtf_chunk_text",
     tags=("llm", "text", "udtf"),
-    oracle=None,  # same semantics as text_chunk_windows; equality unit-tested
+    oracle="""
+SELECT doc_id, chunk_idx,
+       array_to_string(words[(chunk_idx * 5 + 1):(chunk_idx * 5 + 10)], ' ') AS chunk_text,
+       n_chars AS orig_chars
+FROM (
+  SELECT doc_id, n_chars, string_split(text, ' ') AS words,
+         unnest(range(0, CAST(ceil((len(string_split(text, ' ')) - 5) / 5.0) AS BIGINT))) AS chunk_idx
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 10
+)
+""",
 )
 def udtf_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same chunker as a real Python UDTF (SURVEY §B.10's table
     function row): one input row → N output rows from imperative code.
     Exists for API-surface parity; the builtin-expression version above is
-    the production path (JVM-side, no Python)."""
+    the production path (JVM-side, no Python). The imperative chunk loop
+    is deterministic arithmetic, so the DuckDB window-slice twin verifies
+    the UDTF end-to-end — a Python table function is not exempt from the
+    oracle gate just for being Python."""
     from pyspark.sql.functions import lit, udtf
 
     @udtf(returnType="chunk_doc_id: bigint, chunk_idx: bigint, chunk_text: string")

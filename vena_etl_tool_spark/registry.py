@@ -148,6 +148,8 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     "text_repetition_ratio",
     "text_contamination_check",
     "dataset_mixture_weights",
+    "sim_ann_lsh",
+    "udtf_chunk_text",
 )
 
 
