@@ -150,6 +150,7 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     "dataset_mixture_weights",
     "sim_ann_lsh",
     "udtf_chunk_text",
+    "stream_curation_pipeline",
 )
 
 

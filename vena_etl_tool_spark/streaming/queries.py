@@ -447,3 +447,44 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         sorted(audit), "batch_id long, n_rows long, n_types long"
     )
+
+
+@register(
+    "stream_curation_pipeline",
+    tags=("streaming", "dedup", "join", "pipeline"),
+    oracle="""
+SELECT m.category, COUNT(*) AS n_distinct_pairs
+FROM (SELECT DISTINCT user_id, event_type FROM events) d
+JOIN (VALUES ('click', 'engagement'), ('view', 'engagement'),
+             ('purchase', 'revenue'), ('signup', 'growth'),
+             ('error', 'ops')) AS m(event_type, category)
+  ON d.event_type = m.event_type
+GROUP BY m.category
+""",
+)
+def stream_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed streaming pipeline — dedup → broadcast dimension join →
+    aggregate, all in ONE streaming plan (the streaming analog of the
+    batch corpus_curation_pipeline): watermark-bounded dropDuplicates
+    state feeds a stream-static broadcast join feeds a grouped count.
+    Output is key-derived only (distinct-pair counts per category), so
+    the result is arrival-order independent and batch-equivalent — the
+    oracle is the plain batch SQL. State: dedup keys + aggregate groups,
+    both watermark-bounded at scale."""
+    dim = spark.createDataFrame(
+        [
+            ("click", "engagement"),
+            ("view", "engagement"),
+            ("purchase", "revenue"),
+            ("signup", "growth"),
+            ("error", "ops"),
+        ],
+        "event_type string, category string",
+    )
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    deduped = ev.dropDuplicates(["user_id", "event_type"])
+    joined = deduped.join(F.broadcast(dim), "event_type")
+    agg = joined.groupBy("category").agg(
+        F.count(F.lit(1)).alias("n_distinct_pairs")
+    )
+    return run_to_table(agg, "stream_curation_pipeline", "complete")
