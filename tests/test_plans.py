@@ -102,3 +102,53 @@ def test_bucketized_range_join_is_equi(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_tpch_new_queries_broadcast_dims_and_pushdown(spark, sf_dir):
+    """Round-3 TPC-H additions: dims broadcast, part filters at the scan,
+    no cartesian anywhere."""
+    plan = plan_of(spark, sf_dir, "q9_product_profit")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "StringContains(p_name,widget)" in plan  # pushed to parquet
+    assert "CartesianProduct" not in plan
+
+    plan = plan_of(spark, sf_dir, "q20_quantity_share_suppliers")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scalar_subquery_threshold_is_broadcast(spark, sf_dir):
+    """q11/q15/q22 pattern: the uncorrelated scalar aggregate must come in
+    as a broadcast (1-row) join, never a shuffled or nested-loop join
+    against the big side."""
+    for name in ("q11_important_value", "q15_top_supplier"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_packing_is_one_window_partitioned_by_source(spark, sf_dir):
+    """Sequence packing must be a single per-shard window — exactly one
+    exchange (hashpartitioning on source), no global sort of the corpus."""
+    plan = plan_of(spark, sf_dir, "dataset_pack_sequences")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_contamination_benchmark_side_broadcast(spark, sf_dir):
+    """Decontamination joins exploded train n-grams against a broadcast
+    benchmark n-gram set — the probe side must not shuffle."""
+    plan = plan_of(spark, sf_dir, "text_contamination_check")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_embedding_cosine_bucket_cap_no_extra_exchange(spark, sf_dir):
+    """The hot-bucket cap rides the candidate join's own (band, bucket)
+    exchange: adding it must not introduce an extra shuffle of the band
+    table (window count over the same partitioning)."""
+    plan = plan_of(spark, sf_dir, "dedup_embedding_cosine")
+    assert "CartesianProduct" not in plan
+    # band-table exchanges: the self-join's two sides at most; the cap's
+    # window must reuse them (bounded count, not a fixed magic number,
+    # because AQE may insert AQEShuffleReads)
+    assert plan.count("Exchange hashpartitioning(band") <= 2
