@@ -16,6 +16,7 @@ Module map (SURVEY.md §2 Part B):
 - similarity     §B.11 cosine top-k / LSH ANN over embeddings
 - textanalysis   §B.11 lang-id, quality scoring, tokens, fingerprinting
 - multimodal     §B.11 binary-column plumbing (decode stubbed per mandate)
+- pysource       §B.1 custom Python DataSource connector seam
 """
 
 from . import (  # noqa: F401
@@ -29,6 +30,7 @@ from . import (  # noqa: F401
     multimodal,
     pricing,
     projection,
+    pysource,
     scalars,
     semistructured,
     setops,

@@ -151,6 +151,7 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     "sim_ann_lsh",
     "udtf_chunk_text",
     "stream_curation_pipeline",
+    "source_python_datasource",
 )
 
 
