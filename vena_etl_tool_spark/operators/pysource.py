@@ -20,7 +20,12 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from ..registry import register
 
@@ -94,4 +99,103 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.min("order_id").alias("first_id"),
         F.max("order_id").alias("last_id"),
+    )
+
+
+STREAM_TICKS = 10_000
+STREAM_STEP = 1_000
+
+
+class TickStreamSource(DataSource):
+    """Custom STREAMING Python source: offset-tracked micro-batches from
+    the same arithmetic generator — the streaming half of the connector
+    seam (wrap a queue/changefeed/poll-API without a JVM connector).
+    ``read(start)`` returns (rows, next_offset); Spark persists the offset
+    in the checkpoint, giving replay/exactly-once like any built-in
+    source."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "tick_stream"
+
+    def schema(self) -> str:
+        return "tick bigint, val double"
+
+    def simpleStreamReader(self, schema) -> "TickStreamReader":
+        return TickStreamReader(self.options)
+
+
+class TickStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options) -> None:
+        self.limit = int(options.get("limit", STREAM_TICKS))
+        self.step = int(options.get("step", STREAM_STEP))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict):
+        pos = start["pos"]
+        end = min(pos + self.step, self.limit)
+        rows = [(k, float((k * 13) % 100) / 4.0) for k in range(pos, end)]
+        return iter(rows), {"pos": end}
+
+
+@register(
+    "source_python_stream",
+    tags=("source", "connector", "streaming"),
+    oracle=f"""
+SELECT CAST(tick % 8 AS BIGINT) AS shard,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(CAST((r.range * 13) % 100 AS DOUBLE) / 4.0
+                AS DECIMAL(18,2))) AS DOUBLE) AS total_val,
+       MAX(r.range) AS last_tick
+FROM (SELECT range, range AS tick FROM range({STREAM_TICKS}) r) r
+GROUP BY tick % 8
+""",
+)
+def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream through the custom Python streaming source into a parquet
+    sink, RESTARTING the query from its checkpoint until the source is
+    drained (each availableNow run advances one offset window, persisted
+    in the checkpoint — so this exercises exactly the restart/replay path
+    a production incremental ingest relies on). The DuckDB range() oracle
+    then verifies every offset window landed exactly once: a skipped or
+    double-applied micro-batch changes counts and sums."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.queries import _state_partitions
+
+    spark.dataSource.register(TickStreamSource)
+    workdir = os.path.join(
+        tempfile.gettempdir(), "vena_stream_sinks", "source_python_stream"
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    sink_dir = os.path.join(workdir, "sink")
+    ckpt_dir = os.path.join(workdir, "ckpt")
+    ticks = (
+        spark.readStream.format("tick_stream")
+        .option("limit", str(STREAM_TICKS))
+        .option("step", str(STREAM_STEP))
+        .load()
+    )
+    with _state_partitions(spark):
+        for _ in range(STREAM_TICKS // STREAM_STEP + 2):
+            q = (
+                ticks.writeStream.format("parquet")
+                .option("path", sink_dir)
+                .option("checkpointLocation", ckpt_dir)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            if sum(int(p["numInputRows"]) for p in q.recentProgress) == 0:
+                break  # offset reached the limit: source drained
+    landed = spark.read.schema(ticks.schema).parquet(sink_dir)
+    return landed.groupBy((F.col("tick") % 8).alias("shard")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("val").cast("decimal(18,2)")).cast("double").alias("total_val"),
+        F.max("tick").alias("last_tick"),
     )

@@ -152,6 +152,7 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     "udtf_chunk_text",
     "stream_curation_pipeline",
     "source_python_datasource",
+    "source_python_stream",
 )
 
 
