@@ -208,3 +208,72 @@ def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         th.alias("target_h"),
         (tw * th * 3).alias("est_bytes"),
     )
+
+
+@register(
+    "multimodal_audio_segments",
+    tags=("llm", "multimodal", "audio"),
+    oracle="""
+WITH meta AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS n_bytes,
+         CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 16000 ELSE 8000 END
+           AS sample_rate,
+         CAST(octet_length(encode(text)) AS BIGINT) * 4 AS n_samples
+  FROM documents
+)
+SELECT doc_id, sample_rate, n_samples,
+       CAST(seg_idx AS BIGINT) AS seg_idx,
+       seg_idx * sample_rate * 5 AS start_sample,
+       LEAST((seg_idx + 1) * CAST(sample_rate AS BIGINT) * 5, n_samples)
+         AS end_sample,
+       ROUND(CAST(LEAST((seg_idx + 1) * CAST(sample_rate AS BIGINT) * 5, n_samples)
+                  - seg_idx * sample_rate * 5 AS DOUBLE) / sample_rate, 6)
+         AS seg_seconds
+FROM meta,
+     UNNEST(range(0, CAST(ceil(CAST(n_samples AS DOUBLE)
+                               / (sample_rate * 5)) AS BIGINT))) AS t(seg_idx)
+""",
+)
+def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio segmentation plumbing: split each audio asset into 5-second
+    windows from its typed metadata (sample_rate, n_samples) — the
+    row-expansion an ASR/audio-embedding pipeline runs before per-segment
+    decode, with the ragged tail segment kept at its true length.
+    Metadata is derived deterministically from payload bytes (decode stub
+    convention, like `multimodal_resize_plan`); in deployment it comes
+    from the container header via the mapInPandas decode seam. All
+    segment arithmetic is codegen'd SQL and fully oracle-checked —
+    `explode(sequence(...))` emits exactly ceil(samples / window)
+    segments per asset."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_bytes = F.octet_length(F.encode(F.col("text"), "utf-8"))
+    meta = docs.select(
+        "doc_id",
+        F.when(n_bytes % 2 == 0, 16000).otherwise(8000).alias("sample_rate"),
+        (n_bytes.cast("long") * 4).alias("n_samples"),
+    )
+    window = F.col("sample_rate").cast("long") * 5  # samples per 5-s segment
+    n_segs = F.ceil(F.col("n_samples").cast("double") / window).cast("long")
+    segs = meta.select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_segs - 1)).alias("seg_idx"),
+    )
+    start = F.col("seg_idx") * F.col("sample_rate").cast("long") * 5
+    end = F.least(
+        (F.col("seg_idx") + 1) * F.col("sample_rate").cast("long") * 5,
+        F.col("n_samples"),
+    )
+    return segs.select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        "seg_idx",
+        start.alias("start_sample"),
+        end.alias("end_sample"),
+        F.round((end - start).cast("double") / F.col("sample_rate"), 6).alias(
+            "seg_seconds"
+        ),
+    )

@@ -153,6 +153,7 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     "stream_curation_pipeline",
     "source_python_datasource",
     "source_python_stream",
+    "multimodal_audio_segments",
 )
 
 
