@@ -22,7 +22,7 @@ import subprocess
 import sys
 import textwrap
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 PROBE = textwrap.dedent(
     """

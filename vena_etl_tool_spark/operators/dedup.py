@@ -241,6 +241,21 @@ def minhash_signature(
     )
 
 
+def band_key_plain(sig_col: str, b: int) -> Column:
+    """The canonical plain band key, ``b:v0:v1:v2:v3`` — ONE definition
+    shared by lsh_bands and dedup_minhash_signatures so the string format
+    can never drift out of lockstep with the DuckDB oracles that rebuild
+    it character-for-character."""
+    return F.concat_ws(
+        ":",
+        F.lit(b),
+        *[
+            F.element_at(F.col(sig_col), b * BAND_ROWS + r + 1)
+            for r in range(BAND_ROWS)
+        ],
+    )
+
+
 def lsh_bands(
     df: DataFrame, id_col: str, sig_col: str = "minhash", hashed_keys: bool = True
 ) -> DataFrame:
@@ -253,14 +268,7 @@ def lsh_bands(
     n_bands = N_MINHASH // BAND_ROWS
 
     def key(b: int) -> Column:
-        plain = F.concat_ws(
-            ":",
-            F.lit(b),
-            *[
-                F.element_at(F.col(sig_col), b * BAND_ROWS + r + 1)
-                for r in range(BAND_ROWS)
-            ],
-        )
+        plain = band_key_plain(sig_col, b)
         return F.xxhash64(plain) if hashed_keys else plain
 
     bands = F.array(
@@ -323,14 +331,7 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = minhash_signature(sh, "doc_id", "sh", hash_expr=md5_hash60)
     mh = [F.element_at("minhash", i + 1).alias(f"mh{i}") for i in range(N_MINHASH)]
     bks = [
-        F.concat_ws(
-            ":",
-            F.lit(b),
-            *[
-                F.element_at("minhash", b * BAND_ROWS + r + 1)
-                for r in range(BAND_ROWS)
-            ],
-        ).alias(f"bk{b}")
+        band_key_plain("minhash", b).alias(f"bk{b}")
         for b in range(N_MINHASH // BAND_ROWS)
     ]
     return sig.select("doc_id", *mh, *bks)

@@ -255,7 +255,10 @@ def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     window = F.col("sample_rate").cast("long") * 5  # samples per 5-s segment
     n_segs = F.ceil(F.col("n_samples").cast("double") / window).cast("long")
-    segs = meta.select(
+    # n_segs > 0 guard: sequence(0, -1) would generate a DESCENDING [0, -1]
+    # for an empty payload (Spark sequence semantics), emitting two bogus
+    # segments where the oracle's range(0, 0) emits none
+    segs = meta.filter(n_segs > 0).select(
         "doc_id",
         "sample_rate",
         "n_samples",

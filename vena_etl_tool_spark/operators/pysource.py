@@ -168,8 +168,12 @@ def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.queries import _state_partitions
 
     spark.dataSource.register(TickStreamSource)
+    # PID suffix: concurrent processes must not rmtree each other's live
+    # checkpoint (same rationale as stream_tumbling_append)
     workdir = os.path.join(
-        tempfile.gettempdir(), "vena_stream_sinks", "source_python_stream"
+        tempfile.gettempdir(),
+        "vena_stream_sinks",
+        f"source_python_stream_{os.getpid()}",
     )
     shutil.rmtree(workdir, ignore_errors=True)
     sink_dir = os.path.join(workdir, "sink")

@@ -551,7 +551,8 @@ WITH asia_value AS (
 )
 SELECT l_partkey AS p_partkey, value
 FROM asia_value
-WHERE value > (SELECT SUM(value) * 0.001 FROM asia_value)
+WHERE value > (SELECT CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) * 0.001
+               FROM asia_value)
 """,
 )
 def q11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -574,7 +575,14 @@ def q11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("value"))
     )
-    threshold = per_part.agg((F.sum("value") * 0.001).alias("threshold"))
+    # decimal-exact total: a plain double SUM is order-dependent across
+    # Spark's partial-agg combine order vs DuckDB's sequential sum, and a
+    # borderline part could flip across the 0.1% threshold
+    threshold = per_part.agg(
+        (F.sum(F.col("value").cast("decimal(18,4)")).cast("double") * 0.001).alias(
+            "threshold"
+        )
+    )
     return (
         per_part.crossJoin(F.broadcast(threshold))
         .filter(F.col("value") > F.col("threshold"))

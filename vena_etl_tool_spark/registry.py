@@ -71,9 +71,10 @@ def _load_all() -> None:
 # queries (rows-only entries can never produce a green driver row — the
 # driver records `no_oracle` as an error), ordered as: every oracle-backed
 # query with no driver-green row in r1∪r2 (46 of them — this completes the
-# rotation: after r3 every one of the 117 oracle-backed queries has had a
-# driver-checked row), then 4 re-validation slots for events-reading
-# queries fixed by the r3 dtype-adaptive loader change.
+# rotation: after r3 every pre-r3 oracle-backed query has had a
+# driver-checked row), then the 2 minhash queries newly oracle-backed this
+# round, then 2 re-validation slots for events-reading queries that were
+# green in r1 but whose loader changed in r3.
 DRIVER_WINDOW: tuple[str, ...] = (
     # events/timestamp cluster repaired this round — freshest evidence first
     "sessionize_events",

@@ -194,9 +194,12 @@ def stream_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is returned as a distributed parquet read, so the files must outlive
     # this function. At scale windows×keys is unbounded — pulling the sink
     # through the driver with collect() would cap the operator; reading it
-    # back keeps the whole path executor-side.
+    # back keeps the whole path executor-side. PID suffix: a concurrent
+    # process (bench vs driver) must not rmtree this run's live checkpoint.
     workdir = os.path.join(
-        tempfile.gettempdir(), "vena_stream_sinks", "stream_tumbling_append"
+        tempfile.gettempdir(),
+        "vena_stream_sinks",
+        f"stream_tumbling_append_{os.getpid()}",
     )
     shutil.rmtree(workdir, ignore_errors=True)
     sink_dir = os.path.join(workdir, "sink")
@@ -290,9 +293,14 @@ SELECT DISTINCT user_id, event_type FROM events
 """,
 )
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming dedup: watermark-bounded dropDuplicates state. Output is
-    key-only (the kept row among duplicates is arrival-order dependent;
-    the key set is deterministic)."""
+    """Streaming dedup via dropDuplicates. Output is key-only (the kept
+    row among duplicates is arrival-order dependent; the key set is
+    deterministic). State: one row per distinct key, held forever — the
+    dedup keys carry no event time, so the watermark does NOT evict them
+    (eviction requires the event-time column in the keys, or
+    `dropDuplicatesWithinWatermark`); exact-distinct semantics is the
+    point of this query, bounded-state approximate dedup is the
+    within-watermark variant."""
     ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
     dd = ev.dropDuplicates(["user_id", "event_type"]).select("user_id", "event_type")
     return run_to_table(dd, "stream_dedup", "append")
@@ -465,12 +473,17 @@ GROUP BY m.category
 def stream_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed streaming pipeline — dedup → broadcast dimension join →
     aggregate, all in ONE streaming plan (the streaming analog of the
-    batch corpus_curation_pipeline): watermark-bounded dropDuplicates
-    state feeds a stream-static broadcast join feeds a grouped count.
-    Output is key-derived only (distinct-pair counts per category), so
-    the result is arrival-order independent and batch-equivalent — the
-    oracle is the plain batch SQL. State: dedup keys + aggregate groups,
-    both watermark-bounded at scale."""
+    batch corpus_curation_pipeline): dropDuplicates state feeds a
+    stream-static broadcast join feeds a grouped count. Output is
+    key-derived only (distinct-pair counts per category), so the result
+    is arrival-order independent and batch-equivalent — the oracle is
+    the plain batch SQL. State note: exact global distinct over
+    (user_id, event_type) keeps one state row per key FOREVER — the keys
+    carry no event time, so the watermark cannot evict them. That is
+    correct here and wherever the key domain is bounded; an
+    unbounded-key deployment trades exactness for
+    `dropDuplicatesWithinWatermark` (bounded state, re-admits keys after
+    the watermark passes) and accepts approximate distinct counts."""
     dim = spark.createDataFrame(
         [
             ("click", "engagement"),
