@@ -188,3 +188,38 @@ def test_levenshtein_finds_planted_edits(spark, planted_docs, tmp_path):
     for r in rows:
         assert r.doc_a < r.doc_b
         assert r.edit_ratio <= LEV_MAX_RATIO + 1e-9
+
+
+def test_band_key_plain_is_single_source_of_truth(spark, sf_dir):
+    """lsh_bands(hashed_keys=False) and dedup_minhash_signatures' bk columns
+    must emit byte-identical key strings — both now route through
+    band_key_plain, and the DuckDB oracles rebuild that exact format."""
+    from vena_etl_tool_spark.operators.dedup import (
+        _doc_shingles,
+        lsh_bands,
+        md5_hash60,
+        minhash_signature,
+        N_MINHASH,
+        BAND_ROWS,
+    )
+
+    sig = minhash_signature(
+        _doc_shingles(spark, sf_dir).limit(2000), "doc_id", "sh", hash_expr=md5_hash60
+    )
+    via_bands = (
+        lsh_bands(sig, "doc_id", hashed_keys=False)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("band_key")).alias("keys"))
+    )
+    from vena_etl_tool_spark.operators.dedup import band_key_plain
+
+    via_cols = sig.select(
+        "doc_id",
+        F.sort_array(
+            F.array(
+                *[band_key_plain("minhash", b) for b in range(N_MINHASH // BAND_ROWS)]
+            )
+        ).alias("keys"),
+    )
+    assert via_bands.exceptAll(via_cols).count() == 0
+    assert via_cols.exceptAll(via_bands).count() == 0
