@@ -73,3 +73,80 @@ def test_groupby_sum_equals_global_sum(spark, rows):
     per_group = df.groupBy("tag").agg(F.sum("v").alias("s"))
     total_from_groups = per_group.agg(F.sum("s")).first()[0]
     assert total_from_groups == df.agg(F.sum("v")).first()[0]
+
+
+text_strategy = st.lists(
+    st.text(
+        alphabet=st.characters(
+            codec="utf-8", exclude_characters=["\x00"]
+        ),
+        min_size=0,
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(texts=text_strategy)
+@_settings
+def test_md5_hash60_is_cross_engine_exact(spark, texts):
+    """The md5-derived 60-bit hash — the foundation every minhash /
+    simhash / LSH oracle rests on — must agree byte-for-byte between
+    Spark and DuckDB for ARBITRARY unicode strings, not just fixture
+    shingles."""
+    import duckdb
+
+    from vena_etl_tool_spark.operators.dedup import md5_hash60
+
+    df = spark.createDataFrame([(t,) for t in texts], "s string")
+    spark_vals = sorted(
+        (r.s, r.h) for r in df.select("s", md5_hash60(F.col("s")).alias("h")).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(t,) for t in texts])
+    duck_vals = sorted(
+        con.execute(
+            "SELECT s, ('0x' || substr(md5(s), 1, 15))::BIGINT FROM t"
+        ).fetchall()
+    )
+    assert spark_vals == duck_vals
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.sampled_from(["web", "books", "code"]),
+            st.integers(min_value=0, max_value=400),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+@_settings
+def test_pack_offsets_partition_the_token_stream(spark, docs):
+    """Sequence-packing invariants for arbitrary corpora: within each
+    source, offsets are contiguous (doc k's start == doc k-1's end under
+    doc_id order), every span is exactly n_tokens+1 wide, and the last
+    end equals the shard's total token+separator mass."""
+    from vena_etl_tool_spark.operators.textanalysis import _pack_offsets
+
+    frame = spark.createDataFrame(
+        [(i, src, "w " * n if n else "") for i, src, n in docs],
+        "doc_id long, source string, text string",
+    )
+    rows = sorted(
+        _pack_offsets(frame).collect(), key=lambda r: (r.source, r.doc_id)
+    )
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    for src_rows in by_source.values():
+        expected_start = 0
+        for r in src_rows:
+            assert r.start_off == expected_start
+            assert r.end_off - r.start_off == r.n_tokens + 1
+            expected_start = r.end_off
