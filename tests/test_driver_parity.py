@@ -22,6 +22,9 @@ import subprocess
 import sys
 import textwrap
 
+import pytest
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 PROBE = textwrap.dedent(
@@ -69,13 +72,15 @@ PROBE = textwrap.dedent(
 
 
 def test_bare_session_events_timestamps_are_calendar_plausible(tmp_path):
+    if not os.path.isdir(SF_DIR):
+        pytest.skip(f"fixture dir {SF_DIR} not present")
     out = subprocess.run(
         [sys.executable, "-c", PROBE, SF_DIR],
         capture_output=True,
         text=True,
         timeout=300,
-        cwd="/root/repo",
-        env={**os.environ, "PYTHONPATH": "/root/repo"},
+        cwd=REPO_ROOT,
+        env={**os.environ, "PYTHONPATH": REPO_ROOT},
     )
     assert out.returncode == 0, f"probe crashed:\n{out.stderr[-3000:]}"
     payload = json.loads(out.stdout.strip().splitlines()[-1])

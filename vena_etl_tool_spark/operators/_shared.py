@@ -32,8 +32,15 @@ def spread_small(df: "DataFrame") -> "DataFrame":
     shuffle for a big corpus, only for inputs too narrow to saturate the
     cluster (where the shuffle is cheap by construction).
     """
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
+    try:
+        parallelism = df.sparkSession.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect: no SparkContext — let AQE size stages
+        return df
+    # File count is a Connect-safe proxy for scan parallelism (a `.rdd`
+    # probe would force a driver-side plan conversion during build). A scan
+    # over fewer files than cores cannot saturate the cluster; at real
+    # scale inputs have >> cores files and this is a no-op.
+    if len(df.inputFiles()) < parallelism:
         return df.repartition(parallelism)
     return df
 

@@ -162,20 +162,11 @@ def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     then verifies every offset window landed exactly once: a skipped or
     double-applied micro-batch changes counts and sums."""
     import os
-    import shutil
-    import tempfile
 
-    from ..streaming.queries import _state_partitions
+    from ..streaming.queries import _state_partitions, fresh_stream_workdir
 
     spark.dataSource.register(TickStreamSource)
-    # PID suffix: concurrent processes must not rmtree each other's live
-    # checkpoint (same rationale as stream_tumbling_append)
-    workdir = os.path.join(
-        tempfile.gettempdir(),
-        "vena_stream_sinks",
-        f"source_python_stream_{os.getpid()}",
-    )
-    shutil.rmtree(workdir, ignore_errors=True)
+    workdir = fresh_stream_workdir("source_python_stream")
     sink_dir = os.path.join(workdir, "sink")
     ckpt_dir = os.path.join(workdir, "ckpt")
     ticks = (

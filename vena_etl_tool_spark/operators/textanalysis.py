@@ -655,13 +655,11 @@ def dataset_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_tokens",
         "start_off",
-        F.floor(F.col("start_off") / L).alias("first_seq"),
-        F.floor((F.col("end_off") - 1) / L).alias("last_seq"),
-        (
-            F.floor((F.col("end_off") - 1) / L)
-            - F.floor(F.col("start_off") / L)
-            + 1
-        ).alias("n_seqs"),
+        # integer `div`, not floor(x / L): double division loses exactness
+        # past 2^53 cumulative offsets; the oracle uses DuckDB's `//`.
+        F.expr(f"start_off div {L}").alias("first_seq"),
+        F.expr(f"(end_off - 1) div {L}").alias("last_seq"),
+        F.expr(f"(end_off - 1) div {L} - start_off div {L} + 1").alias("n_seqs"),
     )
 
 
@@ -705,8 +703,9 @@ def dataset_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = offs.select(
         "doc_id",
         "source",
-        F.floor(F.col("start_off") / L).alias("first_seq"),
-        F.floor((F.col("end_off") - 1) / L).alias("last_seq"),
+        # integer `div` to match the oracle's `//` exactly at any offset
+        F.expr(f"start_off div {L}").alias("first_seq"),
+        F.expr(f"(end_off - 1) div {L}").alias("last_seq"),
     )
     return (
         spans.select(

@@ -40,6 +40,41 @@ _SCHEMA_TS_LONG = (
 # Cache of the probed events-ts read dtype, keyed by sf_dir (stable per run).
 _TS_DTYPE_CACHE: dict[str, str] = {}
 
+# Stale-sink TTL: a sibling PID's workdir untouched for this long is a
+# leftover from a dead run (our queries finish in seconds), not a live
+# concurrent checkpoint — safe to sweep.
+_SINK_TTL_SECONDS = 2 * 3600
+
+
+def fresh_stream_workdir(name: str) -> str:
+    """Per-(query, PID) scratch dir for file sinks + checkpoints.
+
+    The returned DataFrames lazily read the sink, so the files must outlive
+    the building function — a TemporaryDirectory would vanish too early.
+    PID suffix: a concurrent process (bench vs driver) must not rmtree this
+    run's live checkpoint. To keep /tmp bounded across repeated runs, each
+    call also sweeps *sibling* dirs whose mtime is older than the TTL
+    (dirs abandoned by dead PIDs; live runs touch theirs within seconds).
+    """
+    import shutil
+    import tempfile
+    import time
+
+    base = os.path.join(tempfile.gettempdir(), "vena_stream_sinks")
+    cutoff = time.time() - _SINK_TTL_SECONDS
+    try:
+        for entry in os.scandir(base):
+            try:
+                if entry.is_dir(follow_symlinks=False) and entry.stat().st_mtime < cutoff:
+                    shutil.rmtree(entry.path, ignore_errors=True)
+            except OSError:
+                continue  # raced with a concurrent sweep
+    except FileNotFoundError:
+        pass
+    workdir = os.path.join(base, f"{name}_{os.getpid()}")
+    shutil.rmtree(workdir, ignore_errors=True)
+    return workdir
+
 
 def _events_ts_dtype(spark: SparkSession, sf_dir: str) -> str:
     """Batch-probe the dtype the parquet reader produces for events.ts.
@@ -175,9 +210,6 @@ def stream_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     are emitted; the oracle applies the same cutoff. This is the variant
     that runs at 100 TB: `stream_tumbling_window` (complete/memory) exists
     for the batch-equivalence check, this one for the real sink path."""
-    import shutil
-    import tempfile
-
     ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
     agg = ev.groupBy(F.window("ts", "5 minutes"), "event_type").agg(
         F.count(F.lit(1)).alias("n"),
@@ -194,14 +226,8 @@ def stream_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is returned as a distributed parquet read, so the files must outlive
     # this function. At scale windows×keys is unbounded — pulling the sink
     # through the driver with collect() would cap the operator; reading it
-    # back keeps the whole path executor-side. PID suffix: a concurrent
-    # process (bench vs driver) must not rmtree this run's live checkpoint.
-    workdir = os.path.join(
-        tempfile.gettempdir(),
-        "vena_stream_sinks",
-        f"stream_tumbling_append_{os.getpid()}",
-    )
-    shutil.rmtree(workdir, ignore_errors=True)
+    # back keeps the whole path executor-side.
+    workdir = fresh_stream_workdir("stream_tumbling_append")
     sink_dir = os.path.join(workdir, "sink")
     ckpt_dir = os.path.join(workdir, "ckpt")
     with _state_partitions(spark):
