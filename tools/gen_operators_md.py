@@ -29,10 +29,13 @@ def main() -> None:
         "instead (tests/).",
         "",
         "The driver hash-checks the first 50 entries of `queries()` per "
-        "round. `registry.DRIVER_WINDOW` pins that window explicitly — it "
-        "spans every operator module (tests/test_registry_order.py) and "
-        "rotates across rounds so every query eventually lands a "
-        "driver-checked row; the local gate "
+        "round. `registry.DRIVER_WINDOW` pins that window explicitly — "
+        "oracle-backed queries only (a rows-only entry would burn a slot as "
+        "a guaranteed `no_oracle` red; test_window_has_no_oracle_less_queries)"
+        " — and rotates across rounds so every oracle-backed query lands a "
+        "driver-checked row; queries registered after a round's window froze "
+        "are declared in `registry.ROTATION_RESIDUE` and rotate in next round "
+        "(test_rotation_completes_oracle_backed_coverage). The local gate "
         "(`python -m vena_etl_tool_spark.testing`) diffs all "
         f"{len(specs)} every run.",
         "",

@@ -177,7 +177,45 @@ def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "scalar_functions_extra",
     tags=("scalar",),
-    oracle=None,  # Spark-specific semantics (no exact DuckDB twin); unit-tested
+    # Each Spark-flavored scalar is re-derived (not ported) in DuckDB SQL:
+    # initcap via a per-word transform, soundex via a list_reduce automaton
+    # implementing the classic algorithm (vowels reset the last code, H/W
+    # are transparent — verified against Spark on PUGH/ASHCRAFT/TYMCZAK/
+    # HONEYMAN), bround via round_even, format_string via printf,
+    # next_day/months_between on literals via constants.
+    oracle="""
+WITH w AS (
+  SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice,
+         upper(string_split(p_name, ' ')[1]) AS u
+  FROM part
+),
+sx AS (
+  SELECT p_partkey,
+         u,
+         list_reduce(
+           list_transform(range(1, length(u) + 1),
+             i -> translate(u[i], 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                            '0123012-02245501262301-202')),
+           (acc, c) -> CASE
+             WHEN c = '-' THEN acc
+             WHEN c = '0' THEN '0' || acc[2:]
+             WHEN c = acc[1] THEN acc
+             ELSE c || acc[2:] || c
+           END) AS st
+  FROM w
+)
+SELECT w.p_partkey,
+       array_to_string(
+         list_transform(string_split(lower(p_name), ' '),
+                        s -> upper(s[1]) || s[2:]), ' ') AS name_title,
+       sx.u[1] || substr(st[2:] || '000', 1, 3) AS sdx,
+       printf('%s/%s (size %d)', p_brand, p_type, p_size) AS label,
+       round_even(p_retailprice, 1) AS price_bankers,
+       DATE '2024-01-08' AS next_monday,
+       CAST(2.0 AS DOUBLE) AS mb,
+       to_json(range(1, p_size % 4 + 2)) AS seq
+FROM w JOIN sx ON w.p_partkey = sx.p_partkey
+""",
 )
 def scalar_functions_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark-flavored scalars with no exact ANSI/DuckDB twin: initcap,

@@ -52,7 +52,17 @@ def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "json_functions_extra",
     tags=("semistructured", "json"),
-    oracle=None,  # to_json whitespace/quoting is engine-specific; unit-tested
+    # Verified cross-engine: Spark to_json and DuckDB to_json(struct_pack)
+    # both emit compact `{"k":v}` with identical field order and integer
+    # rendering; schema_of_json is a plan constant, mirrored as a literal.
+    oracle="""
+SELECT event_id,
+       to_json(struct_pack(event_type := event_type, user_id := user_id))
+         AS as_json,
+       json_extract_string(props, '$.k') AS k_str,
+       'STRUCT<k: BIGINT>' AS inferred_schema
+FROM events WHERE event_id < 50
+""",
 )
 def json_functions_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The rest of the JSON family: to_json (struct → string), json_tuple
@@ -188,7 +198,22 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "map_functions_extra",
     tags=("semistructured", "map"),
-    oracle=None,  # map iteration order is engine-specific; invariants unit-tested
+    # Map iteration order is engine-specific, but this query already
+    # flattens every map to sorted scalars — so the oracle rebuilds the
+    # same sorted views directly. `value` rides a DECIMAL(18,2)→string
+    # bridge on both sides (double→string rendering differs between
+    # engines; fixed-point rendering does not).
+    oracle="""
+SELECT event_id,
+       'type,val' AS kept_keys,
+       array_to_string(list_sort([
+         upper(event_type),
+         CAST(user_id AS VARCHAR),
+         upper(CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR))
+       ]), ',') AS upped_vals,
+       3 AS n_entries
+FROM events WHERE event_id < 100
+""",
 )
 def map_functions_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The rest of the map family: map_from_arrays, map_concat, map_filter,
@@ -201,7 +226,11 @@ def map_functions_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(F.lit("type"), F.lit("uid")),
             F.array(F.col("event_type"), F.col("user_id").cast("string")),
         ).alias("m1"),
-        F.create_map(F.lit("val"), F.col("value").cast("string")).alias("m2"),
+        # decimal-string bridge: double→string rendering is engine-specific
+        # (1.0E-7 vs 1e-07); DECIMAL(18,2)→string is fixed-point in both
+        F.create_map(
+            F.lit("val"), F.col("value").cast("decimal(18,2)").cast("string")
+        ).alias("m2"),
     )
     combined = base.select(
         "event_id",

@@ -86,7 +86,11 @@ def sort_global_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sort_within_partitions",
     tags=("sort",),
-    oracle=None,  # partition-local ordering is not SQL-observable; rows-only
+    # Partition-local ordering is not SQL-observable, but the driver's
+    # compare is order-insensitive (sorted canonical rows) — so a plain
+    # set-equality oracle still pins the full row contents: the operator
+    # must reorder rows, never drop/duplicate/mutate them.
+    oracle="SELECT l_orderkey, l_returnflag, l_shipdate FROM lineitem",
 )
 def sort_within_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sortWithinPartitions: the write-path optimization (sorted parquet row
