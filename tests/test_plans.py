@@ -142,13 +142,13 @@ def test_contamination_benchmark_side_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
-def test_embedding_cosine_bucket_cap_no_extra_exchange(spark, sf_dir):
-    """The hot-bucket cap rides the candidate join's own (band, bucket)
-    exchange: adding it must not introduce an extra shuffle of the band
-    table (window count over the same partitioning)."""
+def test_embedding_cosine_single_band_exchange(spark, sf_dir):
+    """Per-bucket tensor scoring: ONE wide shuffle routes embeddings to
+    their (band, bucket) scoring groups; the hot-bucket cap is the group
+    size (no window exchange), and candidate pairs never materialize as
+    rows — no self-join, no cartesian, no per-pair payload joins."""
     plan = plan_of(spark, sf_dir, "dedup_embedding_cosine")
     assert "CartesianProduct" not in plan
-    # band-table exchanges: the self-join's two sides at most; the cap's
-    # window must reuse them (bounded count, not a fixed magic number,
-    # because AQE may insert AQEShuffleReads)
-    assert plan.count("Exchange hashpartitioning(band") <= 2
+    assert "Join" not in plan  # pairs are born inside the grouped UDF
+    assert plan.count("Exchange hashpartitioning(band") == 1
+    assert "FlatMapGroupsInPandas" in plan  # vectorized scoring stage
