@@ -53,3 +53,15 @@ def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
         .count()
     )
     assert joined.agg(F.sum("n")).first()[0] == expected
+
+
+def test_registered_bucketed_join_query_plan(spark, sf_dir):
+    """The registered layout_bucketed_join query must itself plan the
+    co-located SortMergeJoin with no exchange on either join side."""
+    from vena_etl_tool_spark.operators.layouts import layout_bucketed_join
+
+    df = layout_bucketed_join(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    join_section = plan.split("SortMergeJoin")[-1]
+    assert join_section.count("Exchange hashpartitioning") == 0

@@ -26,13 +26,17 @@ def test_window_has_no_oracle_less_queries():
 
 
 def test_rotation_completes_oracle_backed_coverage():
-    # r1∪r2 driver-green ∪ the r3 window must cover every oracle-backed
-    # query — the whole point of the r3 window (VERDICT r2 item #5).
+    # r1∪r2∪r3 driver-green ∪ the r4 window must cover every oracle-backed
+    # query — full-registry driver coverage (VERDICT r3 item #1: residue 0).
     import json
     import os
 
     green: set[str] = set()
-    for rnd in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+    for rnd in (
+        "CORRECTNESS_r01.json",
+        "CORRECTNESS_r02.json",
+        "CORRECTNESS_r03.json",
+    ):
         path = os.path.join(os.path.dirname(__file__), "..", rnd)
         if os.path.exists(path):
             with open(path) as f:
@@ -46,7 +50,7 @@ def test_rotation_completes_oracle_backed_coverage():
         f"undeclared driver-coverage residue: "
         f"{sorted(set(residue) ^ set(registry.ROTATION_RESIDUE))}"
     )
-    assert len(registry.ROTATION_RESIDUE) < 20
+    assert len(registry.ROTATION_RESIDUE) == 0  # r4: full coverage, no carry-over
 
 
 def test_window_holds_at_least_50():

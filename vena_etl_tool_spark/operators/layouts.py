@@ -176,3 +176,59 @@ def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("y").alias("min_y"),
         F.max("y").alias("max_y"),
     )
+
+
+@register(
+    "layout_bucketed_join",
+    tags=("layout", "bucketing", "join"),
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+""",
+)
+def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located fact⋈fact join — SCALE.md's layout fix for the
+    orders⋈lineitem exchange. Both tables are written ``bucketBy(8,
+    orderkey).sortBy(orderkey)``; reading them back, the SortMergeJoin
+    plans with ZERO shuffle exchanges on either side (asserted in
+    tests/test_bucketing.py) because bucket files are already co-located
+    and co-sorted on the join key.
+
+    At 100 TB this converts the single biggest repeated shuffle (the two
+    largest tables, re-exchanged by every orders⋈lineitem query) into a
+    one-time write-side cost amortized across every downstream join on
+    the same key. The merge hint only matters at fixture size, where the
+    planner would otherwise broadcast; at scale SMJ is its natural pick.
+    The oracle recomputes the same aggregate from the original parquet —
+    a correct layout job changes bytes on disk, never values."""
+    tag = (os.path.basename(os.path.normpath(sf_dir)) or "default").replace(
+        ".", "_"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    tables = (
+        (li, f"li_bucketed_{tag}", "l_orderkey"),
+        (orders, f"o_bucketed_{tag}", "o_orderkey"),
+    )
+    for df, name, key in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", layout_dir(sf_dir, name))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    joined = spark.table(tables[0][1]).join(
+        spark.table(tables[1][1]).hint("merge"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_quantity").alias("sum_qty"),
+    )

@@ -881,3 +881,187 @@ def dataset_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(target / actual, 6).alias("sampling_weight"),
         )
     )
+
+
+def _flagship_oracle() -> str:
+    """Composed DuckDB twin of the flagship pipeline: every stage mirrors
+    a fragment already proven on its single-operator query (exact-dedup
+    window, md5-h60 minhash + banding + capped buckets + Jaccard verify,
+    quality gate, md5 split, packing arithmetic)."""
+    from .dedup import _A, _B, _SQL_MD5_H60, BAND_ROWS, MERSENNE, N_MINHASH
+
+    h60 = _SQL_MD5_H60.format(col="sh")
+    mins = ",\n         ".join(
+        f"MIN(((h & 2147483647) * {_A[i]} + {_B[i]}) % {MERSENNE}) AS mh{i}"
+        for i in range(N_MINHASH)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_id, ("
+        + " || ':' || ".join(
+            [f"'{b}'"]
+            + [f"CAST(mh{b * BAND_ROWS + r} AS VARCHAR)" for r in range(BAND_ROWS)]
+        )
+        + ") AS band_key FROM mins"
+        for b in range(N_MINHASH // BAND_ROWS)
+    )
+    L = PACK_SEQ_LEN
+    return f"""
+WITH valid AS (
+  SELECT doc_id, source, text FROM documents
+  WHERE text IS NOT NULL AND length(trim(text)) > 0
+), kept AS (
+  SELECT doc_id, source, text FROM valid
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
+), kw AS (SELECT doc_id, string_split(text, ' ') AS words FROM kept),
+shl AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, len(words) - 1),
+                   i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+  )) AS sh
+  FROM kw WHERE len(words) >= 3
+),
+h AS (SELECT doc_id, {h60} AS h FROM shl),
+mins AS (
+  SELECT doc_id,
+         {mins}
+  FROM h GROUP BY doc_id
+),
+bands AS (
+{band_rows}
+),
+bcap AS (
+  SELECT band_id, band_key FROM bands
+  GROUP BY band_id, band_key HAVING COUNT(*) <= 50
+),
+bf AS (SELECT b.* FROM bands b JOIN bcap USING (band_id, band_key)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bf a JOIN bf b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shl GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(DISTINCT ha.h) AS inter
+  FROM cand c
+  JOIN h ha ON ha.doc_id = c.doc_a
+  JOIN h hb ON hb.doc_id = c.doc_b AND hb.h = ha.h
+  GROUP BY c.doc_a, c.doc_b
+),
+drops AS (
+  SELECT DISTINCT i.doc_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE ROUND(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 6) >= 0.5
+),
+survivors AS (
+  SELECT k.doc_id, k.source, k.text FROM kept k
+  LEFT JOIN drops d ON k.doc_id = d.doc_b WHERE d.doc_b IS NULL
+),
+gated AS (
+  SELECT doc_id, source,
+         len(string_split(text, ' ')) AS n_tok
+  FROM survivors
+  WHERE len(string_split(text, ' ')) BETWEEN 20 AND 1000
+    AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        / len(string_split(text, ' ')) > 0.2
+),
+assigned AS (
+  SELECT source, n_tok,
+         CASE
+           WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                IN ('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train'
+           WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM gated
+)
+SELECT split, source, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       (CAST(SUM(n_tok + 1) AS BIGINT) - 1) // {L} + 1 AS n_sequences
+FROM assigned
+GROUP BY split, source
+"""
+
+
+@register(
+    "pipeline_pretrain_flagship",
+    tags=("llm", "pipeline", "dedup", "quality", "packing", "splitting"),
+    oracle=_flagship_oracle(),
+)
+def pipeline_pretrain_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE flagship: the full pre-training corpus build as one declarative
+    plan — the engine's analog of the reference's whole upload path
+    (validate → transform → submit, /root/reference/import.js:86-115),
+    re-expressed as what a 100 TB training-data job actually runs:
+
+      quarantine gate (null/blank text)
+        → exact dedup (keep lowest doc_id per text)
+        → MinHash-LSH near-dup removal (md5-h60 perms, banded candidates,
+          hot-bucket cap 50, exact-Jaccard ≥ 0.5 verify; drop the higher
+          doc of each verified pair)
+        → quality gate (20 ≤ tokens ≤ 1000, lexical diversity > 0.2)
+        → content-addressed train/val/test split (md5 of doc_id)
+        → packed-sequence accounting per (split, source)
+
+    Every stage reuses a single-operator fragment that is independently
+    oracle-verified (dedup_exact, dedup_minhash_lsh_pairs,
+    corpus_curation_pipeline, dataset_pack_stats), so this row proves the
+    operators COMPOSE without drift.
+
+    Shuffle audit (sf0.01 plan, AQE on): stage boundaries are the exact
+    dedup's text-partition window, the shingle→signature aggregate, the
+    band-bucket window + self-join (one exchange, reused both sides), the
+    pair-verify id joins, the anti-join (broadcast at fixture size; AQE
+    decides at scale), and ONE final partial+final aggregate. No stage
+    shuffles the corpus more than twice, and the packed-sequence totals
+    need NO window: total offset per (split, source) is just
+    SUM(n_tok + 1), so the per-doc packing window (dataset_pack_sequences)
+    is only paid when per-doc spans are the deliverable."""
+    from .dedup import md5_hash60, minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    valid = docs.filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    ).select("doc_id", "source", "text")
+    dedup_w = Window.partitionBy("text").orderBy("doc_id")
+    kept = (
+        valid.withColumn("_rn", F.row_number().over(dedup_w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    pairs = minhash_lsh_pairs(
+        kept, jaccard_threshold=0.5, max_bucket_size=50,
+        hash_expr=md5_hash60, hashed_band_keys=False,
+    )
+    drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    survivors = kept.join(drops, "doc_id", "left_anti")
+    words = F.split("text", " ")
+    n_tok = F.size(words)
+    gated = (
+        survivors.select(
+            "doc_id",
+            "source",
+            n_tok.alias("n_tok"),
+            (F.size(F.array_distinct(words)).cast("double") / n_tok).alias("_div"),
+        )
+        .filter(F.col("n_tok").between(20, 1000) & (F.col("_div") > 0.2))
+    )
+    first_hex = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(first_hex.isin(*"0123456789ab"), "train")
+        .when(first_hex.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+    return (
+        gated.select(split.alias("split"), "source", "n_tok")
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.expr(
+                f"(CAST(SUM(n_tok + 1) AS BIGINT) - 1) div {PACK_SEQ_LEN} + 1"
+            ).alias("n_sequences"),
+        )
+    )

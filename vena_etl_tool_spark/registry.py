@@ -61,81 +61,18 @@ def _load_all() -> None:
 
 
 # The correctness driver evaluates queries() in iteration order and checks
-# the first 50. This window is chosen so those 50 span every operator
-# module (SURVEY.md §2 family): queries changed this round first (they need
-# fresh evidence), then one-or-more representatives per family that lacked
-# a hard correctness row last round, then flagships. The remainder follow
-# alphabetically; the window rotates across rounds so every query
-# eventually lands a driver-checked row (see OPERATORS.md).
-# Round-3 window policy (VERDICT r2 items #4/#5): ONLY oracle-backed
-# queries (rows-only entries can never produce a green driver row — the
-# driver records `no_oracle` as an error), ordered as: every oracle-backed
-# query with no driver-green row in r1∪r2 (46 of them — this completes the
-# rotation: after r3 every pre-r3 oracle-backed query has had a
-# driver-checked row), then the 2 minhash queries newly oracle-backed this
-# round, then 2 re-validation slots for events-reading queries that were
-# green in r1 but whose loader changed in r3.
+# the first 50. Window policy (since r3): ONLY oracle-backed queries
+# (rows-only entries can never produce a green driver row — the driver
+# records `no_oracle` as an error). Round-4 window (VERDICT r3 item #1):
+# first, every oracle-backed query with no driver-green row across
+# r1∪r2∪r3 — the 19 declared ROTATION_RESIDUE carry-overs plus the 6
+# queries added/oracle-converted this round — which completes full-registry
+# driver coverage (residue 0); then 25 re-validation slots: every
+# oracle-backed query whose module materially changed this round
+# (dedup.py's embedding rework, _shared.spread_small, textanalysis packing
+# div, streaming sink workdirs) plus the bench flagships.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # events/timestamp cluster repaired this round — freshest evidence first
-    "sessionize_events",
-    "funnel_conversion",
-    "ts_moving_average",
-    "ts_gapfill_hourly",
-    "ts_anomaly_zscore",
-    "join_range_bucketized",
-    "map_functions",
-    "udf_apply_in_pandas",
-    "udf_map_in_pandas",
-    "udf_sql_registered",
-    "stream_tumbling_append",
-    "stream_tumbling_window",
-    "stream_sliding_window",
-    "stream_session_window",
-    "stream_stream_join",
-    "stream_dedup",
-    "stream_lifecycle_metrics",
-    # oracle-backed, never driver-checked before this round
-    "bitwise_functions",
-    "dataset_split_assign",
-    "explode_functions",
-    "hash_functions",
-    "layout_orc_roundtrip",
-    "layout_zorder_stats",
-    "merge_upsert_actions",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_filter",
-    "q22_dormant_balance",
-    "q4_priority_exists",
-    "sample_stratified",
-    "scd2_priority_history",
-    "setop_except",
-    "setop_intersect",
-    "setop_union_all",
-    "setop_union_by_name",
-    "setop_union_distinct",
-    "sort_global_ranked",
-    "struct_functions",
-    "text_bpe_token_estimate",
-    "text_chunk_windows",
-    "text_fingerprint",
-    "text_quality_score",
-    "text_token_stats",
-    "text_wordfreq_topk",
-    "window_analytic",
-    # newly oracle-backed this round (md5-based cross-engine minhash)
-    "dedup_minhash_signatures",
-    "dedup_minhash_lsh_pairs",
-    # re-validation: events-reading queries green in r1, loader changed in r3
-    "ansi_safe_casts",
-    "join_asof_last_click",
-)
-
-# Oracle-backed queries added AFTER the r3 window was frozen at 50 — they
-# rotate into the r4 window. Kept explicit so tests + ROUND notes can audit
-# that nothing silently escapes driver coverage (target residue < 20).
-ROTATION_RESIDUE: tuple[str, ...] = (
+    # --- never driver-checked: r3 rotation residue (19) ---
     "q2_min_cost_supplier",
     "q9_product_profit",
     "q11_important_value",
@@ -155,7 +92,47 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     "source_python_datasource",
     "source_python_stream",
     "multimodal_audio_segments",
+    # --- never driver-checked: added/oracle-converted in r4 (6) ---
+    "pipeline_pretrain_flagship",
+    "layout_bucketed_join",
+    "json_functions_extra",
+    "map_functions_extra",
+    "scalar_functions_extra",
+    "sort_within_partitions",
+    # --- re-validation: modules changed in r4 + bench flagships (25) ---
+    "dedup_embedding_cosine",
+    "dedup_minhash_lsh_pairs",
+    "dedup_minhash_signatures",
+    "dedup_ngram_jaccard",
+    "dedup_exact_hash",
+    "dedup_levenshtein",
+    "dedup_cluster_assign",
+    "sim_cosine_topk",
+    "sim_ann_ivf",
+    "embedding_quantize_int8",
+    "corpus_curation_pipeline",
+    "dataset_split_assign",
+    "text_quality_score",
+    "stream_tumbling_append",
+    "stream_tumbling_window",
+    "sessionize_events",
+    "join_asof_last_click",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "window_frames",
+    "topk_global",
+    "agg_rollup",
+    "skew_salted_join",
+    "udf_apply_in_pandas",
 )
+
+# Oracle-backed queries added AFTER this round's window was frozen — they
+# rotate into the next round's window. Kept explicit so tests + ROUND notes
+# can audit that nothing silently escapes driver coverage. Empty in r4: the
+# window above covers every oracle-backed query that lacks a driver-green
+# row (full-registry coverage once CORRECTNESS_r04 lands).
+ROTATION_RESIDUE: tuple[str, ...] = ()
 
 
 def all_specs() -> dict[str, QuerySpec]:
