@@ -44,7 +44,24 @@ HEADLINE = [
     "q9_product_profit",
     "dataset_pack_sequences",
     "text_repetition_ratio",
+    # added r4
+    "pipeline_pretrain_flagship",
+    "layout_bucketed_join",
 ]
+
+# Cross-round comparability (VERDICT r3 item #5): the headline set grows
+# over rounds, so the JSON line also reports fixed-subset subtotals — the
+# original 12 queries benched since r1 and the 25 benched since r3 — so
+# trend lines compare like with like.
+R1_SUBSET = frozenset(
+    (
+        "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+        "window_frames", "topk_global", "agg_rollup", "join_asof_last_click",
+        "dedup_exact_hash", "dedup_minhash_lsh_pairs", "sim_cosine_topk",
+        "stream_tumbling_window", "text_wordfreq_topk",
+    )
+)
+R3_SUBSET = frozenset(HEADLINE[:25])
 
 
 def materialize(df) -> None:
@@ -97,6 +114,12 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "r1_subset_sec": round(
+            sum(t for n, t in timings.items() if n in R1_SUBSET), 3
+        ),
+        "r3_subset_sec": round(
+            sum(t for n, t in timings.items() if n in R3_SUBSET), 3
+        ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
