@@ -150,3 +150,60 @@ def test_pack_offsets_partition_the_token_stream(spark, docs):
             assert r.start_off == expected_start
             assert r.end_off - r.start_off == r.n_tokens + 1
             expected_start = r.end_off
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet=st.sampled_from("abcdefghijklmnopqrstuvwxyz"),
+                min_size=1, max_size=12),
+        min_size=1,
+        max_size=20,
+        unique=True,
+    )
+)
+@_settings
+def test_soundex_oracle_closed_form_matches_spark(spark, words):
+    """The scalar_functions_extra oracle re-derives soundex as a closed
+    form (code-map, H/W strip, run collapse, vowel strip). It must match
+    Spark's soundex for ARBITRARY lowercase words, not just the fixture's
+    part-name vocabulary. (This test's first, list_reduce-based
+    formulation exposed a DuckDB 1.0.0 vectorization bug — list_reduce
+    over variable-length lists gives row-order-dependent results — which
+    is why the oracle deliberately avoids list_reduce.)"""
+    import duckdb
+
+    from vena_etl_tool_spark.operators.scalars import _SQL_COLLAPSE_RUNS
+
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    spark_vals = sorted(
+        (r.w, r.sx) for r in df.select("w", F.soundex("w").alias("sx")).collect()
+    )
+    collapse = _SQL_COLLAPSE_RUNS.format(
+        col="(CASE WHEN flc = '-' THEN '' ELSE flc END || tailc)"
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (w VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(w,) for w in words])
+    duck_vals = sorted(
+        con.execute(
+            f"""
+            WITH c AS (SELECT w, upper(w) AS u FROM t),
+            sx AS (
+              SELECT w, u,
+                     translate(u[1], 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                               '0123012-02245501262301-202') AS flc,
+                     replace(translate(u[2:], 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                       '0123012-02245501262301-202'),
+                             '-', '') AS tailc
+              FROM c
+            ),
+            sx2 AS (SELECT w, u, flc, {collapse} AS runs FROM sx)
+            SELECT w,
+                   u[1] || substr(
+                     replace(CASE WHEN flc = '-' THEN runs ELSE runs[2:] END,
+                             '0', '') || '000', 1, 3)
+            FROM sx2
+            """
+        ).fetchall()
+    )
+    assert spark_vals == duck_vals

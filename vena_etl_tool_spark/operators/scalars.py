@@ -174,47 +174,72 @@ def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Collapse runs of equal soundex codes ('11' -> '1') one digit at a time:
+# RE2 (DuckDB's regex engine) has no backreferences, so seven chained
+# regexp_replace calls stand in for '([0-6])\\1+' -> '\\1'.
+def _collapse_runs_sql() -> str:
+    expr = "{col}"
+    for d in "0123456":
+        expr = f"regexp_replace({expr}, '{d}+', '{d}', 'g')"
+    return expr
+
+
+_SQL_COLLAPSE_RUNS = _collapse_runs_sql()
+
+
 @register(
     "scalar_functions_extra",
     tags=("scalar",),
     # Each Spark-flavored scalar is re-derived (not ported) in DuckDB SQL:
-    # initcap via a per-word transform, soundex via a list_reduce automaton
-    # implementing the classic algorithm (vowels reset the last code, H/W
-    # are transparent — verified against Spark on PUGH/ASHCRAFT/TYMCZAK/
-    # HONEYMAN), bround via round_even, format_string via printf,
-    # next_day/months_between on literals via constants.
-    oracle="""
+    # initcap via a per-word transform, soundex via a closed-form rewrite
+    # of the classic automaton (verified against Spark by a hypothesis
+    # property test, tests/test_properties.py): map letters to codes with
+    # H/W as '-', strip the '-'s (H/W transparency), collapse runs of
+    # equal codes (the last-code rule), drop the first letter's own run
+    # unless the first letter is H/W, strip vowels' '0's, pad to 3.
+    # Deliberately NOT list_reduce: DuckDB 1.0.0 mis-evaluates list_reduce
+    # over variable-length lists within a vector batch (row-order-
+    # dependent results — found by the property test). Everything here is
+    # translate/replace/regexp, which vectorize correctly.
+    # bround via round_even, format_string via printf, next_day /
+    # months_between on literals via constants.
+    oracle=f"""
 WITH w AS (
   SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice,
          upper(string_split(p_name, ' ')[1]) AS u
   FROM part
 ),
 sx AS (
-  SELECT p_partkey,
-         u,
-         list_reduce(
-           list_transform(range(1, length(u) + 1),
-             i -> translate(u[i], 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
-                            '0123012-02245501262301-202')),
-           (acc, c) -> CASE
-             WHEN c = '-' THEN acc
-             WHEN c = '0' THEN '0' || acc[2:]
-             WHEN c = acc[1] THEN acc
-             ELSE c || acc[2:] || c
-           END) AS st
+  SELECT p_partkey, u,
+         translate(u[1], 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                   '0123012-02245501262301-202') AS flc,
+         replace(translate(u[2:], 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                           '0123012-02245501262301-202'), '-', '') AS tailc
   FROM w
+),
+sx2 AS (
+  SELECT p_partkey, u, flc,
+         {_SQL_COLLAPSE_RUNS.format(col="(CASE WHEN flc = '-' THEN '' ELSE flc END || tailc)")} AS runs
+  FROM sx
+),
+sx3 AS (
+  SELECT p_partkey,
+         u[1] || substr(
+           replace(CASE WHEN flc = '-' THEN runs ELSE runs[2:] END, '0', '')
+           || '000', 1, 3) AS sdx
+  FROM sx2
 )
 SELECT w.p_partkey,
        array_to_string(
          list_transform(string_split(lower(p_name), ' '),
                         s -> upper(s[1]) || s[2:]), ' ') AS name_title,
-       sx.u[1] || substr(st[2:] || '000', 1, 3) AS sdx,
+       sx3.sdx AS sdx,
        printf('%s/%s (size %d)', p_brand, p_type, p_size) AS label,
        round_even(p_retailprice, 1) AS price_bankers,
        DATE '2024-01-08' AS next_monday,
        CAST(2.0 AS DOUBLE) AS mb,
        to_json(range(1, p_size % 4 + 2)) AS seq
-FROM w JOIN sx ON w.p_partkey = sx.p_partkey
+FROM w JOIN sx3 ON w.p_partkey = sx3.p_partkey
 """,
 )
 def scalar_functions_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
