@@ -69,3 +69,28 @@ def test_dedup_within_watermark_bounded_state_invariants(spark, sf_dir):
     }
     assert got == exact
     assert out.count() == len(got)  # one surviving row per key
+
+
+def test_fresh_stream_workdir_sweeps_stale_siblings(tmp_path, monkeypatch):
+    """The per-PID sink workdirs must not accumulate: stale sibling dirs
+    (older than the TTL) are swept on the next call, fresh ones and the
+    caller's own dir are preserved."""
+    import os
+    import time
+
+    from vena_etl_tool_spark.streaming import queries as sq
+
+    monkeypatch.setattr("tempfile.gettempdir", lambda: str(tmp_path))
+    base = tmp_path / "vena_stream_sinks"
+    base.mkdir()
+    stale = base / "stream_tumbling_append_99999"
+    fresh = base / "stream_tumbling_append_88888"
+    stale.mkdir()
+    fresh.mkdir()
+    old = time.time() - sq._SINK_TTL_SECONDS - 60
+    os.utime(stale, (old, old))
+
+    workdir = sq.fresh_stream_workdir("stream_tumbling_append")
+    assert not stale.exists(), "stale sibling should be swept"
+    assert fresh.exists(), "fresh sibling (possibly live) must survive"
+    assert workdir == str(base / f"stream_tumbling_append_{os.getpid()}")
