@@ -47,6 +47,7 @@ HEADLINE = [
     # added r4
     "pipeline_pretrain_flagship",
     "layout_bucketed_join",
+    "text_token_commonness",
 ]
 
 # Cross-round comparability (VERDICT r3 item #5): the headline set grows

@@ -1065,3 +1065,133 @@ def pipeline_pretrain_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_sequences"),
         )
     )
+
+
+@register(
+    "text_token_commonness",
+    tags=("llm", "text", "quality"),
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+vocab AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM vocab),
+j AS (SELECT t.doc_id, v.n FROM toks t JOIN vocab v USING (tok))
+SELECT doc_id,
+       COUNT(*) AS n_tok,
+       CAST(SUM(n) AS BIGINT) AS sum_freq,
+       CAST(CAST(SUM(n) AS BIGINT) AS DOUBLE)
+         / CAST(total * COUNT(*) AS DOUBLE) AS mean_prob,
+       COUNT(CASE WHEN n <= 2 THEN 1 END) AS n_rare,
+       CAST(COUNT(CASE WHEN n <= 2 THEN 1 END) AS DOUBLE)
+         / COUNT(*) AS rare_ratio
+FROM j, tot
+GROUP BY doc_id, total
+""",
+)
+def text_token_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-statistics quality signals, ln-free: per document,
+    the mean unigram probability of its tokens (common-token mass — low
+    values flag gibberish/OOV-heavy text the way high LM perplexity does)
+    and the rare-token ratio (global count ≤ 2). Deliberately built from
+    INTEGER corpus statistics only — sums of counts divided as doubles —
+    because ln()/exp() are not bit-identical across engines (Java Math.log
+    vs C libm differ in the last ulp), while int64→double casts and one
+    division are IEEE-exact in both.
+
+    Plan: explode → vocabulary aggregate (partial map-side combine makes
+    the exchange vocabulary-sized, not corpus-sized) → token join back →
+    per-doc aggregate → 1-row totals broadcast. The token join skews on
+    stopwords at 100 TB: AQE skew-join splits those keys (SCALE.md);
+    the manual fallback is a broadcast head/shuffled tail vocab split."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    tot = vocab.agg(F.sum("n").cast("long").alias("total"))
+    joined = toks.join(vocab, "tok")
+    per_doc = joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.sum("n").cast("long").alias("sum_freq"),
+        F.count(F.when(F.col("n") <= 2, 1)).alias("n_rare"),
+    )
+    return per_doc.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "n_tok",
+        "sum_freq",
+        (
+            F.col("sum_freq").cast("double")
+            / (F.col("total") * F.col("n_tok")).cast("double")
+        ).alias("mean_prob"),
+        "n_rare",
+        (F.col("n_rare").cast("double") / F.col("n_tok")).alias("rare_ratio"),
+    )
+
+
+@register(
+    "dataset_mixture_sample",
+    tags=("llm", "sampling", "splitting"),
+    oracle="""
+WITH per_domain AS (
+  SELECT lang, source,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang, source
+),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               COUNT(*) AS n_domains FROM per_domain),
+rates AS (
+  SELECT lang, source,
+         LEAST(1.0, CAST(total_tokens AS DOUBLE)
+                    / CAST(n_domains * n_tokens AS DOUBLE)) AS keep_rate
+  FROM per_domain, tot
+)
+SELECT d.doc_id, d.lang, d.source,
+       len(string_split(d.text, ' ')) AS n_tok
+FROM documents d JOIN rates r ON d.lang = r.lang AND d.source = r.source
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+           AS DOUBLE) / 1152921504606846976.0 < r.keep_rate
+""",
+)
+def dataset_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture down-sampler — the sampler that APPLIES
+    dataset_mixture_weights: each (lang, source) domain keeps docs at
+    rate min(1, target_share / actual_share), so over-represented domains
+    shrink toward the uniform token mixture and under-represented ones
+    keep everything. The keep decision is content-addressed (md5 of
+    doc_id mapped to [0,1) — the same cross-engine 60-bit bridge the
+    minhash oracles use), so the sample is reproducible row-for-row on
+    any engine, any partitioning, any run — no RNG state to coordinate
+    across 1000 executors.
+
+    Plan: one corpus aggregate (domain token mass, partial-combined to a
+    domains-sized exchange), a 1-row totals broadcast, then the rate
+    table (domains-sized, broadcast) joins the corpus map-side — the
+    filter is a pure projection, no corpus shuffle."""
+    from .dedup import md5_hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_domain = docs.groupBy("lang", "source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens")
+    )
+    tot = per_domain.agg(
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_domains"),
+    )
+    rates = per_domain.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        F.least(
+            F.lit(1.0),
+            F.col("total_tokens").cast("double")
+            / (F.col("n_domains") * F.col("n_tokens")).cast("double"),
+        ).alias("keep_rate"),
+    )
+    u = md5_hash60(F.col("doc_id").cast("string")).cast("double") / F.lit(
+        float(1 << 60)
+    )
+    return (
+        docs.join(F.broadcast(rates), ["lang", "source"])
+        .filter(u < F.col("keep_rate"))
+        .select(
+            "doc_id", "lang", "source", F.size(F.split("text", " ")).alias("n_tok")
+        )
+    )

@@ -65,9 +65,9 @@ def _load_all() -> None:
 # (rows-only entries can never produce a green driver row — the driver
 # records `no_oracle` as an error). Round-4 window (VERDICT r3 item #1):
 # first, every oracle-backed query with no driver-green row across
-# r1∪r2∪r3 — the 19 declared ROTATION_RESIDUE carry-overs plus the 6
+# r1∪r2∪r3 — the 19 declared ROTATION_RESIDUE carry-overs plus the 8
 # queries added/oracle-converted this round — which completes full-registry
-# driver coverage (residue 0); then 25 re-validation slots: every
+# driver coverage (residue 0); then 23 re-validation slots: every
 # oracle-backed query whose module materially changed this round
 # (dedup.py's embedding rework, _shared.spread_small, textanalysis packing
 # div, streaming sink workdirs) plus the bench flagships.
@@ -92,14 +92,20 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "source_python_datasource",
     "source_python_stream",
     "multimodal_audio_segments",
-    # --- never driver-checked: added/oracle-converted in r4 (6) ---
+    # --- never driver-checked: added/oracle-converted in r4 (8) ---
     "pipeline_pretrain_flagship",
     "layout_bucketed_join",
     "json_functions_extra",
     "map_functions_extra",
     "scalar_functions_extra",
     "sort_within_partitions",
-    # --- re-validation: modules changed in r4 + bench flagships (25) ---
+    "text_token_commonness",
+    "dataset_mixture_sample",
+    # --- re-validation: modules changed in r4 + bench flagships (23) ---
+    # (dataset_split_assign / text_quality_score gave up their slots to
+    # the two late-r4 operators above: never-checked > re-validation, and
+    # their logic is re-verified anyway inside corpus_curation_pipeline +
+    # pipeline_pretrain_flagship, both in this window)
     "dedup_embedding_cosine",
     "dedup_minhash_lsh_pairs",
     "dedup_minhash_signatures",
@@ -111,8 +117,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sim_ann_ivf",
     "embedding_quantize_int8",
     "corpus_curation_pipeline",
-    "dataset_split_assign",
-    "text_quality_score",
     "stream_tumbling_append",
     "stream_tumbling_window",
     "sessionize_events",
