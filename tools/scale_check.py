@@ -34,6 +34,9 @@ QUERIES = (
     "embedding_quantize_int8",
     "corpus_curation_pipeline",
     "sessionize_events",
+    "pipeline_pretrain_flagship",
+    "text_token_commonness",
+    "dataset_mixture_sample",
 )
 REPLICAS = 10
 
