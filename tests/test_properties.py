@@ -207,3 +207,69 @@ def test_soundex_oracle_closed_form_matches_spark(spark, words):
         ).fetchall()
     )
     assert spark_vals == duck_vals
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(min_value=-100, max_value=100,
+                      allow_nan=False, width=32),
+            min_size=64, max_size=64,
+        ),
+        min_size=1, max_size=6,
+    )
+)
+@_settings
+def test_embedding_bucket_bits_numpy_spark_duckdb_parity(spark, vecs):
+    """The r4 embedding-dedup rework moved bucket-bit computation from JVM
+    higher-order folds to Arrow-batched numpy. All THREE implementations
+    of the scaled-long sign fold — the retained Spark expression
+    (emb_bucket_cols), the numpy tensor path, and the DuckDB oracle SQL —
+    must agree bit-for-bit on arbitrary float32 vectors, not just fixture
+    embeddings."""
+    import duckdb
+    import numpy as np
+
+    from vena_etl_tool_spark.operators.dedup import (
+        _EMB_PLANES, _sql_bucket, EMB_DIM, EMB_LSH_BANDS, EMB_LSH_BITS,
+        emb_bucket_cols,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id int, embedding array<float>"
+    )
+    spark_rows = sorted(
+        (r.vec_id, tuple(r[f"eb{b}"] for b in range(EMB_LSH_BANDS)))
+        for r in df.select("vec_id", *emb_bucket_cols("embedding")).collect()
+    )
+
+    planes = np.asarray(_EMB_PLANES, dtype=np.float64).reshape(
+        EMB_LSH_BANDS * EMB_LSH_BITS, EMB_DIM
+    )
+    e = np.asarray(vecs, dtype=np.float32).astype(np.float64)
+    sums = (
+        np.floor((e[:, None, :] * planes[None, :, :]) * 1e12)
+        .astype(np.int64)
+        .sum(axis=2)
+    )
+    bits = (sums > 0).reshape(len(vecs), EMB_LSH_BANDS, EMB_LSH_BITS)
+    weights = 1 << np.arange(EMB_LSH_BITS, dtype=np.int64)
+    np_rows = sorted(
+        (i, tuple(int(x) for x in (bits[i] * weights).sum(axis=1)))
+        for i in range(len(vecs))
+    )
+    assert spark_rows == np_rows
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embeddings (vec_id INT, embedding FLOAT[])")
+    con.executemany(
+        "INSERT INTO embeddings VALUES (?, ?)", [(i, v) for i, v in enumerate(vecs)]
+    )
+    sel = ", ".join(
+        f"{_sql_bucket('embedding', b)} AS eb{b}" for b in range(EMB_LSH_BANDS)
+    )
+    duck_rows = sorted(
+        (r[0], tuple(r[1:]))
+        for r in con.execute(f"SELECT vec_id, {sel} FROM embeddings").fetchall()
+    )
+    assert np_rows == duck_rows
