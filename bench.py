@@ -48,6 +48,8 @@ HEADLINE = [
     "pipeline_pretrain_flagship",
     "layout_bucketed_join",
     "text_token_commonness",
+    "q8_market_share",
+    "text_span_dedup",
 ]
 
 # Cross-round comparability (VERDICT r3 item #5): the headline set grows

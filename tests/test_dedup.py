@@ -223,3 +223,26 @@ def test_band_key_plain_is_single_source_of_truth(spark, sf_dir):
     )
     assert via_bands.exceptAll(via_cols).count() == 0
     assert via_cols.exceptAll(via_bands).count() == 0
+
+
+def test_span_dedup_each_block_survives_exactly_once(spark, sf_dir):
+    """Global invariant of exact span dedup: every distinct block value
+    appears exactly once across all dedup_texts, and the kept copy is the
+    first occurrence in (doc_id, blk_idx) order."""
+    import pyspark.sql.functions as F
+
+    from vena_etl_tool_spark.operators.textanalysis import SPAN_W, text_span_dedup
+
+    out = text_span_dedup(spark, sf_dir)
+    kept_blocks = (
+        out.filter(F.col("dedup_text") != "")
+        .select(
+            "doc_id",
+            F.posexplode(F.split("dedup_text", " ")).alias("pos", "tok"),
+        )
+        .withColumn("blk_no", F.floor(F.col("pos") / SPAN_W))
+        .groupBy("doc_id", "blk_no")
+        .agg(F.concat_ws(" ", F.collect_list("tok")).alias("blk"))
+    )
+    dup = kept_blocks.groupBy("blk").count().filter(F.col("count") > 1).collect()
+    assert dup == [], f"blocks kept more than once: {dup[:5]}"

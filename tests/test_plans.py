@@ -152,3 +152,22 @@ def test_embedding_cosine_single_band_exchange(spark, sf_dir):
     assert "Join" not in plan  # pairs are born inside the grouped UDF
     assert plan.count("Exchange hashpartitioning(band") == 1
     assert "FlatMapGroupsInPandas" in plan  # vectorized scoring stage
+
+
+def test_q8_dims_broadcast_big_joins_shuffled(spark, sf_dir):
+    """Q8's two nation roles + part + region ride broadcasts; only the
+    fact-side joins (lineitem⋈orders, orders⋈customer) may shuffle."""
+    plan = plan_of(spark, sf_dir, "q8_market_share")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_span_dedup_ownership_is_aggregate_not_window(spark, sf_dir):
+    """Block ownership must be groupBy().min (partial map-side combine
+    absorbs hot boilerplate blocks); a Window over PARTITION BY blk would
+    serialize the skew key onto one task."""
+    plan = plan_of(spark, sf_dir, "text_span_dedup")
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final for ownership
+    assert "CartesianProduct" not in plan

@@ -129,3 +129,23 @@ def test_int8_quantization_error_bound(spark, sf_dir):
         assert r.max_err_e6 <= step_e6 + 1, (r.vec_id, r.max_err_e6, step_e6)
         assert len(r.qvals.split(",")) == 64
         assert all(-127 <= int(v) <= 127 for v in r.qvals.split(","))
+
+
+def test_ann_recall_eval_bounds_and_nontrivial(spark, sf_dir):
+    """recall@k ∈ [0,1], hits ≤ k, one row per query — and the LSH index
+    must find SOMETHING (all-zero recall would mean the eval is vacuous
+    or the index broken)."""
+    from vena_etl_tool_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+        sim_ann_recall_eval,
+    )
+
+    rows = sim_ann_recall_eval(spark, sf_dir).collect()
+    assert len(rows) == 2 * N_QUERIES  # (lsh, ivf) × queries
+    assert {r.method for r in rows} == {"lsh", "ivf"}
+    assert all(0 <= r.hits <= TOP_K for r in rows)
+    assert all(abs(r.recall_at_k - r.hits / TOP_K) < 1e-12 for r in rows)
+    # IVF at nprobe 2/16 must recall a nontrivial share even on this
+    # near-random corpus; LSH sign-bit buckets may legitimately recall 0.
+    assert sum(r.hits for r in rows if r.method == "ivf") > 0

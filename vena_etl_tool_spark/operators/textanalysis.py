@@ -1195,3 +1195,85 @@ def dataset_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "lang", "source", F.size(F.split("text", " ")).alias("n_tok")
         )
     )
+
+
+# text_span_dedup: non-overlapping block width (tokens) and the packed
+# (doc, block) ordinal used for first-occurrence ownership. Fixture docs
+# top out far below SPAN_PACK blocks; at real scale widen the multiplier.
+SPAN_W = 5
+SPAN_PACK = 1_000_000
+
+
+@register(
+    "text_span_dedup",
+    tags=("llm", "text", "dedup"),
+    oracle=f"""
+WITH blocks AS (
+  SELECT doc_id, blk_idx,
+         array_to_string(words[(blk_idx * {SPAN_W} + 1):(blk_idx * {SPAN_W} + {SPAN_W})], ' ') AS blk,
+         doc_id * {SPAN_PACK} + blk_idx AS packed
+  FROM (
+    SELECT doc_id, string_split(text, ' ') AS words,
+           unnest(range(0, CAST(ceil(len(string_split(text, ' ')) / {SPAN_W}.0) AS BIGINT))) AS blk_idx
+    FROM documents
+  )
+), owners AS (
+  SELECT blk, MIN(packed) AS owner FROM blocks GROUP BY blk
+)
+SELECT b.doc_id,
+       COUNT(*) AS n_blocks,
+       COUNT(*) FILTER (WHERE b.packed = o.owner) AS kept_blocks,
+       COALESCE(string_agg(b.blk, ' ' ORDER BY b.blk_idx)
+                  FILTER (WHERE b.packed = o.owner), '') AS dedup_text
+FROM blocks b JOIN owners o ON b.blk = o.blk
+GROUP BY b.doc_id
+""",
+)
+def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-span removal (the scalable ExactSubstr variant from
+    "Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2022): each doc splits into non-overlapping 5-token blocks; for
+    every distinct block value the corpus-wide first occurrence (min
+    packed (doc_id, blk_idx) ordinal) is kept and every other occurrence
+    is dropped; surviving blocks rejoin in order. Plan shape: block
+    ownership is a groupBy(blk).min — partial map-side combine absorbs
+    hot boilerplate blocks (the skew case a window over PARTITION BY blk
+    would serialize) — then an equi-join back on the block value and one
+    per-doc regroup. Two exchanges + one join, all corpus-linear; at
+    100 TB the join key would be xxhash64(blk) instead of the text
+    (8-byte shuffle), same topology."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_blk = F.ceil(F.size("words") / float(SPAN_W)).cast("long")
+    blocks = (
+        docs.select("doc_id", F.split("text", " ").alias("words"))
+        .select(
+            "doc_id",
+            "words",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_blk - 1)).alias("blk_idx"),
+        )
+        .select(
+            "doc_id",
+            "blk_idx",
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("words"), (F.col("blk_idx") * SPAN_W + 1).cast("int"), SPAN_W
+                ),
+            ).alias("blk"),
+            (F.col("doc_id") * SPAN_PACK + F.col("blk_idx")).alias("packed"),
+        )
+    )
+    owners = blocks.groupBy("blk").agg(F.min("packed").alias("owner"))
+    kept = blocks.join(owners, "blk").withColumn(
+        "keep", F.col("packed") == F.col("owner")
+    )
+    parts = F.sort_array(
+        F.collect_list(
+            F.when(F.col("keep"), F.struct(F.col("blk_idx"), F.col("blk")))
+        )
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.count_if(F.col("keep")).alias("kept_blocks"),
+        F.array_join(parts.getField("blk"), " ").alias("dedup_text"),
+    )

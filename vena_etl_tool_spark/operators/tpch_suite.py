@@ -751,3 +751,84 @@ def q20_quantity_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", "s_name", "n_name", "total_qty")
     )
+
+
+@register(
+    "q8_market_share",
+    tags=("join", "aggregate", "conditional"),
+    oracle="""
+WITH volumes AS (
+  SELECT year(o_orderdate) AS o_year,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS volume,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region   ON cn.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+)
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+         / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+FROM volumes
+GROUP BY o_year
+""",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-style national market share: NATION_3's share of ECONOMY
+    part volume sold into AMERICA-region customers, by order year. The
+    classic two-nation-role join: nation joins once on the supplier side
+    (the share dimension) and once on the customer side (the market
+    filter). Dims (part, supplier, both nation roles, region) broadcast;
+    the two big exchanges are lineitem⋈orders on orderkey and
+    orders⋈customer on custkey — at 100 TB both are the natural shuffle
+    keys and AQE handles their relative sizing. The ratio divides two
+    decimal-exact sums AFTER casting each to double, so both engines
+    perform one identical IEEE division per group."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    # customer-side market filter: customers in AMERICA-region nations
+    cust_nations = nation.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("cn_nationkey"))
+    cust = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(cust_nations), F.col("c_nationkey") == F.col("cn_nationkey")
+    ).select("c_custkey")
+    supp_nation = supp.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    volume = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("decimal(18,4)")
+    volumes = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            volume.alias("volume"),
+            "supp_nation",
+        )
+    )
+    target = F.when(
+        F.col("supp_nation") == "NATION_3", F.col("volume")
+    ).otherwise(F.lit(0).cast("decimal(18,4)"))
+    return volumes.groupBy("o_year").agg(
+        (
+            F.sum(target).cast("double") / F.sum("volume").cast("double")
+        ).alias("mkt_share")
+    )

@@ -101,7 +101,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sort_within_partitions",
     "text_token_commonness",
     "dataset_mixture_sample",
-    # --- re-validation: modules changed in r4 + bench flagships (23) ---
+    # --- never driver-checked: added late-r4 (3) — displacing the three
+    # re-validation picks that already hold driver-green rows and whose
+    # modules did not change this round (topk_global r1, agg_rollup r1,
+    # udf_apply_in_pandas r3): never-checked > re-validation ---
+    "q8_market_share",
+    "text_span_dedup",
+    "sim_ann_recall_eval",
+    # --- re-validation: modules changed in r4 + bench flagships (20) ---
     # (dataset_split_assign / text_quality_score gave up their slots to
     # the two late-r4 operators above: never-checked > re-validation, and
     # their logic is re-verified anyway inside corpus_curation_pipeline +
@@ -125,10 +132,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "window_frames",
-    "topk_global",
-    "agg_rollup",
     "skew_salted_join",
-    "udf_apply_in_pandas",
 )
 
 # Oracle-backed queries added AFTER this round's window was frozen — they
