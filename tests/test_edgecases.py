@@ -117,3 +117,36 @@ def test_hll_sketch_rollup_accuracy(spark, sf_dir):
     assert set(est) == set(exact)
     for yr, e in est.items():
         assert abs(e - exact[yr]) / exact[yr] < 0.05, (yr, e, exact[yr])
+
+
+def test_retention_offset_zero_is_full_cohort(spark, sf_dir):
+    """Every user is active in their own first-seen week, so each cohort's
+    offset-0 row must cover the whole cohort (retention exactly 1.0)."""
+    import pyspark.sql.functions as F
+
+    from vena_etl_tool_spark.operators.analytics import events_retention_cohorts
+
+    rows = (
+        events_retention_cohorts(spark, sf_dir)
+        .filter(F.col("week_offset") == 0)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert r.active_users == r.cohort_size
+        assert r.retention == 1.0
+
+
+def test_phash_is_locality_preserving(spark, sf_dir):
+    """Identical payloads must pair at hamming 0; all reported pairs are
+    within the radius and properly ordered."""
+    from vena_etl_tool_spark.operators.multimodal import (
+        PHASH_HAM_T,
+        multimodal_phash_neardup,
+    )
+
+    rows = multimodal_phash_neardup(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert 0 <= r.hamming <= PHASH_HAM_T

@@ -171,3 +171,19 @@ def test_span_dedup_ownership_is_aggregate_not_window(spark, sf_dir):
     assert "Window" not in plan
     assert plan.count("HashAggregate") >= 2  # partial + final for ownership
     assert "CartesianProduct" not in plan
+
+
+def test_phash_neardup_banded_equi_join(spark, sf_dir):
+    """pHash candidate generation must be an equi-join on the band key —
+    never an all-pairs product — and verification must not add a join."""
+    plan = plan_of(spark, sf_dir, "multimodal_phash_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_retention_reuses_user_partitioning(spark, sf_dir):
+    """first-seen agg + activity join hash-partition on user_id; the join
+    must not introduce a nested loop, and cohort sizes ride a broadcast."""
+    plan = plan_of(spark, sf_dir, "events_retention_cohorts")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # sizes join

@@ -94,3 +94,22 @@ def test_fresh_stream_workdir_sweeps_stale_siblings(tmp_path, monkeypatch):
     assert not stale.exists(), "stale sibling should be swept"
     assert fresh.exists(), "fresh sibling (possibly live) must survive"
     assert workdir == str(base / f"stream_tumbling_append_{os.getpid()}")
+
+
+def test_left_outer_nulls_are_watermark_gated(spark, sf_dir):
+    """The left-outer stream join must contain the inner join's rows
+    exactly, plus null-click rows only for purchases old enough that the
+    final watermark closed their match window."""
+    import pyspark.sql.functions as F
+
+    from vena_etl_tool_spark.streaming.queries import (
+        stream_stream_join,
+        stream_stream_left_outer,
+    )
+
+    outer = stream_stream_left_outer(spark, sf_dir)
+    inner = stream_stream_join(spark, sf_dir)
+    matched = outer.filter(F.col("click_id").isNotNull())
+    assert matched.exceptAll(inner).count() == 0
+    assert inner.exceptAll(matched).count() == 0
+    assert outer.filter(F.col("click_id").isNull()).count() > 0

@@ -268,3 +268,67 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             cnt("purchased").cast("double") / F.nullif(cnt("viewed"), F.lit(0)), 6
         ).alias("view_to_purchase_rate"),
     )
+
+
+@register(
+    "events_retention_cohorts",
+    tags=("events", "aggregate", "analytics"),
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT e.user_id, f.cohort_week,
+         date_diff('day', f.cohort_week, date_trunc('week', e.ts)) // 7 AS week_offset
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+), sizes AS (
+  SELECT cohort_week, COUNT(*) AS cohort_size FROM firsts GROUP BY cohort_week
+)
+SELECT a.cohort_week, a.week_offset,
+       COUNT(DISTINCT a.user_id) AS active_users,
+       s.cohort_size,
+       CAST(COUNT(DISTINCT a.user_id) AS DOUBLE) / s.cohort_size AS retention
+FROM activity a JOIN sizes s ON a.cohort_week = s.cohort_week
+GROUP BY a.cohort_week, a.week_offset, s.cohort_size
+""",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention — the third classic event-analytics shape next to
+    sessionization and funnels: users cohorted by first-seen week, then
+    the share of each cohort active k weeks later. Week offsets are
+    integer day-diffs between date_trunc'd weeks divided exactly by 7
+    (both engines truncate to Monday), so the whole grid is
+    integer-deterministic; only the final rate divides (one IEEE division
+    per output row). Scale shape: first-seen and the activity join share
+    ONE hash partitioning on user_id (exchange reuse, same as
+    sessionize), the distinct-user count shuffles the (cohort, offset,
+    user) triple once, and cohort sizes ride a broadcast — no corpus-size
+    exchange beyond the user_id one however large the event log."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.join(firsts, "user_id").select(
+        "user_id",
+        "cohort_week",
+        F.expr("datediff(date_trunc('week', ts), cohort_week) div 7")
+        .cast("long")
+        .alias("week_offset"),
+    )
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "active_users",
+            "cohort_size",
+            (F.col("active_users").cast("double") / F.col("cohort_size")).alias(
+                "retention"
+            ),
+        )
+    )

@@ -280,3 +280,159 @@ def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seg_seconds"
         ),
     )
+
+
+# Perceptual-hash near-dup parameters: 16 block-mean bits, 4 bands of 4
+# bits, hamming radius 3 (pigeonhole: any pair within radius 3 agrees on
+# at least one of the 4 bands). At real scale the pHash widens to 64 bits
+# with 16-bit bands (65k buckets) — same topology, bigger keyspace.
+PHASH_BITS = 16
+PHASH_BANDS = 4
+PHASH_BAND_W = PHASH_BITS // PHASH_BANDS
+PHASH_HAM_T = PHASH_BITS // PHASH_BANDS - 1  # = 3
+
+
+def _phash_block_sql_spark() -> str:
+    """One Spark SQL expression producing the 16-bit block-mean pHash.
+
+    bit_j = 1 iff mean(byte codes of block j) > mean(all byte codes),
+    tested as the integer cross-multiplication blocksum_j * n_total >
+    total_sum * blockcnt_j — no division, exact in any engine.
+    """
+    terms = []
+    for j in range(PHASH_BITS):
+        a = f"(({j} * n) div {PHASH_BITS})"
+        b = f"((({j} + 1) * n) div {PHASH_BITS})"
+        bsum = (
+            f"aggregate(slice(codes, {a} + 1, {b} - {a}),"
+            f" CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        )
+        terms.append(
+            f"(CASE WHEN {bsum} * n > total * ({b} - {a})"
+            f" THEN {1 << j} ELSE 0 END)"
+        )
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _phash_block_sql_duck() -> str:
+    """DuckDB twin of _phash_block_sql_spark (bit-identical)."""
+    terms = []
+    for j in range(PHASH_BITS):
+        a = f"(({j} * n) // {PHASH_BITS})"
+        b = f"((({j} + 1) * n) // {PHASH_BITS})"
+        bsum = f"COALESCE(list_sum(codes[{a} + 1:{b}]), 0)"
+        terms.append(
+            f"(CASE WHEN {bsum} * n > total * ({b} - {a})"
+            f" THEN {1 << j} ELSE 0 END)"
+        )
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _phash_neardup_oracle() -> str:
+    bands = ", ".join(
+        f"(phash >> {PHASH_BAND_W * b}) & {(1 << PHASH_BAND_W) - 1} AS band{b}"
+        for b in range(PHASH_BANDS)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, phash, {b} AS band_idx, band{b} AS band_val FROM banded"
+        for b in range(PHASH_BANDS)
+    )
+    return f"""
+WITH codes_t AS (
+  SELECT doc_id, list_transform(string_split(text, ''), c -> ascii(c)) AS codes
+  FROM documents
+), stats AS (
+  SELECT doc_id, codes, len(codes) AS n, list_sum(codes) AS total FROM codes_t
+), hashed AS (
+  SELECT doc_id, {_phash_block_sql_duck()} AS phash FROM stats
+), banded AS (
+  SELECT doc_id, phash, {bands} FROM hashed
+), flat AS (
+{band_rows}
+), cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+                  l.phash AS ph_a, r.phash AS ph_b
+  FROM flat l JOIN flat r
+    ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+   AND l.doc_id < r.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(ph_a, ph_b)) AS hamming
+FROM cand
+WHERE bit_count(xor(ph_a, ph_b)) <= {PHASH_HAM_T}
+"""
+
+
+@register(
+    "multimodal_phash_neardup",
+    tags=("llm", "multimodal", "dedup"),
+    oracle=_phash_neardup_oracle(),
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection for media payloads — the
+    image-dedup pass of a multimodal training pipeline. Real pHash
+    compares DCT-block luminance means against the global mean; the
+    decode stub here derives the same bit structure from payload byte
+    codes (block mean vs global mean over 16 blocks — locality-preserving:
+    payloads sharing most bytes land at small hamming distance), so the
+    Spark plumbing — fingerprint, banding, candidate join, hamming verify
+    — is the production topology with only the block statistic swapped at
+    deploy time. All arithmetic is integer (cross-multiplied means, no
+    division), which is why an approximate *image* dedup is hash-checkable
+    against DuckDB. Plan: one map-only fingerprint pass (16 codegen'd
+    folds), explode to 4 (band, value) rows/doc, equi-join on the band
+    key (pigeonhole guarantees recall at hamming ≤ 3), popcount verify.
+    At scale: 64-bit pHash, 16-bit bands → 65k buckets, same plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.select(
+        "doc_id",
+        F.expr("transform(split(text, ''), c -> ascii(c))").alias("codes"),
+    ).select(
+        "doc_id",
+        F.expr("size(codes)").alias("n"),
+        F.col("codes"),
+        F.expr(
+            "aggregate(codes, CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias("total"),
+    )
+    hashed = stats.select("doc_id", F.expr(_phash_block_sql_spark()).alias("phash"))
+    mask = (1 << PHASH_BAND_W) - 1
+    bands_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.shiftright(F.col("phash"), PHASH_BAND_W * b)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_val"),
+            )
+            for b in range(PHASH_BANDS)
+        ]
+    )
+    flat = hashed.select(
+        "doc_id", "phash", F.explode(bands_arr).alias("bb")
+    ).select(
+        "doc_id",
+        "phash",
+        F.col("bb.band_idx").alias("band_idx"),
+        F.col("bb.band_val").alias("band_val"),
+    )
+    left = flat.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("phash").alias("ph_a"),
+        "band_idx",
+        "band_val",
+    )
+    right = flat.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("phash").alias("ph_b"),
+        "band_idx",
+        "band_val",
+    )
+    cand = (
+        left.join(right, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return cand.select(
+        "doc_a", "doc_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= PHASH_HAM_T)

@@ -415,6 +415,72 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_left_outer",
+    tags=("streaming", "join"),
+    oracle="""
+WITH wm AS (
+  SELECT LEAST(
+    (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'),
+    (SELECT MAX(ts) FROM events WHERE event_type = 'click')
+  ) - INTERVAL '1 hour' AS w
+), lj AS (
+  SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id, p.ts AS p_ts
+  FROM events p
+  LEFT JOIN events c
+    ON p.user_id = c.user_id AND c.event_type = 'click'
+   AND c.ts >= p.ts - INTERVAL '30 minutes' AND c.ts <= p.ts
+  WHERE p.event_type = 'purchase'
+)
+SELECT purchase_id, click_id, user_id
+FROM lj, wm
+WHERE click_id IS NOT NULL OR p_ts < wm.w
+""",
+)
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join — same purchases⋈clicks lookback as
+    stream_stream_join, plus null rows for purchases that never saw a
+    click. An outer null row can only emit once the click-side watermark
+    passes the purchase's match window (otherwise a late click could
+    still match), so purchases after ``global watermark = min(max p_ts,
+    max c_ts) − 1 h`` are still in state when availableNow terminates and
+    correctly do NOT emit. The oracle encodes exactly that semantics —
+    inner matches unconditionally, null rows only below the final
+    watermark — making the *streaming* outer-join contract itself the
+    thing being hash-checked, not a batch approximation of it. (Eviction
+    comparison is strict ``<``; fixture timestamps are µs-aligned with no
+    row on the boundary.) State bounds: both sides expire by the same
+    watermark that gates emission — state is O(one watermark interval of
+    data), independent of stream length."""
+    ev = events_stream(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_outer",
+    ).select("purchase_id", "click_id", "user_id")
+    return run_to_table(joined, "stream_stream_left_outer", "append")
+
+
+@register(
     "stream_lifecycle_metrics",
     tags=("streaming", "jobs"),
     oracle="""
