@@ -246,3 +246,28 @@ def test_span_dedup_each_block_survives_exactly_once(spark, sf_dir):
     )
     dup = kept_blocks.groupBy("blk").count().filter(F.col("count") > 1).collect()
     assert dup == [], f"blocks kept more than once: {dup[:5]}"
+
+
+def test_incremental_update_verdicts_on_planted_batch(spark, tmp_path):
+    """Plant a corpus where the new batch (doc_id % 4 == 0) contains an
+    exact duplicate of an old doc, a near-dup of an old doc, and a fresh
+    doc — each must get its verdict, exact taking precedence."""
+    from vena_etl_tool_spark.operators.dedup import corpus_incremental_update
+
+    old_a = BASE_TEXT + " alpha"
+    old_b = BASE_TEXT.replace("fox", "wolf") + " beta"
+    rows = [
+        (1, "s", old_a),                                # old
+        (2, "s", old_b),                                # old
+        (3, "s", "unrelated old content " * 10),        # old
+        (4, "s", old_a),                                # new: exact dup of 1
+        (8, "s", old_b.replace("lazy", "sleepy")),      # new: near-dup of 2
+        (12, "s", "entirely novel text about columnar formats " * 5),  # new
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: r.verdict
+        for r in corpus_incremental_update(spark, str(tmp_path)).collect()
+    }
+    assert out == {4: "rejected_exact", 8: "rejected_neardup", 12: "admitted"}

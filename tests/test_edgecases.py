@@ -137,16 +137,30 @@ def test_retention_offset_zero_is_full_cohort(spark, sf_dir):
         assert r.retention == 1.0
 
 
-def test_phash_is_locality_preserving(spark, sf_dir):
-    """Identical payloads must pair at hamming 0; all reported pairs are
-    within the radius and properly ordered."""
+def test_phash_is_locality_preserving(spark, sf_dir, tmp_path):
+    """Identical payloads must pair at hamming 0, lightly-perturbed ones
+    within the radius; unrelated docs must not appear. Planted corpus —
+    the fixture has no exact payload dups (the sf0.001 pair set is
+    legitimately empty at radius 3 of 32 bits)."""
     from vena_etl_tool_spark.operators.multimodal import (
         PHASH_HAM_T,
         multimodal_phash_neardup,
     )
 
-    rows = multimodal_phash_neardup(spark, sf_dir).collect()
-    assert rows
-    for r in rows:
-        assert r.doc_a < r.doc_b
-        assert 0 <= r.hamming <= PHASH_HAM_T
+    base = ("spark shuffles partitions across the cluster while the "
+            "optimizer prunes columns from the scan " * 4)
+    rows = [
+        (1, "s", base),
+        (2, "s", base),                       # identical payload
+        (3, "s", base[:-10] + "tail bytes"),  # light perturbation
+        (4, "s", "completely different payload about storage formats " * 6),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {(r.doc_a, r.doc_b): r.hamming
+           for r in multimodal_phash_neardup(spark, str(tmp_path)).collect()}
+    assert out[(1, 2)] == 0
+    for (a, b), h in out.items():
+        assert a < b and 0 <= h <= PHASH_HAM_T
+        assert 4 not in (a, b)  # the unrelated doc never pairs

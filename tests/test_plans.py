@@ -187,3 +187,12 @@ def test_retention_reuses_user_partitioning(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "events_retention_cohorts")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # sizes join
+
+
+def test_null_safe_join_is_hash_join(spark, sf_dir):
+    """eqNullSafe must still plan a broadcast HASH join (Catalyst coalesces
+    null-safe keys into hashable form), never a nested loop."""
+    plan = plan_of(spark, sf_dir, "join_null_safe")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -273,3 +273,65 @@ def test_embedding_bucket_bits_numpy_spark_duckdb_parity(spark, vecs):
         for r in con.execute(f"SELECT vec_id, {sel} FROM embeddings").fetchall()
     )
     assert np_rows == duck_rows
+
+
+text_strategy = st.lists(
+    st.text(
+        alphabet=st.sampled_from(
+            list("abcdefghijklmnopqrstuvwxyz0123456789 .,!?")
+        ),
+        min_size=1,
+        max_size=120,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(texts=text_strategy)
+@_settings
+def test_phash_cross_engine_parity(spark, texts):
+    """The 32-bit block-mean pHash fold must be bit-identical between the
+    Spark expression and the DuckDB oracle fragment for ANY ascii text —
+    the fixture only exercises one character distribution, hypothesis
+    walks the block-boundary edge cases (short strings, repeated chars,
+    punctuation)."""
+    import duckdb
+
+    from vena_etl_tool_spark.operators.multimodal import (
+        _phash_block_sql_duck,
+        _phash_block_sql_spark,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = df.selectExpr(
+        "doc_id",
+        "transform(split(text, ''), c -> ascii(c)) AS codes",
+    ).selectExpr(
+        "doc_id",
+        "size(codes) AS n",
+        "codes",
+        "aggregate(codes, CAST(0 AS BIGINT), (acc, v) -> acc + v) AS total",
+    )
+    got = {
+        r.doc_id: r.phash
+        for r in stats.selectExpr(
+            "doc_id", f"{_phash_block_sql_spark()} AS phash"
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = dict(
+        con.execute(
+            "SELECT doc_id, phash FROM ("
+            "  SELECT doc_id, "
+            f" {_phash_block_sql_duck()} AS phash FROM ("
+            "    SELECT doc_id, codes, len(codes) AS n, list_sum(codes) AS total"
+            "    FROM (SELECT doc_id,"
+            "          list_transform(string_split(text, ''), c -> ascii(c)) AS codes"
+            "          FROM t)))"
+        ).fetchall()
+    )
+    assert got == want

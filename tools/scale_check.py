@@ -37,6 +37,9 @@ QUERIES = (
     "pipeline_pretrain_flagship",
     "text_token_commonness",
     "dataset_mixture_sample",
+    "text_span_dedup",
+    "multimodal_phash_neardup",
+    "events_retention_cohorts",
 )
 REPLICAS = 10
 

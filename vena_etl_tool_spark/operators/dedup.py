@@ -1083,3 +1083,87 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.select(
         "doc_a", "doc_b", "edit_dist", F.round("edit_ratio", 6).alias("edit_ratio")
     )
+
+
+def _incremental_update_oracle() -> str:
+    """Compose the proven pairs oracle: new-batch docs (doc_id % 4 = 0)
+    are rejected on exact hash match or a verified cross near-dup pair
+    against the existing corpus."""
+    pairs = _minhash_pairs_oracle()
+    return f"""
+WITH pairs AS ({pairs}),
+newdocs AS (
+  SELECT doc_id, source, md5(text) AS th FROM documents WHERE doc_id % 4 = 0
+),
+olddocs AS (
+  SELECT DISTINCT md5(text) AS th FROM documents WHERE doc_id % 4 <> 0
+),
+exact_rej AS (
+  SELECT DISTINCT n.doc_id FROM newdocs n JOIN olddocs o ON n.th = o.th
+),
+near_rej AS (
+  SELECT DISTINCT CASE WHEN doc_a % 4 = 0 THEN doc_a ELSE doc_b END AS doc_id
+  FROM pairs
+  WHERE (doc_a % 4 = 0) <> (doc_b % 4 = 0)
+)
+SELECT n.doc_id, n.source,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'rejected_exact'
+            WHEN r.doc_id IS NOT NULL THEN 'rejected_neardup'
+            ELSE 'admitted' END AS verdict
+FROM newdocs n
+LEFT JOIN exact_rej e ON n.doc_id = e.doc_id
+LEFT JOIN near_rej r ON n.doc_id = r.doc_id
+"""
+
+
+@register(
+    "corpus_incremental_update",
+    tags=("llm", "dedup", "pipeline"),
+    oracle=_incremental_update_oracle(),
+)
+def corpus_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus admission — the production shape of dedup: a
+    new crawl batch (here the deterministic split doc_id % 4 = 0) is
+    checked against the EXISTING corpus, and each new doc gets a
+    verdict: rejected_exact (hash match with an existing doc),
+    rejected_neardup (verified MinHash-LSH pair, Jaccard ≥ 0.5, crossing
+    the batch boundary), or admitted. Composes the registered pair
+    machinery unchanged, so the admission decision is hash-checked
+    end-to-end. Scale notes: at 100 TB the existing corpus's signatures
+    and band keys are PERSISTED state (computed once, appended per
+    batch) — only the new batch explodes shingles each run; the band
+    join is new-bands ⋈ old-bands, sized by the batch, not the corpus.
+    Here both sides recompute from the shared fixture scan, which keeps
+    the oracle expressible while exercising the same joins."""
+    docs = spread_small(load_table(spark, sf_dir, "documents"))
+    is_new = F.col("doc_id") % 4 == 0
+    newdocs = docs.filter(is_new).select(
+        "doc_id", "source", F.md5("text").alias("th")
+    )
+    old_hashes = docs.filter(~is_new).select(F.md5("text").alias("oth")).distinct()
+    exact_rej = (
+        newdocs.join(old_hashes, F.col("th") == F.col("oth"), "left_semi")
+        .select("doc_id")
+        .withColumn("is_exact", F.lit(True))
+    )
+    pairs = minhash_lsh_pairs(docs, hash_expr=md5_hash60, hashed_band_keys=False)
+    near_rej = (
+        pairs.filter((F.col("doc_a") % 4 == 0) != (F.col("doc_b") % 4 == 0))
+        .select(
+            F.when(F.col("doc_a") % 4 == 0, F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("doc_id")
+        )
+        .distinct()
+        .withColumn("is_near", F.lit(True))
+    )
+    verdict = (
+        F.when(F.col("is_exact"), "rejected_exact")
+        .when(F.col("is_near"), "rejected_neardup")
+        .otherwise("admitted")
+    )
+    return (
+        newdocs.join(exact_rej, "doc_id", "left")
+        .join(near_rej, "doc_id", "left")
+        .select("doc_id", "source", verdict.alias("verdict"))
+    )

@@ -450,3 +450,56 @@ def merge_upsert_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("new_balance"))
         .alias("merged_balance"),
     )
+
+
+@register(
+    "join_null_safe",
+    tags=("join", "null-safe"),
+    oracle="""
+WITH keyed AS (
+  SELECT event_id,
+         NULLIF(CAST(json_extract_string(props, '$.k') AS INTEGER) % 10, 3)
+           AS k_bucket,
+         value
+  FROM events
+), dim AS (
+  SELECT k_bucket,
+         COUNT(*) AS bucket_n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS bucket_value
+  FROM keyed GROUP BY k_bucket
+)
+SELECT k.event_id, k.k_bucket, d.bucket_n, d.bucket_value
+FROM keyed k
+JOIN dim d ON k.k_bucket IS NOT DISTINCT FROM d.k_bucket
+""",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): rows
+    whose derived bucket key is NULL must match the dimension's NULL
+    group instead of silently dropping — the semantics a data-quality
+    rollup needs when the grouping key itself can be absent. Catalyst
+    hashes null-safe keys by coalescing into a hashable form, so this
+    still plans a broadcast HASH join, not a nested loop (plan-tested).
+    The dimension is built by aggregating the same nullable key (the
+    NULL group aggregates normally), so every fact row matches exactly
+    one dim row and the output is the input cardinality."""
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        "event_id",
+        F.expr(
+            "nullif(cast(get_json_object(props, '$.k') as int) % 10, 3)"
+        ).alias("k_bucket"),
+        "value",
+    )
+    dim = keyed.groupBy("k_bucket").agg(
+        F.count(F.lit(1)).alias("bucket_n"),
+        dsum("value", 2).alias("bucket_value"),
+    ).select(
+        F.col("k_bucket").alias("d_bucket"), "bucket_n", "bucket_value"
+    )
+    return (
+        keyed.join(
+            F.broadcast(dim), F.col("k_bucket").eqNullSafe(F.col("d_bucket"))
+        )
+        .select("event_id", "k_bucket", "bucket_n", "bucket_value")
+    )

@@ -282,18 +282,26 @@ def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Perceptual-hash near-dup parameters: 16 block-mean bits, 4 bands of 4
-# bits, hamming radius 3 (pigeonhole: any pair within radius 3 agrees on
-# at least one of the 4 bands). At real scale the pHash widens to 64 bits
-# with 16-bit bands (65k buckets) — same topology, bigger keyspace.
-PHASH_BITS = 16
+# Perceptual-hash near-dup parameters: 32 block-mean bits, 4 bands of 8
+# bits (256-value band keyspace — the first 16-bit/4-bit-band draft made
+# every bucket corpus/16-sized, and the 10x scale harness measured the
+# resulting candidate self-join at 130x for 10x data; widening the band
+# to 8 bits restored ~linear growth), hamming radius 3 (pigeonhole: any
+# pair within radius 3 agrees on ≥1 of the 4 bands). PHASH_BUCKET_CAP is
+# the hot-bucket guard (same role as the minhash/embedding caps): a
+# bucket shared by k docs is k² candidate pairs, and mass-identical
+# payloads (which upstream exact dedup should have removed) would
+# otherwise collide in every band. At real scale the pHash widens to 64
+# bits with 16-bit bands (65k buckets) — same topology, bigger keyspace.
+PHASH_BITS = 32
 PHASH_BANDS = 4
 PHASH_BAND_W = PHASH_BITS // PHASH_BANDS
-PHASH_HAM_T = PHASH_BITS // PHASH_BANDS - 1  # = 3
+PHASH_HAM_T = 3
+PHASH_BUCKET_CAP = 150
 
 
 def _phash_block_sql_spark() -> str:
-    """One Spark SQL expression producing the 16-bit block-mean pHash.
+    """One Spark SQL expression producing the 32-bit block-mean pHash.
 
     bit_j = 1 iff mean(byte codes of block j) > mean(all byte codes),
     tested as the integer cross-multiplication blocksum_j * n_total >
@@ -349,10 +357,15 @@ WITH codes_t AS (
   SELECT doc_id, phash, {bands} FROM hashed
 ), flat AS (
 {band_rows}
+), bcap AS (
+  SELECT band_idx, band_val FROM flat
+  GROUP BY band_idx, band_val HAVING COUNT(*) <= {PHASH_BUCKET_CAP}
+), bf AS (
+  SELECT f.* FROM flat f JOIN bcap USING (band_idx, band_val)
 ), cand AS (
   SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
                   l.phash AS ph_a, r.phash AS ph_b
-  FROM flat l JOIN flat r
+  FROM bf l JOIN bf r
     ON l.band_idx = r.band_idx AND l.band_val = r.band_val
    AND l.doc_id < r.doc_id
 )
@@ -372,16 +385,20 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     image-dedup pass of a multimodal training pipeline. Real pHash
     compares DCT-block luminance means against the global mean; the
     decode stub here derives the same bit structure from payload byte
-    codes (block mean vs global mean over 16 blocks — locality-preserving:
+    codes (block mean vs global mean over 32 blocks — locality-preserving:
     payloads sharing most bytes land at small hamming distance), so the
     Spark plumbing — fingerprint, banding, candidate join, hamming verify
     — is the production topology with only the block statistic swapped at
     deploy time. All arithmetic is integer (cross-multiplied means, no
     division), which is why an approximate *image* dedup is hash-checkable
-    against DuckDB. Plan: one map-only fingerprint pass (16 codegen'd
-    folds), explode to 4 (band, value) rows/doc, equi-join on the band
-    key (pigeonhole guarantees recall at hamming ≤ 3), popcount verify.
-    At scale: 64-bit pHash, 16-bit bands → 65k buckets, same plan."""
+    against DuckDB. Plan: one map-only fingerprint pass (32 codegen'd
+    folds), explode to 4 (band, value) rows/doc, hot buckets dropped at
+    PHASH_BUCKET_CAP via a window over the join's own partitioning (the
+    guard the 10x scale harness demanded — mass-identical payloads
+    collide in every band and are upstream exact-dedup's job), equi-join
+    on the band key (pigeonhole guarantees recall at hamming ≤ 3 for
+    surviving buckets), popcount verify. At scale: 64-bit pHash, 16-bit
+    bands → 65k buckets, same plan."""
     docs = load_table(spark, sf_dir, "documents")
     stats = docs.select(
         "doc_id",
@@ -414,6 +431,17 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "phash",
         F.col("bb.band_idx").alias("band_idx"),
         F.col("bb.band_val").alias("band_val"),
+    )
+    # hot-bucket cap over the same (band_idx, band_val) partitioning the
+    # candidate self-join shuffles on anyway — one exchange, no extra
+    # aggregate+join round trip (same pattern as minhash_lsh_pairs)
+    from pyspark.sql import Window
+
+    bsz_w = Window.partitionBy("band_idx", "band_val")
+    flat = (
+        flat.withColumn("_bsz", F.count(F.lit(1)).over(bsz_w))
+        .filter(F.col("_bsz") <= PHASH_BUCKET_CAP)
+        .drop("_bsz")
     )
     left = flat.select(
         F.col("doc_id").alias("doc_a"),

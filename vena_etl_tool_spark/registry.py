@@ -111,7 +111,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "multimodal_phash_neardup",
     "events_retention_cohorts",
     "stream_stream_left_outer",
-    # --- re-validation: modules changed in r4 + bench flagships (17) ---
+    "join_null_safe",
+    "corpus_incremental_update",
+    # --- re-validation: modules changed in r4 + bench flagships (15) ---
     # (dataset_split_assign / text_quality_score gave up their slots to
     # the two late-r4 operators above: never-checked > re-validation, and
     # their logic is re-verified anyway inside corpus_curation_pipeline +
@@ -133,11 +135,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stream_tumbling_window",
     "sessionize_events",
     "join_asof_last_click",
+    # (window_frames / skew_salted_join ceded their slots to the two late
+    # additions above — both driver-green in r2 with modules untouched
+    # this round)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "window_frames",
-    "skew_salted_join",
 )
 
 # Oracle-backed queries added AFTER this round's window was frozen — they
