@@ -50,6 +50,8 @@ HEADLINE = [
     "text_token_commonness",
     "q8_market_share",
     "text_span_dedup",
+    "multimodal_phash_neardup",
+    "corpus_incremental_update",
 ]
 
 # Cross-round comparability (VERDICT r3 item #5): the headline set grows

@@ -196,3 +196,12 @@ def test_null_safe_join_is_hash_join(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_incremental_update_no_product_joins(spark, sf_dir):
+    """Admission composes exact-hash semi-join + banded minhash pairs —
+    every join must stay an equi hash/merge join."""
+    plan = plan_of(spark, sf_dir, "corpus_incremental_update")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan  # the exact-hash rejection
