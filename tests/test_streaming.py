@@ -113,3 +113,25 @@ def test_left_outer_nulls_are_watermark_gated(spark, sf_dir):
     assert matched.exceptAll(inner).count() == 0
     assert inner.exceptAll(matched).count() == 0
     assert outer.filter(F.col("click_id").isNull()).count() > 0
+
+
+def test_session_window_boundary_is_inclusive(spark):
+    """Pins the empirical session_window contract the oracle encodes: an
+    event at EXACTLY last_ts + gap merges into the running session (so
+    the gaps-and-islands oracle must use strict > on the gap)."""
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00"),
+            (1, "2024-01-01 00:30:00"),   # exactly the 30-min gap: merges
+            (1, "2024-01-01 01:00:01"),   # 30:01 after: new session
+        ],
+        "user_id long, ts_s string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    sessions = (
+        df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert sorted(r.n for r in sessions) == [1, 2]

@@ -144,7 +144,8 @@ def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH flagged AS (
   SELECT user_id, ts, event_type,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                OR CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
               THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

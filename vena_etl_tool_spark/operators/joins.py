@@ -347,19 +347,27 @@ def join_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_range_bucketized",
     tags=("join", "range-join", "interval"),
     oracle="""
+WITH e AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+)
 SELECT a.event_id AS event_a, b.event_id AS event_b,
-       CAST(date_diff('second', a.ts, b.ts) AS BIGINT) AS gap_sec
-FROM events a
-JOIN events b
+       b.sec - a.sec AS gap_sec
+FROM e a
+JOIN e b
   ON a.user_id = b.user_id
- AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '60 seconds'
+ AND b.sec > a.sec AND b.sec <= a.sec + 60
  AND a.event_id <> b.event_id
 """,
 )
 def join_range_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Big×big interval self-join via the equi-prefix (bucketize) rewrite
     — SURVEY.md §4.2's at-scale range-join strategy, as a registered plan:
-    pairs of events by the same user within 60 seconds.
+    pairs of events by the same user within 60 seconds, at the operator's
+    declared SECOND granularity (both sides compare floor-epoch-seconds;
+    an oracle on raw sub-second timestamps diverges the moment the data
+    has two events inside one second — which sf0.1 does and sf0.01 does
+    not, a latent mismatch the sf0.1 sweep caught in round 4).
 
     A naive theta join (u = u AND ts diff ≤ 60s) on two fact-sized inputs
     is a nested loop over every user's full history. The rewrite buckets

@@ -275,6 +275,10 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "session"),
     oracle="""
 WITH marked AS (
+  -- strict >: empirically verified (r4) — Spark session_window MERGES an
+  -- event landing exactly at last_ts + gap (a 00:00 / 00:30:00 / 00:59:59
+  -- probe collapses to ONE session of 3 events), so a new session starts
+  -- only when the gap strictly exceeds 30 minutes, matching this predicate
   SELECT user_id, ts,
          CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
                    > INTERVAL '30 minutes'
