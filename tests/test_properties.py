@@ -335,3 +335,62 @@ def test_phash_cross_engine_parity(spark, texts):
         ).fetchall()
     )
     assert got == want
+
+
+ts_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=50),          # user
+        st.integers(min_value=1577836800, max_value=1893456000),  # 2020-2030 epoch sec
+        st.integers(min_value=0, max_value=999_999),     # sub-second micros
+    ),
+    min_size=2,
+    max_size=40,
+)
+
+
+@given(rows=ts_strategy)
+@_settings
+def test_retention_week_offset_parity(spark, rows):
+    """date_trunc('week') + day-diff integer-div-7 must agree between
+    Spark and DuckDB for ANY timestamp — the fixture's events span one
+    month, so year boundaries / ISO-week starts are never exercised
+    there. (Both engines truncate weeks to Monday; UTC pinned.)"""
+    import duckdb
+
+    data = [(u, s * 1_000_000 + us) for (u, s, us) in rows]
+    df = spark.createDataFrame(data, "user_id long, micros long").select(
+        "user_id", F.timestamp_micros("micros").alias("ts")
+    )
+    firsts = df.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    got = sorted(
+        map(
+            tuple,
+            df.join(firsts, "user_id")
+            .selectExpr(
+                "user_id",
+                "datediff(date_trunc('week', ts), cohort_week) div 7 AS wk",
+            )
+            .collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e (user_id BIGINT, ts TIMESTAMP)")
+    con.executemany(
+        "INSERT INTO e VALUES (?, to_timestamp(? / 1e6))", data
+    )
+    con.execute("SET TimeZone='UTC'")
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                """
+WITH f AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cw FROM e GROUP BY user_id)
+SELECT e.user_id, date_diff('day', f.cw, date_trunc('week', e.ts)) // 7 AS wk
+FROM e JOIN f ON e.user_id = f.user_id
+"""
+            ).fetchall(),
+        )
+    )
+    assert got == want
