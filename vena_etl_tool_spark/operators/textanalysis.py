@@ -1277,3 +1277,56 @@ def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("keep")).alias("kept_blocks"),
         F.array_join(parts.getField("blk"), " ").alias("dedup_text"),
     )
+
+
+# dataset_shuffle_order: shard fan-out of the reproducible corpus shuffle.
+SHUFFLE_SALT = "shuffle-v1:"
+SHUFFLE_SHARDS = 64
+
+
+@register(
+    "dataset_shuffle_order",
+    tags=("llm", "dataset", "shuffle"),
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, source,
+         (('0x' || substr(md5('{SHUFFLE_SALT}' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
+           AS k
+  FROM documents
+)
+SELECT doc_id, source,
+       k % {SHUFFLE_SHARDS} AS shard,
+       ROW_NUMBER() OVER (PARTITION BY k % {SHUFFLE_SHARDS}
+                          ORDER BY k, doc_id) AS pos_in_shard
+FROM keyed
+""",
+)
+def dataset_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global corpus shuffle — the training-order
+    randomization every pre-training run needs, made content-addressed so
+    it is identical on any engine, partitioning, or rerun (seeded rand()
+    is partitioning-dependent; this is md5(salt || doc_id), the same
+    fixed-point trick as dataset_split_assign). The shuffled order is
+    delivered the way trainers consume it: a shard id (hash mod 64) plus
+    the position within that shard — row_number partitioned BY SHARD, so
+    no single-partition global window exists in the plan; at 100 TB each
+    shard sorts ~corpus/64 independently and writers emit one file per
+    shard. Changing the salt re-shuffles the corpus deterministically
+    (epoch reshuffling = salt per epoch)."""
+    from .dedup import md5_hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        md5_hash60(
+            F.concat(F.lit(SHUFFLE_SALT), F.col("doc_id").cast("string"))
+        ).alias("k"),
+    )
+    w = Window.partitionBy(F.col("k") % SHUFFLE_SHARDS).orderBy("k", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "source",
+        (F.col("k") % SHUFFLE_SHARDS).alias("shard"),
+        F.row_number().over(w).alias("pos_in_shard"),
+    )

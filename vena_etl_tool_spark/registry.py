@@ -63,14 +63,14 @@ def _load_all() -> None:
 # The correctness driver evaluates queries() in iteration order and checks
 # the first 50. Window policy (since r3): ONLY oracle-backed queries
 # (rows-only entries can never produce a green driver row — the driver
-# records `no_oracle` as an error). Round-4 window (VERDICT r3 item #1):
-# first, every oracle-backed query with no driver-green row across
-# r1∪r2∪r3 — the 19 declared ROTATION_RESIDUE carry-overs plus the 8
-# queries added/oracle-converted this round — which completes full-registry
-# driver coverage (residue 0); then 23 re-validation slots: every
-# oracle-backed query whose module materially changed this round
-# (dedup.py's embedding rework, _shared.spread_small, textanalysis packing
-# div, streaming sink workdirs) plus the bench flagships.
+# records `no_oracle` as an error). Final round-4 window: 36 slots for
+# every oracle-backed query with NO driver-green row across r1∪r2∪r3 —
+# the 19 declared ROTATION_RESIDUE carry-overs, the 8 added/converted
+# early r4, and the 9 added late r4 — which completes full-registry
+# driver coverage (residue 0); then 14 re-validation slots for queries
+# whose code or ORACLE materially changed this round (dedup.py embedding
+# rework, the two late second-granularity oracle fixes) plus the bench
+# flagships. Displacement rationale per slot is inline below.
 DRIVER_WINDOW: tuple[str, ...] = (
     # --- never driver-checked: r3 rotation residue (19) ---
     "q2_min_cost_supplier",
@@ -113,7 +113,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stream_stream_left_outer",
     "join_null_safe",
     "corpus_incremental_update",
-    # --- re-validation: modules changed in r4 + bench flagships (15) ---
+    "dataset_shuffle_order",
+    # --- re-validation: modules changed in r4 + bench flagships (14) ---
+    # join_range_bucketized re-enters: its oracle changed in late r4 (the
+    # second-granularity fix caught by the sf0.1 sweep), so its r3 green
+    # row no longer certifies the current oracle. It displaces
+    # join_asof_last_click (r3-green, code unchanged; joins.py is still
+    # re-validated via q3 + join_null_safe + this query).
+    "join_range_bucketized",
     # (dataset_split_assign / text_quality_score gave up their slots to
     # the two late-r4 operators above: never-checked > re-validation, and
     # their logic is re-verified anyway inside corpus_curation_pipeline +
@@ -125,7 +132,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # recall_eval re-runs both similarity index scans)
     "dedup_embedding_cosine",
     "dedup_minhash_lsh_pairs",
-    "dedup_ngram_jaccard",
     "dedup_exact_hash",
     "dedup_cluster_assign",
     "sim_cosine_topk",
@@ -133,8 +139,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "corpus_curation_pipeline",
     "stream_tumbling_append",
     "stream_tumbling_window",
+    # sessionize_events stays: its oracle also changed in late r4 (the
+    # truncated-seconds gap fix)
     "sessionize_events",
-    "join_asof_last_click",
     # (window_frames / skew_salted_join ceded their slots to the two late
     # additions above — both driver-green in r2 with modules untouched
     # this round)
