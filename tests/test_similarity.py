@@ -149,3 +149,32 @@ def test_ann_recall_eval_bounds_and_nontrivial(spark, sf_dir):
     # IVF at nprobe 2/16 must recall a nontrivial share even on this
     # near-random corpus; LSH sign-bit buckets may legitimately recall 0.
     assert sum(r.hits for r in rows if r.method == "ivf") > 0
+
+
+def test_semantic_dedup_greedy_keep_one(spark, tmp_path):
+    """Planted corpus: two identical-direction vectors in one cluster must
+    resolve as (kept, dup-of-the-earlier); an orthogonal vector in another
+    cluster stays kept. Pins the greedy-by-vec_id SemDeDup rule."""
+    import numpy as np
+    import pandas as pd
+
+    from vena_etl_tool_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=64)
+    # v1 ~ v0 (same direction, scaled); v2 unrelated
+    vecs = [base, base * 1.7, rng.normal(size=64)]
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [0, 1, 2],
+            "embedding": [np.asarray(v, dtype=np.float32) for v in vecs],
+            "label": [0, 0, 1],
+        }
+    )
+    path = str(tmp_path / "embeddings.parquet")
+    pdf.to_parquet(path)
+    out = {r.vec_id: r for r in sim.dedup_semantic_ivf(spark, str(tmp_path)).collect()}
+    assert not out[0].is_dup and out[0].dup_of is None
+    assert out[1].is_dup and out[1].dup_of == 0
+    assert out[0].cent == out[1].cent
+    assert not out[2].is_dup

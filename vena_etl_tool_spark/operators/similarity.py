@@ -596,3 +596,133 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("a_neighbor_id").alias("hits"),
         (F.count("a_neighbor_id").cast("double") / F.lit(TOP_K)).alias("recall_at_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic deduplication (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+# cluster the embedding space with the fixed IVF centroids, then within each
+# cluster mark every vector that sits inside the epsilon-ball (cosine >= tau)
+# of an earlier-id vector as a semantic duplicate. The paper's keep-one rule
+# is applied greedily by vec_id (content-addressed at ingest, so the rule is
+# deterministic and engine-independent). Unlike dedup_embedding_cosine (LSH
+# candidate pairs for NEAR-duplicates), this dedups by SEMANTIC neighborhood:
+# clustering bounds the pairwise phase to within-cluster work.
+# ---------------------------------------------------------------------------
+
+SEM_TAU = 0.25
+# Pairwise-phase guard: a cluster with k members contributes k^2/2 scorings,
+# so one mass cluster would dominate the stage. Clusters over the cap skip
+# the pairwise phase entirely (all members kept — bounded recall loss,
+# mirrored exactly in the oracle). In production SemDeDup k grows with N
+# (k ~ N/target_cluster_size), so expected occupancy stays constant; the
+# cap is the backstop for skewed assignments, same rationale as
+# dedup.EMB_BUCKET_CAP.
+SEM_CLUSTER_CAP = 500
+
+_SEMANTIC_ORACLE = f"""
+WITH scored AS (
+  SELECT vec_id, label, embedding,
+         (SELECT CAST(SUM(CAST(FLOOR(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
+          FROM UNNEST(embedding) AS u(x)) AS sq_norm,
+         {{duck_scores}} AS scores
+  FROM embeddings
+), assigned AS (
+  SELECT vec_id, label, embedding, sq_norm,
+         CAST(list_position(scores, list_min(scores)) - 1 AS INTEGER) AS cent
+  FROM scored
+), sizes AS (
+  SELECT cent, COUNT(*) AS csize FROM assigned GROUP BY cent
+), small AS (
+  SELECT a.* FROM assigned a JOIN sizes s USING (cent)
+  WHERE s.csize <= {SEM_CLUSTER_CAP}
+), close AS (
+  SELECT b.vec_id AS b_id, a.vec_id AS a_id
+  FROM small a JOIN small b ON a.cent = b.cent AND a.vec_id < b.vec_id
+  WHERE (SELECT CAST(SUM(CAST(FLOOR(CAST(struct_extract(p, 1) AS DOUBLE) * CAST(struct_extract(p, 2) AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
+         FROM UNNEST(list_zip(a.embedding, b.embedding)) AS t(p))
+        / (SQRT(a.sq_norm) * SQRT(b.sq_norm)) >= {SEM_TAU}
+), dup AS (
+  SELECT b_id, MIN(a_id) AS dup_of, COUNT(*) AS n_close FROM close GROUP BY b_id
+)
+SELECT v.vec_id, v.label, v.cent, d.dup_of,
+       COALESCE(d.n_close, 0) AS n_close,
+       d.dup_of IS NOT NULL AS is_dup
+FROM assigned v LEFT JOIN dup d ON v.vec_id = d.b_id
+"""
+
+
+@register(
+    "dedup_semantic_ivf",
+    tags=("llm", "dedup", "semantic", "ivf"),
+    oracle=_SEMANTIC_ORACLE.format(duck_scores=_ivf_scores_duck()),
+)
+def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: IVF-centroid clustering (the
+    map-only scaled-integer argmin shared with sim_ann_ivf — no shuffle to
+    assign), then a within-cluster pairwise phase where a vector is a
+    semantic duplicate iff an earlier-id vector of the same cluster has
+    cosine >= SEM_TAU. Every vector comes back with a verdict: cluster id,
+    dup_of (the earliest close neighbor, NULL when kept), n_close, is_dup.
+
+    Scale shape: the corpus is touched by one projection for assignment;
+    the only corpus exchange is the hash partition on `cent` for the
+    self-join, and the pairwise work is bounded per cluster by
+    SEM_CLUSTER_CAP (skip-list semantics mirrored in the oracle). Cluster
+    sizes are a 16-row broadcast. At 100 TB: raise IVF_CENTROIDS so
+    expected occupancy is constant (SemDeDup's own k ~ N scaling) and the
+    per-cluster m x m scoring becomes the applyInPandas tensor kernel
+    already used by dedup_embedding_cosine."""
+    emb = with_sq_norm(spread_small(load_table(spark, sf_dir, "embeddings")))
+    assigned = (
+        emb.select(
+            "vec_id", "label", "embedding", "sq_norm",
+            F.expr(_ivf_scores_spark()).alias("scores"),
+        )
+        .select(
+            "vec_id", "label", "embedding", "sq_norm",
+            (F.expr("array_position(scores, array_min(scores))") - 1)
+            .cast("int")
+            .alias("cent"),
+        )
+    )
+    sizes = assigned.groupBy("cent").agg(F.count(F.lit(1)).alias("csize"))
+    small = (
+        assigned.join(F.broadcast(sizes), "cent")
+        .filter(F.col("csize") <= SEM_CLUSTER_CAP)
+        .select("cent", "vec_id", "embedding", "sq_norm")
+    )
+    a = small.select(
+        F.col("cent").alias("j_cent"),
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("sq_norm").alias("a_sq"),
+    )
+    b = small.select(
+        "cent",
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col("sq_norm").alias("b_sq"),
+    )
+    close = (
+        b.join(a, (F.col("cent") == F.col("j_cent")) & (F.col("a_id") < F.col("b_id")))
+        .withColumn(
+            "cosine",
+            dot_exact(F.col("a_emb"), F.col("b_emb"))
+            / (F.sqrt("a_sq") * F.sqrt("b_sq")),
+        )
+        .filter(F.col("cosine") >= F.lit(SEM_TAU))
+    )
+    dup = close.groupBy("b_id").agg(
+        F.min("a_id").alias("dup_of"), F.count(F.lit(1)).alias("n_close")
+    )
+    return (
+        assigned.join(dup, assigned.vec_id == dup.b_id, "left")
+        .select(
+            "vec_id",
+            "label",
+            "cent",
+            "dup_of",
+            F.coalesce("n_close", F.lit(0)).alias("n_close"),
+            F.col("dup_of").isNotNull().alias("is_dup"),
+        )
+    )

@@ -134,7 +134,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_minhash_lsh_pairs",
     "dedup_exact_hash",
     "dedup_cluster_assign",
-    "sim_cosine_topk",
+    # sim_cosine_topk ceded its slot to the continuation-session semantic
+    # dedup query (never-checked > re-validation; the brute-force cosine
+    # path is still re-exercised inside sim_ann_recall_eval, which stays
+    # in the window):
+    "dedup_semantic_ivf",
     "sim_ann_ivf",
     "corpus_curation_pipeline",
     "stream_tumbling_append",
