@@ -205,3 +205,22 @@ def test_incremental_update_no_product_joins(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftSemi" in plan  # the exact-hash rejection
+
+
+def test_drift_topk_plan_shape(spark, sf_dir):
+    """Drift monitor: global top-K must be TakeOrderedAndProject (never a
+    global sort), snapshot counts must come from ONE corpus aggregate
+    (conditional counts), not a per-snapshot self-join."""
+    plan = plan_of(spark, sf_dir, "corpus_drift_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_semantic_dedup_plan_shape(spark, sf_dir):
+    """SemDeDup: centroid assignment is map-only (no join to assign);
+    the pairwise phase is an equi-join on the cluster id, never a
+    cartesian product; cluster sizes ride a broadcast."""
+    plan = plan_of(spark, sf_dir, "dedup_semantic_ivf")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # 16-row size table

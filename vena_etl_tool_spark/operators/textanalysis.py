@@ -1330,3 +1330,97 @@ def dataset_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("k") % SHUFFLE_SHARDS).alias("shard"),
         F.row_number().over(w).alias("pos_in_shard"),
     )
+
+
+DRIFT_TOPK = 20
+
+
+@register(
+    "corpus_drift_topk",
+    tags=("llm", "text", "drift", "monitoring"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id % 2 AS snap, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+), counts AS (
+  SELECT tok,
+         CAST(COUNT(CASE WHEN snap = 0 THEN 1 END) AS BIGINT) AS n_old,
+         CAST(COUNT(CASE WHEN snap = 1 THEN 1 END) AS BIGINT) AS n_new
+  FROM toks GROUP BY tok
+), tot AS (
+  SELECT CAST(SUM(n_old) AS BIGINT) AS t_old,
+         CAST(SUM(n_new) AS BIGINT) AS t_new
+  FROM counts
+), drift AS (
+  SELECT tok, n_old, n_new,
+         ABS(n_old * t_new - n_new * t_old) AS drift_num
+  FROM counts, tot
+), tv AS (
+  SELECT CAST(SUM(drift_num) AS BIGINT) AS tv_num FROM drift
+)
+SELECT tok, n_old, n_new, drift_num,
+       CAST(drift_num AS DOUBLE) / CAST(tv_num AS DOUBLE) AS drift_share,
+       CAST(tv_num AS DOUBLE)
+         / (2.0 * CAST(t_old AS DOUBLE) * CAST(t_new AS DOUBLE)) AS tv_distance
+FROM drift, tv, tot
+ORDER BY drift_num DESC, tok
+LIMIT {DRIFT_TOPK}
+""",
+)
+def corpus_drift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift monitor: total-variation distance between the token
+    distributions of two corpus snapshots (here the deterministic doc_id
+    parity halves stand in for e.g. two crawl dates), plus the top-K
+    tokens driving the drift. The per-token statistic is the integer
+    cross-multiplication |c_old*T_new - c_new*T_old| — pure int64, so the
+    global numerator sum is EXACT and order-independent (a float
+    sum of p-q differences would be partition-order-dependent); the only
+    doubles are two final divisions, IEEE-identical in any engine. At
+    int64 scale this holds to ~1e15 token-count x corpus-size products;
+    beyond that (a full 100 TB corpus pair) promote the numerator to
+    DECIMAL(38,0) — same plan shape.
+
+    Plan: one scan -> explode -> vocabulary aggregate with conditional
+    counts (NO per-snapshot join: both snapshot counts come out of one
+    map-side-combined groupBy) -> two scalar-row broadcasts -> global
+    top-K via TakeOrderedAndProject. The corpus is shuffled once, at
+    vocabulary granularity."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.col("doc_id") % 2).alias("snap"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(
+        F.count(F.when(F.col("snap") == 0, 1)).cast("long").alias("n_old"),
+        F.count(F.when(F.col("snap") == 1, 1)).cast("long").alias("n_new"),
+    )
+    tot = counts.agg(
+        F.sum("n_old").cast("long").alias("t_old"),
+        F.sum("n_new").cast("long").alias("t_new"),
+    )
+    drift = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "drift_num",
+        F.abs(F.col("n_old") * F.col("t_new") - F.col("n_new") * F.col("t_old")),
+    )
+    tv = drift.agg(F.sum("drift_num").cast("long").alias("tv_num"))
+    return (
+        drift.crossJoin(F.broadcast(tv))
+        .select(
+            "tok",
+            "n_old",
+            "n_new",
+            "drift_num",
+            (F.col("drift_num").cast("double") / F.col("tv_num").cast("double"))
+            .alias("drift_share"),
+            (
+                F.col("tv_num").cast("double")
+                / (
+                    F.lit(2.0)
+                    * F.col("t_old").cast("double")
+                    * F.col("t_new").cast("double")
+                )
+            ).alias("tv_distance"),
+        )
+        .orderBy(F.col("drift_num").desc(), "tok")
+        .limit(DRIFT_TOPK)
+    )

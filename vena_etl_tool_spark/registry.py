@@ -132,7 +132,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # recall_eval re-runs both similarity index scans)
     "dedup_embedding_cosine",
     "dedup_minhash_lsh_pairs",
-    "dedup_exact_hash",
+    # dedup_exact_hash ceded its slot to the continuation-session drift
+    # monitor (never-checked > re-validation; exact-hash dedup is
+    # re-exercised inside pipeline_pretrain_flagship, still in the window):
+    "corpus_drift_topk",
     "dedup_cluster_assign",
     # sim_cosine_topk ceded its slot to the continuation-session semantic
     # dedup query (never-checked > re-validation; the brute-force cosine
