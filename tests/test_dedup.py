@@ -271,3 +271,25 @@ def test_incremental_update_verdicts_on_planted_batch(spark, tmp_path):
         for r in corpus_incremental_update(spark, str(tmp_path)).collect()
     }
     assert out == {4: "rejected_exact", 8: "rejected_neardup", 12: "admitted"}
+
+
+def test_containment_detects_embedded_doc(spark, tmp_path):
+    """Planted: doc 1 is a verbatim slice of doc 0 (containment 1.0,
+    direction b_in_a -> the smaller side is contained); doc 2 shares
+    nothing and must not pair."""
+    from vena_etl_tool_spark.operators.dedup import dedup_containment
+
+    long = " ".join(f"w{i}" for i in range(40))
+    short = " ".join(f"w{i}" for i in range(10, 20))
+    other = " ".join(f"x{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(0, long, "en", "s", len(long)), (1, short, "en", "s", len(short)),
+         (2, other, "en", "s", len(other))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = dedup_containment(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b) == (0, 1)
+    assert r.cont_b == 1.0 and r.direction == "b_in_a"

@@ -1167,3 +1167,89 @@ def corpus_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(near_rej, "doc_id", "left")
         .select("doc_id", "source", verdict.alias("verdict"))
     )
+
+
+# Containment threshold, applied as the integer inequality
+# 10*inter >= CONT_TAU_TENTHS*min(na, nb) so the filter never touches a
+# float boundary (the reported containment doubles are display-only).
+CONT_TAU_TENTHS = 8
+
+
+@register(
+    "dedup_containment",
+    tags=("llm", "dedup", "containment"),
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), sh_all AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, len(words) - 1),
+                   i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+  )) AS sh
+  FROM w WHERE len(words) >= 3
+), sh AS (
+  SELECT doc_id, sh FROM sh_all
+  WHERE sh IN (SELECT sh FROM sh_all GROUP BY sh HAVING COUNT(*) <= {{cap}})
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.doc_a, p.doc_b, p.inter,
+       ROUND(CAST(p.inter AS DOUBLE) / sa.n_sh, 6) AS cont_a,
+       ROUND(CAST(p.inter AS DOUBLE) / sb.n_sh, 6) AS cont_b,
+       CASE WHEN sa.n_sh <= sb.n_sh THEN 'a_in_b' ELSE 'b_in_a' END AS direction
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+WHERE 10 * p.inter >= {CONT_TAU_TENTHS} * LEAST(sa.n_sh, sb.n_sh)
+""".format(cap=SHINGLE_DF_CAP),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-duplicate detection by shingle CONTAINMENT
+    (|A∩B| / min(|A|, |B|) >= 0.8): catches a short document embedded in a
+    longer one — quotes, boilerplate wrappers, article + comments — which
+    symmetric Jaccard misses because the size difference dilutes the
+    union. Same inverted-index blocking + hot-shingle df-cap as
+    dedup_ngram_jaccard (identical 100 TB shape: candidate pairs come from
+    the shingle equi-join, never a cross product); the direction column
+    says which side is the contained one. The >= tau filter is the integer
+    inequality 10*inter >= 8*min(na, nb) — no float boundary in the
+    verdict on either engine."""
+    sh_all = _doc_shingles(spark, sf_dir)
+    dfreq = sh_all.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+    sh = (
+        sh_all.join(dfreq, "sh")
+        .filter(F.col("_df") <= SHINGLE_DF_CAP)
+        .select("doc_id", "sh")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.lit(10) * F.col("inter")
+            >= F.lit(CONT_TAU_TENTHS) * F.least("na", "nb")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            F.round(F.col("inter").cast("double") / F.col("na"), 6).alias("cont_a"),
+            F.round(F.col("inter").cast("double") / F.col("nb"), 6).alias("cont_b"),
+            F.when(F.col("na") <= F.col("nb"), F.lit("a_in_b"))
+            .otherwise(F.lit("b_in_a"))
+            .alias("direction"),
+        )
+    )

@@ -145,7 +145,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sim_ann_ivf",
     "corpus_curation_pipeline",
     "stream_tumbling_append",
-    "stream_tumbling_window",
+    # stream_tumbling_window ceded its slot to the continuation-session
+    # containment query (never-checked > re-validation; the streaming
+    # window+sink path stays covered by stream_tumbling_append):
+    "dedup_containment",
     # sessionize_events stays: its oracle also changed in late r4 (the
     # truncated-seconds gap fix)
     "sessionize_events",
