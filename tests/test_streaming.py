@@ -135,3 +135,35 @@ def test_session_window_boundary_is_inclusive(spark):
         .collect()
     )
     assert sorted(r.n for r in sessions) == [1, 2]
+
+
+def test_transform_with_state_matches_batch_groupby(spark, sf_dir):
+    """The stateful per-(user, type) running totals (TWS path or its
+    env-gated fallback twin) must equal the batch GROUP BY exactly."""
+    import pyspark.sql.functions as F
+
+    from vena_etl_tool_spark.catalog import load_table
+    from vena_etl_tool_spark.streaming.stateful import (
+        make_per_type_processor,
+        stream_transform_with_state,
+    )
+
+    got = {
+        (r.user_id, r.event_type): (r.n_events, r.total_value)
+        for r in stream_transform_with_state(spark, sf_dir).collect()
+    }
+    exp = {
+        (r.user_id, r.event_type): (r.n, r.tv)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("tv"),
+        )
+        .collect()
+    }
+    assert got == exp
+    # the TWS processor itself must always build (the channel deps are the
+    # only env gate), so API regressions surface even where protobuf is absent
+    proc = make_per_type_processor()
+    assert hasattr(proc, "init") and hasattr(proc, "handleInputRows")

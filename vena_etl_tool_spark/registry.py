@@ -143,7 +143,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # in the window):
     "dedup_semantic_ivf",
     "sim_ann_ivf",
-    "corpus_curation_pipeline",
+    # corpus_curation_pipeline ceded its slot to the continuation-session
+    # transformWithState query (never-checked > re-validation; curation
+    # stages are re-verified inside pipeline_pretrain_flagship +
+    # stream_curation_pipeline, both still in the window):
+    "stream_transform_with_state",
     "stream_tumbling_append",
     # stream_tumbling_window ceded its slot to the continuation-session
     # containment query (never-checked > re-validation; the streaming

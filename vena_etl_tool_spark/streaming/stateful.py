@@ -81,3 +81,192 @@ def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFram
         F.max("n_events").alias("n_events"),
         F.max("total_value").alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4.x): the successor API to
+# applyInPandasWithState — typed state primitives (ValueState / ListState /
+# MapState / timers) managed per key by the state store. Requires the
+# RocksDB state-store provider; pinned per-query below (the value is
+# captured into the stream's checkpoint at first start, same as the state
+# partition count).
+# ---------------------------------------------------------------------------
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+class _state_store_provider:
+    """Temporarily pin the state-store provider while a stream starts;
+    always restores the session value (other streaming queries in this
+    session keep the default HDFS-backed provider)."""
+
+    def __init__(self, spark: SparkSession, provider: str = _ROCKSDB_PROVIDER):
+        self.spark, self.provider = spark, provider
+        self._key = "spark.sql.streaming.stateStore.providerClass"
+
+    def __enter__(self) -> None:
+        self.prev = self.spark.conf.get(self._key)
+        self.spark.conf.set(self._key, self.provider)
+
+    def __exit__(self, *exc) -> None:
+        self.spark.conf.set(self._key, self.prev)
+
+
+def has_tws_deps() -> bool:
+    """transformWithStateInPandas talks to the JVM state server over
+    protobuf from the Python workers; without the `protobuf` package the
+    stream crashes at first batch. Gate on the import (environment rule:
+    optional deps behind an import-try), and fall back to the
+    applyInPandasWithState twin below."""
+    import importlib.util
+
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # no `google` namespace package at all
+        return False
+
+
+def make_per_type_fallback():
+    """Semantic twin of PerTypeCounts on the pre-4.x API: state keyed by
+    (user_id, event_type) directly (applyInPandasWithState has no typed
+    MapState, so the map key moves into the grouping key)."""
+
+    def update(key, batches, state):
+        import pandas as pd
+
+        user_id, etype = key
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in batches:
+            n += len(pdf)
+            total += float(pdf["value_cents"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "event_type": [etype], "n_events": [n],
+             "total_value": [round(total / 100.0, 2)]}
+        )
+
+    return update
+
+
+def make_per_type_processor():
+    """Build the StatefulProcessor CLASS inside a factory so cloudpickle
+    serializes it by value (same rationale as make_update_user_state:
+    executors may not have this package on sys.path)."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class PerTypeCounts(StatefulProcessor):
+        """Per-user MapState keyed by event_type holding (n, total);
+        every batch folds its rows into the map and emits the full
+        per-(user, type) running aggregate."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getMapState(
+                "per_type", "event_type string", "n long, total double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            for pdf in rows:
+                grouped = pdf.groupby("event_type", sort=False).agg(
+                    n=("event_type", "size"), total=("value_cents", "sum")
+                )
+                for etype, row in grouped.iterrows():
+                    prev = (
+                        self._state.getValue((etype,))
+                        if self._state.containsKey((etype,))
+                        else (0, 0.0)
+                    )
+                    # cents stay integral in the double: exact accumulation
+                    self._state.updateValue(
+                        (etype,), (prev[0] + int(row["n"]), prev[1] + float(row["total"]))
+                    )
+            out = [
+                {"user_id": user_id, "event_type": k[0], "n_events": v[0],
+                 "total_value": round(v[1] / 100.0, 2)}
+                for k, v in self._state.iterator()
+            ]
+            yield pd.DataFrame(out)
+
+        def close(self) -> None:
+            pass
+
+    return PerTypeCounts()
+
+
+@register(
+    "stream_transform_with_state",
+    tags=("streaming", "stateful", "transformWithState"),
+    oracle="""
+SELECT user_id, event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY user_id, event_type
+""",
+)
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful streaming on the Spark 4 transformWithState API:
+    per-user MapState (keyed by event_type) of running (count, value)
+    aggregates, emitted in update mode. availableNow over the static
+    fixture makes the final emission per (user, type) equal the batch
+    GROUP BY — the same batch-equivalence harness as the
+    applyInPandasWithState twin above, now on the typed-state successor
+    API (RocksDB-backed state store, pinned per-query). Where the TWS
+    Python deps (protobuf) are absent the query runs a semantic twin on
+    the older API — has_tws_deps() gates at runtime, the oracle is
+    identical either way.
+
+    Exactness: values are folded as integer CENTS inside the double state
+    field (value has 2 decimals by fixture contract), so accumulation
+    order cannot perturb the sum — the /100 happens once at emission.
+
+    Scale: state is hash-partitioned by user key in the RocksDB store;
+    only Arrow batches of each key's rows cross the Python boundary, and
+    MapState gives O(types-per-user) state access instead of rewriting
+    one blob value per batch."""
+    import pyspark.sql.functions as F
+
+    ev = events_stream(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        # DECIMAL cents computed JVM-side, exact for 2-decimal doubles
+        F.round(F.col("value").cast("decimal(18,2)") * 100, 0)
+        .cast("double")
+        .alias("value_cents"),
+    )
+    if has_tws_deps():
+        with _state_store_provider(spark):
+            out = ev.groupBy("user_id").transformWithStateInPandas(
+                statefulProcessor=make_per_type_processor(),
+                outputStructType=(
+                    "user_id long, event_type string, n_events long, total_value double"
+                ),
+                outputMode="Update",
+                timeMode="None",
+            )
+            sink = run_to_table(out, "stream_transform_with_state", "update")
+    else:
+        # Env gate: the TWS Python state client speaks protobuf to the JVM;
+        # without the protobuf package in the workers the semantic twin
+        # below runs on the older API — same state keying, same output.
+        out = ev.groupBy("user_id", "event_type").applyInPandasWithState(
+            make_per_type_fallback(),
+            outputStructType=(
+                "user_id long, event_type string, n_events long, total_value double"
+            ),
+            stateStructType="n long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        sink = run_to_table(out, "stream_transform_with_state", "update")
+    # update mode re-emits the full map per key per batch; counts are
+    # monotone, so the final state per (user, type) is the max
+    return sink.groupBy("user_id", "event_type").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("total_value").alias("total_value"),
+    )
