@@ -66,3 +66,32 @@ def test_zorder_key_is_a_bijection_of_buckets(spark, sf_dir):
         F.countDistinct("x", "y"), F.countDistinct("zkey")
     ).first()
     assert n_pairs == n_keys
+
+
+def test_compaction_bins_are_valid_packing(spark, sf_dir):
+    """Next-fit-decreasing invariants: per source, bin ids are contiguous
+    from 0; a bin never exceeds target + its own largest member (a file
+    straddles the boundary at most once); bytes are conserved."""
+    from collections import defaultdict
+
+    from vena_etl_tool_spark.operators.layouts import (
+        COMPACT_TARGET_BYTES,
+        layout_compaction_plan,
+    )
+
+    rows = layout_compaction_plan(spark, sf_dir).collect()
+    per_source = defaultdict(list)
+    for r in rows:
+        per_source[r.source].append(r)
+    for source, files in per_source.items():
+        bins = defaultdict(list)
+        for r in files:
+            bins[r.bin_id].append(r)
+        assert sorted(bins) == list(range(len(bins)))
+        for bin_id, members in bins.items():
+            m = members[0]
+            assert m.bin_files == len(members)
+            assert m.bin_bytes == sum(x.file_bytes for x in members)
+            assert m.bin_bytes < COMPACT_TARGET_BYTES + max(
+                x.file_bytes for x in members
+            )

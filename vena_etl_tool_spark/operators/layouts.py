@@ -20,7 +20,7 @@ from __future__ import annotations
 import os
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import load_table
 from ..registry import register
@@ -231,4 +231,82 @@ def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
         dsum("l_quantity").alias("sum_qty"),
+    )
+
+
+# Compaction planner knobs: manifest granularity (docs per simulated file)
+# and the target compacted size. The planner is pure SQL over a manifest,
+# so these only shape the fixture; production feeds the real file listing.
+COMPACT_DOCS_PER_FILE = 8
+COMPACT_TARGET_BYTES = 1500
+
+
+@register(
+    "layout_compaction_plan",
+    tags=("layout", "compaction", "maintenance"),
+    oracle=f"""
+WITH manifest AS (
+  SELECT source, doc_id // {COMPACT_DOCS_PER_FILE} AS file_id,
+         CAST(SUM(n_chars) AS BIGINT) AS file_bytes,
+         COUNT(*) AS n_docs
+  FROM documents GROUP BY source, doc_id // {COMPACT_DOCS_PER_FILE}
+), packed AS (
+  SELECT source, file_id, file_bytes, n_docs,
+         (CAST(SUM(file_bytes) OVER (
+            PARTITION BY source
+            ORDER BY file_bytes DESC, file_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) - file_bytes)
+           // {COMPACT_TARGET_BYTES} AS bin_id
+  FROM manifest
+)
+SELECT source, file_id, file_bytes, n_docs, bin_id,
+       CAST(SUM(file_bytes) OVER (PARTITION BY source, bin_id) AS BIGINT)
+         AS bin_bytes,
+       CAST(COUNT(*) OVER (PARTITION BY source, bin_id) AS BIGINT) AS bin_files
+FROM packed
+""",
+)
+def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner (the OPTIMIZE/bin-packing maintenance
+    job every long-lived 100 TB table needs): given a file manifest
+    (here simulated deterministically as ~{8}-doc groups with byte sizes
+    from n_chars; in production the real listing / transaction log), pack
+    each partition directory's files into target-size rewrite bins by
+    next-fit-decreasing: files sorted by size desc, running byte total,
+    bin = (cumsum - bytes) div target. Output is the rewrite plan — one
+    row per file with its bin assignment and the bin's totals — which a
+    rewriter executes as one partitioned read+coalesced write per bin.
+
+    Scale shape: planning is SQL over the MANIFEST (millions of rows for
+    100 TB, i.e. tiny); the cumulative-sum window partitions by the
+    directory key `source`, so no global single-partition window exists.
+    Integer `div`/`//` on both sides — no float in bin math."""
+    docs = load_table(spark, sf_dir, "documents")
+    manifest = docs.groupBy(
+        "source",
+        F.expr(f"doc_id div {COMPACT_DOCS_PER_FILE}").alias("file_id"),
+    ).agg(
+        F.sum("n_chars").cast("long").alias("file_bytes"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    cum_w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("file_bytes").desc(), "file_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = manifest.withColumn(
+        "cum_bytes", F.sum("file_bytes").over(cum_w)
+    ).withColumn(
+        "bin_id",
+        F.expr(f"(cum_bytes - file_bytes) div {COMPACT_TARGET_BYTES}"),
+    )
+    bin_w = Window.partitionBy("source", "bin_id")
+    return packed.select(
+        "source",
+        "file_id",
+        "file_bytes",
+        "n_docs",
+        "bin_id",
+        F.sum("file_bytes").over(bin_w).cast("long").alias("bin_bytes"),
+        F.count(F.lit(1)).over(bin_w).cast("long").alias("bin_files"),
     )

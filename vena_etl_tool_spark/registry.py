@@ -142,7 +142,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # path is still re-exercised inside sim_ann_recall_eval, which stays
     # in the window):
     "dedup_semantic_ivf",
-    "sim_ann_ivf",
+    # sim_ann_ivf ceded its slot to the continuation-session compaction
+    # planner (never-checked > re-validation; the IVF scan is executed
+    # verbatim inside sim_ann_recall_eval AND its centroid folds inside
+    # dedup_semantic_ivf, both still in the window):
+    "layout_compaction_plan",
     # corpus_curation_pipeline ceded its slot to the continuation-session
     # transformWithState query (never-checked > re-validation; curation
     # stages are re-verified inside pipeline_pretrain_flagship +
