@@ -52,6 +52,12 @@ HEADLINE = [
     "text_span_dedup",
     "multimodal_phash_neardup",
     "corpus_incremental_update",
+    # added r4 continuation
+    "dedup_semantic_ivf",
+    "corpus_drift_topk",
+    "dedup_containment",
+    "layout_compaction_plan",
+    "stream_transform_with_state",
 ]
 
 # Cross-round comparability (VERDICT r3 item #5): the headline set grows

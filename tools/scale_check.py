@@ -40,6 +40,10 @@ QUERIES = (
     "text_span_dedup",
     "multimodal_phash_neardup",
     "events_retention_cohorts",
+    "dedup_semantic_ivf",
+    "corpus_drift_topk",
+    "dedup_containment",
+    "layout_compaction_plan",
 )
 REPLICAS = 10
 

@@ -333,3 +333,67 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+PATH_TOPK = 20
+
+
+@register(
+    "events_path_mining",
+    tags=("events", "analytics", "paths"),
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         LEAD(event_type, 1) OVER w AS e2,
+         LEAD(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type || '>' || e2 || '>' || e3 AS path,
+       COUNT(*) AS n_occurrences,
+       COUNT(DISTINCT user_id) AS n_users
+FROM ordered
+WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+GROUP BY 1
+ORDER BY n_occurrences DESC, path
+LIMIT {PATH_TOPK}
+""",
+)
+def events_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining: the corpus-wide top-K 3-step event-type
+    sequences (sliding trigrams over each user's time-ordered stream) with
+    occurrence and distinct-user counts — the fourth classic
+    event-analytics shape next to sessionize / funnel / retention.
+
+    Plan: ONE window exchange partitioned by user_id produces both lead
+    columns (Catalyst folds the two LEADs into a single Window node —
+    same frame), then a path-cardinality aggregate (|event_types|^3 keys
+    at most — tiny) and TakeOrderedAndProject for the global top-K. The
+    ts tiebreak on event_id makes the ordering total, so the result is
+    deterministic on any engine or partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.lead("event_type", 1).over(w).alias("e2"),
+            F.lead("event_type", 2).over(w).alias("e3"),
+        )
+        .filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .select(
+            "user_id",
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path"),
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "path")
+        .limit(PATH_TOPK)
+    )

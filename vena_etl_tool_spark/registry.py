@@ -136,7 +136,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # monitor (never-checked > re-validation; exact-hash dedup is
     # re-exercised inside pipeline_pretrain_flagship, still in the window):
     "corpus_drift_topk",
-    "dedup_cluster_assign",
+    # dedup_cluster_assign ceded its slot to the continuation-session path
+    # mining query (never-checked > re-validation; r2-green, its module's
+    # hot paths are re-validated by the three dedup queries still here):
+    "events_path_mining",
     # sim_cosine_topk ceded its slot to the continuation-session semantic
     # dedup query (never-checked > re-validation; the brute-force cosine
     # path is still re-exercised inside sim_ann_recall_eval, which stays
