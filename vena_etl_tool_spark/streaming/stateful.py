@@ -129,22 +129,43 @@ def has_tws_deps() -> bool:
 
 
 def make_per_type_fallback():
-    """Semantic twin of PerTypeCounts on the pre-4.x API: state keyed by
-    (user_id, event_type) directly (applyInPandasWithState has no typed
-    MapState, so the map key moves into the grouping key)."""
+    """Semantic twin of PerTypeCounts on the pre-4.x API: state stays
+    keyed by user (like the TWS MapState), with the per-type map encoded
+    as three parallel arrays in the state struct — one Python call per
+    USER per batch (5× fewer than keying by (user, type), measurable at
+    bench scale: 7500 -> 1500 group invocations at sf0.1)."""
 
     def update(key, batches, state):
         import pandas as pd
 
-        user_id, etype = key
-        n, total = state.get if state.exists else (0, 0.0)
+        (user_id,) = key
+        if state.exists:
+            types, ns, cents = state.get
+            agg = {t: [n, c] for t, n, c in zip(types, ns, cents)}
+        else:
+            agg = {}
         for pdf in batches:
-            n += len(pdf)
-            total += float(pdf["value_cents"].sum())
-        state.update((n, total))
+            g = pdf.groupby("event_type", sort=False)["value_cents"].agg(
+                ["size", "sum"]
+            )
+            for etype, row in g.iterrows():
+                cur = agg.setdefault(etype, [0, 0.0])
+                cur[0] += int(row["size"])
+                cur[1] += float(row["sum"])
+        state.update(
+            (
+                list(agg.keys()),
+                [v[0] for v in agg.values()],
+                [v[1] for v in agg.values()],
+            )
+        )
         yield pd.DataFrame(
-            {"user_id": [user_id], "event_type": [etype], "n_events": [n],
-             "total_value": [round(total / 100.0, 2)]}
+            {
+                "user_id": user_id,
+                "event_type": list(agg.keys()),
+                "n_events": [v[0] for v in agg.values()],
+                "total_value": [round(v[1] / 100.0, 2) for v in agg.values()],
+            }
         )
 
     return update
@@ -254,12 +275,14 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Env gate: the TWS Python state client speaks protobuf to the JVM;
         # without the protobuf package in the workers the semantic twin
         # below runs on the older API — same state keying, same output.
-        out = ev.groupBy("user_id", "event_type").applyInPandasWithState(
+        out = ev.groupBy("user_id").applyInPandasWithState(
             make_per_type_fallback(),
             outputStructType=(
                 "user_id long, event_type string, n_events long, total_value double"
             ),
-            stateStructType="n long, total double",
+            stateStructType=(
+                "types array<string>, ns array<long>, cents array<double>"
+            ),
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
