@@ -44,6 +44,7 @@ QUERIES = (
     "corpus_drift_topk",
     "dedup_containment",
     "layout_compaction_plan",
+    "events_path_mining",
 )
 REPLICAS = 10
 
@@ -79,6 +80,7 @@ def build_replica(spark, sf_dir: str, out_dir: str) -> None:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    only = sys.argv[2:] or None  # optional query-name subset for re-measures
     spark = get_spark("scale-check")
     specs = all_specs()
     out_dir = tempfile.mkdtemp(prefix="scale10x_")
@@ -86,7 +88,7 @@ def main() -> int:
         build_replica(spark, sf_dir, out_dir)
         print(f"| query | {os.path.basename(sf_dir)} | {REPLICAS}x | ratio |")
         print("|---|---|---|---|")
-        for name in QUERIES:
+        for name in only or QUERIES:
             fn = specs[name].fn
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()  # warm
             t0 = time.perf_counter()

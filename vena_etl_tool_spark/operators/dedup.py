@@ -1217,7 +1217,19 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shingle equi-join, never a cross product); the direction column
     says which side is the contained one. The >= tau filter is the integer
     inequality 10*inter >= 8*min(na, nb) — no float boundary in the
-    verdict on either engine."""
+    verdict on either engine.
+
+    Measured negative result (10x clone replica, tools/scale_check.py):
+    PPJoin-style prefix filtering — probing with only each doc's
+    floor((1-tau)n)+1 rarest shingles, then exact-verifying candidates —
+    was implemented, proven lossless (bit-identical output at 3 SFs),
+    and REJECTED: on near-dup-dense data candidates ~= all sharing pairs,
+    so the verify step re-expands every candidate pair by ~n_sh rows
+    (860M at 10x, 43 s vs 18 s for this single-pass join). This one-join
+    shape computes intersections with no re-expansion; its 10x ratio of
+    ~5x wall-clock is against a 989x larger OUTPUT (253k containment
+    pairs vs 256 — every clone family emits all 45 pairs), i.e. the
+    growth is the answer's, not a candidate explosion."""
     sh_all = _doc_shingles(spark, sf_dir)
     dfreq = sh_all.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
     sh = (
