@@ -394,3 +394,58 @@ FROM e JOIN f ON e.user_id = f.user_id
         )
     )
     assert got == want
+
+
+corpus_strategy = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "dd", "ee"]), min_size=1, max_size=8),
+    min_size=2,
+    max_size=20,
+)
+
+
+@given(docs=corpus_strategy)
+@_settings
+def test_drift_tv_matches_exact_fractions(spark, docs):
+    """The integer cross-multiplication TV distance must equal the exact
+    Fraction arithmetic 0.5 * sum |p_tok - q_tok| for any corpus split
+    (and both snapshots must be non-empty for the statistic to exist)."""
+    from collections import Counter
+    from fractions import Fraction
+
+    import vena_etl_tool_spark.operators.textanalysis as ta
+
+    old = Counter(t for i, ws in enumerate(docs) if i % 2 == 0 for t in ws)
+    new = Counter(t for i, ws in enumerate(docs) if i % 2 == 1 for t in ws)
+    if not old or not new:
+        return
+    t_old, t_new = sum(old.values()), sum(new.values())
+    expected = Fraction(1, 2) * sum(
+        abs(Fraction(old.get(t, 0), t_old) - Fraction(new.get(t, 0), t_new))
+        for t in set(old) | set(new)
+    )
+    df = spark.createDataFrame(
+        [(i, " ".join(ws), "en", "s", 0) for i, ws in enumerate(docs)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        rows = ta.corpus_drift_topk(spark, d).collect()
+    assert rows, "top-k must be non-empty for a non-empty vocabulary"
+    got = rows[0].tv_distance
+    if expected == 0:
+        # identical distributions: tv is exactly 0, per-token shares are
+        # NULLIF-guarded NULLs (0/0)
+        assert got == 0.0 and rows[0].drift_share is None
+        return
+    # got = tv_num / (2*T_old*T_new) computed in doubles from exact ints
+    exact_num = sum(
+        abs(old.get(t, 0) * t_new - new.get(t, 0) * t_old)
+        for t in set(old) | set(new)
+    )
+    assert Fraction(exact_num, 2 * t_old * t_new) == expected
+    assert abs(got - float(expected)) < 1e-12
+    # per-token integer numerators are exact
+    for r in rows:
+        assert r.drift_num == abs(r.n_old * t_new - r.n_new * t_old)

@@ -1359,9 +1359,11 @@ WITH toks AS (
   SELECT CAST(SUM(drift_num) AS BIGINT) AS tv_num FROM drift
 )
 SELECT tok, n_old, n_new, drift_num,
-       CAST(drift_num AS DOUBLE) / CAST(tv_num AS DOUBLE) AS drift_share,
+       CAST(drift_num AS DOUBLE) / NULLIF(CAST(tv_num AS DOUBLE), 0.0)
+         AS drift_share,
        CAST(tv_num AS DOUBLE)
-         / (2.0 * CAST(t_old AS DOUBLE) * CAST(t_new AS DOUBLE)) AS tv_distance
+         / NULLIF(2.0 * CAST(t_old AS DOUBLE) * CAST(t_new AS DOUBLE), 0.0)
+         AS tv_distance
 FROM drift, tv, tot
 ORDER BY drift_num DESC, tok
 LIMIT {DRIFT_TOPK}
@@ -1375,7 +1377,10 @@ def corpus_drift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-multiplication |c_old*T_new - c_new*T_old| — pure int64, so the
     global numerator sum is EXACT and order-independent (a float
     sum of p-q differences would be partition-order-dependent); the only
-    doubles are two final divisions, IEEE-identical in any engine. At
+    doubles are two final divisions, IEEE-identical in any engine
+    (NULLIF-guarded: identical distributions make the TV numerator 0,
+    and an empty snapshot makes a total 0 — both yield NULL shares
+    instead of an ANSI divide-by-zero; found by the hypothesis test). At
     int64 scale this holds to ~1e15 token-count x corpus-size products;
     beyond that (a full 100 TB corpus pair) promote the numerator to
     DECIMAL(38,0) — same plan shape.
@@ -1410,14 +1415,17 @@ def corpus_drift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_old",
             "n_new",
             "drift_num",
-            (F.col("drift_num").cast("double") / F.col("tv_num").cast("double"))
-            .alias("drift_share"),
+            (
+                F.col("drift_num").cast("double")
+                / F.nullif(F.col("tv_num").cast("double"), F.lit(0.0))
+            ).alias("drift_share"),
             (
                 F.col("tv_num").cast("double")
-                / (
+                / F.nullif(
                     F.lit(2.0)
                     * F.col("t_old").cast("double")
-                    * F.col("t_new").cast("double")
+                    * F.col("t_new").cast("double"),
+                    F.lit(0.0),
                 )
             ).alias("tv_distance"),
         )
