@@ -164,3 +164,79 @@ def test_phash_is_locality_preserving(spark, sf_dir, tmp_path):
     for (a, b), h in out.items():
         assert a < b and 0 <= h <= PHASH_HAM_T
         assert 4 not in (a, b)  # the unrelated doc never pairs
+
+
+def _write_docs(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_drift_one_sided_snapshot_yields_null_tv(spark, tmp_path):
+    """All docs in one parity half (an empty 'new' snapshot): totals hit
+    the NULLIF guard — NULL tv/share, never an ANSI divide-by-zero."""
+    from vena_etl_tool_spark.operators.textanalysis import corpus_drift_topk
+
+    d = _write_docs(spark, tmp_path, [(0, "a b a", "en", "s", 5), (2, "b c", "en", "s", 3)])
+    rows = corpus_drift_topk(spark, d).collect()
+    assert rows and all(r.tv_distance is None for r in rows)
+
+
+def test_containment_short_docs_produce_no_pairs(spark, tmp_path):
+    """Documents under 3 tokens have no shingles; the query returns empty
+    instead of erroring."""
+    from vena_etl_tool_spark.operators.dedup import dedup_containment
+
+    d = _write_docs(spark, tmp_path, [(0, "a b", "en", "s", 3), (1, "c", "en", "s", 1)])
+    assert dedup_containment(spark, d).collect() == []
+
+
+def test_semantic_dedup_single_vector_is_kept(spark, tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    from vena_etl_tool_spark.operators.similarity import dedup_semantic_ivf
+
+    pdf = pd.DataFrame(
+        {"vec_id": [7], "embedding": [np.ones(64, dtype=np.float32)], "label": [1]}
+    )
+    pdf.to_parquet(str(tmp_path / "embeddings.parquet"))
+    rows = dedup_semantic_ivf(spark, str(tmp_path)).collect()
+    assert len(rows) == 1 and not rows[0].is_dup and rows[0].n_close == 0
+
+
+def test_compaction_single_tiny_file_is_bin_zero(spark, tmp_path):
+    from vena_etl_tool_spark.operators.layouts import layout_compaction_plan
+
+    d = _write_docs(spark, tmp_path, [(0, "x", "en", "only", 1)])
+    rows = layout_compaction_plan(spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.bin_id, r.bin_files, r.bin_bytes) == (0, 1, r.file_bytes)
+
+
+def test_path_mining_needs_three_events(spark, sf_dir, tmp_path):
+    """A user with fewer than 3 events contributes no paths."""
+    import datetime as dt
+
+    from vena_etl_tool_spark.operators.analytics import events_path_mining
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 10, "view", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=1), 10, "click", 1.0, "{}"),
+        (3, t0, 20, "view", 1.0, "{}"),
+        (4, t0 + dt.timedelta(minutes=1), 20, "click", 1.0, "{}"),
+        (5, t0 + dt.timedelta(minutes=2), 20, "buy", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = events_path_mining(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    assert got[0].path == "view>click>buy" and got[0].n_occurrences == 1
