@@ -95,3 +95,30 @@ def test_compaction_bins_are_valid_packing(spark, sf_dir):
             assert m.bin_bytes < COMPACT_TARGET_BYTES + max(
                 x.file_bytes for x in members
             )
+
+
+def test_compaction_oversized_file_keeps_bins_contiguous(spark, tmp_path):
+    """A file larger than the target spans several raw cumsum intervals;
+    dense_rank must keep the emitted bin ids contiguous regardless."""
+    import pandas as pd
+
+    from vena_etl_tool_spark.operators.layouts import (
+        COMPACT_DOCS_PER_FILE,
+        COMPACT_TARGET_BYTES,
+        layout_compaction_plan,
+    )
+
+    # file 0: one doc of 2*target bytes; files 1..3: small
+    rows = [(0, "x", "en", "s", 2 * COMPACT_TARGET_BYTES)]
+    for i in range(1, 4):
+        rows.append((i * COMPACT_DOCS_PER_FILE, "x", "en", "s", 100))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = sorted(
+        (r.bin_id, r.file_bytes)
+        for r in layout_compaction_plan(spark, str(tmp_path)).collect()
+    )
+    bins = sorted({b for b, _ in got})
+    assert bins == list(range(len(bins))), got

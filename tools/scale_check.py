@@ -83,6 +83,10 @@ def main() -> int:
     only = sys.argv[2:] or None  # optional query-name subset for re-measures
     spark = get_spark("scale-check")
     specs = all_specs()
+    if only:
+        unknown = sorted(set(only) - set(specs))
+        if unknown:  # fail BEFORE the expensive replica build
+            raise SystemExit(f"unknown query name(s): {unknown}")
     out_dir = tempfile.mkdtemp(prefix="scale10x_")
     try:
         build_replica(spark, sf_dir, out_dir)

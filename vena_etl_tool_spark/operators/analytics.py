@@ -347,6 +347,7 @@ WITH ordered AS (
          LEAD(event_type, 1) OVER w AS e2,
          LEAD(event_type, 2) OVER w AS e3
   FROM events
+  WHERE event_type IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 SELECT event_type || '>' || e2 || '>' || e3 AS path,
@@ -371,7 +372,13 @@ def events_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     at most — tiny) and TakeOrderedAndProject for the global top-K. The
     ts tiebreak on event_id makes the ordering total, so the result is
     deterministic on any engine or partitioning."""
-    ev = load_table(spark, sf_dir, "events")
+    # NULL event_types are dropped BEFORE the window on both sides: a
+    # NULL row neither forms a path nor interrupts its neighbors', and
+    # keeping it would let concat_ws (NULL-skipping) and the oracle's ||
+    # (NULL-propagating) disagree.
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")

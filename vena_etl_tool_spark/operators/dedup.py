@@ -139,6 +139,21 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _capped_shingle_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh) inverted-index postings with hot shingles removed
+    (document frequency > SHINGLE_DF_CAP) — the shared blocking input of
+    the Jaccard and containment near-dup queries. Their oracles carry the
+    same capped-postings CTE each (kept inline per-oracle: the SQL text is
+    the per-query contract the driver hash-checks)."""
+    sh_all = _doc_shingles(spark, sf_dir)
+    dfreq = sh_all.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+    return (
+        sh_all.join(dfreq, "sh")
+        .filter(F.col("_df") <= SHINGLE_DF_CAP)
+        .select("doc_id", "sh")
+    )
+
+
 @register(
     "dedup_ngram_jaccard",
     tags=("llm", "dedup", "jaccard"),
@@ -179,13 +194,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     otherwise emit k² candidate rows. The cap is applied before the size
     computation too, so the output is the exact Jaccard of the df-capped
     shingle sets (the oracle applies the identical cap)."""
-    sh_all = _doc_shingles(spark, sf_dir)
-    dfreq = sh_all.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
-    sh = (
-        sh_all.join(dfreq, "sh")
-        .filter(F.col("_df") <= SHINGLE_DF_CAP)
-        .select("doc_id", "sh")
-    )
+    sh = _capped_shingle_postings(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -1230,13 +1239,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~5x wall-clock is against a 989x larger OUTPUT (253k containment
     pairs vs 256 — every clone family emits all 45 pairs), i.e. the
     growth is the answer's, not a candidate explosion."""
-    sh_all = _doc_shingles(spark, sf_dir)
-    dfreq = sh_all.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
-    sh = (
-        sh_all.join(dfreq, "sh")
-        .filter(F.col("_df") <= SHINGLE_DF_CAP)
-        .select("doc_id", "sh")
-    )
+    sh = _capped_shingle_postings(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

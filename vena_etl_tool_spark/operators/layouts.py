@@ -256,14 +256,18 @@ WITH manifest AS (
             PARTITION BY source
             ORDER BY file_bytes DESC, file_id
             ROWS UNBOUNDED PRECEDING) AS BIGINT) - file_bytes)
-           // {COMPACT_TARGET_BYTES} AS bin_id
+           // {COMPACT_TARGET_BYTES} AS bin_raw
   FROM manifest
+), binned AS (
+  SELECT source, file_id, file_bytes, n_docs,
+         DENSE_RANK() OVER (PARTITION BY source ORDER BY bin_raw) - 1 AS bin_id
+  FROM packed
 )
 SELECT source, file_id, file_bytes, n_docs, bin_id,
        CAST(SUM(file_bytes) OVER (PARTITION BY source, bin_id) AS BIGINT)
          AS bin_bytes,
        CAST(COUNT(*) OVER (PARTITION BY source, bin_id) AS BIGINT) AS bin_files
-FROM packed
+FROM binned
 """,
 )
 def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -273,14 +277,17 @@ def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from n_chars; in production the real listing / transaction log), pack
     each partition directory's files into target-size rewrite bins by
     next-fit-decreasing: files sorted by size desc, running byte total,
-    bin = (cumsum - bytes) div target. Output is the rewrite plan — one
+    raw bin = (cumsum - bytes) div target, then DENSE_RANK per source so
+    bin ids stay contiguous even when one file exceeds the target (an
+    oversized file spans several raw intervals and would otherwise leave
+    phantom empty bin ids in the plan). Output is the rewrite plan — one
     row per file with its bin assignment and the bin's totals — which a
     rewriter executes as one partitioned read+coalesced write per bin.
 
     Scale shape: planning is SQL over the MANIFEST (millions of rows for
-    100 TB, i.e. tiny); the cumulative-sum window partitions by the
-    directory key `source`, so no global single-partition window exists.
-    Integer `div`/`//` on both sides — no float in bin math."""
+    100 TB, i.e. tiny); both windows partition by the directory key
+    `source`, so no global single-partition window exists. Integer
+    `div`/`//` on both sides — no float in bin math."""
     docs = load_table(spark, sf_dir, "documents")
     manifest = docs.groupBy(
         "source",
@@ -297,8 +304,12 @@ def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = manifest.withColumn(
         "cum_bytes", F.sum("file_bytes").over(cum_w)
     ).withColumn(
-        "bin_id",
+        "bin_raw",
         F.expr(f"(cum_bytes - file_bytes) div {COMPACT_TARGET_BYTES}"),
+    )
+    rank_w = Window.partitionBy("source").orderBy("bin_raw")
+    packed = packed.withColumn(
+        "bin_id", (F.dense_rank().over(rank_w) - 1).cast("long")
     )
     bin_w = Window.partitionBy("source", "bin_id")
     return packed.select(

@@ -63,13 +63,15 @@ def _load_all() -> None:
 # The correctness driver evaluates queries() in iteration order and checks
 # the first 50. Window policy (since r3): ONLY oracle-backed queries
 # (rows-only entries can never produce a green driver row — the driver
-# records `no_oracle` as an error). Final round-4 window: 36 slots for
-# every oracle-backed query with NO driver-green row across r1∪r2∪r3 —
-# the 19 declared ROTATION_RESIDUE carry-overs, the 8 added/converted
-# early r4, and the 9 added late r4 — which completes full-registry
-# driver coverage (residue 0); then 14 re-validation slots for queries
-# whose code or ORACLE materially changed this round (dedup.py embedding
-# rework, the two late second-granularity oracle fixes) plus the bench
+# records `no_oracle` as an error). Final round-4 window (after the
+# continuation session): 42 never-checked slots — the 19 declared
+# ROTATION_RESIDUE carry-overs, the 8 added/converted early r4, the 9
+# added late r4, and the 6 continuation-session operators (semantic
+# dedup, drift monitor, containment, transformWithState, compaction
+# planner, path mining) — which completes full-registry driver coverage
+# (residue 0); then 8 re-validation slots for queries whose code or
+# ORACLE materially changed this round (dedup.py embedding rework, the
+# late second-granularity and drift-NULLIF oracle fixes) plus the bench
 # flagships. Displacement rationale per slot is inline below.
 DRIVER_WINDOW: tuple[str, ...] = (
     # --- never driver-checked: r3 rotation residue (19) ---

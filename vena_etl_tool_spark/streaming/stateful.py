@@ -287,9 +287,12 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
         sink = run_to_table(out, "stream_transform_with_state", "update")
-    # update mode re-emits the full map per key per batch; counts are
-    # monotone, so the final state per (user, type) is the max
+    # update mode re-emits the full map per key per batch; the COUNT is
+    # strictly monotone (a group is only invoked with rows), so the final
+    # emission per (user, type) is the one with the largest n_events —
+    # take its total via max_by rather than max(total), which would be
+    # wrong if negative event values ever made totals non-monotone
     return sink.groupBy("user_id", "event_type").agg(
         F.max("n_events").alias("n_events"),
-        F.max("total_value").alias("total_value"),
+        F.max_by("total_value", "n_events").alias("total_value"),
     )
