@@ -167,3 +167,52 @@ def test_transform_with_state_matches_batch_groupby(spark, sf_dir):
     # only env gate), so API regressions surface even where protobuf is absent
     proc = make_per_type_processor()
     assert hasattr(proc, "init") and hasattr(proc, "handleInputRows")
+
+
+def test_tws_processor_logic_with_fake_mapstate():
+    """Drive PerTypeCounts.handleInputRows directly against a fake
+    MapState: the TWS channel needs protobuf (absent here), but the
+    processor's fold logic must not go unexercised — two batches for one
+    user must accumulate per-type counts/cents and emit the full map."""
+    import pandas as pd
+
+    from vena_etl_tool_spark.streaming.stateful import make_per_type_processor
+
+    class FakeMapState:
+        def __init__(self):
+            self.d = {}
+
+        def containsKey(self, k):
+            return k in self.d
+
+        def getValue(self, k):
+            return self.d[k]
+
+        def updateValue(self, k, v):
+            self.d[k] = v
+
+        def iterator(self):
+            return iter(self.d.items())
+
+    class FakeHandle:
+        def __init__(self):
+            self.state = FakeMapState()
+
+        def getMapState(self, name, key_schema, value_schema, ttlDurationMs=None):
+            return self.state
+
+    proc = make_per_type_processor()
+    handle = FakeHandle()
+    proc.init(handle)
+    b1 = pd.DataFrame(
+        {"event_type": ["view", "view", "click"], "value_cents": [100.0, 50.0, 25.0]}
+    )
+    out1 = pd.concat(proc.handleInputRows((7,), iter([b1]), None))
+    got1 = {r.event_type: (r.n_events, r.total_value) for r in out1.itertuples()}
+    assert got1 == {"view": (2, 1.5), "click": (1, 0.25)}
+    b2 = pd.DataFrame({"event_type": ["view"], "value_cents": [200.0]})
+    out2 = pd.concat(proc.handleInputRows((7,), iter([b2]), None))
+    got2 = {r.event_type: (r.n_events, r.total_value) for r in out2.itertuples()}
+    # state carried across batches: the full updated map is re-emitted
+    assert got2 == {"view": (3, 3.5), "click": (1, 0.25)}
+    proc.close()
