@@ -58,6 +58,7 @@ HEADLINE = [
     "dedup_containment",
     "layout_compaction_plan",
     "stream_transform_with_state",
+    "events_path_mining",
 ]
 
 # Cross-round comparability (VERDICT r3 item #5): the headline set grows

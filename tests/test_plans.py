@@ -224,3 +224,70 @@ def test_semantic_dedup_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan  # 16-row size table
+
+
+def test_compaction_windows_are_source_partitioned(spark, sf_dir):
+    """Both planner windows must partition by the directory key — a
+    global (unpartitioned) window would serialize the manifest."""
+    plan = plan_of(spark, sf_dir, "layout_compaction_plan")
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "source" in spec, f"unpartitioned window: {spec}"
+
+
+def test_path_mining_single_window_exchange(spark, sf_dir):
+    """Both LEADs share one user_id window; the rest is a tiny path
+    aggregate + TakeOrderedAndProject — never a global sort."""
+    plan = plan_of(spark, sf_dir, "events_path_mining")
+    assert "TakeOrderedAndProject" in plan
+    # one Window node computing both leads
+    n_windows = sum(
+        1
+        for ln in plan.splitlines()
+        if ln.lstrip(" +-:*(0123456789)").startswith("Window ")
+    )
+    assert n_windows == 1, plan
+
+
+def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir):
+    """Catalyst's runtime Bloom-filter injection (the row-level analog of
+    partition pruning): a selective filter on the orders side of a
+    SHUFFLE join seeds a bloom_filter_agg that prunes lineitem rows
+    before the exchange. At 100 TB the default thresholds (creation side
+    <= 10 MB post-filter, application scan >= 10 GB) fire this without
+    any conf changes; the fixture is far below both, so the test lowers
+    them to prove the wiring — the registered joins keep broadcast for
+    the small dims, where a bloom adds nothing."""
+    import pyspark.sql.functions as F
+
+    from vena_etl_tool_spark.catalog import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan.lower()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
