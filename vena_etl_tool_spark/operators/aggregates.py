@@ -322,3 +322,54 @@ def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("yr", "est_customers", "n_months")
     )
+
+
+_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+@register(
+    "profile_column_stats",
+    tags=("profiling", "aggregate", "quality"),
+    oracle=" UNION ALL ".join(
+        f"""
+SELECT '{c}' AS col,
+       COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_null,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_val,
+       CAST(MAX({c}) AS VARCHAR) AS max_val
+FROM documents"""
+        for c in _PROFILE_COLS
+    ),
+)
+def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling — the data-quality pass every pipeline runs before
+    training: per column, row/null/distinct counts and min/max (as
+    strings, so one long-format result covers heterogeneous types). All
+    five columns profile in ONE job over one scan lineage: per-column
+    conditional aggregates union-ed column-wise (Catalyst executes the
+    unions as parallel stages over the same cached-scan splits; at
+    100 TB you'd optionally approx the distinct counts — the
+    agg_approx_distinct pattern — to keep the Expand away; exact here so
+    the oracle can hash-check).
+
+    Long format (col, n_rows, n_null, n_distinct, min_val, max_val)
+    rather than one wide row: schema stays fixed as tables gain columns,
+    which is what lets downstream drift alerts diff profiles across
+    snapshots."""
+    docs = load_table(spark, sf_dir, "documents")
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(
+            docs.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.count(F.lit(1)) - F.count(c)).alias("n_null"),
+                F.countDistinct(c).alias("n_distinct"),
+                F.min(c).cast("string").alias("min_val"),
+                F.max(c).cast("string").alias("max_val"),
+            ).select(F.lit(c).alias("col"), "*")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

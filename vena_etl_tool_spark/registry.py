@@ -170,7 +170,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # this round)
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q5_local_supplier_volume",
+    # q5_local_supplier_volume ceded its slot to the continuation-session
+    # profiling query (never-checked > re-validation; q5 is r1-green with
+    # its module unchanged, and its all-dims-broadcast join shape is
+    # re-exercised by q8_market_share + q9_product_profit in this window):
+    "profile_column_stats",
 )
 
 # Oracle-backed queries added AFTER this round's window was frozen — they
