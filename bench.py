@@ -59,6 +59,7 @@ HEADLINE = [
     "layout_compaction_plan",
     "stream_transform_with_state",
     "events_path_mining",
+    "profile_column_stats",
 ]
 
 # Cross-round comparability (VERDICT r3 item #5): the headline set grows

@@ -240,3 +240,25 @@ def test_path_mining_needs_three_events(spark, sf_dir, tmp_path):
     got = events_path_mining(spark, str(tmp_path)).collect()
     assert len(got) == 1
     assert got[0].path == "view>click>buy" and got[0].n_occurrences == 1
+
+
+def test_profile_counts_nulls_and_distincts(spark, tmp_path):
+    """Planted NULLs: the profile must count them per column (the fixture
+    has none, so the oracle diff never exercises this path)."""
+    from vena_etl_tool_spark.operators.aggregates import profile_column_stats
+
+    rows = [
+        (0, "a", None, "s", 1),
+        (1, "b", "en", None, 2),
+        (2, "b", "en", "s", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    prof = {r.col: r for r in profile_column_stats(spark, str(tmp_path)).collect()}
+    assert prof["lang"].n_null == 1 and prof["lang"].n_distinct == 1
+    assert prof["source"].n_null == 1
+    assert prof["n_chars"].n_null == 1 and prof["n_chars"].max_val == "2"
+    assert prof["text"].n_distinct == 2
+    assert prof["doc_id"].n_null == 0 and prof["doc_id"].n_distinct == 3
