@@ -20,7 +20,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from vena_etl_tool_spark.registry import DRIVER_WINDOW, all_specs  # noqa: E402
+from vena_etl_tool_spark.registry import (  # noqa: E402
+    DRIVER_WINDOW,
+    ROTATION_RESIDUE,
+    all_specs,
+)
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -74,12 +78,16 @@ def main() -> int:
         and n not in window
         and not any(rounds[t].get(n, {}).get("hash_match") for t in rounds)
     ]
+    undeclared = [n for n in uncovered if n not in ROTATION_RESIDUE]
     lines += [
         "",
         f"Summary: {oracle_backed} oracle-backed; {n_green} hold ≥1 driver-"
-        f"green row across recorded rounds; oracle-backed queries with "
-        f"neither a green row nor current-window membership: "
-        f"**{len(uncovered)}**" + (f" ({uncovered})" if uncovered else ""),
+        f"green row across recorded rounds; declared rotation carry-over "
+        f"(leads the next round's window): "
+        f"{list(ROTATION_RESIDUE) or 'none'}; oracle-backed queries with "
+        f"neither a green row, window membership, nor a residue "
+        f"declaration: **{len(undeclared)}**"
+        + (f" ({undeclared})" if undeclared else ""),
         "",
     ]
     out = os.path.join(_REPO, "docs", "COVERAGE.md")

@@ -511,3 +511,96 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "k_bucket", "bucket_n", "bucket_value")
     )
+
+
+@register(
+    "join_interval_overlap",
+    tags=("join", "range-join", "interval", "overlap"),
+    oracle="""
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
+), marked AS (
+  SELECT user_id, sec,
+         CASE WHEN sec - LAG(sec) OVER w > 1800
+                OR LAG(sec) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec)
+), sessions AS (
+  SELECT user_id, MIN(sec) AS s_start, MAX(sec) AS s_end
+  FROM (SELECT user_id, sec,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY sec
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM marked)
+  GROUP BY user_id, session_no
+), bounds AS (
+  SELECT CAST(MIN(sec) // 3600 AS BIGINT) AS h0,
+         CAST(MAX(sec) // 3600 AS BIGINT) AS h1
+  FROM e
+), windows AS (
+  SELECT h * 3600 + 600 AS w_start, h * 3600 + 1199 AS w_end
+  FROM (SELECT unnest(generate_series(h0, h1)) AS h FROM bounds)
+)
+SELECT s.user_id, s.s_start, s.s_end, w.w_start,
+       LEAST(s.s_end, w.w_end) - GREATEST(s.s_start, w.w_start) + 1
+         AS overlap_sec
+FROM sessions s JOIN windows w
+  ON s.s_start <= w.w_end AND w.w_start <= s.s_end
+""",
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval OVERLAP join — the third temporal-join class next
+    to as-of (point-in-time) and range-bucketized (point-in-interval):
+    user activity sessions (gaps-and-islands, 30-min gap, second
+    granularity like sessionize_events) overlapped against deterministic
+    hourly maintenance windows ([h:10:00, h:19:59] each hour of the data
+    span), reporting the exact overlap seconds — the shape behind
+    "which sessions did the maintenance window clip?".
+
+    At-scale rewrite (the oracle states the naive theta join; results are
+    identical): each window lies inside exactly one hour, so sessions
+    explode to the hours they span and candidates come from a plain
+    equi-join on the hour — lossless, since any overlapping pair shares
+    the window's hour. Work is bounded by sessions-per-hour × windows-
+    per-hour, never sessions × windows; a pathological months-long
+    session costs span/3600 candidate rows, not a scan of all windows.
+    All arithmetic is integer seconds — no float anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    e = ev.select("user_id", sec.alias("sec"))
+    w = Window.partitionBy("user_id").orderBy("sec")
+    gap = F.col("sec") - F.lag("sec").over(w)
+    marked = e.select(
+        "user_id",
+        "sec",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_session"),
+    )
+    run_w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = (
+        marked.withColumn("session_no", F.sum("new_session").over(run_w))
+        .groupBy("user_id", "session_no")
+        .agg(F.min("sec").alias("s_start"), F.max("sec").alias("s_end"))
+    )
+    bounds = e.agg(
+        F.expr("min(sec) div 3600").alias("h0"), F.expr("max(sec) div 3600").alias("h1")
+    )
+    windows = bounds.select(
+        F.explode(F.sequence("h0", "h1")).alias("h")
+    ).select(
+        (F.col("h") * 3600 + 600).alias("w_start"),
+        (F.col("h") * 3600 + 1199).alias("w_end"),
+        F.col("h").alias("w_hour"),
+    )
+    cand = sessions.withColumn(
+        "h", F.explode(F.sequence(F.expr("s_start div 3600"), F.expr("s_end div 3600")))
+    )
+    joined = cand.join(windows, F.col("h") == F.col("w_hour")).filter(
+        (F.col("s_start") <= F.col("w_end")) & (F.col("w_start") <= F.col("s_end"))
+    )
+    return joined.select(
+        "user_id",
+        "s_start",
+        "s_end",
+        "w_start",
+        (
+            F.least("s_end", "w_end") - F.greatest("s_start", "w_start") + 1
+        ).alias("overlap_sec"),
+    )

@@ -179,10 +179,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
 
 # Oracle-backed queries added AFTER this round's window was frozen — they
 # rotate into the next round's window. Kept explicit so tests + ROUND notes
-# can audit that nothing silently escapes driver coverage. Empty in r4: the
-# window above covers every oracle-backed query that lacks a driver-green
-# row (full-registry coverage once CORRECTNESS_r04 lands).
-ROTATION_RESIDUE: tuple[str, ...] = ()
+# can audit that nothing silently escapes driver coverage. The r4 window
+# achieved residue 0; the late-continuation interval-overlap join arrived
+# after the final window slot with defensible displacement rationale was
+# spent, so it is the declared carry-over and MUST lead the r5 window.
+ROTATION_RESIDUE: tuple[str, ...] = ("join_interval_overlap",)
 
 
 def all_specs() -> dict[str, QuerySpec]:
