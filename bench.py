@@ -60,6 +60,7 @@ HEADLINE = [
     "stream_transform_with_state",
     "events_path_mining",
     "profile_column_stats",
+    "join_interval_overlap",
 ]
 
 # Cross-round comparability (VERDICT r3 item #5): the headline set grows

@@ -45,6 +45,7 @@ QUERIES = (
     "dedup_containment",
     "layout_compaction_plan",
     "events_path_mining",
+    "join_interval_overlap",
 )
 REPLICAS = 10
 
