@@ -93,7 +93,11 @@ def main() -> int:
     out = os.path.join(_REPO, "docs", "COVERAGE.md")
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
-    print(f"wrote {out}: {len(specs)} queries, uncovered={len(uncovered)}")
+    print(
+        f"wrote {out}: {len(specs)} queries, "
+        f"declared_residue={len(uncovered) - len(undeclared)}, "
+        f"undeclared_uncovered={len(undeclared)}"
+    )
     return 0
 
 

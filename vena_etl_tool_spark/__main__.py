@@ -20,7 +20,9 @@ def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="python -m vena_etl_tool_spark")
     sub = parser.add_subparsers(dest="cmd", required=True)
     p_list = sub.add_parser("list", help="list registered queries")
-    p_list.add_argument("filter", nargs="?", default="", help="substring filter")
+    p_list.add_argument(
+        "filter", nargs="?", default="", help="substring filter (name or tag)"
+    )
     p_run = sub.add_parser("run", help="run one query")
     p_run.add_argument("query")
     p_run.add_argument("--sf-dir", default=None)
@@ -33,7 +35,7 @@ def main(argv: list[str] | None = None) -> int:
     specs = all_specs()
     if args.cmd == "list":
         for name, spec in specs.items():
-            if args.filter in name:
+            if args.filter in name or any(args.filter in t for t in spec.tags):
                 kind = "oracle" if spec.oracle is not None else "rows-only"
                 print(f"{name:40s} {kind:9s} {','.join(spec.tags)}")
         return 0
@@ -48,16 +50,19 @@ def main(argv: list[str] | None = None) -> int:
         print(f"unknown query: {args.query}{hint}", file=sys.stderr)
         return 2
 
-    import os
-
-    from .catalog import DEFAULT_SF_DIR
+    from .catalog import DEFAULT_SF_DIR  # already folds in $SPARK_GRAFT_SF_DIR
     from .session import get_spark
 
-    sf_dir = args.sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    sf_dir = args.sf_dir or DEFAULT_SF_DIR
     spark = get_spark("cli-run")
     df = specs[args.query].fn(spark, sf_dir)
     if args.explain:
-        df.collect()  # materialize so AQE reports the final plan
+        # finalize AQE without holding the whole result on the driver:
+        # toLocalIterator streams this DataFrame's own execution (a noop
+        # write would finalize a DIFFERENT QueryExecution and leave this
+        # plan initial)
+        for _ in df.toLocalIterator():
+            pass
         print(df._jdf.queryExecution().executedPlan().toString())
     else:
         df.show(args.n, truncate=40)

@@ -562,7 +562,10 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the window's hour. Work is bounded by sessions-per-hour × windows-
     per-hour, never sessions × windows; a pathological months-long
     session costs span/3600 candidate rows, not a scan of all windows.
-    All arithmetic is integer seconds — no float anywhere."""
+    All arithmetic is integer seconds — no float anywhere. Precondition:
+    nonnegative epoch seconds (the fixture contract) — `div` truncates
+    toward zero, so pre-1970 timestamps would need floor-div bucketing
+    for the hour-explode to stay lossless."""
     ev = load_table(spark, sf_dir, "events")
     sec = F.col("ts").cast("timestamp").cast("long")
     e = ev.select("user_id", sec.alias("sec"))
