@@ -100,13 +100,20 @@ def main() -> int:
                 # otherwise crash mid-timed-pass with no warmup breadcrumb
                 print(f"WARMUP FAIL {name}: {exc}", file=sys.stderr)
 
-    # two timed passes, keep the min: local[32] wall-clock is noisy (GC,
-    # page cache, CI neighbors); min-of-2 reports steady-state plan cost.
+    # three timed passes, keep the min: local[32] wall-clock is noisy (GC,
+    # page cache, CI neighbors); min-of-N reports steady-state plan cost.
+    # BENCH_r04's official artifact was ~1.7x inflated by ambient load, so
+    # the line also records per-pass totals and loadavg — if the passes
+    # disagree or loadavg is high, the artifact itself shows the run was
+    # load-contaminated rather than a code regression.
     # A query that throws is recorded and skipped — one broken query must
     # not take out the whole bench line (the r2 failure mode).
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for _ in range(2):
+    pass_totals: list[float] = []
+    load_before = os.getloadavg()[0]
+    for _ in range(3):
+        pass_total = 0.0
         for name in HEADLINE:
             if name in errors:
                 continue
@@ -119,8 +126,10 @@ def main() -> int:
                 timings.pop(name, None)
                 continue
             t = round(time.perf_counter() - start, 3)
+            pass_total += t
             if name not in timings or t < timings[name]:
                 timings[name] = t
+        pass_totals.append(round(pass_total, 3))
 
     total = round(sum(timings.values()), 3)
     line = {
@@ -135,6 +144,8 @@ def main() -> int:
             sum(t for n, t in timings.items() if n in R3_SUBSET), 3
         ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "pass_totals_sec": pass_totals,
+        "loadavg": [round(load_before, 2), round(os.getloadavg()[0], 2)],
     }
     if errors:
         line["errors"] = errors

@@ -346,30 +346,49 @@ def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table profiling — the data-quality pass every pipeline runs before
     training: per column, row/null/distinct counts and min/max (as
     strings, so one long-format result covers heterogeneous types). All
-    five columns profile in ONE job over one scan lineage: per-column
-    conditional aggregates union-ed column-wise (Catalyst executes the
-    unions as parallel stages over the same cached-scan splits; at
-    100 TB you'd optionally approx the distinct counts — the
-    agg_approx_distinct pattern — to keep the Expand away; exact here so
-    the oracle can hash-check).
+    five columns profile in ONE wide aggregate over ONE scan: the N
+    `count(distinct col_i)` branches compile to a single Expand (row
+    replication in-memory, not N table scans — the r4 union-of-branches
+    shape re-scanned the table per column, a 5× scan multiplier at
+    100 TB), then a `stack` unpivots the single wide row to long format
+    driver-side-free. At 100 TB you'd optionally approx the distinct
+    counts (the agg_approx_distinct pattern) to drop the Expand
+    entirely; exact here so the oracle can hash-check.
 
     Long format (col, n_rows, n_null, n_distinct, min_val, max_val)
     rather than one wide row: schema stays fixed as tables gain columns,
     which is what lets downstream drift alerts diff profiles across
-    snapshots."""
+    snapshots.
+
+    Type guard: min/max are compared as STRINGS against the oracle, so
+    _PROFILE_COLS is restricted to types whose string rendering is
+    identical in Spark and DuckDB (integral + string). A double would
+    diverge ('1.0E10' vs '10000000000.0'); widen only with an explicit
+    per-type normalization."""
     docs = load_table(spark, sf_dir, "documents")
-    parts = []
+    _STABLE_STR_CAST = ("bigint", "int", "smallint", "tinyint", "string")
+    dtypes = dict(docs.dtypes)
     for c in _PROFILE_COLS:
-        parts.append(
-            docs.agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                (F.count(F.lit(1)) - F.count(c)).alias("n_null"),
-                F.countDistinct(c).alias("n_distinct"),
-                F.min(c).cast("string").alias("min_val"),
-                F.max(c).cast("string").alias("max_val"),
-            ).select(F.lit(c).alias("col"), "*")
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        if dtypes[c] not in _STABLE_STR_CAST:
+            raise TypeError(
+                f"profile_column_stats: column {c!r} has type {dtypes[c]!r}; "
+                "min/max string rendering is only cross-engine-stable for "
+                f"{_STABLE_STR_CAST} — add explicit normalization first"
+            )
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"cnt_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(c).cast("string").alias(f"min_{c}"),
+            F.max(c).cast("string").alias(f"max_{c}"),
+        ]
+    wide = docs.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', n_rows, n_rows - cnt_{c}, nd_{c}, min_{c}, max_{c}"
+        for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(col, n_rows, n_null, n_distinct, min_val, max_val)"
+    )

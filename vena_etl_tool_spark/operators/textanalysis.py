@@ -1380,10 +1380,15 @@ def corpus_drift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles are two final divisions, IEEE-identical in any engine
     (NULLIF-guarded: identical distributions make the TV numerator 0,
     and an empty snapshot makes a total 0 — both yield NULL shares
-    instead of an ANSI divide-by-zero; found by the hypothesis test). At
-    int64 scale this holds to ~1e15 token-count x corpus-size products;
-    beyond that (a full 100 TB corpus pair) promote the numerator to
-    DECIMAL(38,0) — same plan shape.
+    instead of an ANSI divide-by-zero; found by the hypothesis test).
+    Overflow guard: n_i <= t_i, so every cross-product is bounded by
+    t_old*t_new; a runtime `assert_true(t_old*t_new < 2^63)` (checked in
+    doubles, which cannot themselves overflow) rides the broadcast
+    totals row, so a corpus big enough to wrap int64 FAILS the job
+    loudly instead of returning a wrong-but-plausible top-K under
+    non-ANSI Spark (DuckDB's BIGINT arithmetic is already checked).
+    Beyond that bound (a full 100 TB corpus pair) promote the numerator
+    to DECIMAL(38,0) — same plan shape.
 
     Plan: one scan -> explode -> vocabulary aggregate with conditional
     counts (NO per-snapshot join: both snapshot counts come out of one
@@ -1402,6 +1407,16 @@ def corpus_drift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = counts.agg(
         F.sum("n_old").cast("long").alias("t_old"),
         F.sum("n_new").cast("long").alias("t_new"),
+    )
+    # int64-overflow guard (see docstring): the filter keeps assert_true
+    # in the plan (an unused projected column could be pruned away).
+    tot = tot.where(
+        F.assert_true(
+            F.col("t_old").cast("double") * F.col("t_new").cast("double")
+            < F.lit(float(2**63)),
+            F.lit("corpus_drift_topk: t_old*t_new would overflow int64 — "
+                  "promote drift_num to DECIMAL(38,0)"),
+        ).isNull()
     )
     drift = counts.crossJoin(F.broadcast(tot)).withColumn(
         "drift_num",
