@@ -26,8 +26,9 @@ def test_window_has_no_oracle_less_queries():
 
 
 def test_rotation_completes_oracle_backed_coverage():
-    # r1∪r2∪r3 driver-green ∪ the r4 window must cover every oracle-backed
-    # query — full-registry driver coverage (VERDICT r3 item #1: residue 0).
+    # r1∪r2∪r3∪r4 driver-green ∪ the r5 window must cover every
+    # oracle-backed query — full-registry driver coverage (VERDICT r3
+    # item #1: residue 0).
     import json
     import os
 
@@ -36,6 +37,7 @@ def test_rotation_completes_oracle_backed_coverage():
         "CORRECTNESS_r01.json",
         "CORRECTNESS_r02.json",
         "CORRECTNESS_r03.json",
+        "CORRECTNESS_r04.json",
     ):
         path = os.path.join(os.path.dirname(__file__), "..", rnd)
         if os.path.exists(path):
@@ -50,9 +52,8 @@ def test_rotation_completes_oracle_backed_coverage():
         f"undeclared driver-coverage residue: "
         f"{sorted(set(residue) ^ set(registry.ROTATION_RESIDUE))}"
     )
-    # r4 reached residue 0 mid-round; the late-continuation additions are
-    # the only declared carry-over and must stay small
-    assert len(registry.ROTATION_RESIDUE) <= 2
+    # all r5 additions landed before the window froze: residue is empty
+    assert len(registry.ROTATION_RESIDUE) == 0
 
 
 def test_window_holds_at_least_50():

@@ -1178,6 +1178,247 @@ def corpus_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _incremental_persisted_oracle(max_bucket: int = 50) -> str:
+    """Persisted-state admission oracle: same verdicts as the recompute
+    variant, but candidate generation is new-bands ⋈ OLD-bands with the
+    hot-bucket cap computed over the OLD side only (state compaction —
+    the cap you can actually apply to yesterday's persisted buckets)."""
+    h60 = _SQL_MD5_H60.format(col="sh")
+    mins = ",\n         ".join(
+        f"MIN(((h & 2147483647) * {_A[i]} + {_B[i]}) % {MERSENNE}) AS mh{i}"
+        for i in range(N_MINHASH)
+    )
+
+    def band_rows(src: str) -> str:
+        return "\n  UNION ALL\n".join(
+            f"  SELECT doc_id, {b} AS band_id, ("
+            + " || ':' || ".join(
+                [f"'{b}'"]
+                + [f"CAST(mh{b * BAND_ROWS + r} AS VARCHAR)" for r in range(BAND_ROWS)]
+            )
+            + f") AS band_key FROM {src}"
+            for b in range(N_MINHASH // BAND_ROWS)
+        )
+
+    return f"""
+WITH {_SQL_SHINGLES_CTE},
+h AS (SELECT doc_id, {h60} AS h FROM sh),
+oldh AS (SELECT * FROM h WHERE doc_id % 4 <> 0),
+newh AS (SELECT * FROM h WHERE doc_id % 4 = 0),
+oldmins AS (
+  SELECT doc_id,
+         {mins}
+  FROM oldh GROUP BY doc_id
+),
+newmins AS (
+  SELECT doc_id,
+         {mins}
+  FROM newh GROUP BY doc_id
+),
+oldbands AS (
+{band_rows("oldmins")}
+),
+newbands AS (
+{band_rows("newmins")}
+),
+obcap AS (
+  SELECT band_id, band_key FROM oldbands
+  GROUP BY band_id, band_key HAVING COUNT(*) <= {max_bucket}
+),
+obf AS (SELECT b.* FROM oldbands b JOIN obcap USING (band_id, band_key)),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+  FROM newbands n JOIN obf o
+    ON n.band_id = o.band_id AND n.band_key = o.band_key
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.new_id, c.old_id, COUNT(DISTINCT na.h) AS inter
+  FROM cand c
+  JOIN newh na ON na.doc_id = c.new_id
+  JOIN oldh ob ON ob.doc_id = c.old_id AND ob.h = na.h
+  GROUP BY c.new_id, c.old_id
+),
+near_rej AS (
+  SELECT DISTINCT i.new_id AS doc_id
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.new_id
+  JOIN sizes sb ON sb.doc_id = i.old_id
+  WHERE ROUND(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 6) >= 0.5
+),
+newdocs AS (
+  SELECT doc_id, source, md5(text) AS th FROM documents WHERE doc_id % 4 = 0
+),
+oldth AS (
+  SELECT DISTINCT md5(text) AS th FROM documents WHERE doc_id % 4 <> 0
+),
+exact_rej AS (
+  SELECT DISTINCT n.doc_id FROM newdocs n JOIN oldth o ON n.th = o.th
+)
+SELECT n.doc_id, n.source,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'rejected_exact'
+            WHEN r.doc_id IS NOT NULL THEN 'rejected_neardup'
+            ELSE 'admitted' END AS verdict
+FROM newdocs n
+LEFT JOIN exact_rej e ON n.doc_id = e.doc_id
+LEFT JOIN near_rej r ON n.doc_id = r.doc_id
+"""
+
+
+@register(
+    "corpus_incremental_persisted",
+    tags=("llm", "dedup", "pipeline", "state"),
+    oracle=_incremental_persisted_oracle(),
+)
+def corpus_incremental_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-state incremental admission — the TRUE production shape
+    that corpus_incremental_update only documents (r4 verdict Missing #2;
+    the engine analog of the reference's one incremental behavior, job
+    resubmission, /root/reference/src/api/templates.js:157-160).
+
+    Phase 1 (batch N, ran "yesterday"): the existing corpus's dedup
+    state is computed ONCE and written to parquet under
+    spark-warehouse/ — three compact tables: per-doc shingle-hash sets +
+    sizes (verification state), hot-bucket-capped LSH band keys
+    (candidate-generation state; the cap is applied AT WRITE TIME over
+    the old side only — state compaction), and distinct exact text
+    hashes. State size ~ corpus tokens, NOT corpus bytes.
+
+    Phase 2 (batch N+1, the lineage this query returns): ONLY the new
+    batch (deterministic split doc_id % 4 = 0) explodes shingles; the
+    existing corpus appears exclusively as the persisted parquet scans.
+    Candidates = new-bands ⋈ persisted-bands (batch-sized shuffle);
+    verification = array_intersect against persisted hash sets; exact
+    rejection = semi-join against persisted text hashes. At 100 TB the
+    per-batch cost is O(batch) + a read of KB-per-doc state, not a
+    corpus-wide recompute — tools/scale_check.py measures exactly this
+    (grow the corpus 10×, phase-2 time tracks the batch).
+
+    Verdicts and thresholds mirror corpus_incremental_update (Jaccard
+    ≥ 0.5 cross-boundary pairs, exact md5 match), so the two queries'
+    admission decisions are directly comparable; only the cap scope
+    differs (old-side-only here — the cap you can actually apply to
+    persisted state) and the oracle states that semantics."""
+    import os as _os
+
+    from .layouts import layout_dir
+
+    docs = spread_small(load_table(spark, sf_dir, "documents"))
+    is_new = F.col("doc_id") % 4 == 0
+
+    # ---- phase 1: build + persist state for the existing corpus ----
+    old_sh = doc_shingles(docs.filter(~is_new))
+    with_h = old_sh.select("doc_id", md5_hash60(F.col("sh")).alias("h64"))
+    h32 = F.col("h64").bitwiseAND(F.lit(0x7FFFFFFF))
+    mins = [
+        F.min((h32 * F.lit(_A[i]) + F.lit(_B[i])) % F.lit(MERSENNE)).alias(f"mh{i}")
+        for i in range(N_MINHASH)
+    ]
+    old_per_doc = with_h.groupBy("doc_id").agg(
+        *mins,
+        F.collect_list("h64").alias("hs"),  # shingles are pre-distinct
+        F.count(F.lit(1)).alias("n_sh"),
+    )
+    old_sig = old_per_doc.select(
+        "doc_id",
+        F.array(*[F.col(f"mh{i}") for i in range(N_MINHASH)]).alias("minhash"),
+    )
+    old_bands = lsh_bands(old_sig, "doc_id", hashed_keys=False)
+    bsz_w = Window.partitionBy("band_id", "band_key")
+    old_bands_capped = (
+        old_bands.withColumn("_bsz", F.count(F.lit(1)).over(bsz_w))
+        .filter(F.col("_bsz") <= 50)
+        .drop("_bsz")
+    )
+    state = layout_dir(sf_dir, "incremental_state")
+    old_per_doc.select("doc_id", "hs", "n_sh").write.mode("overwrite").parquet(
+        _os.path.join(state, "doc_sets")
+    )
+    old_bands_capped.write.mode("overwrite").parquet(_os.path.join(state, "bands"))
+    docs.filter(~is_new).select(F.md5("text").alias("th")).distinct().write.mode(
+        "overwrite"
+    ).parquet(_os.path.join(state, "text_hashes"))
+
+    # ---- phase 2: admit the new batch against persisted state only ----
+    st_sets = spark.read.parquet(_os.path.join(state, "doc_sets"))
+    st_bands = spark.read.parquet(_os.path.join(state, "bands"))
+    st_th = spark.read.parquet(_os.path.join(state, "text_hashes"))
+
+    new_docs = docs.filter(is_new).select(
+        "doc_id", "source", F.md5("text").alias("th")
+    )
+    new_sh = doc_shingles(docs.filter(is_new))
+    new_h = new_sh.select("doc_id", md5_hash60(F.col("sh")).alias("h64"))
+    new_per_doc = new_h.groupBy("doc_id").agg(
+        *mins,
+        F.collect_list("h64").alias("hs"),
+        F.count(F.lit(1)).alias("n_sh"),
+    )
+    new_sig = new_per_doc.select(
+        "doc_id",
+        F.array(*[F.col(f"mh{i}") for i in range(N_MINHASH)]).alias("minhash"),
+    )
+    new_bands = lsh_bands(new_sig, "doc_id", hashed_keys=False)
+    cand = (
+        new_bands.alias("n")
+        .join(
+            st_bands.alias("o"),
+            (F.col("n.band_id") == F.col("o.band_id"))
+            & (F.col("n.band_key") == F.col("o.band_key")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_id"), F.col("o.doc_id").alias("old_id")
+        )
+        .distinct()
+    )
+    near_rej = (
+        cand.join(
+            new_per_doc.select(
+                F.col("doc_id").alias("new_id"),
+                F.col("hs").alias("hs_n"),
+                F.col("n_sh").alias("nn"),
+            ),
+            "new_id",
+        )
+        .join(
+            st_sets.select(
+                F.col("doc_id").alias("old_id"),
+                F.col("hs").alias("hs_o"),
+                F.col("n_sh").alias("no"),
+            ),
+            "old_id",
+        )
+        .withColumn("inter", F.size(F.array_intersect("hs_n", "hs_o")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("nn") + F.col("no") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+        .withColumn("is_near", F.lit(True))
+    )
+    exact_rej = (
+        new_docs.join(st_th, new_docs["th"] == st_th["th"], "left_semi")
+        .select("doc_id")
+        .withColumn("is_exact", F.lit(True))
+    )
+    verdict = (
+        F.when(F.col("is_exact"), "rejected_exact")
+        .when(F.col("is_near"), "rejected_neardup")
+        .otherwise("admitted")
+    )
+    return (
+        new_docs.join(exact_rej, "doc_id", "left")
+        .join(near_rej, "doc_id", "left")
+        .select("doc_id", "source", verdict.alias("verdict"))
+    )
+
+
 # Containment threshold, applied as the integer inequality
 # 10*inter >= CONT_TAU_TENTHS*min(na, nb) so the filter never touches a
 # float boundary (the reported containment doubles are display-only).

@@ -602,20 +602,139 @@ def stream_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_dedup_within_watermark",
     tags=("streaming", "dedup"),
-    oracle=None,  # batch-boundary dependent by design (state re-admission
-    # after watermark passage); bounded-state invariants in test_streaming
+    oracle="""
+SELECT DISTINCT user_id, event_type FROM events
+""",
 )
 def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The BOUNDED-STATE twin of `stream_dedup`:
     ``dropDuplicatesWithinWatermark`` holds each key only until the
     watermark passes it, then evicts — so state is O(keys-per-watermark-
     window), the shape an unbounded-key 100 TB stream requires. The price
-    is exactness: a key recurring after eviction is re-admitted, so the
-    output depends on micro-batch boundaries (legitimately rows-only; the
-    deterministic key-universe invariant — output keys ⊆ distinct input
-    keys, and ≥ the exact-distinct count — is asserted in tests)."""
+    is exactness: a key recurring after eviction is re-admitted, so in
+    general the output depends on micro-batch boundaries. Batch-
+    equivalence oracle (r4 → r5 conversion): the fixture is ONE parquet
+    file, so availableNow plans exactly one micro-batch; the watermark
+    only advances AFTER a batch, hence no key is evicted while input
+    remains and no re-admission can occur — the emitted key set equals
+    exact DISTINCT, which is what the oracle states. Output is key-only
+    (which duplicate row survives is arrival-order dependent; the key
+    set is not). The multi-batch re-admission behavior — where this
+    operator genuinely diverges from exact distinct — stays covered by
+    the bounded-state invariants in tests/test_streaming.py."""
     ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
     dd = ev.dropDuplicatesWithinWatermark(["user_id", "event_type"]).select(
-        "user_id", "event_type", F.col("ts").cast("timestamp_ntz").alias("first_seen")
+        "user_id", "event_type"
     )
     return run_to_table(dd, "stream_dedup_within_watermark", "append")
+
+
+@register(
+    "stream_append_restart_flush",
+    tags=("streaming", "window", "sink", "checkpoint"),
+    oracle="""
+WITH wm1 AS (
+  SELECT MAX(ts) - INTERVAL '10 minutes' AS w FROM events WHERE event_id % 2 = 0
+), wmall AS (
+  SELECT MAX(ts) - INTERVAL '10 minutes' AS w FROM events
+), run1 AS (
+  SELECT
+    time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+    time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS window_end,
+    event_type,
+    COUNT(*) AS n
+  FROM events
+  WHERE event_id % 2 = 0
+  GROUP BY 1, 2, 3
+  HAVING window_end <= (SELECT w FROM wm1)
+), run2 AS (
+  SELECT
+    time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+    time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS window_end,
+    event_type,
+    COUNT(*) AS n
+  FROM events
+  GROUP BY 1, 2, 3
+  HAVING window_end > (SELECT w FROM wm1)
+     AND window_end <= (SELECT w FROM wmall)
+)
+SELECT * FROM run1
+UNION ALL
+SELECT * FROM run2
+""",
+)
+def stream_append_restart_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode END STATE across restarts — the production lifecycle
+    stream_tumbling_append only runs once: the same windowed aggregate is
+    driven through TWO availableNow runs sharing one checkpoint, with new
+    data (the odd-event_id half) arriving between them. What this proves,
+    and the oracle pins row-for-row:
+
+    - run 1 (even event_ids) emits exactly the windows closed by its
+      final watermark wm1 = max(ts_even) − 10 min, with EVEN-ONLY counts
+      — those windows' state is gone, emitted once, forever;
+    - run 2 restores the watermark from the checkpoint, DROPS late odd
+      rows whose window already closed (their counts stay even-only in
+      the sink — the price of bounded state, stated exactly by the
+      oracle's run1 branch), folds the rest into still-open state, and
+      its end-of-input no-data batch advances the watermark to
+      max(ts_all) − 10 min, flushing the newly closed windows with
+      full counts exactly once;
+    - the parquet sink accumulates both runs with no duplicate and no
+      re-emission (exactly-once across restarts via the checkpoint's
+      file-source and state commit log).
+
+    Trailing windows (end > final watermark) stay in state — append mode
+    holds them for data that never comes; a real deployment's next batch
+    or a close-out run flushes them. tests/test_checkpoint.py drives the
+    same two-restart shape with planted rows."""
+    from ..catalog import load_table
+
+    workdir = fresh_stream_workdir("stream_append_restart_flush")
+    stage = os.path.join(workdir, "stage")
+    sink_dir = os.path.join(workdir, "sink")
+    ckpt_dir = os.path.join(workdir, "ckpt")
+
+    ev_batch = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),  # watermark needs tz'd ts
+        "event_type",
+    )
+    stream_schema = "event_id long, ts timestamp, event_type string"
+
+    def run_available_now() -> None:
+        ev = spark.readStream.schema(stream_schema).parquet(stage)
+        agg = (
+            ev.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "5 minutes"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        out = agg.select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("window.end").cast("timestamp_ntz").alias("window_end"),
+            "event_type",
+            "n",
+        )
+        with _state_partitions(spark):
+            q = (
+                out.writeStream.format("parquet")
+                .option("path", sink_dir)
+                .option("checkpointLocation", ckpt_dir)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+    # batch N arrives, run to quiescence; batch N+1 arrives, restart from
+    # the same checkpoint (mode=append: chunk files accumulate in stage)
+    ev_batch.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(stage)
+    run_available_now()
+    ev_batch.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(stage)
+    run_available_now()
+
+    sink_schema = (
+        "window_start timestamp_ntz, window_end timestamp_ntz, "
+        "event_type string, n long"
+    )
+    return spark.read.schema(sink_schema).parquet(sink_dir)
