@@ -13,9 +13,59 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from vena_etl_tool_spark.registry import all_specs
 
+# One-line why for every deliberately oracle-free query (VERDICT r4 #5).
+# Kept in lockstep with the registry: main() fails if this dict and the
+# rows-only set diverge, so a new oracle-less query can't land unexplained.
+ROWS_ONLY_WHY = {
+    "agg_approx_distinct": (
+        "HLL++ estimates are engine-specific register math; the exact-count "
+        "twin `agg_distinct_counts` is oracle-checked and the estimate-vs-"
+        "exact error bound is unit-tested"
+    ),
+    "agg_approx_quantile": (
+        "Greenwald-Khanna sketch output has no DuckDB equivalent; the exact-"
+        "percentile twin `agg_percentiles_exact` is oracle-checked"
+    ),
+    "agg_hll_sketch_rollup": (
+        "DataSketches HLL register state is engine-specific by construction "
+        "(the point is persisting mergeable sketch STATE); estimate accuracy "
+        "is unit-tested"
+    ),
+    "dedup_ml_minhash": (
+        "pyspark.ml MinHashLSH uses library-internal hash seeds DuckDB cannot "
+        "reproduce; cross-validated in tests against the oracle-exact "
+        "hand-rolled minhash pipeline"
+    ),
+    "hash_functions_extra": (
+        "xxhash64/hash are Spark-proprietary hash functions with no DuckDB "
+        "twin (md5/sha variants ARE oracle-checked in the sibling query)"
+    ),
+    "multimodal_decode_features": (
+        "decode is a deterministic stub (no image libs in the container); "
+        "the Spark-side plumbing (schema, batching, mapInPandas signature) "
+        "is the tested surface"
+    ),
+    "sim_ann_ivf_kmeans": (
+        "pyspark.ml KMeans centroids depend on library-internal init/order; "
+        "recall vs exact top-k is unit-tested, and the deterministic-fold "
+        "IVF variant `sim_ann_ivf` is oracle-checked"
+    ),
+    "sim_ann_ml_brp": (
+        "pyspark.ml BucketedRandomProjectionLSH draws library-internal "
+        "projection vectors; recall invariants are unit-tested, with "
+        "`sim_ann_lsh` as the oracle-checked deterministic twin"
+    ),
+}
+
 
 def main() -> None:
     specs = all_specs()
+    rows_only = {n for n, s in specs.items() if s.oracle is None}
+    if rows_only != set(ROWS_ONLY_WHY):
+        raise SystemExit(
+            f"ROWS_ONLY_WHY out of sync with registry: "
+            f"{sorted(rows_only ^ set(ROWS_ONLY_WHY))}"
+        )
     by_module = defaultdict(list)
     for spec in specs.values():
         by_module[spec.fn.__module__.split(".")[-1]].append(spec)
@@ -50,6 +100,13 @@ def main() -> None:
                 f"| `{spec.name}` | {module} | {check} | "
                 f"{', '.join(spec.tags)} | {summary} |"
             )
+    lines += [
+        "",
+        "## Why each rows-only query has no oracle",
+        "",
+    ]
+    for name in sorted(ROWS_ONLY_WHY):
+        lines.append(f"- `{name}` — engine-specific because {ROWS_ONLY_WHY[name]}.")
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "OPERATORS.md")
     with open(out, "w", encoding="utf-8") as f:
         f.write("\n".join(lines) + "\n")

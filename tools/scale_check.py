@@ -46,6 +46,7 @@ QUERIES = (
     "layout_compaction_plan",
     "events_path_mining",
     "join_interval_overlap",
+    "corpus_incremental_update",
 )
 REPLICAS = 10
 
@@ -77,6 +78,39 @@ def build_replica(spark, sf_dir: str, out_dir: str) -> None:
         dst = os.path.join(out_dir, f"{t}.parquet")
         if not os.path.exists(dst):
             os.symlink(os.path.join(sf_dir, f"{t}.parquet"), dst)
+
+
+def persisted_probe(spark, sf_dir: str, out_dir: str) -> None:
+    """The claim behind corpus_incremental_persisted: phase-2 admission
+    cost tracks the BATCH, not the corpus. Proof shape: admit the SAME
+    fixed batch (sf-dir docs with doc_id%4==0) against persisted state
+    built over the 1x corpus vs the 10x replica corpus. A corpus-sized
+    recompute would scale ~10x; batch-sized shuffles + a compact state
+    scan should stay a small multiple."""
+    from vena_etl_tool_spark.operators.dedup import (
+        incr_admit,
+        incr_build_state,
+    )
+
+    docs1 = load_table(spark, sf_dir, "documents")
+    docs10 = load_table(spark, out_dir, "documents")
+    batch = docs1.filter(F.col("doc_id") % 4 == 0)
+    st1 = incr_build_state(
+        docs1.filter(F.col("doc_id") % 4 != 0), os.path.join(out_dir, "_state1x")
+    )
+    st10 = incr_build_state(
+        docs10.filter(F.col("doc_id") % 4 != 0), os.path.join(out_dir, "_state10x")
+    )
+    times = {}
+    for tag, st in (("1x", st1), ("10x", st10)):
+        incr_admit(spark, batch, st).write.mode("overwrite").format("noop").save()
+        t0 = time.perf_counter()
+        incr_admit(spark, batch, st).write.mode("overwrite").format("noop").save()
+        times[tag] = time.perf_counter() - t0
+    print(
+        f"| incr_admit fixed batch vs state size | {times['1x']:.2f}s "
+        f"| {times['10x']:.2f}s | {times['10x'] / times['1x']:.1f} |"
+    )
 
 
 def main() -> int:

@@ -1299,66 +1299,80 @@ def corpus_incremental_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     admission decisions are directly comparable; only the cap scope
     differs (old-side-only here — the cap you can actually apply to
     persisted state) and the oracle states that semantics."""
-    import os as _os
-
-    from .layouts import layout_dir
-
     docs = spread_small(load_table(spark, sf_dir, "documents"))
     is_new = F.col("doc_id") % 4 == 0
+    state = incr_build_state(docs.filter(~is_new), incr_state_dir(sf_dir))
+    return incr_admit(spark, docs.filter(is_new), state)
 
-    # ---- phase 1: build + persist state for the existing corpus ----
-    old_sh = doc_shingles(docs.filter(~is_new))
-    with_h = old_sh.select("doc_id", md5_hash60(F.col("sh")).alias("h64"))
+
+def incr_state_dir(sf_dir: str) -> str:
+    from .layouts import layout_dir
+
+    return layout_dir(sf_dir, "incremental_state")
+
+
+def _minhash_per_doc(docs: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh31, hs, n_sh) — signature mins + shingle-hash set
+    in ONE aggregate over exploded shingles (md5 cross-engine hash)."""
+    sh = doc_shingles(docs)
+    with_h = sh.select("doc_id", md5_hash60(F.col("sh")).alias("h64"))
     h32 = F.col("h64").bitwiseAND(F.lit(0x7FFFFFFF))
     mins = [
         F.min((h32 * F.lit(_A[i]) + F.lit(_B[i])) % F.lit(MERSENNE)).alias(f"mh{i}")
         for i in range(N_MINHASH)
     ]
-    old_per_doc = with_h.groupBy("doc_id").agg(
+    return with_h.groupBy("doc_id").agg(
         *mins,
         F.collect_list("h64").alias("hs"),  # shingles are pre-distinct
         F.count(F.lit(1)).alias("n_sh"),
     )
-    old_sig = old_per_doc.select(
+
+
+def _per_doc_bands(per_doc: DataFrame, hashed_keys: bool = False) -> DataFrame:
+    sig = per_doc.select(
         "doc_id",
         F.array(*[F.col(f"mh{i}") for i in range(N_MINHASH)]).alias("minhash"),
     )
-    old_bands = lsh_bands(old_sig, "doc_id", hashed_keys=False)
+    return lsh_bands(sig, "doc_id", hashed_keys=hashed_keys)
+
+
+def incr_build_state(old_docs: DataFrame, state: str) -> str:
+    """Phase 1: persist the existing corpus's dedup state (doc_sets /
+    capped bands / text hashes) under ``state``; returns the dir."""
+    import os as _os
+
+    old_per_doc = _minhash_per_doc(old_docs)
+    old_bands = _per_doc_bands(old_per_doc)
     bsz_w = Window.partitionBy("band_id", "band_key")
     old_bands_capped = (
         old_bands.withColumn("_bsz", F.count(F.lit(1)).over(bsz_w))
         .filter(F.col("_bsz") <= 50)
         .drop("_bsz")
     )
-    state = layout_dir(sf_dir, "incremental_state")
     old_per_doc.select("doc_id", "hs", "n_sh").write.mode("overwrite").parquet(
         _os.path.join(state, "doc_sets")
     )
     old_bands_capped.write.mode("overwrite").parquet(_os.path.join(state, "bands"))
-    docs.filter(~is_new).select(F.md5("text").alias("th")).distinct().write.mode(
+    old_docs.select(F.md5("text").alias("th")).distinct().write.mode(
         "overwrite"
     ).parquet(_os.path.join(state, "text_hashes"))
+    return state
 
-    # ---- phase 2: admit the new batch against persisted state only ----
+
+def incr_admit(spark: SparkSession, batch_docs: DataFrame, state: str) -> DataFrame:
+    """Phase 2: admit ``batch_docs`` against persisted state only — the
+    existing corpus appears exclusively as the state parquet scans."""
+    import os as _os
+
     st_sets = spark.read.parquet(_os.path.join(state, "doc_sets"))
     st_bands = spark.read.parquet(_os.path.join(state, "bands"))
     st_th = spark.read.parquet(_os.path.join(state, "text_hashes"))
 
-    new_docs = docs.filter(is_new).select(
+    new_docs = batch_docs.select(
         "doc_id", "source", F.md5("text").alias("th")
     )
-    new_sh = doc_shingles(docs.filter(is_new))
-    new_h = new_sh.select("doc_id", md5_hash60(F.col("sh")).alias("h64"))
-    new_per_doc = new_h.groupBy("doc_id").agg(
-        *mins,
-        F.collect_list("h64").alias("hs"),
-        F.count(F.lit(1)).alias("n_sh"),
-    )
-    new_sig = new_per_doc.select(
-        "doc_id",
-        F.array(*[F.col(f"mh{i}") for i in range(N_MINHASH)]).alias("minhash"),
-    )
-    new_bands = lsh_bands(new_sig, "doc_id", hashed_keys=False)
+    new_per_doc = _minhash_per_doc(batch_docs)
+    new_bands = _per_doc_bands(new_per_doc)
     cand = (
         new_bands.alias("n")
         .join(

@@ -5,11 +5,17 @@ polled via two GETs and cancelled via POST
 (/root/reference/src/api/jobs.js:25-35 status, :66-103 cancel; created by
 the upload at src/api/templates.js:157-160). Spark-first mapping:
 
-- batch action  → run under a job *tag* (``addJobTag`` — the PySpark-4
-  replacement for job groups); cancel = ``cancelJobsWithTag`` (async, like
-  the reference's cancel endpoint).
+- batch action  → run under a job *tag* (session-level ``addTag`` — the
+  PySpark-4 unified API that works on BOTH classic and Spark Connect
+  sessions, unlike the SparkContext job-group/`addJobTag` APIs it
+  replaces); cancel = ``interruptTag`` (async, like the reference's
+  cancel endpoint).
 - streaming     → the ``StreamingQuery`` handle natively carries
-  id/status/lastProgress/stop — the exact analog of the job object.
+  id/status/lastProgress/stop — the exact analog of the job object, and
+  is itself Connect-compatible.
+
+Connect note (SCALE.md §connect): only ``setJobDescription`` remains a
+classic-only nicety here; it is guarded and skipped under Connect.
 """
 
 from __future__ import annotations
@@ -50,9 +56,11 @@ class JobRegistry:
         handle = JobHandle(job_id=job_id, kind="batch")
 
         def runner() -> None:
-            sc = self.spark.sparkContext
-            sc.addJobTag(job_id)
-            sc.setJobDescription(description or job_id)
+            self.spark.addTag(job_id)  # session-level: classic AND Connect
+            try:  # description is a UI nicety; no Connect equivalent
+                self.spark.sparkContext.setJobDescription(description or job_id)
+            except Exception:  # noqa: BLE001 — Connect session: skip
+                pass
             try:
                 handle.result = fn()
                 handle.state = "SUCCEEDED"
@@ -60,7 +68,7 @@ class JobRegistry:
                 handle.error = f"{type(e).__name__}: {e}"
                 handle.state = "CANCELLED" if "cancelled" in str(e).lower() else "FAILED"
             finally:
-                sc.removeJobTag(job_id)
+                self.spark.removeTag(job_id)
 
         handle.thread = threading.Thread(target=runner, daemon=True)
         handle.thread.start()
@@ -102,7 +110,7 @@ class JobRegistry:
             handle.query.stop()
             handle.state = "CANCELLED"
         else:
-            self.spark.sparkContext.cancelJobsWithTag(job_id)
+            self.spark.interruptTag(job_id)  # session-level: classic AND Connect
             handle.state = "CANCELLED"
         if self.audit:
             self.audit.log_job_operation({"operation": "cancel", "jobId": job_id})
