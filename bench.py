@@ -61,6 +61,9 @@ HEADLINE = [
     "events_path_mining",
     "profile_column_stats",
     "join_interval_overlap",
+    # added r5
+    "corpus_incremental_persisted",
+    "stream_append_restart_flush",
 ]
 
 # Cross-round comparability (VERDICT r3 item #5): the headline set grows

@@ -113,6 +113,26 @@ def persisted_probe(spark, sf_dir: str, out_dir: str) -> None:
     )
 
 
+def minhash_cap_sweep(spark, out_dir: str) -> None:
+    """Cap-sensitivity for the one genuinely cap-governed superlinear
+    entry (minhash 2.8x at 10x pathological dup density): the replica
+    multiplies every band bucket's occupancy 10x, so candidate pairs grow
+    ~min(k,cap)^2 per bucket. Timing the 10x corpus at caps 25/50/100
+    shows the cap — not the corpus size — is the wall-clock lever (the
+    100 TB tuning knob: cap per-bucket k so cap^2 x bucket-count tracks
+    your candidate budget). Uses the xxhash64 fast path — timing only."""
+    from vena_etl_tool_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, out_dir, "documents")
+    for cap in (25, 50, 100):
+        q = minhash_lsh_pairs(docs, max_bucket_size=cap)
+        q.write.mode("overwrite").format("noop").save()  # warm
+        t0 = time.perf_counter()
+        q.write.mode("overwrite").format("noop").save()
+        print(f"| minhash_lsh_pairs 10x, bucket cap {cap} | — | "
+              f"{time.perf_counter() - t0:.2f}s | — |")
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     only = sys.argv[2:] or None  # optional query-name subset for re-measures
@@ -137,6 +157,10 @@ def main() -> int:
             fn(spark, out_dir).write.mode("overwrite").format("noop").save()
             big = time.perf_counter() - t0
             print(f"| {name} | {base:.2f}s | {big:.2f}s | {big / base:.1f} |")
+        if only is None or "corpus_incremental_persisted" in only:
+            persisted_probe(spark, sf_dir, out_dir)
+        if only is None or "dedup_minhash_lsh_pairs" in only:
+            minhash_cap_sweep(spark, out_dir)
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
     return 0
