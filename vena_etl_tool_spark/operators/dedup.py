@@ -1337,20 +1337,25 @@ def _per_doc_bands(per_doc: DataFrame, hashed_keys: bool = False) -> DataFrame:
 
 
 def incr_build_state(old_docs: DataFrame, state: str) -> str:
-    """Phase 1: persist the existing corpus's dedup state (doc_sets /
-    capped bands / text hashes) under ``state``; returns the dir."""
+    """Phase 1: persist the existing corpus's dedup state under ``state``.
+
+    ONE pass over the exploded shingles: the per-doc table (signature
+    mins + hash set + size) is written first, and the capped band-key
+    table derives from READING it back — a columnar scan of 32 ints per
+    doc (parquet prunes the heavy ``hs`` arrays), not a second shingle
+    explode+aggregate. The admit side later reads the same per-doc file
+    pruned the other way (doc_id/hs/n_sh, no signature columns)."""
     import os as _os
 
-    old_per_doc = _minhash_per_doc(old_docs)
-    old_bands = _per_doc_bands(old_per_doc)
+    per_doc_path = _os.path.join(state, "doc_sets")
+    _minhash_per_doc(old_docs).write.mode("overwrite").parquet(per_doc_path)
+    persisted = old_docs.sparkSession.read.parquet(per_doc_path)
+    old_bands = _per_doc_bands(persisted)
     bsz_w = Window.partitionBy("band_id", "band_key")
     old_bands_capped = (
         old_bands.withColumn("_bsz", F.count(F.lit(1)).over(bsz_w))
         .filter(F.col("_bsz") <= 50)
         .drop("_bsz")
-    )
-    old_per_doc.select("doc_id", "hs", "n_sh").write.mode("overwrite").parquet(
-        _os.path.join(state, "doc_sets")
     )
     old_bands_capped.write.mode("overwrite").parquet(_os.path.join(state, "bands"))
     old_docs.select(F.md5("text").alias("th")).distinct().write.mode(
