@@ -64,6 +64,8 @@ HEADLINE = [
     # added r5
     "corpus_incremental_persisted",
     "stream_append_restart_flush",
+    "text_lm_quality_buckets",
+    "events_value_anomaly",
 ]
 
 # Cross-round comparability (VERDICT r3 item #5): the headline set grows

@@ -404,3 +404,73 @@ def events_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "path")
         .limit(PATH_TOPK)
     )
+
+
+@register(
+    "events_value_anomaly",
+    tags=("analytics", "anomaly", "quality"),
+    oracle="""
+WITH med AS (
+  SELECT event_type, quantile_disc(value, 0.5) AS med
+  FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_id, e.event_type, e.value, m.med,
+         ABS(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, quantile_disc(adev, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_id, d.event_type, d.value, d.med, m.mad,
+       ROUND(d.adev / NULLIF(m.mad, 0.0), 6) AS robust_z
+FROM dev d JOIN mad m USING (event_type)
+WHERE d.adev > 3 * m.mad
+""",
+)
+def events_value_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection on the event stream: flag events whose
+    value deviates from their type's MEDIAN by more than 3× the median
+    absolute deviation — the data-quality tripwire that runs ahead of any
+    metric aggregation (mean/stddev z-scores break on the very outliers
+    they should catch; median/MAD do not). percentile_disc medians are
+    exact data values picked by rank (same convention as DuckDB's
+    quantile_disc — no interpolation arithmetic), so the flag boundary is
+    engine-exact; the reported robust_z is NULLIF-guarded for the
+    constant-value degenerate case (MAD 0 would otherwise flag every
+    nonequal value AND divide by zero — the > 3*0 filter still fires,
+    the ratio reports NULL).
+
+    Scale shape: two grouped exact-percentile aggregates over the 5-key
+    event_type domain, each broadcast back onto the stream — the fact
+    table is scanned, never sorted globally. Exact per-group percentiles
+    hold to millions of rows per key; at 100 TB swap approx_percentile
+    (t-digest, mergeable) into BOTH aggregates — same plan, and the 3×MAD
+    flag tolerates sketch error by construction."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("adev") > 3 * F.col("mad"))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            "med",
+            "mad",
+            F.round(
+                F.col("adev") / F.nullif(F.col("mad"), F.lit(0.0)), 6
+            ).alias("robust_z"),
+        )
+    )

@@ -1447,3 +1447,113 @@ def corpus_drift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("drift_num").desc(), "tok")
         .limit(DRIFT_TOPK)
     )
+
+
+# Tercile fractions as shared literals so Spark and DuckDB parse the
+# identical double (percentile_disc is rank-based — the cutoffs are exact
+# data values, no interpolation arithmetic to diverge).
+_LM_P1 = repr(1 / 3)
+_LM_P2 = repr(2 / 3)
+
+
+@register(
+    "text_lm_quality_buckets",
+    tags=("llm", "text", "quality", "lm"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), vocab AS (
+  SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+), tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab
+), tl AS (
+  SELECT t.doc_id,
+         CAST(FLOOR(LN(CAST(v.cnt AS DOUBLE) / CAST(tot.total AS DOUBLE))
+                    * 1e9) AS BIGINT) AS sll
+  FROM toks t JOIN vocab v USING (tok) CROSS JOIN tot
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_toks,
+         CAST(SUM(sll) AS BIGINT) AS ssum
+  FROM tl GROUP BY doc_id
+), scored AS (
+  SELECT doc_id, n_toks,
+         -(CAST(ssum AS DOUBLE) / 1e9) / n_toks AS ce
+  FROM per_doc
+), cuts AS (
+  SELECT quantile_disc(ce, {_LM_P1}) AS c1,
+         quantile_disc(ce, {_LM_P2}) AS c2
+  FROM scored
+)
+SELECT doc_id, n_toks, ROUND(ce, 6) AS cross_entropy,
+       CASE WHEN ce <= c1 THEN 'head'
+            WHEN ce <= c2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored, cuts
+""",
+)
+def text_lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality bucketing: train a unigram LM
+    on the corpus itself, score every document by token-level
+    cross-entropy, and split the corpus into head/middle/tail terciles —
+    the standard curation signal for "keep the head, downsample the
+    tail" pretraining mixes (CCNet, RedPajama). Everything is
+    engine-exact: per-token log-probs fold as scaled longs
+    (floor(ln(cnt/total)·1e9) — int64 sums are partition-order-proof),
+    and the tercile cutoffs use percentile_disc, which picks exact data
+    values by rank (verified same convention as DuckDB's quantile_disc),
+    so the bucket boundaries carry no interpolation arithmetic.
+
+    Scale shape: two corpus-token shuffles (vocabulary count, then the
+    token→prob join — AQE broadcasts the vocab side when it fits), one
+    doc-granularity aggregate, then a single-row cutoff aggregate
+    broadcast back: NO global sort and NO unpartitioned window — the
+    ntile-style bucketing that needs a total order is replaced by two
+    broadcast comparisons. At 100 TB swap the exact percentile_disc for
+    approx_percentile (same plan shape, sketch-sized cutoff state) and
+    shard the vocabulary join on a hashed token key."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").cast("long").alias("total"))
+    tl = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log(
+                    F.col("cnt").cast("double") / F.col("total").cast("double")
+                )
+                * F.lit(1e9)
+            )
+            .cast("long")
+            .alias("sll"),
+        )
+    )
+    per_doc = tl.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_toks"),
+        F.sum("sll").cast("long").alias("ssum"),
+    )
+    scored = per_doc.select(
+        "doc_id",
+        "n_toks",
+        (-(F.col("ssum").cast("double") / F.lit(1e9)) / F.col("n_toks")).alias("ce"),
+    )
+    cuts = scored.agg(
+        F.expr(f"percentile_disc({_LM_P1}) WITHIN GROUP (ORDER BY ce)").alias("c1"),
+        F.expr(f"percentile_disc({_LM_P2}) WITHIN GROUP (ORDER BY ce)").alias("c2"),
+    )
+    bucket = (
+        F.when(F.col("ce") <= F.col("c1"), "head")
+        .when(F.col("ce") <= F.col("c2"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        scored.crossJoin(F.broadcast(cuts))
+        .select(
+            "doc_id",
+            "n_toks",
+            F.round("ce", 6).alias("cross_entropy"),
+            bucket.alias("bucket"),
+        )
+    )

@@ -129,14 +129,21 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q7_nation_volume",
     "string_functions",
     "unpivot_melt",
+    # --- (2b) added late-r5, pre-freeze: the LM-quality terciles and the
+    # MAD anomaly detector are never-checked, so they displace two of the
+    # r2 re-validation picks below (never-checked > re-validation;
+    # topk_global's TakeOrderedAndProject path stays covered in-window by
+    # subquery_lateral_topn + the plan tests, and setop_except_all keeps
+    # its r2-green row and leads the declared r6 backlog with the rest of
+    # the setop family) ---
+    "text_lm_quality_buckets",
+    "events_value_anomaly",
     # --- (4) newest driver evidence is r2: bench flagships first ---
     "corpus_curation_pipeline",
     "embedding_quantize_int8",
-    "setop_except_all",
     "sim_ann_ivf",
     "sim_cosine_topk",
     "subquery_lateral_topn",
-    "topk_global",
     "udf_grouped_agg",
     "window_frames",
     # family representatives: salted-join skew handling and the
