@@ -66,6 +66,7 @@ HEADLINE = [
     "stream_append_restart_flush",
     "text_lm_quality_buckets",
     "events_value_anomaly",
+    "corpus_source_health",
 ]
 
 # Cross-round comparability (VERDICT r3 item #5): the headline set grows

@@ -63,7 +63,10 @@ def main(argv: list[str] | None = None) -> int:
         # plan initial)
         for _ in df.toLocalIterator():
             pass
-        print(df._jdf.queryExecution().executedPlan().toString())
+        try:
+            print(df._jdf.queryExecution().executedPlan().toString())
+        except Exception:  # Spark Connect: no _jdf — show the static plan
+            df.explain("formatted")
     else:
         df.show(args.n, truncate=40)
     return 0

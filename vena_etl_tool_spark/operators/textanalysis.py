@@ -1557,3 +1557,99 @@ def text_lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             bucket.alias("bucket"),
         )
     )
+
+
+@register(
+    "corpus_source_health",
+    tags=("llm", "text", "quality", "monitoring"),
+    oracle="""
+WITH th AS (
+  SELECT source, lang, n_chars, md5(text) AS h FROM documents
+), dupc AS (
+  SELECT h, COUNT(*) AS c FROM th GROUP BY h
+), base AS (
+  SELECT t.source,
+         COUNT(*) AS n_docs,
+         COUNT(CASE WHEN d.c > 1 THEN 1 END) AS n_dup_docs,
+         CAST(SUM(CAST(t.n_chars AS DECIMAL(18,2))) AS DOUBLE) / COUNT(t.n_chars)
+           AS avg_chars
+  FROM th t JOIN dupc d ON t.h = d.h
+  GROUP BY t.source
+), lc AS (
+  SELECT source, lang, COUNT(*) AS cnt FROM th GROUP BY source, lang
+), ent AS (
+  SELECT source,
+         CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR(cnt * LN(CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT))
+              AS BIGINT) AS s
+  FROM lc GROUP BY source
+)
+SELECT b.source, b.n_docs, b.n_dup_docs,
+       ROUND(CAST(b.n_dup_docs AS DOUBLE) / b.n_docs, 6) AS dup_rate,
+       ROUND(b.avg_chars, 2) AS avg_chars,
+       ROUND(LN(CAST(e.n AS DOUBLE)) - (CAST(e.s AS DOUBLE) / 1e6) / e.n, 6)
+         AS lang_entropy
+FROM base b JOIN ent e ON b.source = e.source
+""",
+)
+def corpus_source_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health rollup — the monitoring query a crawl
+    pipeline runs per snapshot to catch a degrading source before it
+    poisons a training mix: document count, exact-duplicate rate
+    (corpus-wide text-hash collisions attributed back to each source),
+    average document length, and language-distribution Shannon entropy
+    (a collapsing entropy = the source started emitting one language —
+    usually boilerplate or an extraction bug). Entropy folds as scaled
+    longs (floor(cnt·ln(cnt)·1e6) summed in int64, then
+    ln(n) − s/n) so the few-term float sum cannot vary with partition
+    order; averages use the decimal-sum discipline.
+
+    Scale shape: one corpus shuffle on the 16-byte text hash (the dup
+    count), one on (source, lang) — both with map-side partial
+    aggregation; the two per-source aggregates join broadcast (sources
+    are a dimension, thousands at most). Reference analog: the upload
+    validation summary (/root/reference/src/commands/upload.js) — this
+    is its engine-side generalization."""
+    docs = load_table(spark, sf_dir, "documents")
+    th = docs.select("source", "lang", "n_chars", F.md5("text").alias("h"))
+    dupc = th.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    base = (
+        th.join(dupc, "h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("c") > 1, 1)).alias("n_dup_docs"),
+            (
+                F.sum(F.col("n_chars").cast("decimal(18,2)")).cast("double")
+                / F.count("n_chars")
+            ).alias("avg_chars"),
+        )
+    )
+    lc = th.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("cnt"))
+    ent = lc.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(
+            F.floor(
+                F.col("cnt") * F.log(F.col("cnt").cast("double")) * F.lit(1e6)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("s"),
+    )
+    return (
+        base.join(F.broadcast(ent), "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_dup_docs",
+            F.round(
+                F.col("n_dup_docs").cast("double") / F.col("n_docs"), 6
+            ).alias("dup_rate"),
+            F.round("avg_chars", 2).alias("avg_chars"),
+            F.round(
+                F.log(F.col("n").cast("double"))
+                - (F.col("s").cast("double") / F.lit(1e6)) / F.col("n"),
+                6,
+            ).alias("lang_entropy"),
+        )
+    )

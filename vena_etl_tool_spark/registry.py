@@ -138,9 +138,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # the setop family) ---
     "text_lm_quality_buckets",
     "events_value_anomaly",
+    # corpus_source_health (late-r5) displaces embedding_quantize_int8
+    # (r2-green, map-only, the simplest plan in the registry — lowest
+    # re-validation value of the remaining picks; r6 backlog):
+    "corpus_source_health",
     # --- (4) newest driver evidence is r2: bench flagships first ---
     "corpus_curation_pipeline",
-    "embedding_quantize_int8",
     "sim_ann_ivf",
     "sim_cosine_topk",
     "subquery_lateral_topn",
