@@ -67,6 +67,7 @@ HEADLINE = [
     "text_lm_quality_buckets",
     "events_value_anomaly",
     "corpus_source_health",
+    "corpus_bloom_prefilter",
 ]
 
 # Cross-round comparability (VERDICT r3 item #5): the headline set grows

@@ -1528,3 +1528,97 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("direction"),
         )
     )
+
+
+# Relational Bloom prefilter parameters: m = 2^20 bits (16384 longs),
+# k = 5 xxhash64(text, seed) probes — FP ~1e-4 at 10k members, and the
+# whole filter broadcasts as a 16k-row (word, bits) table.
+BLOOM_NBITS = 1 << 20
+BLOOM_K = 5
+
+
+def _bloom_positions(text_col: str) -> list[Column]:
+    return [
+        F.pmod(F.xxhash64(F.col(text_col), F.lit(i)), F.lit(BLOOM_NBITS)).alias(
+            f"p{i}"
+        )
+        for i in range(BLOOM_K)
+    ]
+
+
+def _bloom_word_mask() -> tuple[Column, Column]:
+    """(word index, bit mask) of a column named ``pos`` — SQL-expr form
+    because the Python shiftleft() only takes a literal bit count."""
+    word = F.expr("shiftright(pos, 6)").alias("w")
+    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos & 63 AS INT))").alias("m")
+    return word, mask
+
+
+@register(
+    "corpus_bloom_prefilter",
+    tags=("llm", "dedup", "bloom", "pipeline"),
+    oracle="""
+WITH oldth AS (
+  SELECT DISTINCT md5(text) AS th FROM documents WHERE doc_id % 4 <> 0
+)
+SELECT d.doc_id, d.source, (o.th IS NOT NULL) AS is_known
+FROM (SELECT doc_id, source, md5(text) AS th
+      FROM documents WHERE doc_id % 4 = 0) d
+LEFT JOIN oldth o ON d.th = o.th
+""",
+)
+def corpus_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered exact-membership admission — the 100 TB fast
+    path in front of corpus_incremental_persisted's exact check: a Bloom
+    filter over the existing corpus's text hashes is built RELATIONALLY
+    (k xxhash64(text, seed) positions → bit_or-folded 64-bit words — a
+    16384-row table at m=2^20 bits, broadcastable at any corpus size
+    with m scaled to ~10 bits/doc), and the new batch probes it with a
+    broadcast join + per-doc bool_and before the expensive corpus-wide
+    hash join. Only bloom-PASSERS (true dups + ~1e-4 false positives)
+    reach the exact join; bloom misses shortcut to is_known=false with
+    zero join work — at a 1% dup rate that's a ~99% probe-side cut.
+
+    The ORACLE never models the bloom: Bloom filters have no false
+    negatives, so prefilter + exact-verify provably equals the plain
+    exact LEFT JOIN the oracle states — the approximation is
+    performance-only, and the driver hash-check proves exactly that
+    end-to-end equality. (Catalyst's own runtime bloom injection — shown
+    live in tests/test_plans.py — is the same idea applied by the
+    optimizer; this registers it as an explicit, tunable operator.)
+    Planted FP/no-FN invariants: tests/test_r5_curation_ops.py."""
+    docs = spread_small(load_table(spark, sf_dir, "documents"))
+    is_new = F.col("doc_id") % 4 == 0
+
+    old = docs.filter(~is_new)
+    opos = old.select(F.explode(F.array(*_bloom_positions("text"))).alias("pos"))
+    w, m = _bloom_word_mask()
+    bloom = opos.select(w, m).groupBy("w").agg(F.bit_or("m").alias("bits"))
+
+    newd = docs.filter(is_new).select(
+        "doc_id", "source", F.md5("text").alias("th"), "text"
+    )
+    ppos = newd.select(
+        "doc_id", F.explode(F.array(*_bloom_positions("text"))).alias("pos")
+    )
+    pw, pm = _bloom_word_mask()
+    probe = ppos.select("doc_id", pw, pm)
+    hits = probe.join(F.broadcast(bloom), "w", "left").select(
+        "doc_id",
+        (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("m")) != 0).alias(
+            "hit"
+        ),
+    )
+    maybe = hits.groupBy("doc_id").agg(F.bool_and("hit").alias("maybe"))
+
+    flagged = newd.drop("text").join(maybe, "doc_id")
+    definite_new = flagged.filter(~F.col("maybe")).select(
+        "doc_id", "source", F.lit(False).alias("is_known")
+    )
+    old_th = old.select(F.md5("text").alias("oth")).distinct()
+    candidates = (
+        flagged.filter(F.col("maybe"))
+        .join(old_th, F.col("th") == F.col("oth"), "left")
+        .select("doc_id", "source", F.col("oth").isNotNull().alias("is_known"))
+    )
+    return definite_new.unionByName(candidates)

@@ -142,12 +142,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (r2-green, map-only, the simplest plan in the registry — lowest
     # re-validation value of the remaining picks; r6 backlog):
     "corpus_source_health",
+    # corpus_bloom_prefilter (late-r5) displaces udf_grouped_agg
+    # (r2-green; the udfs.py module keeps an in-window representative via
+    # udf_arrow_python, whose oracle is new this round):
+    "corpus_bloom_prefilter",
     # --- (4) newest driver evidence is r2: bench flagships first ---
     "corpus_curation_pipeline",
     "sim_ann_ivf",
     "sim_cosine_topk",
     "subquery_lateral_topn",
-    "udf_grouped_agg",
     "window_frames",
     # family representatives: salted-join skew handling and the
     # applyInPandasWithState stateful path
