@@ -68,6 +68,7 @@ HEADLINE = [
     "events_value_anomaly",
     "corpus_source_health",
     "corpus_bloom_prefilter",
+    "embedding_product_quantize",
 ]
 
 # Cross-round comparability (VERDICT r3 item #5): the headline set grows

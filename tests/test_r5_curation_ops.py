@@ -135,3 +135,28 @@ def test_bloom_prefilter_invariants(spark, monkeypatch):
     )
     fp = hits.filter("maybe").count()
     assert fp <= 2, f"bloom FP rate implausibly high: {fp}/2000"
+
+
+def test_pq_codebook_centroids_quantize_exactly(spark, monkeypatch):
+    """A vector assembled from codebook centroids must quantize to
+    exactly those codes with reconstruction error EXACTLY 0 (the scaled
+    floors cancel term-for-term when x == c), and codes stay in [0, 16)."""
+    import vena_etl_tool_spark.operators.similarity as sim
+
+    planted = [3, 0, 15, 7, 1, 9, 12, 5]
+    vec = [float(v) for s, k in enumerate(planted) for v in sim._PQ_BOOKS[s][k]]
+    other = [0.01 * i for i in range(64)]
+    emb = spark.createDataFrame(
+        [(1, vec, 0), (2, other, 1)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    monkeypatch.setattr(sim, "load_table", lambda s, d, n: emb)
+    monkeypatch.setattr(sim, "spread_small", lambda df: df)
+    out = {r.vec_id: r for r in sim.embedding_product_quantize(spark, "x").collect()}
+    got = [out[1][f"code{s}"] for s in range(sim.PQ_SUBSPACES)]
+    assert got == planted
+    assert out[1].recon_err_sq == 0.0
+    for r in out.values():
+        assert r.recon_err_sq >= 0.0
+        for s in range(sim.PQ_SUBSPACES):
+            assert 0 <= r[f"code{s}"] < sim.PQ_CODES

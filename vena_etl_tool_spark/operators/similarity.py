@@ -726,3 +726,142 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dup_of").isNotNull().alias("is_dup"),
         )
     )
+
+
+# ---- Product quantization (PQ): 8 subspaces x 8 dims, 16 codes each ----
+# The 100 TB embedding-compression path: a 64-dim float32 vector (256 B)
+# compresses to 8 nibble codes (4 B, 64x) while ANN scoring degrades
+# gracefully (asymmetric distance uses the uncompressed query against the
+# codebook). Codebooks here are seeded-random (N(0, 0.15) matches the
+# fixture embedding scale) rather than k-means-trained so the WHOLE
+# operator — assignment and reconstruction error — is deterministic and
+# oracle-exact; a production deployment trains them per corpus (the
+# kmeans flavor of this is sim_ann_ivf_kmeans, rows-only by design).
+PQ_SUBSPACES = 8
+PQ_SUBDIM = 8
+PQ_CODES = 16
+
+_PQ_RAW = np.random.default_rng(20250814).normal(
+    0.0, 0.15, size=(PQ_SUBSPACES, PQ_CODES, PQ_SUBDIM)
+)
+_PQ_BOOKS = _PQ_RAW.astype(np.float64)
+# per (subspace, code): sum(floor(c*c*1e12)) as a Python int literal,
+# embedded identically in both engines' SQL
+_PQ_C_SQ = [
+    [
+        int(sum(math.floor(float(c) * float(c) * 1e12) for c in _PQ_BOOKS[s][k]))
+        for k in range(PQ_CODES)
+    ]
+    for s in range(PQ_SUBSPACES)
+]
+
+
+def _pq_scores_spark(s: int) -> str:
+    """BIGINT score array for subspace ``s``: |c_k|^2 - 2<x_s, c_k>
+    (scaled 1e12); argmin over k = the PQ code. x_s = slice(embedding,
+    s*8+1, 8)."""
+    sub = f"slice(embedding, {s * PQ_SUBDIM + 1}, {PQ_SUBDIM})"
+    elems = []
+    for k in range(PQ_CODES):
+        lits = ", ".join(f"{float(v)!r}D" for v in _PQ_BOOKS[s][k])
+        dot = (
+            f"aggregate(zip_with({sub}, array({lits}),"
+            f" (x, p) -> CAST(FLOOR(CAST(x AS DOUBLE) * p * 1e12) AS BIGINT)),"
+            f" CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        )
+        elems.append(f"CAST({_PQ_C_SQ[s][k]} AS BIGINT) - 2 * ({dot})")
+    return "array(" + ", ".join(elems) + ")"
+
+
+def _pq_scores_duck(s: int) -> str:
+    sub = f"embedding[{s * PQ_SUBDIM + 1}:{s * PQ_SUBDIM + PQ_SUBDIM}]"
+    elems = []
+    for k in range(PQ_CODES):
+        lits = ", ".join(repr(float(v)) for v in _PQ_BOOKS[s][k])
+        dot = (
+            f"CAST(list_sum(list_transform(list_zip({sub}, [{lits}]),"
+            f" p -> CAST(FLOOR(CAST(struct_extract(p, 1) AS DOUBLE)"
+            f" * struct_extract(p, 2) * 1e12) AS BIGINT))) AS BIGINT)"
+        )
+        elems.append(f"CAST({_PQ_C_SQ[s][k]} AS BIGINT) - 2 * {dot}")
+    return "[" + ", ".join(elems) + "]"
+
+
+def _pq_oracle() -> str:
+    score_cols = ",\n         ".join(
+        f"{_pq_scores_duck(s)} AS sc{s}" for s in range(PQ_SUBSPACES)
+    )
+    code_cols = ", ".join(
+        f"list_position(sc{s}, list_min(sc{s})) - 1 AS code{s}"
+        for s in range(PQ_SUBSPACES)
+    )
+    # scaled residual per subspace: |x_s|^2 + min_score  (= |x_s - c|^2
+    # scaled, since min_score = |c|^2 - 2<x_s,c>)
+    sub_sq = lambda s: (  # noqa: E731 — local SQL fragment helper
+        f"(SELECT CAST(SUM(CAST(FLOOR(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE)"
+        f" * 1e12) AS BIGINT)) AS BIGINT)"
+        f" FROM UNNEST(embedding[{s * PQ_SUBDIM + 1}:{s * PQ_SUBDIM + PQ_SUBDIM}])"
+        f" AS u(x))"
+    )
+    err_sum = " + ".join(
+        f"({sub_sq(s)} + list_min(sc{s}))" for s in range(PQ_SUBSPACES)
+    )
+    return f"""
+WITH scored AS (
+  SELECT vec_id, label, embedding,
+         {score_cols}
+  FROM embeddings
+)
+SELECT vec_id, label, {code_cols},
+       ROUND(CAST(({err_sum}) AS DOUBLE) / 1e12, 6) AS recon_err_sq
+FROM scored
+"""
+
+
+@register(
+    "embedding_product_quantize",
+    tags=("llm", "similarity", "quantization", "pq"),
+    oracle=_pq_oracle(),
+)
+def embedding_product_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization of the embedding corpus: each 64-dim vector
+    is split into 8 subvectors, each assigned its nearest of 16 codebook
+    centroids (argmin over the scaled-integer distance array — the IVF
+    assignment machinery applied per subspace), compressing 256 B to 8
+    codes plus an exact reconstruction-error diagnostic
+    (Σ_s |x_s − c_code|², computed entirely in scaled int64, so both the
+    CODES and the ERROR hash-match DuckDB bit-for-bit). Map-only: one
+    projection over the corpus, no shuffle, no UDF — at 100 TB this is
+    a pure scan-transform-write that compresses an embedding lake 64×
+    while keeping an error column to monitor quantization drift.
+    Asymmetric-distance ANN over the codes (query vs codebook lookup
+    tables) is the standard pairing; recall of that path is bounded by
+    the same per-subspace residuals reported here."""
+    emb = spread_small(load_table(spark, sf_dir, "embeddings"))
+    scored = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        *[F.expr(_pq_scores_spark(s)).alias(f"sc{s}") for s in range(PQ_SUBSPACES)],
+    )
+    sub_sq = lambda s: (  # noqa: E731 — local SQL fragment helper
+        f"aggregate(transform(slice(embedding, {s * PQ_SUBDIM + 1}, {PQ_SUBDIM}),"
+        f" x -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT)),"
+        f" CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    err_sum = " + ".join(
+        f"({sub_sq(s)} + array_min(sc{s}))" for s in range(PQ_SUBSPACES)
+    )
+    return scored.select(
+        "vec_id",
+        "label",
+        *[
+            (F.expr(f"array_position(sc{s}, array_min(sc{s}))") - 1)
+            .cast("int")
+            .alias(f"code{s}")
+            for s in range(PQ_SUBSPACES)
+        ],
+        F.round(F.expr(f"CAST(({err_sum}) AS DOUBLE) / 1e12"), 6).alias(
+            "recon_err_sq"
+        ),
+    )

@@ -146,10 +146,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (r2-green; the udfs.py module keeps an in-window representative via
     # udf_arrow_python, whose oracle is new this round):
     "corpus_bloom_prefilter",
+    # embedding_product_quantize (late-r5) displaces sim_cosine_topk
+    # (r2-green; similarity.py keeps TWO in-window representatives —
+    # sim_ann_ivf re-validates the shared scaled-fold scoring the
+    # brute-force path uses, and the PQ query itself is new code):
+    "embedding_product_quantize",
     # --- (4) newest driver evidence is r2: bench flagships first ---
     "corpus_curation_pipeline",
     "sim_ann_ivf",
-    "sim_cosine_topk",
     "subquery_lateral_topn",
     "window_frames",
     # family representatives: salted-join skew handling and the
