@@ -69,6 +69,7 @@ HEADLINE = [
     "corpus_source_health",
     "corpus_bloom_prefilter",
     "embedding_product_quantize",
+    "sim_ann_pq_adc",
 ]
 
 # Cross-round comparability (VERDICT r3 item #5): the headline set grows

@@ -160,3 +160,25 @@ def test_pq_codebook_centroids_quantize_exactly(spark, monkeypatch):
         assert r.recon_err_sq >= 0.0
         for s in range(sim.PQ_SUBSPACES):
             assert 0 <= r[f"code{s}"] < sim.PQ_CODES
+
+
+def test_adc_output_shape_invariants(spark, sf_dir):
+    """ADC top-k: exactly TOP_K rows per query, rk dense in [1, k],
+    no self-matches, scores nondecreasing within a query."""
+    from vena_etl_tool_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+        sim_ann_pq_adc,
+    )
+
+    rows = sim_ann_pq_adc(spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+        assert r.neighbor_id != r.query_id
+    assert len(by_q) == N_QUERIES
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rk)
+        assert [r.rk for r in rs] == list(range(1, TOP_K + 1))
+        scores = [r.adc_score for r in rs]
+        assert scores == sorted(scores)

@@ -865,3 +865,100 @@ def embedding_product_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recon_err_sq"
         ),
     )
+
+
+def _adc_oracle() -> str:
+    score_cols = ",\n         ".join(
+        f"{_pq_scores_duck(s)} AS sc{s}" for s in range(PQ_SUBSPACES)
+    )
+    code_cols = ", ".join(
+        f"list_position(sc{s}, list_min(sc{s})) - 1 AS code{s}"
+        for s in range(PQ_SUBSPACES)
+    )
+    adc = " + ".join(f"q.sc{s}[c.code{s} + 1]" for s in range(PQ_SUBSPACES))
+    return f"""
+WITH scored AS (
+  SELECT vec_id, label,
+         {score_cols}
+  FROM embeddings
+), coded AS (
+  SELECT vec_id, label, {code_cols}
+  FROM scored
+)
+SELECT query_id, neighbor_id, neighbor_label, adc_score, rk
+FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         c.label AS neighbor_label,
+         CAST(({adc}) AS BIGINT) AS adc_score,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY ({adc}), c.vec_id) AS rk
+  FROM scored q JOIN coded c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+)
+WHERE rk <= {TOP_K}
+"""
+
+
+@register(
+    "sim_ann_pq_adc",
+    tags=("llm", "similarity", "pq", "ann"),
+    oracle=_adc_oracle(),
+)
+def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over the PQ-compressed corpus —
+    the scoring half of the PQ pairing: the corpus exists only as 8
+    codes per vector, and each query's distance to a vector is the sum
+    of 8 LOOKUPS into the query's per-subspace score arrays
+    (sc_s[k] = |c_k|^2 − 2<q_s, c_k>, scaled int64 — exactly the arrays
+    the quantizer already computes; the |q_s|^2 term is query-constant
+    and cancels under ranking). 8 integer array-indexes replace a 64-mult
+    dot per candidate — the ADC speedup — and because everything is the
+    same scaled-integer algebra, the ENTIRE approximate ranking
+    hash-matches DuckDB, approximation error included.
+
+    Scale shape: queries (with their 16x8 score arrays) broadcast
+    against the coded corpus — the corpus side carries 4 B of codes per
+    vector instead of 256 B of floats, which is the point: at 100 TB
+    the scan is 64x smaller and the per-candidate cost is 8 adds. The
+    per-query top-k is a partitioned window over skinny
+    (query, neighbor, score) rows; IVF cells (sim_ann_ivf) bound the
+    candidate set when even the compressed scan is too wide."""
+    emb = spread_small(load_table(spark, sf_dir, "embeddings"))
+    scored = emb.select(
+        "vec_id",
+        "label",
+        *[F.expr(_pq_scores_spark(s)).alias(f"sc{s}") for s in range(PQ_SUBSPACES)],
+    )
+    coded = scored.select(
+        "vec_id",
+        "label",
+        *[
+            (F.expr(f"array_position(sc{s}, array_min(sc{s}))") - 1)
+            .cast("int")
+            .alias(f"code{s}")
+            for s in range(PQ_SUBSPACES)
+        ],
+    )
+    queries = scored.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        *[F.col(f"sc{s}").alias(f"qsc{s}") for s in range(PQ_SUBSPACES)],
+    )
+    adc = None
+    for s in range(PQ_SUBSPACES):
+        term = F.element_at(F.col(f"qsc{s}"), F.col(f"code{s}") + 1)
+        adc = term if adc is None else adc + term
+    pairs = (
+        F.broadcast(queries)
+        .join(coded, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            adc.cast("long").alias("adc_score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_score", "neighbor_id")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+    )

@@ -151,10 +151,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # sim_ann_ivf re-validates the shared scaled-fold scoring the
     # brute-force path uses, and the PQ query itself is new code):
     "embedding_product_quantize",
+    # sim_ann_pq_adc (late-r5) displaces subquery_lateral_topn (r2-green;
+    # the lateral-topn shape — per-key window top-k — is re-validated by
+    # the ADC query's own partitioned top-k window, and subqueries.py
+    # rotates with the r6 backlog):
+    "sim_ann_pq_adc",
     # --- (4) newest driver evidence is r2: bench flagships first ---
     "corpus_curation_pipeline",
     "sim_ann_ivf",
-    "subquery_lateral_topn",
     "window_frames",
     # family representatives: salted-join skew handling and the
     # applyInPandasWithState stateful path
