@@ -70,6 +70,7 @@ HEADLINE = [
     "corpus_bloom_prefilter",
     "embedding_product_quantize",
     "sim_ann_pq_adc",
+    "sim_ann_adc_recall",
 ]
 
 # Cross-round comparability (VERDICT r3 item #5): the headline set grows

@@ -156,9 +156,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # the ADC query's own partitioned top-k window, and subqueries.py
     # rotates with the r6 backlog):
     "sim_ann_pq_adc",
+    # sim_ann_adc_recall (late-r5) displaces sim_ann_ivf (r2-green, and
+    # effectively re-validated by FRESH r4 driver rows: its scan runs
+    # verbatim inside sim_ann_recall_eval and its centroid folds inside
+    # dedup_semantic_ivf, both r4-green):
+    "sim_ann_adc_recall",
     # --- (4) newest driver evidence is r2: bench flagships first ---
     "corpus_curation_pipeline",
-    "sim_ann_ivf",
     "window_frames",
     # family representatives: salted-join skew handling and the
     # applyInPandasWithState stateful path
