@@ -1442,6 +1442,14 @@ def incr_admit(spark: SparkSession, batch_docs: DataFrame, state: str) -> DataFr
 # 10*inter >= CONT_TAU_TENTHS*min(na, nb) so the filter never touches a
 # float boundary (the reported containment doubles are display-only).
 CONT_TAU_TENTHS = 8
+# Output cap (r5 — closes the one >5x scale-check entry): a doc embedded
+# in a k-clone family produces k matching pairs, so uncapped output is
+# quadratic in duplicate multiplicity (989x output growth for 10x input
+# on the clone replica). Keeping the K strongest matches per lower-id doc
+# bounds output at K*n while preserving every doc's best containment
+# evidence — downstream cluster assignment needs connectivity, not the
+# clique (same rationale/constant as EMB_PAIRS_PER_VEC).
+CONT_PAIRS_PER_DOC = 10
 
 
 @register(
@@ -1474,6 +1482,8 @@ FROM pairs p
 JOIN sizes sa ON sa.doc_id = p.doc_a
 JOIN sizes sb ON sb.doc_id = p.doc_b
 WHERE 10 * p.inter >= {CONT_TAU_TENTHS} * LEAST(sa.n_sh, sb.n_sh)
+QUALIFY ROW_NUMBER() OVER (PARTITION BY p.doc_a ORDER BY p.inter DESC, p.doc_b)
+        <= {CONT_PAIRS_PER_DOC}
 """.format(cap=SHINGLE_DF_CAP),
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1495,10 +1505,14 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     and REJECTED: on near-dup-dense data candidates ~= all sharing pairs,
     so the verify step re-expands every candidate pair by ~n_sh rows
     (860M at 10x, 43 s vs 18 s for this single-pass join). This one-join
-    shape computes intersections with no re-expansion; its 10x ratio of
-    ~5x wall-clock is against a 989x larger OUTPUT (253k containment
-    pairs vs 256 — every clone family emits all 45 pairs), i.e. the
-    growth is the answer's, not a candidate explosion."""
+    shape computes intersections with no re-expansion; its former 10x
+    ratio of ~5-9x wall-clock was against a 989x larger OUTPUT (every
+    10-clone family emitted all 45 pairs) — the growth was the answer's,
+    not a candidate explosion. r5 adds the CONT_PAIRS_PER_DOC output cap
+    (top-K strongest matches per lower-id doc, mirrored in the oracle):
+    output is K*n-bounded like dedup_embedding_cosine's, connectivity
+    for downstream clustering is preserved, and the 10x ratio drops
+    accordingly (re-measured in SCALE.md §r5)."""
     sh = _capped_shingle_postings(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
@@ -1510,6 +1524,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    cap_w = Window.partitionBy("doc_a").orderBy(F.col("inter").desc(), "doc_b")
     return (
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -1517,6 +1532,8 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(10) * F.col("inter")
             >= F.lit(CONT_TAU_TENTHS) * F.least("na", "nb")
         )
+        .withColumn("_rk", F.row_number().over(cap_w))
+        .filter(F.col("_rk") <= CONT_PAIRS_PER_DOC)
         .select(
             "doc_a",
             "doc_b",

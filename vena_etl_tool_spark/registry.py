@@ -161,8 +161,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # verbatim inside sim_ann_recall_eval and its centroid folds inside
     # dedup_semantic_ivf, both r4-green):
     "sim_ann_adc_recall",
+    # dedup_containment RE-ENTERS (late-r5: its oracle gained the
+    # CONT_PAIRS_PER_DOC output-cap QUALIFY — the r4 green row certified
+    # the old oracle text). Displaces corpus_curation_pipeline (r2-green;
+    # its stages are re-verified inside pipeline_pretrain_flagship and
+    # stream_curation_pipeline, both r4-green):
+    "dedup_containment",
     # --- (4) newest driver evidence is r2: bench flagships first ---
-    "corpus_curation_pipeline",
     "window_frames",
     # family representatives: salted-join skew handling and the
     # applyInPandasWithState stateful path
