@@ -86,6 +86,9 @@ R1_SUBSET = frozenset(
     )
 )
 R3_SUBSET = frozenset(HEADLINE[:25])
+# The full 49-query r5 headline, frozen so round 6+ reports a like-for-like
+# r5 subtotal as the set keeps growing.
+R5_SUBSET = frozenset(HEADLINE)
 
 
 def materialize(df) -> None:
@@ -152,6 +155,9 @@ def main() -> int:
         ),
         "r3_subset_sec": round(
             sum(t for n, t in timings.items() if n in R3_SUBSET), 3
+        ),
+        "r5_subset_sec": round(
+            sum(t for n, t in timings.items() if n in R5_SUBSET), 3
         ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "pass_totals_sec": pass_totals,
