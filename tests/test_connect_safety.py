@@ -45,9 +45,30 @@ def test_no_unguarded_driver_jvm_apis():
 
 def test_sanctioned_files_use_guards():
     """The allowlisted files must keep their guards: every sparkContext /
-    _jdf touch outside session.py sits inside a try block."""
+    _jdf touch outside session.py sits inside the BODY of a try block —
+    verified by AST enclosure, not a substring scan (a call placed after
+    a closed try: used to slip past the old heuristic)."""
+    import ast
+
     for frag in ("operators/_shared.py", "pipeline/jobs.py", "__main__.py"):
-        text = (_PKG / frag).read_text()
-        for m in re.finditer(r"\.sparkContext|\._jdf", text):
-            before = text[: m.start()].rsplit("def ", 1)[-1]
-            assert "try:" in before, f"{frag}: unguarded driver-JVM API use"
+        tree = ast.parse((_PKG / frag).read_text())
+        # guarded = line spans of every `try:` suite (the protected body,
+        # not the handlers — an API call in `except:` is unguarded too).
+        guarded: list[tuple[int, int]] = []
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Try):
+                body_end = max(n.end_lineno or n.lineno for n in node.body)
+                guarded.append((node.body[0].lineno, body_end))
+        offenders = []
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Attribute) and node.attr in (
+                "sparkContext",
+                "_jdf",
+            ):
+                line = node.lineno
+                if not any(lo <= line <= hi for lo, hi in guarded):
+                    offenders.append(f"{frag}:{line}: .{node.attr}")
+        assert not offenders, (
+            "driver-JVM API outside a try-block body in a sanctioned file:\n"
+            + "\n".join(offenders)
+        )

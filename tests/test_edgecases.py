@@ -184,6 +184,17 @@ def test_drift_one_sided_snapshot_yields_null_tv(spark, tmp_path):
     assert rows and all(r.tv_distance is None for r in rows)
 
 
+def test_drift_empty_corpus_returns_empty(spark, tmp_path):
+    """EMPTY documents table: the global token sums are NULL before the
+    coalesce(…, 0) — the int64-overflow guard must not fire on them
+    (assert_true(NULL) throws); the documented degenerate result is an
+    empty DataFrame (r5 ADVICE item)."""
+    from vena_etl_tool_spark.operators.textanalysis import corpus_drift_topk
+
+    d = _write_docs(spark, tmp_path, [])
+    assert corpus_drift_topk(spark, d).collect() == []
+
+
 def test_containment_short_docs_produce_no_pairs(spark, tmp_path):
     """Documents under 3 tokens have no shingles; the query returns empty
     instead of erroring."""

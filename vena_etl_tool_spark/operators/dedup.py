@@ -34,6 +34,12 @@ from ._shared import spread_small
 # shingle with document frequency k emits k² candidate rows).
 SHINGLE_DF_CAP = 100
 
+# Persisted-state band-bucket cap (state compaction, old-side-only): a
+# band bucket holding > this many docs is dropped AT WRITE TIME. Shared
+# between incr_build_state's filter and _incremental_persisted_oracle's
+# default so Spark output and oracle can never desynchronize silently.
+INCR_BAND_CAP = 50
+
 # MinHash parameters: 32 permutations in 8 bands of 4 rows.
 N_MINHASH = 32
 BAND_ROWS = 4
@@ -1178,7 +1184,7 @@ def corpus_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _incremental_persisted_oracle(max_bucket: int = 50) -> str:
+def _incremental_persisted_oracle(max_bucket: int = INCR_BAND_CAP) -> str:
     """Persisted-state admission oracle: same verdicts as the recompute
     variant, but candidate generation is new-bands ⋈ OLD-bands with the
     hot-bucket cap computed over the OLD side only (state compaction —
@@ -1354,7 +1360,7 @@ def incr_build_state(old_docs: DataFrame, state: str) -> str:
     bsz_w = Window.partitionBy("band_id", "band_key")
     old_bands_capped = (
         old_bands.withColumn("_bsz", F.count(F.lit(1)).over(bsz_w))
-        .filter(F.col("_bsz") <= 50)
+        .filter(F.col("_bsz") <= INCR_BAND_CAP)
         .drop("_bsz")
     )
     old_bands_capped.write.mode("overwrite").parquet(_os.path.join(state, "bands"))

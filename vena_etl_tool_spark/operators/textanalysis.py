@@ -1404,9 +1404,13 @@ def corpus_drift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("snap") == 0, 1)).cast("long").alias("n_old"),
         F.count(F.when(F.col("snap") == 1, 1)).cast("long").alias("n_new"),
     )
+    # coalesce(sum, 0): on an EMPTY corpus the global sums are NULL and
+    # the overflow comparison below would evaluate to NULL —
+    # assert_true(NULL) throws, turning the documented empty-corpus
+    # degenerate case (empty result) into a misleading overflow error.
     tot = counts.agg(
-        F.sum("n_old").cast("long").alias("t_old"),
-        F.sum("n_new").cast("long").alias("t_new"),
+        F.coalesce(F.sum("n_old"), F.lit(0)).cast("long").alias("t_old"),
+        F.coalesce(F.sum("n_new"), F.lit(0)).cast("long").alias("t_new"),
     )
     # int64-overflow guard (see docstring): the filter keeps assert_true
     # in the plan (an unused projected column could be pruned away).

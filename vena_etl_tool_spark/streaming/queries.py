@@ -136,10 +136,22 @@ class _state_partitions:
         self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
 
 
-def run_to_table(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
+def run_to_table(
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str,
+    require_single_input_batch: bool = False,
+) -> DataFrame:
     """Execute a streaming transform to completion (availableNow) into a
     memory sink; return the sink table. This is the batch-equivalence
-    harness: same code path as a long-running stream, bounded input."""
+    harness: same code path as a long-running stream, bounded input.
+
+    ``require_single_input_batch`` enforces, at runtime, the precondition
+    some batch-equivalence oracles rest on: ALL input rows were planned
+    into one micro-batch (no-data flush batches don't count). If a
+    regenerated fixture ever splits into multiple files the violated
+    assumption fails loudly here instead of surfacing as an opaque
+    driver hash mismatch."""
     spark = stream_df.sparkSession
     with _state_partitions(spark):
         q = (
@@ -150,6 +162,17 @@ def run_to_table(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame
             .start()
         )
         q.awaitTermination()
+    if require_single_input_batch:
+        fed = [p for p in q.recentProgress if (p.numInputRows or 0) > 0]
+        if len(fed) != 1:
+            raise AssertionError(
+                f"{name}: batch-equivalence precondition violated — expected "
+                f"exactly 1 data-carrying micro-batch, got {len(fed)} "
+                f"(batchIds {[p.batchId for p in fed]}). The oracle "
+                "assumes single-batch availableNow (one fixture file, no "
+                "maxFilesPerTrigger); multi-batch runs can legitimately "
+                "evict + re-admit keys and diverge from exact DISTINCT."
+            )
     return spark.table(name)
 
 
@@ -626,7 +649,12 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     dd = ev.dropDuplicatesWithinWatermark(["user_id", "event_type"]).select(
         "user_id", "event_type"
     )
-    return run_to_table(dd, "stream_dedup_within_watermark", "append")
+    return run_to_table(
+        dd,
+        "stream_dedup_within_watermark",
+        "append",
+        require_single_input_batch=True,
+    )
 
 
 @register(
