@@ -145,18 +145,41 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _capped_shingle_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sh) inverted-index postings with hot shingles removed
-    (document frequency > SHINGLE_DF_CAP) — the shared blocking input of
-    the Jaccard and containment near-dup queries. Their oracles carry the
-    same capped-postings CTE each (kept inline per-oracle: the SQL text is
-    the per-query contract the driver hash-checks)."""
-    sh_all = _doc_shingles(spark, sf_dir)
+def _df_capped_postings(sh_all: DataFrame) -> DataFrame:
+    """Drop hot shingles (document frequency > SHINGLE_DF_CAP) from an
+    exploded (doc_id, sh) postings DF — the inverted-index blocking guard
+    shared by the Jaccard and containment near-dup queries."""
     dfreq = sh_all.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
     return (
         sh_all.join(dfreq, "sh")
         .filter(F.col("_df") <= SHINGLE_DF_CAP)
         .select("doc_id", "sh")
+    )
+
+
+def _capped_shingle_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh) inverted-index postings with hot shingles removed
+    (document frequency > SHINGLE_DF_CAP) — the blocking input of the
+    Jaccard near-dup query. Oracles carry the same capped-postings CTE
+    inline per-oracle: the SQL text is the per-query contract the driver
+    hash-checks."""
+    return _df_capped_postings(_doc_shingles(spark, sf_dir))
+
+
+def _distinct_text_reps(docs: DataFrame) -> DataFrame:
+    """Exact-clone families collapsed to their min-doc_id representative —
+    enforces the upstream-exact-dedup precondition INSIDE an operator
+    instead of documenting it (r5 verdict, What's wrong #1): k exact
+    copies of one text would otherwise multiply its per-shingle postings
+    k-fold and candidate pairs ~k² until SHINGLE_DF_CAP truncates — by
+    COPY COUNT rather than content. groupBy(xxhash64(text)) + min(struct)
+    keeps the shuffle map-side-combined (clone rows collapse before they
+    move; shuffle rows are one per distinct text per map partition);
+    collision analysis as dedup_exact_hash (~n²/2⁶⁵)."""
+    return (
+        docs.groupBy(F.xxhash64("text").alias("_h"))
+        .agg(F.min(F.struct("doc_id", "text")).alias("_r"))
+        .select(F.col("_r.doc_id").alias("doc_id"), F.col("_r.text").alias("text"))
     )
 
 
@@ -1462,8 +1485,10 @@ CONT_PAIRS_PER_DOC = 10
     "dedup_containment",
     tags=("llm", "dedup", "containment"),
     oracle=f"""
-WITH w AS (
-  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+WITH reps AS (
+  SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
+), w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM reps
 ), sh_all AS (
   SELECT doc_id, unnest(list_distinct(
     list_transform(range(1, len(words) - 1),
@@ -1514,12 +1539,18 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape computes intersections with no re-expansion; its former 10x
     ratio of ~5-9x wall-clock was against a 989x larger OUTPUT (every
     10-clone family emitted all 45 pairs) — the growth was the answer's,
-    not a candidate explosion. r5 adds the CONT_PAIRS_PER_DOC output cap
-    (top-K strongest matches per lower-id doc, mirrored in the oracle):
-    output is K*n-bounded like dedup_embedding_cosine's, connectivity
-    for downstream clustering is preserved, and the 10x ratio drops
-    accordingly (re-measured in SCALE.md §r5)."""
-    sh = _capped_shingle_postings(spark, sf_dir)
+    not a candidate explosion. r5 added the CONT_PAIRS_PER_DOC output cap
+    (top-K strongest matches per lower-id doc, mirrored in the oracle);
+    r6 closes the candidate side: exact-clone families are PRE-COLLAPSED
+    to their min-doc_id representative before shingling
+    (_distinct_text_reps — the upstream-exact-dedup precondition enforced
+    inside the operator, per the r5 verdict). Containment is a relation
+    between CONTENTS; k copies of a text added nothing but k× postings
+    and ~k² candidate pairs, and worse, let clone density consume the
+    SHINGLE_DF_CAP budget by copy count instead of content. The oracle
+    states the same semantics (reps CTE); re-measured in SCALE.md §r6."""
+    docs = spread_small(load_table(spark, sf_dir, "documents"))
+    sh = _df_capped_postings(doc_shingles(_distinct_text_reps(docs)))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -299,18 +299,43 @@ PHASH_BAND_W = PHASH_BITS // PHASH_BANDS
 PHASH_HAM_T = 3
 PHASH_BUCKET_CAP = 150
 
+# Occupancy rule (r6 — the IVF centroids-∝-corpus rule applied to pHash
+# banding, r5 verdict What's wrong #2): a FIXED 2^8 band keyspace
+# saturates as the corpus grows (expected bucket occupancy n/256 → the
+# candidate self-join grows ~occupancy² per bucket; 4.8× at the 10×
+# probe). Band width instead derives from the corpus so expected
+# occupancy stays ≈ PHASH_TARGET_OCC: band_w = ceil(log2(n/OCC)),
+# clamped to [8, 16] (keyspace 256 … 65k; 4 bands × 16 bits = 64-bit
+# pHash = bigint ceiling). The band COUNT never changes — pigeonhole
+# recall at hamming ≤ 3 needs 4 bands regardless of width. All test
+# fixtures (≤ 5k docs) sit at the 8-bit clamp, so the oracle text —
+# generated from the 32-bit defaults — is unchanged where the driver
+# checks it; the 10× replica (50k docs) gets 10-bit bands and ~linear
+# candidate growth (measured in SCALE.md §r6).
+PHASH_TARGET_OCC = 64
 
-def _phash_block_sql_spark() -> str:
-    """One Spark SQL expression producing the 32-bit block-mean pHash.
+
+def phash_band_width(n_docs: int) -> int:
+    """Occupancy-driven band width: smallest w with 2^w ≥ n_docs/OCC,
+    clamped to [PHASH_BAND_W, 16]."""
+    import math
+
+    need = max(1, math.ceil(math.log2(max(n_docs, 1) / PHASH_TARGET_OCC)))
+    return min(16, max(PHASH_BAND_W, need))
+
+
+def _phash_block_sql_spark(nbits: int = PHASH_BITS) -> str:
+    """One Spark SQL expression producing the ``nbits``-bit block-mean
+    pHash.
 
     bit_j = 1 iff mean(byte codes of block j) > mean(all byte codes),
     tested as the integer cross-multiplication blocksum_j * n_total >
     total_sum * blockcnt_j — no division, exact in any engine.
     """
     terms = []
-    for j in range(PHASH_BITS):
-        a = f"(({j} * n) div {PHASH_BITS})"
-        b = f"((({j} + 1) * n) div {PHASH_BITS})"
+    for j in range(nbits):
+        a = f"(({j} * n) div {nbits})"
+        b = f"((({j} + 1) * n) div {nbits})"
         bsum = (
             f"aggregate(slice(codes, {a} + 1, {b} - {a}),"
             f" CAST(0 AS BIGINT), (acc, v) -> acc + v)"
@@ -346,9 +371,11 @@ def _phash_neardup_oracle() -> str:
         for b in range(PHASH_BANDS)
     )
     return f"""
-WITH codes_t AS (
+WITH reps AS (
+  SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
+), codes_t AS (
   SELECT doc_id, list_transform(string_split(text, ''), c -> ascii(c)) AS codes
-  FROM documents
+  FROM reps
 ), stats AS (
   SELECT doc_id, codes, len(codes) AS n, list_sum(codes) AS total FROM codes_t
 ), hashed AS (
@@ -397,9 +424,26 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     guard the 10x scale harness demanded — mass-identical payloads
     collide in every band and are upstream exact-dedup's job), equi-join
     on the band key (pigeonhole guarantees recall at hamming ≤ 3 for
-    surviving buckets), popcount verify. At scale: 64-bit pHash, 16-bit
-    bands → 65k buckets, same plan."""
+    surviving buckets), popcount verify. Band WIDTH follows the corpus
+    (phash_band_width occupancy rule — buckets ∝ corpus, same law as
+    IVF_CENTROIDS ∝ N); the band count stays 4, which is what the
+    pigeonhole recall argument needs. The sizing count(*) is a
+    footer-backed scan, negligible next to the fingerprint pass.
+
+    r6 also enforces the mass-identical-payload precondition INSIDE the
+    operator (it was only documented before): byte-identical payloads
+    hash identically, so a k-clone family collides in EVERY band at any
+    keyspace width — clone families are pre-collapsed to their
+    min-doc_id representative (_distinct_text_reps, the same lever as
+    dedup_containment's; the oracle states the same reps semantics).
+    Near-dup detection is a relation between distinct contents; exact
+    copies are dedup_exact's job."""
+    from .dedup import _distinct_text_reps
+
     docs = load_table(spark, sf_dir, "documents")
+    band_w = phash_band_width(docs.count())
+    nbits = band_w * PHASH_BANDS
+    docs = _distinct_text_reps(docs)
     stats = docs.select(
         "doc_id",
         F.expr("transform(split(text, ''), c -> ascii(c))").alias("codes"),
@@ -411,13 +455,15 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "aggregate(codes, CAST(0 AS BIGINT), (acc, v) -> acc + v)"
         ).alias("total"),
     )
-    hashed = stats.select("doc_id", F.expr(_phash_block_sql_spark()).alias("phash"))
-    mask = (1 << PHASH_BAND_W) - 1
+    hashed = stats.select(
+        "doc_id", F.expr(_phash_block_sql_spark(nbits)).alias("phash")
+    )
+    mask = (1 << band_w) - 1
     bands_arr = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_idx"),
-                F.shiftright(F.col("phash"), PHASH_BAND_W * b)
+                F.shiftright(F.col("phash"), band_w * b)
                 .bitwiseAND(F.lit(mask))
                 .alias("band_val"),
             )
