@@ -291,3 +291,48 @@ def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partition(spark, sf_dir):
+    """Spark's own AQE skew-join split (OptimizeSkewedJoin) — the runtime
+    complement of the explicit salting patterns in operators/skew.py: a
+    planted hot key whose reduce partition exceeds the (forced-low)
+    skewedPartitionThresholdInBytes must come out of AQE as
+    SortMergeJoin(skew=true) with a 'skewed' AQEShuffleRead on the fat
+    side. The payload is sha2-derived (incompressible) — lz4'd shuffle
+    blocks of a constant payload slip UNDER the size threshold and the
+    split silently never fires, which is itself the documented lesson:
+    thresholds act on compressed shuffle bytes (SCALE.md §skew). AQE only
+    finalizes the plan of the executed DataFrame, so the test collects
+    the join itself, not a derived count."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        pad = F.sha2(F.col("id").cast("string"), 512)
+        left = spark.range(0, 60000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.concat(pad, pad, pad).alias("payload"),
+        )
+        right = spark.range(0, 2000).select(F.col("id").alias("k"), F.lit(1).alias("w"))
+        j = left.join(right, "k").select(F.length("payload").alias("lp"), "w")
+        assert len(j.collect()) == 54200  # 54001 hot + 199 tail matches
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "OptimizeSkewedJoin did not fire"
+        assert "skewed" in plan  # AQEShuffleRead coalesced and skewed
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
