@@ -47,6 +47,17 @@ QUERIES = (
     "events_path_mining",
     "join_interval_overlap",
     "corpus_incremental_update",
+    # r5 additions (r5 verdict #5): PQ/ADC should be ~linear (map-only /
+    # broadcast-lookup); the streaming restart query is ~2 passes by
+    # construction; lm-quality is two aggregates + a broadcast cutoff row.
+    "embedding_product_quantize",
+    "sim_ann_pq_adc",
+    "sim_ann_adc_recall",
+    "text_lm_quality_buckets",
+    "corpus_bloom_prefilter",
+    "stream_append_restart_flush",
+    "corpus_source_health",
+    "events_value_anomaly",
 )
 REPLICAS = 10
 
