@@ -55,6 +55,18 @@ ROWS_ONLY_WHY = {
         "projection vectors; recall invariants are unit-tested, with "
         "`sim_ann_lsh` as the oracle-checked deterministic twin"
     ),
+    "embedding_product_quantize_trained": (
+        "trained k-means codebooks depend on pyspark.ml's distributed "
+        "float-sum merge order (deterministic per seed, not replicable in "
+        "DuckDB); the fixed-codebook twin `embedding_product_quantize` is "
+        "hash-checked, and tests pin trained-mean-recon-error strictly "
+        "below the untrained twin's"
+    ),
+    "sim_ann_adc_trained_recall": (
+        "composes the trained quantizer (above); the recall-vs-exact audit "
+        "IS the invariant harness — tests pin trained recall >= the "
+        "oracle-checked untrained baseline (`sim_ann_adc_recall`)"
+    ),
 }
 
 

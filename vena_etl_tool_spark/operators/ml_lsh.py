@@ -168,3 +168,186 @@ def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+def _fit_pq_codebooks(emb: DataFrame) -> list[list[list[float]]]:
+    """Per-subspace k-means codebooks: 8 independent KMeans fits, one per
+    8-dim slice of the embedding. Each fit sees (n_vectors x 8 dims) —
+    at 100 TB you fit on a sample (driver-side Lloyd iterations over a
+    few MB of sampled subvectors); locally the corpus IS sample-sized.
+    The returned plain-float lists broadcast into JVM-side literal-array
+    expressions, so scoring/assignment stays UDF-free."""
+    from pyspark.ml.clustering import KMeans
+
+    from .similarity import PQ_CODES, PQ_SUBDIM, PQ_SUBSPACES
+
+    books = []
+    for s in range(PQ_SUBSPACES):
+        sub = emb.select(
+            array_to_vector(
+                F.expr(f"slice(embedding, {s * PQ_SUBDIM + 1}, {PQ_SUBDIM})")
+            ).alias("features")
+        )
+        km = KMeans(k=PQ_CODES, seed=4200 + s, maxIter=10, featuresCol="features")
+        books.append([[float(x) for x in c] for c in km.fit(sub).clusterCenters()])
+    return books
+
+
+def _trained_pq_scores(s: int, books: list[list[list[float]]]) -> str:
+    """DOUBLE score array for subspace ``s`` against a trained codebook:
+    sc[k] = |c_k|^2 - 2<x_s, c_k> (argmin = nearest centroid; adding the
+    query-constant |x_s|^2 recovers the true squared distance). Plain
+    doubles — the trained variant is rows-only, so there is no
+    cross-engine float-order constraint to defend against."""
+    from .similarity import PQ_SUBDIM
+
+    sub = f"slice(embedding, {s * PQ_SUBDIM + 1}, {PQ_SUBDIM})"
+    elems = []
+    for cent in books[s]:
+        c_sq = sum(v * v for v in cent)
+        lits = ", ".join(f"{v!r}D" for v in cent)
+        dot = (
+            f"aggregate(zip_with({sub}, array({lits}),"
+            f" (x, p) -> CAST(x AS DOUBLE) * p), 0.0D, (acc, v) -> acc + v)"
+        )
+        elems.append(f"{c_sq!r}D - 2.0D * ({dot})")
+    return "array(" + ", ".join(elems) + ")"
+
+
+def _trained_pq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, embedding, sc0..sc7) with trained-codebook score
+    arrays — shared scan of the trained PQ pair of queries."""
+    from .similarity import PQ_SUBSPACES
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = _fit_pq_codebooks(emb)
+    return emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        *[
+            F.expr(_trained_pq_scores(s, books)).alias(f"sc{s}")
+            for s in range(PQ_SUBSPACES)
+        ],
+    )
+
+
+@register(
+    "embedding_product_quantize_trained",
+    tags=("llm", "similarity", "quantization", "pq", "ml"),
+    oracle=None,  # trained codebook: deterministic per seed but the
+    # distributed float-sum merge order in KMeans makes cross-engine
+    # replication impractical; the fixed-codebook twin
+    # (embedding_product_quantize) is the hash-checked variant, and
+    # tests/test_similarity.py pins trained-beats-untrained invariants
+)
+def embedding_product_quantize_trained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Product quantization with TRAINED per-subspace k-means codebooks —
+    the production form of `embedding_product_quantize` (r5 verdict
+    stretch #8): same 8-subspace split, same argmin assignment, same
+    map-only scan-transform shape, but the 16 centroids per subspace come
+    from KMeans over the corpus's own subvectors instead of a seeded
+    random draw. Training is the sim_ann_ivf_kmeans machinery applied
+    per subspace; assignment/scoring stays literal-array JVM expressions
+    (no UDF, nothing driver-side in the hot path). The recon_err_sq
+    column is the same diagnostic as the untrained twin — on real data
+    trained codebooks capture the subspace distribution, so the
+    invariant test pins mean(recon_err_sq) strictly below the untrained
+    variant's (codebook quality made measurable)."""
+    from .similarity import PQ_SUBSPACES
+
+    scored = _trained_pq_scored(spark, sf_dir)
+    sub_sq = (
+        lambda s: (  # noqa: E731 — local SQL fragment helper
+            "aggregate(transform(slice(embedding, {o}, {w}),"
+            " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+            " 0.0D, (acc, v) -> acc + v)"
+        ).format(o=s * 8 + 1, w=8)
+    )
+    err_sum = " + ".join(
+        f"({sub_sq(s)} + array_min(sc{s}))" for s in range(PQ_SUBSPACES)
+    )
+    return scored.select(
+        "vec_id",
+        "label",
+        *[
+            (F.expr(f"array_position(sc{s}, array_min(sc{s}))") - 1)
+            .cast("int")
+            .alias(f"code{s}")
+            for s in range(PQ_SUBSPACES)
+        ],
+        F.round(F.expr(err_sum), 6).alias("recon_err_sq"),
+    )
+
+
+@register(
+    "sim_ann_adc_trained_recall",
+    tags=("llm", "similarity", "eval", "pq", "ml"),
+    oracle=None,  # composes the trained quantizer (rows-only, above);
+    # the recall-vs-exact audit pattern IS its invariant harness
+)
+def sim_ann_adc_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of ADC search over TRAINED-codebook PQ codes vs exact
+    cosine — the audit row the r5 verdict asked to pair with the trained
+    quantizer (same composition pattern as sim_ann_adc_recall, which
+    measured the untrained baseline at ~0.11 recall@5 and attributed the
+    loss to untrained random codebooks). Scale shape is identical to
+    sim_ann_pq_adc: queries broadcast with 16x8 lookup tables against a
+    4 B/vector coded corpus, partitioned top-k window, then a key-only
+    join against the exact top-k truth."""
+    from pyspark.sql import Window
+
+    from .similarity import N_QUERIES, PQ_SUBSPACES, TOP_K, sim_cosine_topk
+
+    scored = _trained_pq_scored(spark, sf_dir).drop("embedding")
+    coded = scored.select(
+        "vec_id",
+        *[
+            (F.expr(f"array_position(sc{s}, array_min(sc{s}))") - 1)
+            .cast("int")
+            .alias(f"code{s}")
+            for s in range(PQ_SUBSPACES)
+        ],
+    )
+    queries = scored.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        *[F.col(f"sc{s}").alias(f"qsc{s}") for s in range(PQ_SUBSPACES)],
+    )
+    adc = None
+    for s in range(PQ_SUBSPACES):
+        term = F.element_at(F.col(f"qsc{s}"), F.col(f"code{s}") + 1)
+        adc = term if adc is None else adc + term
+    w = Window.partitionBy("query_id").orderBy("adc_score", "neighbor_id")
+    adc_k = (
+        F.broadcast(queries)
+        .join(coded, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            adc.alias("adc_score"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            F.col("query_id").alias("a_query_id"),
+            F.col("neighbor_id").alias("a_neighbor_id"),
+        )
+    )
+    exact_k = sim_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    return (
+        exact_k.join(
+            adc_k,
+            (F.col("a_query_id") == F.col("query_id"))
+            & (F.col("a_neighbor_id") == F.col("neighbor_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("a_neighbor_id").alias("hits"),
+            (F.count("a_neighbor_id").cast("double") / F.lit(TOP_K)).alias(
+                "recall_at_k"
+            ),
+        )
+    )
