@@ -66,113 +66,84 @@ def _load_all() -> None:
 # records `no_oracle` as an error); never-checked > re-validation when
 # displacing; a query whose code or ORACLE changes re-enters the window.
 #
-# Round-5 window: after r4, EVERY oracle-backed query except the one
-# declared carry-over held a driver-green row (residue was exactly
-# {join_interval_overlap}), so this round's composition is
-#   (1) the r4 carry-over — leads, as declared;
-#   (2) the 6 queries added or materially changed in r5: three new
-#       oracle-backed queries (corpus_incremental_persisted,
-#       stream_append_restart_flush — the r4 verdict's Missing #2 and
-#       stretch #8), two rows-only→oracle conversions
-#       (stream_dedup_within_watermark, udf_arrow_python — verdict #5),
-#       and the two plan/guard rewrites (profile_column_stats single-scan
-#       rewrite — verdict #2, corpus_drift_topk overflow guard);
-#   (3) EVIDENCE-FRESHNESS rotation (verdict #1 / ROUND4_NOTES handoff):
-#       all 32 queries whose newest driver-green row is round 1,
-#   (4) then 11 of the 34 whose newest row is round 2, prioritized as:
-#       the 9 that are also bench-flagship queries (a bench regression
-#       with stale correctness evidence is the worst debugging position),
-#       plus one skew-family and one stateful-streaming representative.
-# The 23 r2-green queries that didn't fit are the r6 rotation backlog
-# (docs/COVERAGE.md lists per-query history; none are uncovered — each
-# holds a green r2 row against its unchanged oracle).
+# Round-6 window (r5 verdict #1): after r5, every oracle-backed query
+# holds a driver-green row somewhere in r1∪…∪r5, so this round is pure
+# evidence-freshness rotation plus this round's changes:
+#   (1) the 5 queries whose CODE or ORACLE changed in r6 — they re-enter
+#       per the window policy: dedup_containment (clone-family
+#       pre-collapse + reps oracle CTE), multimodal_phash_neardup (same
+#       collapse + occupancy band-width rule + reps oracle CTE),
+#       corpus_drift_topk (empty-corpus coalesce under the overflow
+#       guard), corpus_incremental_persisted (INCR_BAND_CAP shared
+#       constant), stream_dedup_within_watermark (single-input-batch
+#       runtime assert) — the last three are r5-green and the changes
+#       are behavior-preserving on the fixtures, but "changed ⇒
+#       re-enter" is the rule that keeps driver rows certifying CURRENT
+#       text;
+#   (2) the full 31-query r2-evidence backlog (23 declared in
+#       ROUND5_NOTES + the 8 late-r5 displacements) — after this round
+#       no oracle-backed query's newest driver evidence predates r3;
+#   (3) 14 oldest-r3-evidence picks, per the verdict's shortlist: the
+#       five r3 setop queries, sort_global_ranked, struct_functions,
+#       map_functions, hash_functions, and the five r3 TPC-H derivatives
+#       (q13/q14/q18/q19/q22).
+# The r6 rows-only additions (embedding_product_quantize_trained,
+# sim_ann_adc_trained_recall) can never hold a driver row and stay out.
+# Remaining r3-evidence queries (~32) are the declared r7 backlog.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- (1) the declared r4 carry-over ---
-    "join_interval_overlap",
-    # --- (2) added or changed in r5 ---
-    "corpus_incremental_persisted",
-    "stream_append_restart_flush",
-    "stream_dedup_within_watermark",
-    "udf_arrow_python",
-    "profile_column_stats",
-    "corpus_drift_topk",
-    # --- (3) newest driver evidence is r1 (all 32) ---
-    "agg_cube",
-    "agg_distinct_counts",
-    "agg_grouping_sets",
-    "agg_percentiles_exact",
-    "agg_pivot",
-    "agg_rollup",
-    "agg_statistical",
-    "array_functions",
-    "date_functions",
-    "dedup_exact",
-    "dedup_exact_hash",
-    "distinct_projection",
-    "drop_duplicates_subset",
-    "global_aggregate",
-    "higher_order_functions",
-    "join_anti",
-    "join_cross",
-    "join_full_outer",
-    "join_left_outer",
-    "join_range_bands",
-    "join_right_outer",
-    "join_semi",
-    "json_functions",
-    "market_share_by_year",
-    "math_functions",
-    "multimodal_binary_metadata",
-    "multimodal_frame_sample",
-    "q10_returned_items",
-    "q5_local_supplier_volume",
-    "q7_nation_volume",
-    "string_functions",
-    "unpivot_melt",
-    # --- (2b) added late-r5, pre-freeze: the LM-quality terciles and the
-    # MAD anomaly detector are never-checked, so they displace two of the
-    # r2 re-validation picks below (never-checked > re-validation;
-    # topk_global's TakeOrderedAndProject path stays covered in-window by
-    # subquery_lateral_topn + the plan tests, and setop_except_all keeps
-    # its r2-green row and leads the declared r6 backlog with the rest of
-    # the setop family) ---
-    "text_lm_quality_buckets",
-    "events_value_anomaly",
-    # corpus_source_health (late-r5) displaces embedding_quantize_int8
-    # (r2-green, map-only, the simplest plan in the registry — lowest
-    # re-validation value of the remaining picks; r6 backlog):
-    "corpus_source_health",
-    # corpus_bloom_prefilter (late-r5) displaces udf_grouped_agg
-    # (r2-green; the udfs.py module keeps an in-window representative via
-    # udf_arrow_python, whose oracle is new this round):
-    "corpus_bloom_prefilter",
-    # embedding_product_quantize (late-r5) displaces sim_cosine_topk
-    # (r2-green; similarity.py keeps TWO in-window representatives —
-    # sim_ann_ivf re-validates the shared scaled-fold scoring the
-    # brute-force path uses, and the PQ query itself is new code):
-    "embedding_product_quantize",
-    # sim_ann_pq_adc (late-r5) displaces subquery_lateral_topn (r2-green;
-    # the lateral-topn shape — per-key window top-k — is re-validated by
-    # the ADC query's own partitioned top-k window, and subqueries.py
-    # rotates with the r6 backlog):
-    "sim_ann_pq_adc",
-    # sim_ann_adc_recall (late-r5) displaces sim_ann_ivf (r2-green, and
-    # effectively re-validated by FRESH r4 driver rows: its scan runs
-    # verbatim inside sim_ann_recall_eval and its centroid folds inside
-    # dedup_semantic_ivf, both r4-green):
-    "sim_ann_adc_recall",
-    # dedup_containment RE-ENTERS (late-r5: its oracle gained the
-    # CONT_PAIRS_PER_DOC output-cap QUALIFY — the r4 green row certified
-    # the old oracle text). Displaces corpus_curation_pipeline (r2-green;
-    # its stages are re-verified inside pipeline_pretrain_flagship and
-    # stream_curation_pipeline, both r4-green):
+    # --- (1) changed in r6 ---
     "dedup_containment",
-    # --- (4) newest driver evidence is r2: bench flagships first ---
-    "window_frames",
-    # family representatives: salted-join skew handling and the
-    # applyInPandasWithState stateful path
-    "skew_salted_join",
-    "stream_stateful_running_totals",
+    "multimodal_phash_neardup",
+    "corpus_drift_topk",
+    "corpus_incremental_persisted",
+    "stream_dedup_within_watermark",
+    # --- (2) the r2-evidence backlog, complete (31) ---
+    "agg_collect",
+    "corpus_curation_pipeline",
+    "dedup_cluster_assign",
+    "dedup_levenshtein",
+    "dedup_ngram_jaccard",
+    "embedding_quantize_int8",
+    "filter_project",
+    "ingest_quarantine_counts",
+    "layout_partitioned_pruning",
+    "multimodal_resize_plan",
+    "q17_small_quantity_revenue",
+    "q21_sole_returner",
+    "q6_revenue_forecast",
+    "setop_except_all",
+    "setop_intersect_all",
+    "sim_ann_ivf",
+    "sim_cosine_topk",
+    "skew_salted_aggregate",
+    "stream_foreach_batch_sink",
+    "stream_static_join",
+    "subquery_correlated_scalar",
+    "subquery_in_not_in",
+    "subquery_lateral_topn",
+    "text_langid",
+    "text_redact",
+    "text_term_salience",
+    "topk_global",
+    "topn_per_group",
+    "udf_grouped_agg",
+    "udf_pandas_scalar_norm",
+    "window_ranking",
+    # --- (3) oldest r3-evidence picks (14) ---
+    "setop_except",
+    "setop_intersect",
+    "setop_union_all",
+    "setop_union_by_name",
+    "setop_union_distinct",
+    "sort_global_ranked",
+    "struct_functions",
+    "map_functions",
+    "hash_functions",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_filter",
+    "q22_dormant_balance",
 )
 
 # Oracle-backed queries added AFTER this round's window was frozen — they
