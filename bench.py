@@ -71,7 +71,16 @@ HEADLINE = [
     "embedding_product_quantize",
     "sim_ann_pq_adc",
     "sim_ann_adc_recall",
+    # added r6
+    "embedding_product_quantize_trained",
+    "sim_ann_adc_trained_recall",
 ]
+
+# The 49-query r5 headline, FROZEN as an explicit list (not computed from
+# HEADLINE, which keeps growing) so round 6+ reports a like-for-like r5
+# subtotal.
+_R5_FROZEN = HEADLINE[: HEADLINE.index("embedding_product_quantize_trained")]
+assert len(_R5_FROZEN) == 49, len(_R5_FROZEN)
 
 # Cross-round comparability (VERDICT r3 item #5): the headline set grows
 # over rounds, so the JSON line also reports fixed-subset subtotals — the
@@ -86,9 +95,7 @@ R1_SUBSET = frozenset(
     )
 )
 R3_SUBSET = frozenset(HEADLINE[:25])
-# The full 49-query r5 headline, frozen so round 6+ reports a like-for-like
-# r5 subtotal as the set keeps growing.
-R5_SUBSET = frozenset(HEADLINE)
+R5_SUBSET = frozenset(_R5_FROZEN)
 
 
 def materialize(df) -> None:

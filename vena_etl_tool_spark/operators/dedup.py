@@ -1548,9 +1548,21 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     between CONTENTS; k copies of a text added nothing but k× postings
     and ~k² candidate pairs, and worse, let clone density consume the
     SHINGLE_DF_CAP budget by copy count instead of content. The oracle
-    states the same semantics (reps CTE); re-measured in SCALE.md §r6."""
+    states the same semantics (reps CTE); re-measured in SCALE.md §r6.
+
+    Both reps and the capped postings are cache()d (same policy as the
+    minhash signature cache above): Spark's exchange reuse does NOT
+    deduplicate this DAG — the postings subtree feeds its four consumers
+    (df-frequency agg, both self-join sides, sizes) through BROADCAST
+    joins, so no common Exchange node exists to reuse and the executed
+    plan re-ran the scan+collapse+explode per consumer (measured: 8
+    parquet scans, 0 ReusedExchange, ~2x wall-clock). The caches bound
+    that to once each; at 100 TB they are MEMORY_AND_DISK spills sized
+    by distinct texts (reps) and df-capped postings — both already
+    upper-bounded by the operator's own guards."""
     docs = spread_small(load_table(spark, sf_dir, "documents"))
-    sh = _df_capped_postings(doc_shingles(_distinct_text_reps(docs)))
+    reps = _distinct_text_reps(docs).cache()
+    sh = _df_capped_postings(doc_shingles(reps)).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
