@@ -138,10 +138,11 @@ def test_retention_offset_zero_is_full_cohort(spark, sf_dir):
 
 
 def test_phash_is_locality_preserving(spark, sf_dir, tmp_path):
-    """Identical payloads must pair at hamming 0, lightly-perturbed ones
-    within the radius; unrelated docs must not appear. Planted corpus —
-    the fixture has no exact payload dups (the sf0.001 pair set is
-    legitimately empty at radius 3 of 32 bits)."""
+    """Lightly-perturbed payloads must pair within the hamming radius
+    against their near-dup's clone REPRESENTATIVE; exact clones collapse
+    (r6: byte-identical payloads are upstream exact-dedup's job, enforced
+    in-operator — they collide in every band at any keyspace width);
+    unrelated docs must not appear."""
     from vena_etl_tool_spark.operators.multimodal import (
         PHASH_HAM_T,
         multimodal_phash_neardup,
@@ -151,7 +152,7 @@ def test_phash_is_locality_preserving(spark, sf_dir, tmp_path):
             "optimizer prunes columns from the scan " * 4)
     rows = [
         (1, "s", base),
-        (2, "s", base),                       # identical payload
+        (2, "s", base),                       # exact clone of 1 — collapsed
         (3, "s", base[:-10] + "tail bytes"),  # light perturbation
         (4, "s", "completely different payload about storage formats " * 6),
     ]
@@ -160,7 +161,8 @@ def test_phash_is_locality_preserving(spark, sf_dir, tmp_path):
     ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
     out = {(r.doc_a, r.doc_b): r.hamming
            for r in multimodal_phash_neardup(spark, str(tmp_path)).collect()}
-    assert out[(1, 2)] == 0
+    assert (1, 3) in out  # perturbed doc pairs with the family rep
+    assert all(2 not in pair for pair in out)  # clone collapsed away
     for (a, b), h in out.items():
         assert a < b and 0 <= h <= PHASH_HAM_T
         assert 4 not in (a, b)  # the unrelated doc never pairs
