@@ -49,8 +49,10 @@ def test_rotation_completes_oracle_backed_coverage():
         f"undeclared driver-coverage residue: "
         f"{sorted(set(residue) ^ set(registry.ROTATION_RESIDUE))}"
     )
-    # all r5 additions landed before the window froze: residue is empty
-    assert len(registry.ROTATION_RESIDUE) == 0
+    # r6: the three post-freeze additions are declared residue (the window
+    # kept the full r2-evidence backlog instead of displacing it) and must
+    # lead the r7 window.
+    assert len(registry.ROTATION_RESIDUE) == 3
 
 
 def test_window_holds_at_least_50():

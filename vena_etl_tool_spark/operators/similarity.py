@@ -1027,3 +1027,154 @@ def sim_ann_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mutual k-NN graph (reciprocal nearest neighbors) — the graph-construction
+# step behind density-based corpus clustering and near-dup confirmation
+# (e.g. SemDeDup keeps one doc per tight RNN cluster). Blocking reuses the
+# IVF assignment: each vector scores pairs only inside its centroid cell,
+# so candidate work is sum(cell²) instead of n² — the same occupancy
+# contract as sim_ann_ivf (centroids ∝ corpus keeps cells bounded).
+# ---------------------------------------------------------------------------
+
+KNN_GRAPH_K = 4
+
+
+def _knn_pair_dot_duck() -> str:
+    return (
+        "(SELECT CAST(SUM(CAST(FLOOR(CAST(struct_extract(pp, 1) AS DOUBLE)"
+        " * CAST(struct_extract(pp, 2) AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12"
+        " FROM UNNEST(list_zip(a.embedding, b.embedding)) AS t(pp))"
+    )
+
+
+_KNN_GRAPH_ORACLE = f"""
+WITH scored AS (
+  SELECT vec_id, embedding,
+         (SELECT CAST(SUM(CAST(FLOOR(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
+          FROM UNNEST(embedding) AS u(x)) AS sq_norm,
+         {{scores}} AS scores
+  FROM embeddings
+), assigned AS (
+  SELECT vec_id, embedding, sq_norm,
+         list_position(scores, list_min(scores)) - 1 AS cent
+  FROM scored
+), pairs AS (
+  SELECT a.vec_id AS ai, b.vec_id AS bi,
+         {{pair_dot}} / (SQRT(a.sq_norm) * SQRT(b.sq_norm)) AS cosine
+  FROM assigned a JOIN assigned b ON a.cent = b.cent AND a.vec_id < b.vec_id
+), directed AS (
+  SELECT u.e.src AS src, u.e.dst AS dst, cosine
+  FROM pairs, UNNEST([{{{{'src': ai, 'dst': bi}}}}, {{{{'src': bi, 'dst': ai}}}}]) AS u(e)
+), topk AS (
+  SELECT src, dst, cosine,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rk
+  FROM directed
+  QUALIFY rk <= {KNN_GRAPH_K}
+)
+SELECT LEAST(src, dst) AS vec_a, GREATEST(src, dst) AS vec_b,
+       ROUND(MAX(cosine), 6) AS cosine,
+       MAX(CASE WHEN src < dst THEN rk END) AS rk_ab,
+       MAX(CASE WHEN src > dst THEN rk END) AS rk_ba
+FROM topk
+GROUP BY LEAST(src, dst), GREATEST(src, dst)
+HAVING COUNT(*) = 2
+"""
+
+
+@register(
+    "sim_knn_graph_mutual",
+    tags=("llm", "similarity", "graph"),
+    oracle=_KNN_GRAPH_ORACLE.format(
+        scores=_ivf_scores_duck(), pair_dot=_knn_pair_dot_duck()
+    ),
+)
+def sim_knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual k-NN graph over the embedding corpus: each vector's top-k
+    cosine neighbors WITHIN its IVF cell, kept only when the edge is
+    reciprocal (a ranks b AND b ranks a) — the standard
+    reciprocal-nearest-neighbor edge set for clustering/near-dup
+    confirmation, where one-directional hub edges are noise.
+
+    Plan shape: map-only centroid assignment (the sim_ann_ivf score
+    array, no shuffle), ONE within-cell self-join on the centroid id
+    producing each unordered pair once, a union for the two directions,
+    a per-source ranking window, and a pair-key self-join for the mutual
+    filter — every shuffle key is an 8-byte id or the cell id. Candidate
+    work is sum(cell²); with centroids ∝ corpus (the documented IVF
+    occupancy rule) cells stay bounded and the build is linear in n at
+    fixed cell size, which is how RNN graphs are built at 100 TB (vs the
+    quadratic exact graph)."""
+    emb = with_sq_norm(spread_small(load_table(spark, sf_dir, "embeddings")))
+    # score array materialized ONCE per row before the argmin — see the
+    # sim_ann_ivf note on Catalyst project-collapse inlining the 16-fold
+    # expression tree if it is referenced twice.
+    assigned = emb.select(
+        "vec_id", "embedding", "sq_norm",
+        F.expr(_ivf_scores_spark()).alias("scores"),
+    ).select(
+        "vec_id",
+        "embedding",
+        "sq_norm",
+        (F.expr("array_position(scores, array_min(scores))") - 1)
+        .cast("int")
+        .alias("cent"),
+    )
+    a = assigned.select(
+        "cent",
+        F.col("vec_id").alias("ai"),
+        F.col("embedding").alias("a_emb"),
+        F.col("sq_norm").alias("a_sq"),
+    )
+    b = assigned.select(
+        F.col("cent").alias("b_cent"),
+        F.col("vec_id").alias("bi"),
+        F.col("embedding").alias("b_emb"),
+        F.col("sq_norm").alias("b_sq"),
+    )
+    pairs = (
+        a.join(b, (F.col("cent") == F.col("b_cent")) & (F.col("ai") < F.col("bi")))
+        .select(
+            "ai",
+            "bi",
+            (
+                dot_exact(F.col("a_emb"), F.col("b_emb"))
+                / (F.sqrt("a_sq") * F.sqrt("b_sq"))
+            ).alias("cosine"),
+        )
+    )
+    # both directions explode from the SAME pair row (a union of two
+    # selects over `pairs` would recompute the join subtree twice), and
+    # the mutual filter is a groupBy on the unordered pair key with
+    # HAVING count = 2 — each direction appears at most once in topk, so
+    # "both rows present" IS reciprocity, with no topk self-join (which
+    # would recompute the whole window subtree per side).
+    directed = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("ai").alias("src"), F.col("bi").alias("dst")),
+                F.struct(F.col("bi").alias("src"), F.col("ai").alias("dst")),
+            )
+        ).alias("e"),
+        "cosine",
+    ).select("e.src", "e.dst", "cosine")
+    w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
+    topk = (
+        directed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KNN_GRAPH_K)
+    )
+    return (
+        topk.groupBy(
+            F.least("src", "dst").alias("vec_a"),
+            F.greatest("src", "dst").alias("vec_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_dir"),
+            F.round(F.max("cosine"), 6).alias("cosine"),
+            F.max(F.when(F.col("src") < F.col("dst"), F.col("rk"))).alias("rk_ab"),
+            F.max(F.when(F.col("src") > F.col("dst"), F.col("rk"))).alias("rk_ba"),
+        )
+        .filter(F.col("n_dir") == 2)
+        .select("vec_a", "vec_b", "cosine", "rk_ab", "rk_ba")
+    )

@@ -1657,3 +1657,153 @@ def corpus_source_health(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lang_entropy"),
         )
     )
+
+
+BPE_TOP_MERGES = 20
+BPE_MIN_WORD_LEN = 2
+
+
+@register(
+    "text_bpe_merge_step",
+    tags=("llm", "text", "bpe"),
+    oracle=f"""
+WITH vocab AS (
+  SELECT word, COUNT(*) AS w_freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE length(word) >= {BPE_MIN_WORD_LEN}
+  GROUP BY word
+), pairs AS (
+  SELECT p.pair AS pair, v.w_freq, v.word
+  FROM vocab v,
+       UNNEST(list_transform(generate_series(1, length(v.word) - 1),
+                             i -> substr(v.word, CAST(i AS INTEGER), 2))) AS p(pair)
+)
+SELECT pair, weight, n_word_types, rk FROM (
+  SELECT pair,
+         CAST(SUM(w_freq) AS BIGINT) AS weight,
+         COUNT(DISTINCT word) AS n_word_types,
+         ROW_NUMBER() OVER (ORDER BY CAST(SUM(w_freq) AS BIGINT) DESC, pair) AS rk
+  FROM pairs GROUP BY pair
+)
+WHERE rk <= {BPE_TOP_MERGES}
+""",
+)
+def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training iteration over the corpus (Sennrich et al. 2016):
+    count adjacent symbol-pair frequencies weighted by word frequency and
+    rank the merge candidates. At the character stage a pair is just
+    ``substring(word, i, 2)``, so the whole step is two hash aggregates:
+
+    1. corpus → distinct-word frequencies. The explode shuffles only
+       (word, partial count) after map-side combine — vocabulary-sized,
+       not corpus-sized, which is what makes BPE training feasible at
+       100 TB: every later merge iteration runs on the vocab table (rows
+       = distinct words), never rescanning the corpus.
+    2. vocab → pair weights. The pair explode multiplies vocab rows by
+       avg word length only (corpus-independent), and the final top-k is
+       TakeOrderedAndProject over an alphabet²-bounded aggregate.
+
+    The weight sums word frequencies (a pair occurring twice inside one
+    word counts twice); n_word_types counts distinct words containing the
+    pair — the two stats a tokenizer trainer needs to pick and apply the
+    merge."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") >= BPE_MIN_WORD_LEN)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("w_freq"))
+    )
+    pair_arr = F.expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"
+    )
+    agg = (
+        vocab.select("word", "w_freq", F.explode(pair_arr).alias("pair"))
+        .groupBy("pair")
+        .agg(
+            F.sum("w_freq").alias("weight"),
+            F.countDistinct("word").alias("n_word_types"),
+        )
+    )
+    return (
+        agg.orderBy(F.col("weight").desc(), F.col("pair"))
+        .limit(BPE_TOP_MERGES)
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.col("weight").desc(), F.col("pair"))),
+        )
+        .select("pair", "weight", "n_word_types", "rk")
+    )
+
+
+@register(
+    "corpus_snapshot_diff",
+    tags=("llm", "corpus", "monitoring"),
+    oracle="""
+WITH old_snap AS (
+  SELECT doc_id, source,
+         md5(CASE WHEN doc_id % 7 = 0
+                  THEN substr(text, 1, CAST(ceil(n_chars / 2.0) AS INTEGER))
+                  ELSE text END) AS fp
+  FROM documents WHERE doc_id % 13 <> 0
+), new_snap AS (
+  SELECT doc_id, source, md5(text) AS fp
+  FROM documents WHERE doc_id % 11 <> 0
+), diff AS (
+  SELECT COALESCE(o.source, n.source) AS source,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN o.fp <> n.fp THEN 'changed'
+              ELSE 'unchanged' END AS status,
+         COALESCE(o.doc_id, n.doc_id) AS doc_id
+  FROM old_snap o FULL OUTER JOIN new_snap n ON o.doc_id = n.doc_id
+)
+SELECT source, status, COUNT(*) AS n_docs,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM diff GROUP BY source, status
+""",
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot corpus diff: classify every doc_id as
+    added / removed / changed / unchanged between two corpus versions and
+    roll the audit up per source. The two snapshots are derived
+    deterministically from the fixture (doc_id % 13 / % 11 membership,
+    % 7 docs get a truncated "old" text), standing in for two dated lake
+    prefixes.
+
+    Scale shape: each side projects to (doc_id, source, fingerprint)
+    BEFORE the join, so the full-outer shuffle carries ~50 bytes/row
+    instead of raw text — at 100 TB the fingerprint (md5 here for oracle
+    portability; xxhash64 in production) is computed at ingest and stored,
+    making the diff a pure metadata join. The join is a co-partitioned
+    8-byte-key sort-merge; the rollup shuffles (source, status) partials
+    only."""
+    docs = load_table(spark, sf_dir, "documents")
+    old_text = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.expr("substring(text, 1, cast(ceil(n_chars / 2.0) as int))"),
+    ).otherwise(F.col("text"))
+    old_snap = docs.filter(F.col("doc_id") % 13 != 0).select(
+        "doc_id", "source", F.md5(old_text).alias("fp")
+    )
+    new_snap = docs.filter(F.col("doc_id") % 11 != 0).select(
+        F.col("doc_id").alias("n_doc_id"),
+        F.col("source").alias("n_source"),
+        F.md5("text").alias("n_fp"),
+    )
+    diff = old_snap.join(
+        new_snap, F.col("doc_id") == F.col("n_doc_id"), "full_outer"
+    ).select(
+        F.coalesce("source", "n_source").alias("source"),
+        F.when(F.col("doc_id").isNull(), "added")
+        .when(F.col("n_doc_id").isNull(), "removed")
+        .when(F.col("fp") != F.col("n_fp"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+        F.coalesce("doc_id", "n_doc_id").alias("d"),
+    )
+    return diff.groupBy("source", "status").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("d").alias("first_doc"),
+        F.max("d").alias("last_doc"),
+    )

@@ -148,10 +148,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
 
 # Oracle-backed queries added AFTER this round's window was frozen — they
 # rotate into the next round's window. Kept explicit so tests + ROUND notes
-# can audit that nothing silently escapes driver coverage. All r5 additions
-# and conversions landed BEFORE the freeze and sit in the window above, so
-# the residue is empty this round.
-ROTATION_RESIDUE: tuple[str, ...] = ()
+# can audit that nothing silently escapes driver coverage. The r6 window
+# froze on the 31-query r2 backlog (displacing backlog entries for late
+# additions was exactly the r5 problem the verdict flagged), so the three
+# operators added after the freeze are declared residue and lead the r7
+# window instead: text_bpe_merge_step (BPE training iteration),
+# corpus_snapshot_diff (snapshot delta audit), sim_knn_graph_mutual
+# (reciprocal-kNN graph build).
+ROTATION_RESIDUE: tuple[str, ...] = (
+    "corpus_snapshot_diff",
+    "sim_knn_graph_mutual",
+    "text_bpe_merge_step",
+)
 
 
 def all_specs() -> dict[str, QuerySpec]:
