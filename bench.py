@@ -74,6 +74,9 @@ HEADLINE = [
     # added r6
     "embedding_product_quantize_trained",
     "sim_ann_adc_trained_recall",
+    "text_bpe_merge_step",
+    "corpus_snapshot_diff",
+    "sim_knn_graph_mutual",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

@@ -78,7 +78,12 @@ def test_mutual_knn_graph_matches_numpy(spark, sf_dir):
     top-k lists, keep reciprocal edges — the Spark result must match the
     edge set, ranks included."""
     rows = load_table(spark, sf_dir, "embeddings").collect()
-    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+    # mirror the operator's exact-duplicate collapse: min vec_id per content
+    by_content: dict[tuple, int] = {}
+    for r in rows:
+        k = tuple(r.embedding)
+        by_content[k] = min(by_content.get(k, r.vec_id), r.vec_id)
+    vecs = {vid: np.asarray(k, dtype=np.float64) for k, vid in by_content.items()}
     c_sq = [_scaled_dot(c, c) for c in _IVF_CENTS]
     cells: dict[int, list[int]] = {}
     for vid, v in vecs.items():

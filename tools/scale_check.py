@@ -58,6 +58,13 @@ QUERIES = (
     "stream_append_restart_flush",
     "corpus_source_health",
     "events_value_anomaly",
+    # r6 additions: BPE's pair stage runs on the vocab (clone-invariant),
+    # snapshot diff is a fingerprint-projected linear join, and the kNN
+    # graph collapses exact-duplicate vectors before any pair work — the
+    # all-clones replica should cost ~one extra linear pass each.
+    "text_bpe_merge_step",
+    "corpus_snapshot_diff",
+    "sim_knn_graph_mutual",
 )
 REPLICAS = 10
 

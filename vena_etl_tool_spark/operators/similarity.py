@@ -1050,12 +1050,14 @@ def _knn_pair_dot_duck() -> str:
 
 
 _KNN_GRAPH_ORACLE = f"""
-WITH scored AS (
+WITH reps AS (
+  SELECT embedding, MIN(vec_id) AS vec_id FROM embeddings GROUP BY embedding
+), scored AS (
   SELECT vec_id, embedding,
          (SELECT CAST(SUM(CAST(FLOOR(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
           FROM UNNEST(embedding) AS u(x)) AS sq_norm,
          {{scores}} AS scores
-  FROM embeddings
+  FROM reps
 ), assigned AS (
   SELECT vec_id, embedding, sq_norm,
          list_position(scores, list_min(scores)) - 1 AS cent
@@ -1106,7 +1108,18 @@ def sim_knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
     occupancy rule) cells stay bounded and the build is linear in n at
     fixed cell size, which is how RNN graphs are built at 100 TB (vs the
     quadratic exact graph)."""
-    emb = with_sq_norm(spread_small(load_table(spark, sf_dir, "embeddings")))
+    # Exact-duplicate vectors collapse to their min-id representative
+    # BEFORE any pair work (the r6 clone-family rule, same as
+    # containment/pHash): byte-identical embeddings land in the same cell
+    # with cosine 1.0 and would otherwise both saturate every clone's
+    # top-k AND square the cell's pair count — while adding zero graph
+    # information, since a clone's edges are its representative's edges.
+    # A no-op on dup-free corpora (checked SFs have 0 dups).
+    emb = with_sq_norm(
+        spread_small(load_table(spark, sf_dir, "embeddings"))
+        .groupBy("embedding")
+        .agg(F.min("vec_id").alias("vec_id"))
+    )
     # score array materialized ONCE per row before the argmin — see the
     # sim_ann_ivf note on Catalyst project-collapse inlining the 16-fold
     # expression tree if it is referenced twice.
