@@ -336,3 +336,41 @@ def test_aqe_splits_skewed_join_partition(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bpe_merge_single_corpus_scan(spark, sf_dir):
+    """The BPE pair stage runs on the VOCAB aggregate, not the corpus —
+    the plan must contain exactly one documents scan (the claim that
+    makes iterated BPE training corpus-free after iteration 1)."""
+    plan = plan_of(spark, sf_dir, "text_bpe_merge_step")
+    assert plan.count("Scan parquet") == 1
+    assert "TakeOrderedAndProject" in plan  # top-k merges, no global sort
+    assert plan.count("HashAggregate") >= 4  # partial+final for both stages
+
+
+def test_knn_graph_no_union_no_selfjoin_recompute(spark, sf_dir):
+    """Both edge directions explode from one pair row and the mutual
+    filter is an aggregate — the plan must not duplicate the pair-join
+    subtree (a union or a topk self-join would plan 4+ scans)."""
+    plan = plan_of(spark, sf_dir, "sim_knn_graph_mutual")
+    assert plan.count("Scan parquet") == 2  # the two sides of the pair join
+    assert "Union" not in plan
+    assert "WindowGroupLimit" in plan  # map-side top-k pruning pre-shuffle
+    assert "CartesianProduct" not in plan
+
+
+def test_snapshot_diff_join_carries_fingerprints_not_text(spark, sf_dir):
+    """The full-outer diff must shuffle md5 fingerprints: text is consumed
+    by the scan-side projection, so no Exchange output may contain the
+    raw text column."""
+    df = _SPECS["corpus_snapshot_diff"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FullOuter" in plan and "CartesianProduct" not in plan
+    # formatted explain lists each node's Input columns — no Exchange
+    # (shuffle) node may take the raw text column as input
+    formatted = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    for block in formatted.split("\n\n"):
+        if block.startswith("(") and "Exchange" in block.splitlines()[0]:
+            assert "text#" not in block, f"raw text shuffled:\n{block}"
