@@ -77,6 +77,7 @@ HEADLINE = [
     "text_bpe_merge_step",
     "corpus_snapshot_diff",
     "sim_knn_graph_mutual",
+    "sim_semantic_clusters",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

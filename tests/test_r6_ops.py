@@ -15,7 +15,9 @@ from vena_etl_tool_spark.catalog import load_table
 from vena_etl_tool_spark.operators.similarity import (
     _IVF_CENTS,
     KNN_GRAPH_K,
+    SEM_CLUSTER_MIN_COS,
     sim_knn_graph_mutual,
+    sim_semantic_clusters,
 )
 from vena_etl_tool_spark.operators.textanalysis import (
     corpus_snapshot_diff,
@@ -72,11 +74,10 @@ def _scaled_dot(x: np.ndarray, y: np.ndarray) -> float:
     return sum(math.floor(float(a) * float(b) * 1e12) for a, b in zip(x, y)) / 1e12
 
 
-def test_mutual_knn_graph_matches_numpy(spark, sf_dir):
-    """Full independent reconstruction: assign every vector to its argmin
-    centroid with the same scaled-int math, build per-cell exact cosine
-    top-k lists, keep reciprocal edges — the Spark result must match the
-    edge set, ranks included."""
+def _numpy_mutual_graph(spark, sf_dir):
+    """Independent reconstruction of the mutual graph: scaled-int centroid
+    assignment, per-cell exact top-k, reciprocal filter. Returns
+    (expected edges {(a,b): (rk_ab, rk_ba)}, raw cosines {(a,b): c})."""
     rows = load_table(spark, sf_dir, "embeddings").collect()
     # mirror the operator's exact-duplicate collapse: min vec_id per content
     by_content: dict[tuple, int] = {}
@@ -109,6 +110,15 @@ def test_mutual_knn_graph_matches_numpy(spark, sf_dir):
             back = [r for r, d in topk.get(dst, ()) if d == src]
             if back and src < dst:
                 expected[(src, dst)] = (rk, back[0])
+    return expected, cos
+
+
+def test_mutual_knn_graph_matches_numpy(spark, sf_dir):
+    """Full independent reconstruction: assign every vector to its argmin
+    centroid with the same scaled-int math, build per-cell exact cosine
+    top-k lists, keep reciprocal edges — the Spark result must match the
+    edge set, ranks included."""
+    expected, cos = _numpy_mutual_graph(spark, sf_dir)
     got = {
         (r.vec_a, r.vec_b): (r.rk_ab, r.rk_ba, r.cosine)
         for r in sim_knn_graph_mutual(spark, sf_dir).collect()
@@ -119,3 +129,37 @@ def test_mutual_knn_graph_matches_numpy(spark, sf_dir):
         assert 1 <= rk_ab <= KNN_GRAPH_K and 1 <= rk_ba <= KNN_GRAPH_K
         assert pair[0] < pair[1]
         assert math.isclose(c, round(cos[pair], 6), abs_tol=1e-9)
+
+
+def test_semantic_clusters_match_numpy_union_find(spark, sf_dir):
+    """Label propagation over the strong mutual edges must equal a
+    union-find over the numpy-reconstructed edge set: same membership,
+    same min-id roots, keep ⟺ root, sizes consistent."""
+    expected_edges, cos = _numpy_mutual_graph(spark, sf_dir)
+    strong = [
+        p for p in expected_edges if round(cos[p], 6) >= SEM_CLUSTER_MIN_COS
+    ]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in strong:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    roots = {n: find(n) for n in parent}
+    got = {r.vec_id: r for r in sim_semantic_clusters(spark, sf_dir).collect()}
+    assert set(got) == set(roots)
+    sizes: dict[int, int] = {}
+    for n, r in roots.items():
+        sizes[r] = sizes.get(r, 0) + 1
+    for n, row in got.items():
+        assert row.cluster_root == roots[n]
+        assert row.keep == (n == roots[n])
+        assert row.n_members == sizes[roots[n]]

@@ -65,6 +65,7 @@ QUERIES = (
     "text_bpe_merge_step",
     "corpus_snapshot_diff",
     "sim_knn_graph_mutual",
+    "sim_semantic_clusters",
 )
 REPLICAS = 10
 

@@ -1049,8 +1049,10 @@ def _knn_pair_dot_duck() -> str:
     )
 
 
-_KNN_GRAPH_ORACLE = f"""
-WITH reps AS (
+# CTE body shared by the graph and cluster oracles (formatted with
+# scores=_ivf_scores_duck(), pair_dot=_knn_pair_dot_duck()); `mutual` is
+# the reciprocal edge set both queries consume.
+_KNN_GRAPH_CTES = f"""reps AS (
   SELECT embedding, MIN(vec_id) AS vec_id FROM embeddings GROUP BY embedding
 ), scored AS (
   SELECT vec_id, embedding,
@@ -1074,14 +1076,19 @@ WITH reps AS (
          ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rk
   FROM directed
   QUALIFY rk <= {KNN_GRAPH_K}
-)
-SELECT LEAST(src, dst) AS vec_a, GREATEST(src, dst) AS vec_b,
-       ROUND(MAX(cosine), 6) AS cosine,
-       MAX(CASE WHEN src < dst THEN rk END) AS rk_ab,
-       MAX(CASE WHEN src > dst THEN rk END) AS rk_ba
-FROM topk
-GROUP BY LEAST(src, dst), GREATEST(src, dst)
-HAVING COUNT(*) = 2
+), mutual AS (
+  SELECT LEAST(src, dst) AS vec_a, GREATEST(src, dst) AS vec_b,
+         ROUND(MAX(cosine), 6) AS cosine,
+         MAX(CASE WHEN src < dst THEN rk END) AS rk_ab,
+         MAX(CASE WHEN src > dst THEN rk END) AS rk_ba
+  FROM topk
+  GROUP BY LEAST(src, dst), GREATEST(src, dst)
+  HAVING COUNT(*) = 2
+)"""
+
+_KNN_GRAPH_ORACLE = f"""
+WITH {_KNN_GRAPH_CTES}
+SELECT vec_a, vec_b, cosine, rk_ab, rk_ba FROM mutual
 """
 
 
@@ -1190,4 +1197,68 @@ def sim_knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_dir") == 2)
         .select("vec_a", "vec_b", "cosine", "rk_ab", "rk_ba")
+    )
+
+
+# Edge threshold for semantic clustering over the mutual graph. The
+# fixtures' synthetic embeddings are near-isotropic (mutual-edge cosines
+# span ~0.1–0.6), so 0.35 keeps a meaningful strong-edge subset at every
+# SF; with a real embedding model the production setting is ~0.8+ (the
+# SemDeDup regime). The value rides ROUND(cosine, 6) on both engines so
+# the boundary can't diverge.
+SEM_CLUSTER_MIN_COS = 0.35
+
+_SEM_CLUSTER_ORACLE = f"""
+WITH RECURSIVE {_KNN_GRAPH_CTES}, edges AS (
+  SELECT vec_a, vec_b FROM mutual WHERE cosine >= {SEM_CLUSTER_MIN_COS}
+), nodes AS (
+  SELECT vec_a AS node FROM edges UNION SELECT vec_b FROM edges
+), bidir AS (
+  SELECT vec_a AS src, vec_b AS dst FROM edges
+  UNION ALL SELECT vec_b, vec_a FROM edges
+), reach AS (
+  SELECT node, node AS label FROM nodes
+  UNION
+  SELECT b.dst AS node, r.label FROM reach r JOIN bidir b ON b.src = r.node
+), cc AS (
+  SELECT node AS vec_id, MIN(label) AS cluster_root FROM reach GROUP BY node
+)
+SELECT cc.vec_id, cc.cluster_root, n.n_members,
+       cc.vec_id = cc.cluster_root AS keep
+FROM cc JOIN (SELECT cluster_root AS r, COUNT(*) AS n_members
+              FROM cc GROUP BY cluster_root) n ON n.r = cc.cluster_root
+"""
+
+
+@register(
+    "sim_semantic_clusters",
+    tags=("llm", "similarity", "graph", "clustering"),
+    oracle=_SEM_CLUSTER_ORACLE.format(
+        scores=_ivf_scores_duck(), pair_dot=_knn_pair_dot_duck()
+    ),
+)
+def sim_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic cluster assignment — the SemDeDup-style endgame over the
+    mutual-kNN graph: reciprocal edges with cosine ≥ threshold are the
+    strong-edge set; connected components give each vector its cluster
+    root (min reachable vec_id), cluster size, and a keep/drop flag
+    (keep = the root), ready to drive a keep-one-per-cluster corpus prune.
+
+    Reuses the dedup engine's min-label-propagation components (iterative
+    edges⋈labels join, localCheckpoint-truncated lineage, rounds =
+    component diameter — RNN clusters are shallow); the DuckDB twin walks
+    the same edges with a recursive CTE, so the iterative Spark algorithm
+    is hash-checked end-to-end, approximation and all."""
+    from .dedup import connected_components
+
+    edges = sim_knn_graph_mutual(spark, sf_dir).filter(
+        F.col("cosine") >= SEM_CLUSTER_MIN_COS
+    )
+    labels = connected_components(edges, "vec_a", "vec_b")
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
+    return labels.join(F.broadcast(sizes), "label").select(
+        F.col("node").alias("vec_id"),
+        F.col("label").alias("cluster_root"),
+        "n_members",
+        (F.col("node") == F.col("label")).alias("keep"),
     )

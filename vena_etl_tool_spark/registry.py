@@ -150,14 +150,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # rotate into the next round's window. Kept explicit so tests + ROUND notes
 # can audit that nothing silently escapes driver coverage. The r6 window
 # froze on the 31-query r2 backlog (displacing backlog entries for late
-# additions was exactly the r5 problem the verdict flagged), so the three
+# additions was exactly the r5 problem the verdict flagged), so the four
 # operators added after the freeze are declared residue and lead the r7
 # window instead: text_bpe_merge_step (BPE training iteration),
 # corpus_snapshot_diff (snapshot delta audit), sim_knn_graph_mutual
-# (reciprocal-kNN graph build).
+# (reciprocal-kNN graph build), sim_semantic_clusters (connected
+# components over the strong mutual edges, recursive-CTE oracle).
 ROTATION_RESIDUE: tuple[str, ...] = (
     "corpus_snapshot_diff",
     "sim_knn_graph_mutual",
+    "sim_semantic_clusters",
     "text_bpe_merge_step",
 )
 
