@@ -78,6 +78,7 @@ HEADLINE = [
     "corpus_snapshot_diff",
     "sim_knn_graph_mutual",
     "sim_semantic_clusters",
+    "text_bpe_train",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

@@ -163,3 +163,60 @@ def test_semantic_clusters_match_numpy_union_find(spark, sf_dir):
         assert row.cluster_root == roots[n]
         assert row.keep == (n == roots[n])
         assert row.n_members == sizes[roots[n]]
+
+
+def test_bpe_train_planted_merge_sequence(spark, tmp_path):
+    """Hand-computed 4-iteration merge sequence, including the
+    vocabulary-exhaustion case (iteration 5 finds no pairs → the merge
+    table ends at 4 rows)."""
+    from vena_etl_tool_spark.operators.textanalysis import text_bpe_train
+
+    d = _write_docs(
+        spark,
+        tmp_path,
+        [(1, "aaaa aaaa baba", "s"), (2, "aaaa baba baba", "s")],
+    )
+    got = [
+        (r.iter, r.pair_a, r.pair_b, r.merged, r.weight)
+        for r in text_bpe_train(spark, d).orderBy("iter").collect()
+    ]
+    assert got == [
+        (1, "a", "a", "aa", 9),    # 3 non-overlapping (a,a) per 'aaaa' x3
+        (2, "b", "a", "ba", 6),
+        (3, "aa", "aa", "aaaa", 3),
+        (4, "ba", "ba", "baba", 3),
+    ]
+
+
+def test_bpe_train_odd_run_greedy_and_oracle_parity(spark, tmp_path):
+    """'aaaaa' pins the left-to-right non-overlap rule (aa aa a, then the
+    tie-broken (aa,a) merge), and the DuckDB islands oracle must agree
+    with the Spark fold on exactly this adversarial input — the fixture
+    corpus never exercises overlapping runs."""
+    import duckdb
+
+    from vena_etl_tool_spark.operators.textanalysis import text_bpe_train
+    from vena_etl_tool_spark.registry import all_specs
+
+    d = _write_docs(spark, tmp_path, [(1, "aaaaa aaaaa", "s")])
+    got = [
+        (r.iter, r.pair_a, r.pair_b, r.merged, r.weight)
+        for r in text_bpe_train(spark, d).orderBy("iter").collect()
+    ]
+    assert got == [
+        (1, "a", "a", "aa", 8),      # 4 adjacent pairs x freq 2, greedy -> [aa, aa, a]
+        (2, "aa", "a", "aaa", 2),    # tie (aa,a) beats (aa,aa) on pair_b
+        (3, "aa", "aaa", "aaaaa", 2),
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"  # Spark writes a dir
+    )
+    oracle = [
+        tuple(r)
+        for r in con.execute(
+            f"SELECT * FROM ({all_specs()['text_bpe_train'].oracle}) ORDER BY iter"
+        ).fetchall()
+    ]
+    assert oracle == got

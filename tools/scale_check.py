@@ -66,6 +66,7 @@ QUERIES = (
     "corpus_snapshot_diff",
     "sim_knn_graph_mutual",
     "sim_semantic_clusters",
+    "text_bpe_train",
 )
 REPLICAS = 10
 

@@ -1807,3 +1807,168 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("d").alias("first_doc"),
         F.max("d").alias("last_doc"),
     )
+
+
+BPE_TRAIN_ITERS = 5
+
+# Greedy left-to-right merge application as a single JVM-side fold: when
+# the last emitted symbol is `ma` and the incoming one is `mb`, the pair
+# collapses to `mm`; the fold never re-examines emitted output, which is
+# exactly BPE's non-overlapping left-to-right rule ('a a a' + merge(a,a)
+# -> [aa, a]). ma/mb/mm are outer column references (the chosen merge
+# rides each row via a broadcast cross join), so one expression serves
+# every iteration.
+_BPE_APPLY = (
+    "aggregate(syms, cast(array() as array<string>),"
+    " (acc, s) -> case when size(acc) > 0 and element_at(acc, -1) = ma"
+    " and s = mb"
+    " then concat(slice(acc, 1, size(acc) - 1), array(mm))"
+    " else concat(acc, array(s)) end)"
+)
+
+
+def _bpe_train_stage_sql(k: int) -> str:
+    """One unrolled training iteration for the DuckDB twin, consuming
+    v{k} and producing b{k} (the chosen merge) and v{k+1} (the rewritten
+    vocabulary). The greedy left-to-right application is expressed
+    relationally: mark adjacent (a,b) positions, group consecutive marks
+    into islands (grp = pos − running mark count), take the odd-ranked
+    mark of each island (non-overlapping left-to-right), then rebuild
+    each word's symbol list ordered by position — the same semantics the
+    Spark side gets from its fold."""
+    return f"""
+p{k} AS (
+  SELECT u.p.a AS a, u.p.b AS b, CAST(SUM(freq) AS BIGINT) AS weight
+  FROM v{k}, UNNEST(list_transform(generate_series(1, len(syms) - 1),
+       i -> {{'a': syms[i], 'b': syms[i + 1]}})) AS u(p)
+  GROUP BY u.p.a, u.p.b
+), b{k} AS (
+  SELECT {k + 1} AS iter, a AS pair_a, b AS pair_b, a || b AS merged, weight
+  FROM p{k} ORDER BY weight DESC, a, b LIMIT 1
+), ex{k} AS (
+  SELECT v.word, v.freq, b.pair_a AS ma, b.pair_b AS mb, b.merged AS mm,
+         u.e.pos AS pos, u.e.s AS s
+  FROM v{k} v, b{k} b,
+       UNNEST(list_transform(generate_series(1, len(v.syms)),
+              i -> {{'pos': i, 's': v.syms[i]}})) AS u(e)
+), m{k} AS (
+  SELECT *, (s = ma AND lead(s) OVER (PARTITION BY word ORDER BY pos) = mb) AS mark
+  FROM ex{k}
+), g{k} AS (
+  SELECT *, pos - SUM(CASE WHEN mark THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY word ORDER BY pos) AS grp
+  FROM m{k}
+), t{k} AS (
+  SELECT *, CASE WHEN mark THEN
+         (SUM(CASE WHEN mark THEN 1 ELSE 0 END)
+          OVER (PARTITION BY word, grp ORDER BY pos)) % 2 = 1
+       ELSE FALSE END AS take
+  FROM g{k}
+), w{k} AS (
+  SELECT *, COALESCE(lag(take) OVER (PARTITION BY word ORDER BY pos), FALSE) AS prev_take
+  FROM t{k}
+), v{k + 1} AS (
+  SELECT word, freq,
+         list(CASE WHEN take THEN mm ELSE s END ORDER BY pos)
+           FILTER (WHERE take OR NOT prev_take) AS syms
+  FROM w{k} GROUP BY word, freq
+)"""
+
+
+def _bpe_train_oracle() -> str:
+    ctes = f"""v0 AS (
+  SELECT word, COUNT(*) AS freq,
+         list_transform(generate_series(1, length(word)), i -> word[i]) AS syms
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE length(word) >= {BPE_MIN_WORD_LEN}
+  GROUP BY word
+)"""
+    for k in range(BPE_TRAIN_ITERS):
+        ctes += "," + _bpe_train_stage_sql(k)
+    sel = "\nUNION ALL ".join(
+        f"SELECT iter, pair_a, pair_b, merged, weight FROM b{k}"
+        for k in range(BPE_TRAIN_ITERS)
+    )
+    return f"WITH {ctes}\n{sel}"
+
+
+@register(
+    "text_bpe_train",
+    tags=("llm", "text", "bpe"),
+    oracle=_bpe_train_oracle(),
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full iterated BPE training (Sennrich et al. 2016): BPE_TRAIN_ITERS
+    rounds of count-pairs → pick the max-weight merge → apply it greedily
+    to the vocabulary, returning the learned merge table
+    (iter, pair_a, pair_b, merged, weight).
+
+    Everything after the first corpus scan runs on the VOCAB table
+    (distinct words × symbol arrays) — the corpus is never rescanned, so
+    at 100 TB each training round costs one vocabulary-sized aggregate
+    plus a map-only rewrite. The chosen merge is a one-row broadcast
+    (orderBy.limit(1) plans TakeOrderedAndProject), NOT a driver
+    collect; per-round localCheckpoint truncates the growing lineage the
+    same way connected_components does. Symbols are strings, so two
+    distinct symbol sequences rendering the same text are merged
+    indistinguishably (production trainers use symbol ids); both engines
+    share the convention. If the vocabulary exhausts its pairs early the
+    merge table simply ends there."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") >= BPE_MIN_WORD_LEN)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.expr(
+                "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+            ).alias("syms"),
+            "freq",
+        )
+        # materialize the initial vocab ONCE: iteration 1's merge pick and
+        # rewrite both consume it, and without this the corpus wordcount
+        # re-runs for each — the only corpus-sized work in the trainer.
+        .localCheckpoint()
+    )
+    pair_arr = F.expr(
+        "transform(sequence(1, size(syms) - 1),"
+        " i -> struct(element_at(syms, i) as a, element_at(syms, i + 1) as b))"
+    )
+    merges: DataFrame | None = None
+    for it in range(1, BPE_TRAIN_ITERS + 1):
+        # size guard: Spark's sequence(1, 0) is the DESCENDING [1, 0],
+        # not empty (DuckDB's generate_series(1, 0) IS empty), so a word
+        # fully merged into one symbol would index past its array here.
+        pairs = (
+            vocab.filter(F.size("syms") >= 2)
+            .select("freq", F.explode(pair_arr).alias("p"))
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("weight"))
+        )
+        best = (
+            pairs.orderBy(F.col("weight").desc(), "a", "b")
+            .limit(1)
+            .select(
+                F.lit(it).alias("iter"),
+                F.col("a").alias("pair_a"),
+                F.col("b").alias("pair_b"),
+                F.concat("a", "b").alias("merged"),
+                "weight",
+            )
+        )
+        merges = best if merges is None else merges.unionAll(best)
+        vocab = (
+            vocab.crossJoin(
+                F.broadcast(
+                    best.select(
+                        F.col("pair_a").alias("ma"),
+                        F.col("pair_b").alias("mb"),
+                        F.col("merged").alias("mm"),
+                    )
+                )
+            )
+            .select(F.expr(_BPE_APPLY).alias("syms"), "freq")
+            .localCheckpoint()
+        )
+    return merges

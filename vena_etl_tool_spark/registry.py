@@ -161,6 +161,7 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     "sim_knn_graph_mutual",
     "sim_semantic_clusters",
     "text_bpe_merge_step",
+    "text_bpe_train",
 )
 
 
