@@ -79,6 +79,7 @@ HEADLINE = [
     "sim_knn_graph_mutual",
     "sim_semantic_clusters",
     "text_bpe_train",
+    "text_bpe_apply",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

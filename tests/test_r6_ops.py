@@ -220,3 +220,20 @@ def test_bpe_train_odd_run_greedy_and_oracle_parity(spark, tmp_path):
         ).fetchall()
     ]
     assert oracle == got
+
+
+def test_bpe_apply_planted_compression(spark, tmp_path):
+    """After the 4 planted merges both words tokenize to one symbol:
+    every doc is 12 chars -> 3 BPE tokens, compression 4.0. Also pins
+    n_tok_bpe <= n_tok_chars globally."""
+    from vena_etl_tool_spark.operators.textanalysis import text_bpe_apply
+
+    d = _write_docs(
+        spark,
+        tmp_path,
+        [(1, "aaaa aaaa baba", "s"), (2, "aaaa baba baba", "s")],
+    )
+    rows = {r.doc_id: r for r in text_bpe_apply(spark, d).collect()}
+    for doc_id in (1, 2):
+        r = rows[doc_id]
+        assert (r.n_tok_chars, r.n_tok_bpe, r.compression) == (12, 3, 4.0)

@@ -49,10 +49,10 @@ def test_rotation_completes_oracle_backed_coverage():
         f"undeclared driver-coverage residue: "
         f"{sorted(set(residue) ^ set(registry.ROTATION_RESIDUE))}"
     )
-    # r6: the five post-freeze additions are declared residue (the window
+    # r6: the six post-freeze additions are declared residue (the window
     # kept the full r2-evidence backlog instead of displacing it) and must
     # lead the r7 window.
-    assert len(registry.ROTATION_RESIDUE) == 5
+    assert len(registry.ROTATION_RESIDUE) == 6
 
 
 def test_window_holds_at_least_50():

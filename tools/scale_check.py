@@ -67,6 +67,7 @@ QUERIES = (
     "sim_knn_graph_mutual",
     "sim_semantic_clusters",
     "text_bpe_train",
+    "text_bpe_apply",
 )
 REPLICAS = 10
 

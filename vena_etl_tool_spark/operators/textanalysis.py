@@ -1875,7 +1875,7 @@ p{k} AS (
 )"""
 
 
-def _bpe_train_oracle() -> str:
+def _bpe_train_ctes() -> str:
     ctes = f"""v0 AS (
   SELECT word, COUNT(*) AS freq,
          list_transform(generate_series(1, length(word)), i -> word[i]) AS syms
@@ -1885,11 +1885,32 @@ def _bpe_train_oracle() -> str:
 )"""
     for k in range(BPE_TRAIN_ITERS):
         ctes += "," + _bpe_train_stage_sql(k)
+    return ctes
+
+
+def _bpe_train_oracle() -> str:
     sel = "\nUNION ALL ".join(
         f"SELECT iter, pair_a, pair_b, merged, weight FROM b{k}"
         for k in range(BPE_TRAIN_ITERS)
     )
-    return f"WITH {ctes}\n{sel}"
+    return f"WITH {_bpe_train_ctes()}\n{sel}"
+
+
+def _bpe_apply_oracle() -> str:
+    return f"""
+WITH {_bpe_train_ctes()}, wc AS (
+  SELECT doc_id, word, COUNT(*) AS n
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+  GROUP BY doc_id, word
+)
+SELECT doc_id,
+  CAST(SUM(n * length(word)) AS BIGINT) AS n_tok_chars,
+  CAST(SUM(n * COALESCE(len(v.syms), 1)) AS BIGINT) AS n_tok_bpe,
+  ROUND(CAST(SUM(n * length(word)) AS DOUBLE)
+        / SUM(n * COALESCE(len(v.syms), 1)), 6) AS compression
+FROM wc LEFT JOIN v{BPE_TRAIN_ITERS} v USING (word)
+GROUP BY doc_id
+"""
 
 
 @register(
@@ -1914,6 +1935,14 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     indistinguishably (production trainers use symbol ids); both engines
     share the convention. If the vocabulary exhausts its pairs early the
     merge table simply ends there."""
+    merges, _ = _bpe_train_impl(spark, sf_dir)
+    return merges
+
+
+def _bpe_train_impl(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Run the training loop; return (merge table, final vocabulary with
+    its word key and trained symbol arrays) — text_bpe_apply consumes the
+    vocabulary side."""
     docs = load_table(spark, sf_dir, "documents")
     vocab = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
@@ -1921,6 +1950,7 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
         .select(
+            "word",
             F.expr(
                 "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
             ).alias("syms"),
@@ -1968,7 +1998,46 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 )
             )
-            .select(F.expr(_BPE_APPLY).alias("syms"), "freq")
+            .select("word", F.expr(_BPE_APPLY).alias("syms"), "freq")
             .localCheckpoint()
         )
-    return merges
+    return merges, vocab
+
+
+@register(
+    "text_bpe_apply",
+    tags=("llm", "text", "bpe"),
+    oracle=_bpe_apply_oracle(),
+)
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the trained tokenizer: per document, the
+    pre-merge token count (characters), the post-merge BPE token count,
+    and the compression ratio the learned merges buy.
+
+    The trained vocabulary (word → final symbol array) is a
+    vocabulary-sized DIM table broadcast onto the per-document word
+    counts — the corpus-sized side is one explode + one hash aggregate,
+    and no symbol rewriting happens per document (a word's tokenization
+    is word-internal in BPE, so it is computed once in the vocab and
+    joined, not recomputed per occurrence — the production trick that
+    makes corpus tokenization a join, not a per-token scan). Words below
+    the training length floor count as one token."""
+    _, vocab = _bpe_train_impl(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    joined = wc.join(
+        F.broadcast(vocab.select("word", F.size("syms").alias("n_syms"))),
+        "word",
+        "left",
+    )
+    chars = F.sum(F.col("n") * F.length("word"))
+    bpe = F.sum(F.col("n") * F.coalesce("n_syms", F.lit(1)))
+    return joined.groupBy("doc_id").agg(
+        chars.cast("long").alias("n_tok_chars"),
+        bpe.cast("long").alias("n_tok_bpe"),
+        F.round(chars.cast("double") / bpe, 6).alias("compression"),
+    )

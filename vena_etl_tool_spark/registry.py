@@ -150,9 +150,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # rotate into the next round's window. Kept explicit so tests + ROUND notes
 # can audit that nothing silently escapes driver coverage. The r6 window
 # froze on the 31-query r2 backlog (displacing backlog entries for late
-# additions was exactly the r5 problem the verdict flagged), so the four
+# additions was exactly the r5 problem the verdict flagged), so the six
 # operators added after the freeze are declared residue and lead the r7
-# window instead: text_bpe_merge_step (BPE training iteration),
+# window instead: text_bpe_merge_step (one BPE training iteration),
+# text_bpe_train (the full iterated trainer, unrolled-CTE oracle),
+# text_bpe_apply (corpus tokenization with the trained vocab),
 # corpus_snapshot_diff (snapshot delta audit), sim_knn_graph_mutual
 # (reciprocal-kNN graph build), sim_semantic_clusters (connected
 # components over the strong mutual edges, recursive-CTE oracle).
@@ -162,6 +164,7 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     "sim_semantic_clusters",
     "text_bpe_merge_step",
     "text_bpe_train",
+    "text_bpe_apply",
 )
 
 
