@@ -966,7 +966,13 @@ def connected_components(edges: DataFrame, src: str, dst: str, max_iter: int = 2
     diameter (near-dup clusters are shallow — single digits). Lineage is
     truncated per round with localCheckpoint so the plan doesn't grow
     unboundedly; convergence is detected by a changed-label count and the
-    loop is capped at ``max_iter`` as a runaway guard."""
+    loop is capped at ``max_iter`` as a runaway guard.
+
+    The convergence check is FUSED into the label-update join: the updated
+    frame carries a ``changed`` flag, so after the (eager) localCheckpoint
+    materializes the round, detecting convergence is a scan of the cached
+    blocks — NOT a second new⋈old shuffle join per round, which at 100 TB
+    would double the per-round exchange count for a boolean answer."""
     bidir = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     ).unionAll(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
@@ -983,23 +989,20 @@ def connected_components(edges: DataFrame, src: str, dst: str, max_iter: int = 2
             .groupBy("dst")
             .agg(F.min("label").alias("cand"))
         )
-        new_labels = (
+        updated = (
             labels.join(msgs, labels["node"] == msgs["dst"], "left")
             .select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce(F.col("cand"), F.col("label"))
                 ).alias("label"),
+                (F.coalesce(F.col("cand"), F.col("label")) < F.col("label"))
+                .alias("changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = updated.filter(F.col("changed")).count()
+        labels = updated.select("node", "label")
         if changed == 0:
             break
     return labels
