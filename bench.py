@@ -80,6 +80,8 @@ HEADLINE = [
     "sim_semantic_clusters",
     "text_bpe_train",
     "text_bpe_apply",
+    # added in the r6 continuation session
+    "join_fuzzy_trigram",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

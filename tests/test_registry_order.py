@@ -49,10 +49,11 @@ def test_rotation_completes_oracle_backed_coverage():
         f"undeclared driver-coverage residue: "
         f"{sorted(set(residue) ^ set(registry.ROTATION_RESIDUE))}"
     )
-    # r6: the six post-freeze additions are declared residue (the window
-    # kept the full r2-evidence backlog instead of displacing it) and must
-    # lead the r7 window.
-    assert len(registry.ROTATION_RESIDUE) == 6
+    # r6: the post-freeze additions are declared residue (the window kept
+    # the full r2-evidence backlog instead of displacing it) and must
+    # lead the r7 window. Bounded so the residue list can't silently
+    # become a second backlog.
+    assert 6 <= len(registry.ROTATION_RESIDUE) < 20
 
 
 def test_window_holds_at_least_50():

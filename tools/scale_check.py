@@ -68,6 +68,10 @@ QUERIES = (
     "sim_semantic_clusters",
     "text_bpe_train",
     "text_bpe_apply",
+    # r6 continuation: the fuzzy trigram join collapses the catalog to
+    # distinct names before any token/pair work, so a 10x all-clones part
+    # table should cost ~one extra linear groupBy pass (ratio ~1).
+    "join_fuzzy_trigram",
 )
 REPLICAS = 10
 
@@ -95,6 +99,10 @@ def build_replica(spark, sf_dir: str, out_dir: str) -> None:
     ).drop("rep").withColumn(
         "ts", F.unix_micros(F.col("ts").cast("timestamp")) * 1000
     ).write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
+    prt = load_table(spark, sf_dir, "part")
+    prt.select("*", rep).withColumn(
+        "p_partkey", F.col("p_partkey") + F.col("rep").cast("long") * n_docs
+    ).drop("rep").write.mode("overwrite").parquet(os.path.join(out_dir, "part.parquet"))
     for t in TABLES:
         dst = os.path.join(out_dir, f"{t}.parquet")
         if not os.path.exists(dst):

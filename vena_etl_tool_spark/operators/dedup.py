@@ -1691,3 +1691,177 @@ def corpus_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", F.col("oth").isNotNull().alias("is_known"))
     )
     return definite_new.unionByName(candidates)
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy string similarity join (set-similarity join with PPJoin-style
+# prefix filtering) — the entity-resolution / record-linkage primitive:
+# match catalog strings that are nearly-identical (typos, prefix noise)
+# by character-trigram Jaccard, without the O(n²) cross product.
+#
+# Two scale levers, both standard in the set-similarity-join literature:
+#   1. clone-family collapse: identical strings are grouped FIRST (one
+#      groupBy on the string), so all pair work runs on the distinct
+#      catalog, never the row count — the r6 clone rule applied to
+#      strings (reference behavior class: SURVEY.md §B.11 dedup family).
+#   2. prefix filtering: tokens are globally ordered rarest-first
+#      (document frequency, then token text); a pair with Jaccard ≥ t
+#      MUST share one of each side's first |T| - ceil(t·|T|) + 1 tokens,
+#      so the candidate join runs on the short prefixes instead of the
+#      full inverted index. False positives are removed by the exact
+#      verify; false negatives are impossible (the PPJoin prefix bound).
+# ---------------------------------------------------------------------------
+
+# Trigram-Jaccard acceptance threshold. 0.5 keeps genuinely-confusable
+# catalog names ("cold widget" / "old widget") and drops same-noun-only
+# pairs. Shared by the Spark filter, the prefix-length formula, and the
+# DuckDB oracle so the boundary cannot diverge.
+FUZZY_JACCARD_T = 0.5
+
+_FUZZY_ORACLE = f"""
+WITH names AS (
+  SELECT p_name AS name, MIN(p_partkey) AS rep, COUNT(*) AS n_parts
+  FROM part GROUP BY p_name
+), toks AS (
+  SELECT rep, name, n_parts,
+         list_distinct(list_transform(range(1, length(name) - 1),
+                                      i -> substr(name, i, 3))) AS tg_set
+  FROM names WHERE length(name) >= 3
+), sized AS (
+  SELECT rep, name, n_parts, tg_set, len(tg_set) AS n_tg FROM toks
+), flat AS (
+  SELECT rep, n_tg, unnest(tg_set) AS tg FROM sized
+), dfreq AS (
+  SELECT rep, n_tg, tg, COUNT(*) OVER (PARTITION BY tg) AS df FROM flat
+), prefix AS (
+  SELECT rep, tg FROM (
+    SELECT rep, tg, n_tg,
+           ROW_NUMBER() OVER (PARTITION BY rep ORDER BY df, tg) AS rk
+    FROM dfreq)
+  WHERE rk <= n_tg - CAST(CEIL({FUZZY_JACCARD_T} * n_tg) AS INT) + 1
+), cand AS (
+  SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b
+  FROM prefix a JOIN prefix b ON a.tg = b.tg AND a.rep < b.rep
+), verified AS (
+  SELECT c.rep_a, c.rep_b, x.name AS name_a, y.name AS name_b,
+         x.n_parts AS n_parts_a, y.n_parts AS n_parts_b,
+         CAST(len(list_intersect(x.tg_set, y.tg_set)) AS BIGINT) AS n_shared,
+         CAST(len(list_intersect(x.tg_set, y.tg_set)) AS DOUBLE)
+           / (x.n_tg + y.n_tg - len(list_intersect(x.tg_set, y.tg_set))) AS j
+  FROM cand c
+  JOIN sized x ON x.rep = c.rep_a
+  JOIN sized y ON y.rep = c.rep_b
+)
+SELECT rep_a, rep_b, name_a, name_b, n_parts_a, n_parts_b, n_shared,
+       ROUND(j, 6) AS jaccard
+FROM verified WHERE j >= {FUZZY_JACCARD_T}
+"""
+
+
+@register(
+    "join_fuzzy_trigram",
+    tags=("join", "llm", "fuzzy", "entity-resolution"),
+    oracle=_FUZZY_ORACLE,
+)
+def join_fuzzy_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy self-join of the part-name catalog on character-trigram
+    Jaccard ≥ FUZZY_JACCARD_T — the set-similarity join (entity
+    resolution) primitive, PPJoin-style.
+
+    Plan shape: one groupBy(p_name) collapses clone families so every
+    later stage runs on the DISTINCT catalog (name + min-partkey rep +
+    family size); trigram sets are built JVM-side (transform/sequence —
+    no UDF); a global rarest-first token order (window over tg) selects
+    each name's prefix tokens; the candidate self-join runs ONLY on the
+    prefixes (|prefix| = |T| - ceil(t·|T|) + 1, the exact PPJoin bound —
+    a pair with Jaccard ≥ t provably shares a prefix token); the exact
+    array_intersect verify then runs on the candidate set alone. At
+    100 TB the distinct catalog ≪ corpus, prefixes ≪ inverted index, and
+    the quadratic primitive never touches either the corpus or the full
+    index — the same blocking-then-verify contract as the dedup family.
+    """
+    part = load_table(spark, sf_dir, "part")
+    names = (
+        spread_small(part)
+        .groupBy(F.col("p_name").alias("name"))
+        .agg(
+            F.min("p_partkey").alias("rep"),
+            F.count(F.lit(1)).alias("n_parts"),
+        )
+    )
+    toks = (
+        names.filter(F.length("name") >= 3)
+        .select(
+            "rep",
+            "name",
+            "n_parts",
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, length(name) - 2),"
+                    " i -> substring(name, i, 3))"
+                )
+            ).alias("tg_set"),
+        )
+        .withColumn("n_tg", F.size("tg_set"))
+        .cache()  # reused: prefix build + both sides of the verify join
+    )
+    flat = toks.select("rep", "n_tg", F.explode("tg_set").alias("tg"))
+    prefix = (
+        flat.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("tg")))
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("rep").orderBy("df", "tg")),
+        )
+        .filter(
+            F.col("rk")
+            <= F.col("n_tg")
+            - F.ceil(F.lit(FUZZY_JACCARD_T) * F.col("n_tg")).cast("int")
+            + 1
+        )
+        .select("rep", "tg")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.tg") == F.col("b.tg")) & (F.col("a.rep") < F.col("b.rep")),
+        )
+        .select(F.col("a.rep").alias("rep_a"), F.col("b.rep").alias("rep_b"))
+        .distinct()
+    )
+    side_a = toks.select(
+        F.col("rep").alias("rep_a"),
+        F.col("name").alias("name_a"),
+        F.col("n_parts").alias("n_parts_a"),
+        F.col("tg_set").alias("tg_a"),
+        F.col("n_tg").alias("n_a"),
+    )
+    side_b = toks.select(
+        F.col("rep").alias("rep_b"),
+        F.col("name").alias("name_b"),
+        F.col("n_parts").alias("n_parts_b"),
+        F.col("tg_set").alias("tg_b"),
+        F.col("n_tg").alias("n_b"),
+    )
+    verified = (
+        cand.join(F.broadcast(side_a), "rep_a")
+        .join(F.broadcast(side_b), "rep_b")
+        .withColumn(
+            "n_shared", F.size(F.array_intersect("tg_a", "tg_b")).cast("long")
+        )
+        .withColumn(
+            "j",
+            F.col("n_shared").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+        )
+    )
+    return verified.filter(F.col("j") >= FUZZY_JACCARD_T).select(
+        "rep_a",
+        "rep_b",
+        "name_a",
+        "name_b",
+        "n_parts_a",
+        "n_parts_b",
+        "n_shared",
+        F.round("j", 6).alias("jaccard"),
+    )

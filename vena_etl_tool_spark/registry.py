@@ -165,6 +165,8 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     "text_bpe_merge_step",
     "text_bpe_train",
     "text_bpe_apply",
+    # --- added in the r6 continuation session ---
+    "join_fuzzy_trigram",
 )
 
 
