@@ -82,6 +82,8 @@ HEADLINE = [
     "text_bpe_apply",
     # added in the r6 continuation session
     "join_fuzzy_trigram",
+    "sim_ann_ivfadc",
+    "sim_ann_ivfadc_recall",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

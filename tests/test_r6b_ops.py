@@ -96,3 +96,115 @@ def test_fuzzy_join_short_and_degenerate_names(spark, tmp_path):
         [(1, "ab"), (2, "ab"), (3, "same name"), (4, "same name")],
     )
     assert join_fuzzy_trigram(spark, d).collect() == []
+
+
+# ---------------------------------------------------------------------------
+# IVFADC (sim_ann_ivfadc) — full numpy reconstruction of the index:
+# cell assignment, residual PQ codes, per-probe lookup tables, ADC
+# ranking. The operator's scaled-int algebra must reproduce this exactly.
+# ---------------------------------------------------------------------------
+
+
+def test_ivfadc_matches_numpy_reconstruction(spark, sf_dir):
+    import math
+
+    import numpy as np
+
+    from vena_etl_tool_spark.catalog import load_table
+    from vena_etl_tool_spark.operators.similarity import (
+        _IVF_CENTS,
+        _PQ_BOOKS,
+        IVF_NPROBE,
+        N_QUERIES,
+        PQ_SUBDIM,
+        PQ_SUBSPACES,
+        TOP_K,
+        sim_ann_ivfadc,
+    )
+
+    def sfloor(x: float) -> int:
+        return math.floor(x * 1e12)
+
+    def score_vs_books(sub: np.ndarray, s: int) -> list[int]:
+        out = []
+        for k in range(16):
+            c = _PQ_BOOKS[s][k]
+            csq = sum(sfloor(float(v) * float(v)) for v in c)
+            dot = sum(sfloor(float(x) * float(p)) for x, p in zip(sub, c))
+            out.append(csq - 2 * dot)
+        return out
+
+    rows = load_table(spark, sf_dir, "embeddings").collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+    labels = {r.vec_id: r.label for r in rows}
+
+    # cell assignment: argmin over |c|^2 - 2<x,c> (scaled), ties -> first
+    def cell_of(x: np.ndarray) -> int:
+        scores = []
+        for i in range(len(_IVF_CENTS)):
+            c = _IVF_CENTS[i]
+            csq = sum(sfloor(float(v) * float(v)) for v in c)
+            dot = sum(sfloor(float(xx) * float(cc)) for xx, cc in zip(x, c))
+            scores.append(csq - 2 * dot)
+        return scores.index(min(scores))
+
+    cells = {v: cell_of(x) for v, x in vecs.items()}
+    codes = {}
+    for v, x in vecs.items():
+        res = x - _IVF_CENTS[cells[v]]
+        codes[v] = [
+            min(
+                range(16),
+                key=lambda k: score_vs_books(
+                    res[s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM], s
+                )[k]
+                * 16
+                + k,  # tie -> lowest code, like array_position of the min
+            )
+            for s in range(PQ_SUBSPACES)
+        ]
+
+    expected = {}
+    for q in sorted(v for v in vecs if v < N_QUERIES):
+        # probe the NPROBE best cells by the same scaled score, tie -> cid
+        cscores = []
+        for i in range(len(_IVF_CENTS)):
+            c = _IVF_CENTS[i]
+            csq = sum(sfloor(float(v) * float(v)) for v in c)
+            dot = sum(sfloor(float(xx) * float(cc)) for xx, cc in zip(vecs[q], c))
+            cscores.append((csq - 2 * dot, i))
+        probed = [cid for _, cid in sorted(cscores)[:IVF_NPROBE]]
+        cand = []
+        for cid in probed:
+            qres = vecs[q] - _IVF_CENTS[cid]
+            term0 = sum(sfloor(float(r) * float(r)) for r in qres)
+            tables = [
+                score_vs_books(qres[s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM], s)
+                for s in range(PQ_SUBSPACES)
+            ]
+            for v, cell in cells.items():
+                if cell != cid or v == q:
+                    continue
+                adc = term0 + sum(
+                    tables[s][codes[v][s]] for s in range(PQ_SUBSPACES)
+                )
+                cand.append((adc, v))
+        cand.sort()
+        expected[q] = [
+            (v, adc, rk + 1) for rk, (adc, v) in enumerate(cand[:TOP_K])
+        ]
+
+    got: dict[int, list] = {}
+    for r in sim_ann_ivfadc(spark, sf_dir).collect():
+        got.setdefault(r.query_id, []).append(
+            (r.neighbor_id, r.adc_score, r.rk, r.neighbor_label)
+        )
+    for q in got:
+        got[q].sort(key=lambda t: t[2])
+    assert set(got) == set(expected)
+    for q, exp in expected.items():
+        assert [(v, adc, rk) for v, adc, rk in exp] == [
+            (v, adc, rk) for v, adc, rk, _ in got[q]
+        ], f"query {q} diverges"
+        for v, _, _, lab in got[q]:
+            assert lab == labels[v]

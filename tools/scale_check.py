@@ -72,6 +72,11 @@ QUERIES = (
     # distinct names before any token/pair work, so a 10x all-clones part
     # table should cost ~one extra linear groupBy pass (ratio ~1).
     "join_fuzzy_trigram",
+    # IVFADC: corpus side is a map-only encode (linear); candidates per
+    # query grow with cell occupancy (10x here — fixed 16-cell keyspace),
+    # but each candidate costs 8 integer lookups on 4 B of codes, so the
+    # ratio should stay well under the occupancy growth.
+    "sim_ann_ivfadc",
 )
 REPLICAS = 10
 

@@ -756,11 +756,12 @@ _PQ_C_SQ = [
 ]
 
 
-def _pq_scores_spark(s: int) -> str:
+def _pq_scores_spark(s: int, src: str = "embedding") -> str:
     """BIGINT score array for subspace ``s``: |c_k|^2 - 2<x_s, c_k>
-    (scaled 1e12); argmin over k = the PQ code. x_s = slice(embedding,
-    s*8+1, 8)."""
-    sub = f"slice(embedding, {s * PQ_SUBDIM + 1}, {PQ_SUBDIM})"
+    (scaled 1e12); argmin over k = the PQ code. x_s = slice(src,
+    s*8+1, 8). ``src`` parameterizes the vector being encoded — the raw
+    embedding for plain PQ, the cell residual for IVFADC."""
+    sub = f"slice({src}, {s * PQ_SUBDIM + 1}, {PQ_SUBDIM})"
     elems = []
     for k in range(PQ_CODES):
         lits = ", ".join(f"{float(v)!r}D" for v in _PQ_BOOKS[s][k])
@@ -773,8 +774,8 @@ def _pq_scores_spark(s: int) -> str:
     return "array(" + ", ".join(elems) + ")"
 
 
-def _pq_scores_duck(s: int) -> str:
-    sub = f"embedding[{s * PQ_SUBDIM + 1}:{s * PQ_SUBDIM + PQ_SUBDIM}]"
+def _pq_scores_duck(s: int, src: str = "embedding") -> str:
+    sub = f"{src}[{s * PQ_SUBDIM + 1}:{s * PQ_SUBDIM + PQ_SUBDIM}]"
     elems = []
     for k in range(PQ_CODES):
         lits = ", ".join(repr(float(v)) for v in _PQ_BOOKS[s][k])
@@ -1261,4 +1262,291 @@ def sim_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("cluster_root"),
         "n_members",
         (F.col("node") == F.col("label")).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVFADC — the production composition of the two ANN halves this module
+# already has: IVF coarse cells bound the candidate set, and PQ codes of
+# the CELL RESIDUAL (x − centroid) replace the vectors inside each cell.
+# This is the standard billion-vector index layout (inverted lists of
+# 4-byte PQ codes): the scan is cell-pruned AND 64×-compressed, and a
+# query pays |q−c_L|² once per probed cell plus 8 integer lookups per
+# candidate. Residual encoding (vs raw-vector PQ in sim_ann_pq_adc) is
+# what makes the codes accurate: residuals are centered near zero, so a
+# shared codebook covers them far better than raw vectors.
+# All algebra stays scaled-int64, so the whole approximate ranking —
+# cell assignment, residual codes, ADC scores — hash-matches DuckDB.
+# ---------------------------------------------------------------------------
+
+
+def _ivf_cents_spark() -> str:
+    rows = ", ".join(
+        "array(" + ", ".join(f"{float(v)!r}D" for v in _IVF_CENTS[i]) + ")"
+        for i in range(IVF_CENTROIDS)
+    )
+    return f"array({rows})"
+
+
+def _ivf_cents_duck() -> str:
+    rows = ", ".join(
+        "[" + ", ".join(repr(float(v)) for v in _IVF_CENTS[i]) + "]"
+        for i in range(IVF_CENTROIDS)
+    )
+    return f"[{rows}]"
+
+
+# residual of `vec` w.r.t. centroid index column `cent` (0-based)
+def _residual_spark(vec: str, cent: str) -> str:
+    return (
+        f"zip_with({vec}, element_at({_ivf_cents_spark()}, {cent} + 1),"
+        f" (x, c) -> CAST(x AS DOUBLE) - c)"
+    )
+
+
+def _residual_duck(vec: str, cent: str) -> str:
+    return (
+        f"list_transform(list_zip({vec}, ({_ivf_cents_duck()})[{cent} + 1]),"
+        f" p -> CAST(struct_extract(p, 1) AS DOUBLE) - struct_extract(p, 2))"
+    )
+
+
+_TERM0_SPARK = (
+    "aggregate(transform(q_res, r -> CAST(FLOOR(r * r * 1e12) AS BIGINT)),"
+    " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+)
+_TERM0_DUCK = (
+    "CAST(list_sum(list_transform(q_res,"
+    " r -> CAST(FLOOR(r * r * 1e12) AS BIGINT))) AS BIGINT)"
+)
+
+
+def _ivfadc_oracle() -> str:
+    res_score_cols = ",\n         ".join(
+        f"{_pq_scores_duck(s, 'res')} AS sc{s}" for s in range(PQ_SUBSPACES)
+    )
+    code_cols = ", ".join(
+        f"list_position(sc{s}, list_min(sc{s})) - 1 AS code{s}"
+        for s in range(PQ_SUBSPACES)
+    )
+    qlt_cols = ",\n         ".join(
+        f"{_pq_scores_duck(s, 'q_res')} AS qsc{s}" for s in range(PQ_SUBSPACES)
+    )
+    adc = " + ".join(f"q.qsc{s}[c.code{s} + 1]" for s in range(PQ_SUBSPACES))
+    return f"""
+WITH scored AS (
+  SELECT vec_id, label, embedding,
+         {_ivf_scores_duck()} AS scores,
+         list_transform(generate_series(1, {IVF_CENTROIDS}),
+                        i -> {{'s': scores[i], 'cid': i - 1}}) AS score_structs
+  FROM embeddings
+), resid AS (
+  SELECT vec_id, label,
+         list_position(scores, list_min(scores)) - 1 AS cent,
+         {_residual_duck('embedding', '(list_position(scores, list_min(scores)) - 1)')} AS res
+  FROM scored
+), res_scored AS (
+  SELECT vec_id, label, cent,
+         {res_score_cols}
+  FROM resid
+), coded AS (
+  SELECT vec_id, label, cent, {code_cols}
+  FROM res_scored
+), probes AS (
+  SELECT vec_id AS query_id, embedding, cid AS p_cent
+  FROM (
+    SELECT vec_id, embedding, u.cid AS cid, u.s AS s,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY u.s, u.cid) AS prn
+    FROM scored, UNNEST(score_structs) AS t(u)
+    WHERE vec_id < {N_QUERIES}
+  ) WHERE prn <= {IVF_NPROBE}
+), qres AS (
+  SELECT query_id, p_cent,
+         {_residual_duck('embedding', 'p_cent')} AS q_res
+  FROM probes
+), qlt AS (
+  SELECT query_id, p_cent,
+         {_TERM0_DUCK} AS term0,
+         {qlt_cols}
+  FROM qres
+), cand AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+         CAST(q.term0 + {adc} AS BIGINT) AS adc_score
+  FROM qlt q JOIN coded c ON c.cent = q.p_cent AND c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, neighbor_label, adc_score, rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY adc_score, neighbor_id) AS rk
+  FROM cand
+)
+WHERE rk <= {TOP_K}
+"""
+
+
+@register(
+    "sim_ann_ivfadc",
+    tags=("llm", "similarity", "ivf", "pq", "ann"),
+    oracle=_ivfadc_oracle(),
+)
+def sim_ann_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC top-k — the billion-vector production index shape: corpus
+    vectors live in IVF cells as 4-byte PQ codes of their CELL RESIDUAL;
+    a query probes its IVF_NPROBE nearest cells and ranks candidates by
+    |q − c_L|² + Σ_s lookup(q-residual table, code) — exact expansion of
+    the distance to the candidate's reconstruction, paid as one constant
+    per (query, cell) plus 8 integer lookups per candidate.
+
+    Plan shape: the corpus side is a map-only projection chain (cell
+    argmin → residual → 8 code argmins; no shuffle, no UDF) whose
+    multi-referenced arrays stay materialized-per-projection (Catalyst
+    keeps non-cheap multi-referenced aliases in their own Project — the
+    plan-explosion trap documented at _ivf_scores_spark). Probe rows
+    (N_QUERIES × NPROBE, each carrying 8 small lookup arrays) broadcast
+    against the coded corpus on the cell id. At 100 TB: inverted lists
+    scan 4 B/vector instead of 256 B, only NPROBE/IVF_CENTROIDS of the
+    corpus is touched per query, and both levers are the ones already
+    proven separately (sim_ann_ivf occupancy rule; sim_ann_pq_adc
+    compressed scan). Everything is scaled-int64, so the approximate
+    ranking hash-matches the DuckDB twin end to end."""
+    emb = spread_small(load_table(spark, sf_dir, "embeddings"))
+    scored = emb.select(
+        "vec_id", "label", "embedding",
+        F.expr(_ivf_scores_spark()).alias("scores"),
+    )
+    assigned = scored.select(
+        "vec_id", "label", "embedding",
+        (F.expr("array_position(scores, array_min(scores))") - 1)
+        .cast("int")
+        .alias("cent"),
+    )
+    resid = assigned.select(
+        "vec_id", "label", "cent",
+        F.expr(_residual_spark("embedding", "cent")).alias("res"),
+    )
+    res_scored = resid.select(
+        "vec_id", "label", "cent",
+        *[
+            F.expr(_pq_scores_spark(s, "res")).alias(f"sc{s}")
+            for s in range(PQ_SUBSPACES)
+        ],
+    )
+    coded = res_scored.select(
+        "vec_id", "label", "cent",
+        *[
+            (F.expr(f"array_position(sc{s}, array_min(sc{s}))") - 1)
+            .cast("int")
+            .alias(f"code{s}")
+            for s in range(PQ_SUBSPACES)
+        ],
+    )
+    prn_w = Window.partitionBy("query_id").orderBy("s", "p_cent")
+    probes = (
+        scored.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "embedding",
+            F.posexplode("scores").alias("p_cent", "s"),
+        )
+        .withColumn("prn", F.row_number().over(prn_w))
+        .filter(F.col("prn") <= IVF_NPROBE)
+        .select("query_id", "embedding", "p_cent")
+    )
+    qres = probes.select(
+        "query_id", "p_cent",
+        F.expr(_residual_spark("embedding", "p_cent")).alias("q_res"),
+    )
+    qlt = qres.select(
+        "query_id", "p_cent",
+        F.expr(_TERM0_SPARK).alias("term0"),
+        *[
+            F.expr(_pq_scores_spark(s, "q_res")).alias(f"qsc{s}")
+            for s in range(PQ_SUBSPACES)
+        ],
+    )
+    adc = F.col("term0")
+    for s in range(PQ_SUBSPACES):
+        adc = adc + F.element_at(F.col(f"qsc{s}"), F.col(f"code{s}") + 1)
+    cand = (
+        F.broadcast(qlt)
+        .join(
+            coded,
+            (F.col("cent") == F.col("p_cent"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            adc.cast("long").alias("adc_score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_score", "neighbor_id")
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+    )
+
+
+def _ivfadc_recall_oracle() -> str:
+    from ..registry import REGISTRY
+
+    exact_sql = REGISTRY["sim_cosine_topk"].oracle
+    return f"""
+WITH exact_k AS (
+  SELECT query_id, neighbor_id FROM ({exact_sql})
+), ivfadc_k AS (
+  SELECT query_id, neighbor_id FROM ({_ivfadc_oracle()})
+)
+SELECT e.query_id,
+       COUNT(a.neighbor_id) AS hits,
+       CAST(COUNT(a.neighbor_id) AS DOUBLE) / {TOP_K} AS recall_at_k
+FROM exact_k e
+LEFT JOIN ivfadc_k a
+  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+@register(
+    "sim_ann_ivfadc_recall",
+    tags=("llm", "similarity", "eval", "ivf", "pq"),
+    oracle=_ivfadc_recall_oracle(),
+)
+def sim_ann_ivfadc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVFADC path against brute-force exact cosine —
+    the honesty meter for the combined index: the loss now folds in BOTH
+    levers (cell pruning: a true neighbor outside the probed cells can
+    never be found; residual quantization: in-cell ranking error), which
+    is exactly the production trade-off being bought. Composes the two
+    registered queries unchanged, scaled-int deterministic on both
+    sides, so the evaluation itself is oracle-checked. Same caveats as
+    sim_ann_adc_recall: untrained (seeded-random) codebooks on
+    near-random fixtures give honestly-low absolute recall. Measured at
+    sf0.01: avg recall@5 ≈ 0.10 vs 0.11 for the un-pruned ADC scan — on
+    this corpus the cell-pruning loss roughly offsets the
+    residual-encoding gain (near-isotropic vectors make both cells and
+    residuals uninformative); with trained codebooks and real clustered
+    embeddings the residual term dominates, which is why production
+    systems ship THIS shape (the trained flavor is the rows-only
+    embedding_product_quantize_trained pairing)."""
+    exact_k = sim_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ivfadc_k = sim_ann_ivfadc(spark, sf_dir).select(
+        F.col("query_id").alias("a_query_id"),
+        F.col("neighbor_id").alias("a_neighbor_id"),
+    )
+    return (
+        exact_k.join(
+            ivfadc_k,
+            (F.col("a_query_id") == F.col("query_id"))
+            & (F.col("a_neighbor_id") == F.col("neighbor_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("a_neighbor_id").alias("hits"),
+            (F.count("a_neighbor_id").cast("double") / F.lit(TOP_K)).alias(
+                "recall_at_k"
+            ),
+        )
     )

@@ -167,6 +167,8 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     "text_bpe_apply",
     # --- added in the r6 continuation session ---
     "join_fuzzy_trigram",
+    "sim_ann_ivfadc",
+    "sim_ann_ivfadc_recall",
 )
 
 
