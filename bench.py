@@ -84,6 +84,8 @@ HEADLINE = [
     "join_fuzzy_trigram",
     "sim_ann_ivfadc",
     "sim_ann_ivfadc_recall",
+    "embedding_random_projection",
+    "embedding_rp_distance_audit",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

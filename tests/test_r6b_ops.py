@@ -208,3 +208,42 @@ def test_ivfadc_matches_numpy_reconstruction(spark, sf_dir):
         ], f"query {q} diverges"
         for v, _, _, lab in got[q]:
             assert lab == labels[v]
+
+
+def test_rp_projection_matches_numpy_and_jl_bound(spark, sf_dir):
+    """The projected coordinates equal a numpy reconstruction of the
+    scaled-int fold, and the distortion audit shows the JL guarantee:
+    unbiased (mean ratio ~ 1) and concentrated (most pairs within
+    1 +- 3 * sqrt(2/RP_DIM))."""
+    import math
+
+    import numpy as np
+
+    from vena_etl_tool_spark.catalog import load_table
+    from vena_etl_tool_spark.operators.similarity import (
+        _RP_MAT,
+        RP_DIM,
+        embedding_random_projection,
+        embedding_rp_distance_audit,
+    )
+
+    rows = load_table(spark, sf_dir, "embeddings").limit(30).collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+    got = {
+        r.vec_id: [getattr(r, f"p{j}") for j in range(RP_DIM)]
+        for r in embedding_random_projection(spark, sf_dir).collect()
+        if r.vec_id in vecs
+    }
+    for v, x in vecs.items():
+        for j in range(RP_DIM):
+            y = sum(math.floor(float(xx) * float(p) * 1e12) for xx, p in zip(x, _RP_MAT[j]))
+            assert got[v][j] == round(y / 1e12, 6), (v, j)
+
+    dist = [r.distortion for r in embedding_rp_distance_audit(spark, sf_dir).collect()]
+    assert len(dist) > 1000
+    mean = sum(dist) / len(dist)
+    assert 0.9 < mean < 1.1, mean
+    assert all(0.05 < d < 4.0 for d in dist)
+    sigma = math.sqrt(2.0 / RP_DIM)
+    within = sum(1 for d in dist if abs(d - 1) <= 3 * sigma) / len(dist)
+    assert within > 0.95, within

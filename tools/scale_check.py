@@ -77,6 +77,9 @@ QUERIES = (
     # but each candidate costs 8 integer lookups on 4 B of codes, so the
     # ratio should stay well under the occupancy growth.
     "sim_ann_ivfadc",
+    # JL projection is a pure map-only scan-transform (expect ~linear,
+    # riding the extra parallelism); its audit is fixed-size by design.
+    "embedding_random_projection",
 )
 REPLICAS = 10
 

@@ -1550,3 +1550,172 @@ def sim_ann_ivfadc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Random projection (Johnson–Lindenstrauss) — the third compression path
+# next to int8 quantization and PQ: a fixed Gaussian matrix R (rows scaled
+# by 1/sqrt(d')) maps 64-dim embeddings to RP_DIM dims while approximately
+# preserving pairwise distances (the JL lemma). Map-only, no shuffle, no
+# UDF: each output dim is one scaled-int64 fold over the input vector —
+# at 100 TB this is a scan-transform that cuts the embedding lake 4× and
+# feeds any downstream distance-based op (ANN, clustering, dedup) with a
+# provable distortion bound. The matrix is seeded-deterministic and
+# embedded as literals in both engines, so projections are hash-exact.
+# ---------------------------------------------------------------------------
+
+RP_DIM = 16
+RP_AUDIT_N = 50  # vectors (by id) in the pairwise distortion audit
+
+_RP_RAW = np.random.default_rng(20260814).normal(size=(RP_DIM, 64))
+_RP_MAT = (_RP_RAW / math.sqrt(RP_DIM)).astype(np.float64)
+
+
+def _rp_dot_spark(j: int, src: str = "embedding") -> str:
+    lits = ", ".join(f"{float(v)!r}D" for v in _RP_MAT[j])
+    return (
+        f"aggregate(zip_with({src}, array({lits}),"
+        f" (x, p) -> CAST(FLOOR(CAST(x AS DOUBLE) * p * 1e12) AS BIGINT)),"
+        f" CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
+def _rp_dot_duck(j: int, src: str = "embedding") -> str:
+    lits = ", ".join(repr(float(v)) for v in _RP_MAT[j])
+    return (
+        f"CAST(list_sum(list_transform(list_zip({src}, [{lits}]),"
+        f" p -> CAST(FLOOR(CAST(struct_extract(p, 1) AS DOUBLE)"
+        f" * struct_extract(p, 2) * 1e12) AS BIGINT))) AS BIGINT)"
+    )
+
+
+_RP_ORACLE = f"""
+SELECT vec_id, label,
+       {", ".join(f"ROUND(CAST({_rp_dot_duck(j)} AS DOUBLE) / 1e12, 6) AS p{j}" for j in range(RP_DIM))}
+FROM embeddings
+"""
+
+
+@register(
+    "embedding_random_projection",
+    tags=("llm", "similarity", "compression", "jl"),
+    oracle=_RP_ORACLE,
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection 64 → RP_DIM dims: each
+    output coordinate is ⟨x, r_j⟩ for a fixed seeded Gaussian row r_j
+    (scaled 1/√RP_DIM so squared distances are unbiased). One map-only
+    projection — the same scaled-int64 fold the PQ/IVF family uses, so
+    the projected coordinates hash-match DuckDB exactly. Pairs with
+    embedding_rp_distance_audit, which measures the actual distortion
+    the JL lemma bounds."""
+    emb = spread_small(load_table(spark, sf_dir, "embeddings"))
+    return emb.select(
+        "vec_id",
+        "label",
+        *[
+            F.round(
+                F.expr(_rp_dot_spark(j)).cast("double") / F.lit(1e12), 6
+            ).alias(f"p{j}")
+            for j in range(RP_DIM)
+        ],
+    )
+
+
+def _rp_audit_pairs_duck() -> str:
+    proj_cols = ",\n         ".join(
+        f"CAST({_rp_dot_duck(j)} AS DOUBLE) / 1e12 AS y{j}" for j in range(RP_DIM)
+    )
+    d2_proj = " + ".join(
+        f"CAST(FLOOR((a.y{j} - b.y{j}) * (a.y{j} - b.y{j}) * 1e9) AS BIGINT)"
+        for j in range(RP_DIM)
+    )
+    return f"""
+WITH proj AS (
+  SELECT vec_id, embedding,
+         {proj_cols}
+  FROM embeddings WHERE vec_id < {RP_AUDIT_N}
+), pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         (SELECT CAST(SUM(CAST(FLOOR(
+             (CAST(struct_extract(pp, 1) AS DOUBLE) - CAST(struct_extract(pp, 2) AS DOUBLE))
+             * (CAST(struct_extract(pp, 1) AS DOUBLE) - CAST(struct_extract(pp, 2) AS DOUBLE))
+             * 1e9) AS BIGINT)) AS BIGINT)
+          FROM UNNEST(list_zip(a.embedding, b.embedding)) AS t(pp)) AS d2_orig_e9,
+         CAST({d2_proj} AS BIGINT) AS d2_proj_e9
+  FROM proj a JOIN proj b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, d2_orig_e9, d2_proj_e9,
+       ROUND(CAST(d2_proj_e9 AS DOUBLE) / d2_orig_e9, 6) AS distortion
+FROM pairs WHERE d2_orig_e9 > 0
+"""
+
+
+@register(
+    "embedding_rp_distance_audit",
+    tags=("llm", "similarity", "eval", "jl"),
+    oracle=_rp_audit_pairs_duck(),
+)
+def embedding_rp_distance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distortion audit for the JL projection: for every pair among the
+    first RP_AUDIT_N vectors, the ratio ‖Rx−Ry‖²/‖x−y‖² — the quantity
+    the JL lemma bounds to 1±ε. Distances accumulate per-term floored
+    scaled int64 (term count × magnitude fits comfortably), so both
+    engines compute bit-identical distortions — an oracle-checked audit
+    of a randomized method's guarantee. The pair set is a fixed-size
+    sample (audit cost is O(N²) by construction, independent of corpus
+    size); production monitors re-sample per batch."""
+    emb = spread_small(load_table(spark, sf_dir, "embeddings")).filter(
+        F.col("vec_id") < RP_AUDIT_N
+    )
+    proj = emb.select(
+        "vec_id",
+        "embedding",
+        *[
+            (F.expr(_rp_dot_spark(j)).cast("double") / F.lit(1e12)).alias(f"y{j}")
+            for j in range(RP_DIM)
+        ],
+    )
+    a = proj.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("a_emb"),
+        *[F.col(f"y{j}").alias(f"a_y{j}") for j in range(RP_DIM)],
+    )
+    b = proj.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("b_emb"),
+        *[F.col(f"y{j}").alias(f"b_y{j}") for j in range(RP_DIM)],
+    )
+    d2_orig = F.expr(
+        "aggregate(zip_with(a_emb, b_emb,"
+        " (x, y) -> CAST(FLOOR((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+        " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * 1e9) AS BIGINT)),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    d2_proj = None
+    for j in range(RP_DIM):
+        term = F.floor(
+            (F.col(f"a_y{j}") - F.col(f"b_y{j}"))
+            * (F.col(f"a_y{j}") - F.col(f"b_y{j}"))
+            * F.lit(1e9)
+        ).cast("long")
+        d2_proj = term if d2_proj is None else d2_proj + term
+    pairs = (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            d2_orig.alias("d2_orig_e9"),
+            d2_proj.cast("long").alias("d2_proj_e9"),
+        )
+        .filter(F.col("d2_orig_e9") > 0)
+    )
+    return pairs.select(
+        "vec_a",
+        "vec_b",
+        "d2_orig_e9",
+        "d2_proj_e9",
+        F.round(
+            F.col("d2_proj_e9").cast("double") / F.col("d2_orig_e9"), 6
+        ).alias("distortion"),
+    )

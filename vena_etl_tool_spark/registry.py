@@ -169,6 +169,8 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     "join_fuzzy_trigram",
     "sim_ann_ivfadc",
     "sim_ann_ivfadc_recall",
+    "embedding_random_projection",
+    "embedding_rp_distance_audit",
 )
 
 
