@@ -86,6 +86,7 @@ HEADLINE = [
     "sim_ann_ivfadc_recall",
     "embedding_random_projection",
     "embedding_rp_distance_audit",
+    "sim_graph_pagerank",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

@@ -247,3 +247,48 @@ def test_rp_projection_matches_numpy_and_jl_bound(spark, sf_dir):
     sigma = math.sqrt(2.0 / RP_DIM)
     within = sum(1 for d in dist if abs(d - 1) <= 3 * sigma) / len(dist)
     assert within > 0.95, within
+
+
+def test_pagerank_matches_exact_integer_reconstruction(spark, sf_dir):
+    """The distributed power iteration equals a pure-Python big-int
+    reconstruction on the same mutual edge set, and total rank mass is
+    conserved up to floor losses (sum <= 1e12, within n*(iters+1) of it
+    after accounting for per-edge floors)."""
+    from collections import defaultdict
+
+    from vena_etl_tool_spark.operators.similarity import (
+        PAGERANK_ITERS,
+        PR_SCALE,
+        sim_graph_pagerank,
+        sim_knn_graph_mutual,
+    )
+
+    edges = [
+        (r.vec_a, r.vec_b)
+        for r in sim_knn_graph_mutual(spark, sf_dir).select("vec_a", "vec_b").collect()
+    ]
+    adj = defaultdict(list)
+    for a, b in edges:
+        adj[a].append(b)
+        adj[b].append(a)
+    n = len(adj)
+    pr = {v: PR_SCALE // n for v in adj}
+    for _ in range(PAGERANK_ITERS):
+        nxt = {v: (15 * PR_SCALE) // (100 * n) for v in adj}
+        for u, nbrs in adj.items():
+            c = (pr[u] * 85) // (100 * len(nbrs))
+            for v in nbrs:
+                nxt[v] += c
+        pr = nxt
+
+    got = {r.vec_id: (r.degree, r.pr_e12) for r in sim_graph_pagerank(spark, sf_dir).collect()}
+    assert set(got) == set(adj)
+    for v in adj:
+        assert got[v] == (len(adj[v]), pr[v]), v
+
+    total = sum(p for _, p in got.values())
+    assert total <= PR_SCALE
+    # floor losses: <= n per init + per iteration (base term + one per edge)
+    assert total >= PR_SCALE - (PAGERANK_ITERS + 1) * (n + 2 * len(edges) + 1)
+    # centrality is non-degenerate: ranks differ across nodes
+    assert len({p for _, p in got.values()}) > 10

@@ -80,6 +80,9 @@ QUERIES = (
     # JL projection is a pure map-only scan-transform (expect ~linear,
     # riding the extra parallelism); its audit is fixed-size by design.
     "embedding_random_projection",
+    # PageRank inherits the kNN graph's clone collapse (same edge set on
+    # the all-clones replica) + K fixed edge-partitioned shuffles.
+    "sim_graph_pagerank",
 )
 REPLICAS = 10
 

@@ -1719,3 +1719,123 @@ def embedding_rp_distance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d2_proj_e9").cast("double") / F.col("d2_orig_e9"), 6
         ).alias("distortion"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank centrality over the mutual-kNN graph — the curation endgame
+# that complements connected components: components tell you WHICH docs
+# cluster; centrality ranks how REPRESENTATIVE each doc is inside the
+# corpus neighborhood structure (hub docs anchor semantic regions; at
+# 100 TB this weights keep-one-per-cluster choices and mixture sampling).
+# A fixed PAGERANK_ITERS-step power iteration in EXACT integer
+# arithmetic: ranks live as int64 scaled 1e12, every division is integer
+# floor division, every update is a sum of int64 — so the iterative
+# distributed algorithm hash-matches a DuckDB twin whose iterations are
+# unrolled as a CTE chain (the text_bpe_train pattern applied to a
+# numeric fixpoint).
+# ---------------------------------------------------------------------------
+
+PAGERANK_ITERS = 3
+PR_SCALE = 10**12  # rank mass scale: pr values are int64 * 1e-12
+PR_D_NUM, PR_D_DEN = 85, 100  # damping 0.85 as an exact rational
+
+
+def _pagerank_oracle() -> str:
+    base = f"(15 * {PR_SCALE}) // (100 * (SELECT n FROM nn))"
+    chain = []
+    prev = "pr0"
+    for k in range(1, PAGERANK_ITERS + 1):
+        chain.append(
+            f"""pr{k} AS (
+  SELECT b.dst AS node,
+         CAST({base} + SUM((p.pr * {PR_D_NUM}) // ({PR_D_DEN} * d.deg)) AS BIGINT) AS pr
+  FROM bidir b JOIN {prev} p ON p.node = b.src JOIN deg d ON d.src = b.src
+  GROUP BY b.dst
+)"""
+        )
+        prev = f"pr{k}"
+    return (
+        f"""
+WITH {_KNN_GRAPH_CTES}, bidir AS (
+  SELECT vec_a AS src, vec_b AS dst FROM mutual
+  UNION ALL SELECT vec_b, vec_a FROM mutual
+), deg AS (
+  SELECT src, COUNT(*) AS deg FROM bidir GROUP BY src
+), nn AS (
+  SELECT COUNT(*) AS n FROM deg
+), pr0 AS (
+  SELECT src AS node, CAST({PR_SCALE} // (SELECT n FROM nn) AS BIGINT) AS pr
+  FROM deg
+), """
+        + ", ".join(chain)
+        + f"""
+SELECT p.node AS vec_id, d.deg AS degree, p.pr AS pr_e12
+FROM {prev} p JOIN deg d ON d.src = p.node
+"""
+    )
+
+
+@register(
+    "sim_graph_pagerank",
+    tags=("llm", "similarity", "graph", "centrality"),
+    oracle=_pagerank_oracle().format(
+        scores=_ivf_scores_duck(), pair_dot=_knn_pair_dot_duck()
+    ),
+)
+def sim_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the undirected mutual-kNN graph, PAGERANK_ITERS
+    power-iteration steps, damping 0.85 as the exact rational 85/100:
+    pr₀ = ⌊1e12/n⌋ per node; each step every node emits
+    ⌊pr·85/(100·deg)⌋ along each edge and collects
+    ⌊0.15e12/n⌋ + Σ contributions. Every node of the mutual graph has
+    degree ≥ 1 (edges are reciprocal), so there is no dangling mass and
+    every node receives contributions each round — the undirected-graph
+    simplification that keeps both engines' fixpoint identical.
+
+    Plan shape: the expensive kNN-graph build runs ONCE
+    (localCheckpoint), then each iteration is one edges⋈ranks shuffle
+    join + an integer sum — K fixed shuffles of 8-byte keys, the same
+    budget class as connected_components, with the node count riding a
+    one-row broadcast (no collect). All arithmetic is int64 with integer
+    division, so the distributed iteration hash-matches the unrolled
+    DuckDB CTE chain exactly."""
+    edges = (
+        sim_knn_graph_mutual(spark, sf_dir)
+        .select("vec_a", "vec_b")
+        .localCheckpoint()
+    )
+    bidir = edges.select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    ).unionAll(edges.select(F.col("vec_b").alias("src"), F.col("vec_a").alias("dst")))
+    deg = bidir.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    bd = bidir.join(deg, "src").localCheckpoint()  # (src, dst, deg), reused K×
+    n_row = deg.agg(F.count(F.lit(1)).alias("n"))
+    pr = (
+        deg.select(F.col("src").alias("node"))
+        .crossJoin(F.broadcast(n_row))
+        .select("node", F.expr(f"CAST({PR_SCALE} DIV n AS BIGINT)").alias("pr"))
+    )
+    for _ in range(PAGERANK_ITERS):
+        contrib = bd.join(pr, bd["src"] == pr["node"]).select(
+            "dst",
+            F.expr(
+                f"CAST((pr * {PR_D_NUM}) DIV ({PR_D_DEN} * deg) AS BIGINT)"
+            ).alias("c"),
+        )
+        pr = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .crossJoin(F.broadcast(n_row))
+            .select(
+                F.col("dst").alias("node"),
+                (
+                    F.expr(f"CAST((15 * {PR_SCALE}) DIV (100 * n) AS BIGINT)")
+                    + F.col("s")
+                ).alias("pr"),
+            )
+        )
+    return pr.join(deg, pr["node"] == deg["src"]).select(
+        F.col("node").alias("vec_id"),
+        F.col("deg").alias("degree"),
+        F.col("pr").alias("pr_e12"),
+    )

@@ -171,6 +171,7 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     "sim_ann_ivfadc_recall",
     "embedding_random_projection",
     "embedding_rp_distance_audit",
+    "sim_graph_pagerank",
 )
 
 
