@@ -87,6 +87,8 @@ HEADLINE = [
     "embedding_random_projection",
     "embedding_rp_distance_audit",
     "sim_graph_pagerank",
+    "sim_label_spread",
+    "text_cms_heavy_hitters",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

@@ -292,3 +292,84 @@ def test_pagerank_matches_exact_integer_reconstruction(spark, sf_dir):
     assert total >= PR_SCALE - (PAGERANK_ITERS + 1) * (n + 2 * len(edges) + 1)
     # centrality is non-degenerate: ranks differ across nodes
     assert len({p for _, p in got.values()}) > 10
+
+
+def test_label_spread_fills_planted_clusters(spark, tmp_path):
+    """Two well-separated planted clusters, one seed label each: after
+    propagation every node carries its cluster's label; seeds never
+    change; the correct flag agrees with label_true."""
+    import numpy as np
+
+    from vena_etl_tool_spark.operators.similarity import sim_label_spread
+
+    rng = np.random.default_rng(42)
+    rows = []
+    base_a = rng.normal(size=64)
+    base_b = -base_a  # antipodal: cosine(A, B) ~ -1, never mutual-top-k
+    # 5 nodes per cluster with KNN_GRAPH_K=4: each node's top-k is its
+    # whole cluster, so every within-cluster edge is reciprocal.
+    for i in range(5):
+        rows.append((i, (base_a + 0.01 * rng.normal(size=64)).tolist(), 1))
+    for i in range(10, 15):
+        rows.append((i, (base_b + 0.01 * rng.normal(size=64)).tolist(), 2))
+    df = spark.createDataFrame(
+        [(v, [float(x) for x in e], lab) for v, e, lab in rows],
+        "vec_id long, embedding array<double>, label int",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    got = {r.vec_id: r for r in sim_label_spread(spark, str(tmp_path)).collect()}
+    # every planted node is in the graph (tight clusters => mutual edges)
+    assert set(got) == {*range(5), *range(10, 15)}
+    for v, r in got.items():
+        want = 1 if v < 5 else 2
+        assert r.label_true == want
+        assert r.label_spread == want, (v, r)
+        assert r.correct
+        assert r.is_seed == (v % 5 == 0)
+
+
+def test_cms_matches_python_sketch_and_guarantee(spark, sf_dir):
+    """Rebuild the count-min sketch in pure Python (hashlib md5, same
+    row-salted columns) and require identical estimates; the CM
+    overestimate guarantee must hold for every reported word and at
+    least one fixture word must actually collide (WIDTH=16 is chosen to
+    force that)."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    from vena_etl_tool_spark.catalog import load_table
+    from vena_etl_tool_spark.operators.textanalysis import (
+        CMS_DEPTH,
+        CMS_TOPN,
+        CMS_WIDTH,
+        text_cms_heavy_hitters,
+    )
+
+    counts = Counter()
+    for r in load_table(spark, sf_dir, "documents").select("text").collect():
+        counts.update(r.text.split(" "))
+
+    def col_of(tok: str, d: int) -> int:
+        h = hashlib.md5(f"{tok}#{d}".encode()).hexdigest()
+        return int(h[:15], 16) % CMS_WIDTH
+
+    cells = defaultdict(int)
+    for tok, n in counts.items():
+        for d in range(CMS_DEPTH):
+            cells[(d, col_of(tok, d))] += n
+
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:CMS_TOPN]
+    expected = {}
+    for rk, (tok, n) in enumerate(top, 1):
+        est = min(cells[(d, col_of(tok, d))] for d in range(CMS_DEPTH))
+        expected[tok] = (rk, n, est)
+
+    rows = text_cms_heavy_hitters(spark, sf_dir).collect()
+    assert len(rows) == CMS_TOPN
+    for r in rows:
+        rk, n, est = expected[r.word]
+        assert (r.rk, r.true_count, r.cms_estimate) == (rk, n, est), r.word
+        assert r.overestimate_ok and r.cms_estimate >= r.true_count
+        assert r.collision_err == r.cms_estimate - r.true_count
+    assert any(r.collision_err > 0 for r in rows), "no collisions — audit vacuous"

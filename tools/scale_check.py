@@ -83,6 +83,11 @@ QUERIES = (
     # PageRank inherits the kNN graph's clone collapse (same edge set on
     # the all-clones replica) + K fixed edge-partitioned shuffles.
     "sim_graph_pagerank",
+    # Label spread: same budget class (K edges-join-state rounds).
+    "sim_label_spread",
+    # CMS: vocabulary-sized aggregates into a fixed-size integer grid —
+    # the corpus scan grows, the sketch does not.
+    "text_cms_heavy_hitters",
 )
 REPLICAS = 10
 

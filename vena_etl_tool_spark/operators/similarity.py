@@ -1839,3 +1839,161 @@ def sim_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("deg").alias("degree"),
         F.col("pr").alias("pr_e12"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-supervised label propagation over the mutual-kNN graph — the
+# graph-based classifier pattern (a seed set of labeled docs spreads its
+# labels to neighbors by similarity-weighted majority vote). This is how
+# a small hand-labeled quality/topic set is amplified across an unlabeled
+# 100 TB corpus without training a model: K rounds, each one
+# edges⋈labels shuffle + a weighted vote. Votes use integer weights
+# (1 + cosine scaled 1e6 — shifted positive, monotone in similarity) and
+# ties break to the smallest label, so the whole iterative spread is
+# deterministic and hash-matches an unrolled DuckDB CTE chain.
+# ---------------------------------------------------------------------------
+
+LABEL_SPREAD_ROUNDS = 3
+LABEL_SEED_MOD = 5  # vec_id % 5 == 0 → seed (a 20% labeled set)
+# edge weight: (1 + cosine) * 1e6 as int64 — positive (cosine ≥ -1) and
+# monotone, so "highest total weight" is a deterministic majority
+_LS_W_SPARK = "CAST(ROUND((1.0D + cosine) * 1e6, 0) AS BIGINT)"
+_LS_W_DUCK = "CAST(ROUND((1.0 + cosine) * 1e6, 0) AS BIGINT)"
+
+
+def _label_spread_oracle() -> str:
+    chain = []
+    prev = "st0"
+    for k in range(1, LABEL_SPREAD_ROUNDS + 1):
+        chain.append(
+            f"""st{k} AS (
+  SELECT s.node,
+         CASE WHEN s.is_seed THEN s.lab ELSE COALESCE(p.lab, s.lab) END AS lab,
+         s.is_seed
+  FROM {prev} s LEFT JOIN (
+    SELECT dst, lab FROM (
+      SELECT b.dst, s2.lab,
+             ROW_NUMBER() OVER (PARTITION BY b.dst
+                                ORDER BY SUM(b.w) DESC, s2.lab) AS rk
+      FROM bidir b JOIN {prev} s2 ON s2.node = b.src AND s2.lab IS NOT NULL
+      GROUP BY b.dst, s2.lab
+    ) WHERE rk = 1
+  ) p ON p.dst = s.node
+)"""
+        )
+        prev = f"st{k}"
+    return (
+        f"""
+WITH {_KNN_GRAPH_CTES}, bidir AS (
+  SELECT vec_a AS src, vec_b AS dst, {_LS_W_DUCK} AS w FROM mutual
+  UNION ALL
+  SELECT vec_b, vec_a, {_LS_W_DUCK} FROM mutual
+), nodes AS (
+  SELECT DISTINCT src AS node FROM bidir
+), st0 AS (
+  SELECT n.node,
+         CASE WHEN n.node % {LABEL_SEED_MOD} = 0 THEN e.label END AS lab,
+         n.node % {LABEL_SEED_MOD} = 0 AS is_seed
+  FROM nodes n JOIN embeddings e ON e.vec_id = n.node
+), """
+        + ", ".join(chain)
+        + f"""
+SELECT s.node AS vec_id, s.is_seed, e.label AS label_true,
+       s.lab AS label_spread,
+       s.lab IS NOT NULL AND s.lab = e.label AS correct
+FROM {prev} s JOIN embeddings e ON e.vec_id = s.node
+"""
+    )
+
+
+@register(
+    "sim_label_spread",
+    tags=("llm", "similarity", "graph", "semi-supervised"),
+    oracle=_label_spread_oracle().format(
+        scores=_ivf_scores_duck(), pair_dot=_knn_pair_dot_duck()
+    ),
+)
+def sim_label_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label propagation: vec_id % LABEL_SEED_MOD == 0 nodes are seeds
+    holding their true label; for LABEL_SPREAD_ROUNDS rounds every
+    non-seed node adopts the similarity-weighted majority label among
+    its currently-labeled neighbors (ties → smallest label; no labeled
+    neighbor → keep). Returns each graph node with its seed flag, spread
+    label, true label, and a correctness flag — the evaluation row a
+    curation pipeline needs to decide whether graph spread is trustworthy
+    on THIS corpus before amplifying a hand-labeled set. (On these
+    synthetic near-isotropic fixtures labels are geometry-free, so
+    measured accuracy honestly hovers near the 10% random baseline;
+    with real embeddings, label locality is exactly what the mutual
+    graph encodes.)
+
+    Plan shape: the graph builds once (localCheckpoint), each round is
+    one edges⋈state shuffle + a two-key aggregate + a per-node
+    row_number pick — K fixed rounds of 8-byte-key exchanges, the
+    connected-components budget class. Integer vote weights and the
+    min-label tie-break make the spread deterministic, so the DuckDB
+    twin (rounds unrolled as CTEs) hash-matches exactly."""
+    mutual = sim_knn_graph_mutual(spark, sf_dir).select(
+        "vec_a", "vec_b", F.expr(_LS_W_SPARK).alias("w")
+    )
+    bidir = (
+        mutual.select(
+            F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"), "w"
+        )
+        .unionAll(
+            mutual.select(
+                F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"), "w"
+            )
+        )
+        .localCheckpoint()
+    )
+    emb = spread_small(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label"
+    )
+    nodes = bidir.select(F.col("src").alias("node")).distinct()
+    state = nodes.join(emb, nodes["node"] == emb["vec_id"]).select(
+        "node",
+        F.when(F.col("node") % LABEL_SEED_MOD == 0, F.col("label")).alias("lab"),
+        (F.col("node") % LABEL_SEED_MOD == 0).alias("is_seed"),
+    )
+    for _ in range(LABEL_SPREAD_ROUNDS):
+        labeled = state.filter(F.col("lab").isNotNull()).select(
+            F.col("node").alias("l_node"), F.col("lab").alias("l_lab")
+        )
+        votes = (
+            bidir.join(labeled, bidir["src"] == F.col("l_node"))
+            .groupBy("dst", "l_lab")
+            .agg(F.sum("w").alias("tw"))
+        )
+        picks = (
+            votes.withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("dst").orderBy(
+                        F.col("tw").desc(), F.col("l_lab")
+                    )
+                ),
+            )
+            .filter(F.col("rk") == 1)
+            .select(F.col("dst"), F.col("l_lab").alias("pick"))
+        )
+        state = (
+            state.join(picks, state["node"] == picks["dst"], "left")
+            .select(
+                "node",
+                F.when(F.col("is_seed"), F.col("lab"))
+                .otherwise(F.coalesce(F.col("pick"), F.col("lab")))
+                .alias("lab"),
+                "is_seed",
+            )
+            .localCheckpoint()
+        )
+    return state.join(emb, state["node"] == emb["vec_id"]).select(
+        F.col("node").alias("vec_id"),
+        "is_seed",
+        F.col("label").alias("label_true"),
+        F.col("lab").alias("label_spread"),
+        (F.col("lab").isNotNull() & (F.col("lab") == F.col("label"))).alias(
+            "correct"
+        ),
+    )

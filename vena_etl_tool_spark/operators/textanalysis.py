@@ -2041,3 +2041,127 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe.cast("long").alias("n_tok_bpe"),
         F.round(chars.cast("double") / bpe, 6).alias("compression"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters — the sketch family's frequency side
+# (agg_hll_sketch_rollup covers cardinality): a DEPTH×WIDTH grid of
+# counters where every token increments one counter per row (row-salted
+# hash), and a token's estimate is the MIN across rows — never below the
+# true count (the CM guarantee), above it only through collisions. The
+# production shape for streaming/mergeable frequency state at 100 TB:
+# the sketch is a fixed-size integer grid, built by ONE vocabulary-sized
+# aggregate (word counts pre-aggregate map-side first), mergeable across
+# partitions/batches by plain addition. Hashing rides the md5 bridge
+# (bit-identical in Spark and DuckDB), so the sketch, the estimates, AND
+# the guarantee audit are hash-exact against the oracle.
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 16  # deliberately narrow so fixture-vocab collisions are real
+CMS_TOPN = 20
+
+
+def _cms_col_spark(d: int) -> str:
+    return (
+        f"CAST(pmod(conv(substr(md5(concat(tok, '#{d}')), 1, 15), 16, 10),"
+        f" {CMS_WIDTH}) AS INT)"
+    )
+
+
+def _cms_col_duck(d: int) -> str:
+    return (
+        f"CAST((('0x' || substr(md5(tok || '#{d}'), 1, 15))::BIGINT)"
+        f" % {CMS_WIDTH} AS INT)"
+    )
+
+
+_CMS_ORACLE = f"""
+WITH counts AS (
+  SELECT tok, COUNT(*) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok
+), cells AS (
+  SELECT u.c.d AS d, u.c.col AS col, CAST(SUM(n) AS BIGINT) AS cnt
+  FROM counts, UNNEST([
+    {", ".join(f"{{{{'d': {d}, 'col': {_cms_col_duck(d)}}}}}" for d in range(CMS_DEPTH))}
+  ]) AS u(c)
+  GROUP BY 1, 2
+), top_true AS (
+  SELECT tok, n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rk
+  FROM counts QUALIFY rk <= {CMS_TOPN}
+), probes AS (
+  SELECT tok, n, rk, u.c.d AS d, u.c.col AS col
+  FROM top_true, UNNEST([
+    {", ".join(f"{{{{'d': {d}, 'col': {_cms_col_duck(d)}}}}}" for d in range(CMS_DEPTH))}
+  ]) AS u(c)
+)
+SELECT p.tok AS word, p.rk,
+       MAX(p.n) AS true_count,
+       CAST(MIN(c.cnt) AS BIGINT) AS cms_estimate,
+       MIN(c.cnt) >= MAX(p.n) AS overestimate_ok,
+       CAST(MIN(c.cnt) - MAX(p.n) AS BIGINT) AS collision_err
+FROM probes p JOIN cells c ON c.d = p.d AND c.col = p.col
+GROUP BY p.tok, p.rk
+"""
+
+
+@register(
+    "text_cms_heavy_hitters",
+    tags=("llm", "text", "sketch", "heavy-hitters"),
+    oracle=_CMS_ORACLE.format(),
+)
+def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over corpus token frequencies, audited: build
+    the DEPTH×WIDTH sketch, then for the true top-CMS_TOPN tokens report
+    true count, CM estimate (min over rows), the guarantee flag
+    (estimate ≥ truth — MUST hold for every row; the oracle hash pins
+    it), and the collision error. WIDTH is deliberately tiny (16) so the
+    fixture vocabulary actually collides and the error column is
+    non-trivial; production sizes WIDTH ≈ e/ε.
+
+    Plan shape: token counts collapse map-side to one vocabulary-sized
+    aggregate; the sketch is a second aggregate over DEPTH×vocab
+    exploded rows into DEPTH×WIDTH cells — a fixed-size integer grid
+    that merges across partitions/batches by addition (the reason CM is
+    the streaming frequency sketch). Estimates join the top-k probes to
+    the broadcast-sized cell grid. md5-bridged hashing keeps both
+    engines' grids bit-identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .cache()  # vocabulary-sized; reused by sketch build + top-k probes
+    )
+    cell_structs = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"), F.expr(_cms_col_spark(d)).alias("col")
+            )
+            for d in range(CMS_DEPTH)
+        ]
+    )
+    cells = (
+        counts.select(F.explode(cell_structs).alias("c"), "n")
+        .groupBy(F.col("c.d").alias("d"), F.col("c.col").alias("col"))
+        .agg(F.sum("n").alias("cnt"))
+    )
+    top_w = Window.orderBy(F.col("n").desc(), F.col("tok"))
+    top_true = (
+        counts.withColumn("rk", F.row_number().over(top_w))
+        .filter(F.col("rk") <= CMS_TOPN)
+    )
+    probes = top_true.select(
+        "tok", "n", "rk", F.explode(cell_structs).alias("c")
+    ).select("tok", "n", "rk", F.col("c.d").alias("d"), F.col("c.col").alias("col"))
+    return (
+        probes.join(F.broadcast(cells), ["d", "col"])
+        .groupBy(F.col("tok").alias("word"), "rk")
+        .agg(
+            F.max("n").alias("true_count"),
+            F.min("cnt").alias("cms_estimate"),
+            (F.min("cnt") >= F.max("n")).alias("overestimate_ok"),
+            (F.min("cnt") - F.max("n")).alias("collision_err"),
+        )
+    )

@@ -172,6 +172,8 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     "embedding_random_projection",
     "embedding_rp_distance_audit",
     "sim_graph_pagerank",
+    "sim_label_spread",
+    "text_cms_heavy_hitters",
 )
 
 
