@@ -449,3 +449,53 @@ def test_drift_tv_matches_exact_fractions(spark, docs):
     # per-token integer numerators are exact
     for r in rows:
         assert r.drift_num == abs(r.n_old * t_new - r.n_new * t_old)
+
+
+_catalog_strategy = st.lists(
+    st.text(alphabet="abcd ", min_size=0, max_size=12),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(names=_catalog_strategy)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzzy_trigram_join_equals_brute_force(spark, names):
+    """PPJoin prefix filtering is lossless for ANY catalog: the fuzzy
+    trigram join's pair set equals exhaustive brute force at the same
+    threshold (false positives removed by the verify, false negatives
+    impossible by the prefix bound), including degenerate names
+    (< 3 chars excluded) and clone families (collapse to min key)."""
+    from vena_etl_tool_spark.operators.dedup import (
+        FUZZY_JACCARD_T,
+        fuzzy_trigram_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "p_partkey long, p_name string"
+    )
+    got = {
+        (r.rep_a, r.rep_b): r.jaccard for r in fuzzy_trigram_pairs(df).collect()
+    }
+
+    def tri(s):
+        return {s[i : i + 3] for i in range(len(s) - 2)}
+
+    reps = {}
+    for i, n in enumerate(names):
+        if len(n) >= 3 and (n not in reps or i < reps[n]):
+            reps.setdefault(n, i)
+    truth = {}
+    items = sorted(reps.items(), key=lambda kv: kv[1])
+    for i, (na, ra) in enumerate(items):
+        for nb, rb in items[i + 1 :]:
+            ta, tb = tri(na), tri(nb)
+            inter = len(ta & tb)
+            j = inter / (len(ta) + len(tb) - inter)
+            if j >= FUZZY_JACCARD_T:
+                truth[(min(ra, rb), max(ra, rb))] = round(j, 6)
+    assert got == truth

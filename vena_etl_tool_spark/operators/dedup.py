@@ -1780,7 +1780,13 @@ def join_fuzzy_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quadratic primitive never touches either the corpus or the full
     index — the same blocking-then-verify contract as the dedup family.
     """
-    part = load_table(spark, sf_dir, "part")
+    return fuzzy_trigram_pairs(load_table(spark, sf_dir, "part"))
+
+
+def fuzzy_trigram_pairs(part: DataFrame) -> DataFrame:
+    """Core of :func:`join_fuzzy_trigram` over any (p_partkey, p_name)
+    frame — split out so the hypothesis property suite can drive it with
+    generated catalogs and require exact equality with brute force."""
     names = (
         spread_small(part)
         .groupBy(F.col("p_name").alias("name"))
