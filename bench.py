@@ -89,6 +89,7 @@ HEADLINE = [
     "sim_graph_pagerank",
     "sim_label_spread",
     "text_cms_heavy_hitters",
+    "sample_weighted_bernoulli",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

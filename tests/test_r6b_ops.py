@@ -373,3 +373,30 @@ def test_cms_matches_python_sketch_and_guarantee(spark, sf_dir):
         assert r.overestimate_ok and r.cms_estimate >= r.true_count
         assert r.collision_err == r.cms_estimate - r.true_count
     assert any(r.collision_err > 0 for r in rows), "no collisions — audit vacuous"
+
+
+def test_weighted_sample_exact_and_shuffle_free(spark, sf_dir):
+    """The content-addressed keep set equals a hashlib reconstruction
+    exactly (no RNG, no partitioning dependence), and the whole operator
+    is a zero-Exchange scan+filter."""
+    import hashlib
+
+    from vena_etl_tool_spark.catalog import load_table
+    from vena_etl_tool_spark.operators.projection import (
+        WSAMPLE_REF,
+        sample_weighted_bernoulli,
+    )
+
+    expected = {}
+    for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect():
+        w = min(len(set(r.text.split(" "))), WSAMPLE_REF)
+        u48 = int(hashlib.md5(f"wsample:{r.doc_id}".encode()).hexdigest()[:12], 16)
+        if u48 * WSAMPLE_REF < w * (1 << 48):
+            expected[r.doc_id] = w
+
+    df = sample_weighted_bernoulli(spark, sf_dir)
+    got = {r.doc_id: r.weight for r in df.collect()}
+    assert got == expected
+    assert expected, "fixture kept nothing — test is vacuous"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "weighted sample must ride the scan"

@@ -88,6 +88,8 @@ QUERIES = (
     # CMS: vocabulary-sized aggregates into a fixed-size integer grid —
     # the corpus scan grows, the sketch does not.
     "text_cms_heavy_hitters",
+    # weighted Bernoulli sample: zero-shuffle scan+filter (plan-tested).
+    "sample_weighted_bernoulli",
 )
 REPLICAS = 10
 

@@ -174,3 +174,65 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal").alias("bal_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-document weighted Bernoulli sampling — the continuous-weight
+# companion to sample_stratified (fixed rate) and dataset_mixture_sample
+# (per-domain rate): each document's keep-probability is proportional to
+# ITS OWN quality weight (here: distinct-token count, capped at
+# WSAMPLE_REF). The keep decision is a pure integer comparison between a
+# content-addressed 48-bit uniform (md5 of the doc id — stable across
+# engines, re-runs, and repartitioning) and the weight — the standard
+# quality-weighted downsampling step of a pre-training data pipeline,
+# with zero RNG state and zero shuffle (the decision rides the scan).
+# ---------------------------------------------------------------------------
+
+WSAMPLE_REF = 50  # weight cap: docs with >= 50 distinct tokens always kept
+
+
+@register(
+    "sample_weighted_bernoulli",
+    tags=("llm", "sampling", "projection"),
+    oracle=f"""
+WITH weighted AS (
+  SELECT doc_id, source,
+         LEAST(len(list_distinct(string_split(text, ' '))), {WSAMPLE_REF}) AS w,
+         ('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS u48
+  FROM documents
+)
+SELECT doc_id, source, CAST(w AS BIGINT) AS weight
+FROM weighted
+WHERE u48 * {WSAMPLE_REF} < w * 281474976710656
+""",
+)
+def sample_weighted_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted Bernoulli sample of the corpus: keep doc i with
+    probability w_i/WSAMPLE_REF where w_i = min(distinct tokens,
+    WSAMPLE_REF). The uniform is the first 48 bits of
+    md5('wsample:'||doc_id) and the decision is the exact integer
+    comparison u48·REF < w·2^48 (all quantities < 2^54 — no overflow, no
+    float), so the sample is content-addressed: identical in both
+    engines, under any partitioning, across re-runs — the reproducible
+    alternative to df.sample()'s partitioning-dependent RNG. Map-only:
+    the weight and the decision both pipeline inside the scan; at 100 TB
+    this is a zero-shuffle filter whose selectivity follows the corpus
+    quality distribution."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.least(
+        F.size(F.array_distinct(F.split("text", " "))), F.lit(WSAMPLE_REF)
+    )
+    u48 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("wsample:"), F.col("doc_id").cast("string"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        docs.select("doc_id", "source", w.alias("w"), u48.alias("u48"))
+        .filter(F.col("u48") * WSAMPLE_REF < F.col("w") * F.lit(281474976710656))
+        .select("doc_id", "source", F.col("w").cast("long").alias("weight"))
+    )

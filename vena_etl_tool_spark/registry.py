@@ -174,6 +174,7 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     "sim_graph_pagerank",
     "sim_label_spread",
     "text_cms_heavy_hitters",
+    "sample_weighted_bernoulli",
 )
 
 
