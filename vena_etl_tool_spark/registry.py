@@ -150,14 +150,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # rotate into the next round's window. Kept explicit so tests + ROUND notes
 # can audit that nothing silently escapes driver coverage. The r6 window
 # froze on the 31-query r2 backlog (displacing backlog entries for late
-# additions was exactly the r5 problem the verdict flagged), so the six
-# operators added after the freeze are declared residue and lead the r7
-# window instead: text_bpe_merge_step (one BPE training iteration),
-# text_bpe_train (the full iterated trainer, unrolled-CTE oracle),
-# text_bpe_apply (corpus tokenization with the trained vocab),
-# corpus_snapshot_diff (snapshot delta audit), sim_knn_graph_mutual
-# (reciprocal-kNN graph build), sim_semantic_clusters (connected
-# components over the strong mutual edges, recursive-CTE oracle).
+# additions was exactly the r5 problem the verdict flagged), so operators
+# added after the freeze are declared residue and lead the r7 window
+# instead. First r6 session: the BPE trainer family, snapshot diff, the
+# mutual-kNN graph, and semantic clusters. Continuation session: the
+# fuzzy trigram join (PPJoin), IVFADC + its recall audit, JL random
+# projection + its distortion audit, integer PageRank, label propagation,
+# the audited count-min sketch, and weighted Bernoulli sampling
+# (per-operator rationale in docs/ROUND6_NOTES.md).
 ROTATION_RESIDUE: tuple[str, ...] = (
     "corpus_snapshot_diff",
     "sim_knn_graph_mutual",
