@@ -90,6 +90,7 @@ HEADLINE = [
     "sim_label_spread",
     "text_cms_heavy_hitters",
     "sample_weighted_bernoulli",
+    "join_asof_tolerance",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

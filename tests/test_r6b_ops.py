@@ -400,3 +400,24 @@ def test_weighted_sample_exact_and_shuffle_free(spark, sf_dir):
     assert expected, "fixture kept nothing — test is vacuous"
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, "weighted sample must ride the scan"
+
+
+def test_asof_tolerance_bounds_and_nonvacuous(spark, sf_dir):
+    """Every surfaced match is within [ts - TOL, ts]; the fixture
+    exercises both branches (some purchases have a recent click, some a
+    stale/no click); flag and mask agree."""
+    import datetime
+
+    from vena_etl_tool_spark.operators.joins import (
+        ASOF_TOLERANCE_SEC,
+        join_asof_tolerance,
+    )
+
+    rows = join_asof_tolerance(spark, sf_dir).collect()
+    tol = datetime.timedelta(seconds=ASOF_TOLERANCE_SEC)
+    assert any(r.had_recent_click for r in rows)
+    assert any(not r.had_recent_click for r in rows)
+    for r in rows:
+        assert r.had_recent_click == (r.last_click_ts is not None)
+        if r.last_click_ts is not None:
+            assert r.ts - tol <= r.last_click_ts <= r.ts

@@ -607,3 +607,66 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("s_end", "w_end") - F.greatest("s_start", "w_start") + 1
         ).alias("overlap_sec"),
     )
+
+
+ASOF_TOLERANCE_SEC = 1800  # max staleness for a click to still count
+
+
+@register(
+    "join_asof_tolerance",
+    tags=("join", "asof", "tolerance"),
+    oracle=f"""
+SELECT p.event_id, p.user_id, p.ts,
+       CASE WHEN c.ts >= p.ts - INTERVAL {ASOF_TOLERANCE_SEC} SECOND
+            THEN c.ts END AS last_click_ts,
+       c.ts IS NOT NULL
+         AND c.ts >= p.ts - INTERVAL {ASOF_TOLERANCE_SEC} SECOND
+         AS had_recent_click
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH a staleness tolerance — the missing half of the
+    as-of API surface (pandas merge_asof's ``tolerance=``): for each
+    purchase, the most recent prior click by the same user counts only
+    if it happened within ASOF_TOLERANCE_SEC; older matches return NULL
+    exactly like no match (attribution windows, sensor-reading
+    freshness). Same single-shuffle union + last_value(ignore nulls)
+    rewrite as join_asof_last_click — the tolerance is a pure
+    post-projection mask on the matched timestamp, so the 100 TB plan
+    is IDENTICAL to the untolerated as-of (one exchange on user_id,
+    linear window state, no nested loop). The oracle applies the same
+    mask over DuckDB's native ASOF JOIN."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(None).cast("long").alias("event_id"),
+        F.col("ts").alias("click_ts"), F.lit(0).alias("side"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id",
+        F.lit(None).cast("timestamp_ntz").alias("click_ts"), F.lit(1).alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cutoff = F.expr(f"ts - INTERVAL {ASOF_TOLERANCE_SEC} SECOND")
+    matched = (
+        clicks.unionByName(purchases)
+        .withColumn("asof_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+    )
+    return matched.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("asof_ts") >= cutoff, F.col("asof_ts")).alias(
+            "last_click_ts"
+        ),
+        (F.col("asof_ts").isNotNull() & (F.col("asof_ts") >= cutoff)).alias(
+            "had_recent_click"
+        ),
+    )

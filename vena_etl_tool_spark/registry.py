@@ -175,6 +175,7 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     "sim_label_spread",
     "text_cms_heavy_hitters",
     "sample_weighted_bernoulli",
+    "join_asof_tolerance",
 )
 
 
