@@ -91,6 +91,7 @@ HEADLINE = [
     "text_cms_heavy_hitters",
     "sample_weighted_bernoulli",
     "join_asof_tolerance",
+    "stream_cms_merge",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

@@ -421,3 +421,25 @@ def test_asof_tolerance_bounds_and_nonvacuous(spark, sf_dir):
         assert r.had_recent_click == (r.last_click_ts is not None)
         if r.last_click_ts is not None:
             assert r.ts - tol <= r.last_click_ts <= r.ts
+
+
+def test_stream_cms_merge_mass_conservation(spark, sf_dir):
+    """The streamed+merged sketch holds exactly DEPTH copies of the
+    corpus token mass (every occurrence increments one cell per row),
+    within the DEPTH*WIDTH cell budget — merge loses and invents
+    nothing. (Bit-equality with the batch sketch is the oracle's job.)"""
+    import pyspark.sql.functions as F
+
+    from vena_etl_tool_spark.catalog import load_table
+    from vena_etl_tool_spark.operators.textanalysis import CMS_DEPTH, CMS_WIDTH
+    from vena_etl_tool_spark.streaming.queries import stream_cms_merge
+
+    cells = stream_cms_merge(spark, sf_dir).collect()
+    assert len(cells) <= CMS_DEPTH * CMS_WIDTH
+    total_tokens = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.size(F.split("text", " ")).alias("k"))
+        .agg(F.sum("k"))
+        .collect()[0][0]
+    )
+    assert sum(c.cnt for c in cells) == CMS_DEPTH * total_tokens

@@ -176,6 +176,7 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     "text_cms_heavy_hitters",
     "sample_weighted_bernoulli",
     "join_asof_tolerance",
+    "stream_cms_merge",
 )
 
 

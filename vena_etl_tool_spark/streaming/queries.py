@@ -766,3 +766,90 @@ def stream_append_restart_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, n long"
     )
     return spark.read.schema(sink_schema).parquet(sink_dir)
+
+
+def _cms_cells_oracle() -> str:
+    from ..operators.textanalysis import CMS_DEPTH, _cms_col_duck
+
+    structs = ", ".join(
+        f"{{'d': {d}, 'col': {_cms_col_duck(d)}}}" for d in range(CMS_DEPTH)
+    )
+    return f"""
+WITH counts AS (
+  SELECT tok, COUNT(*) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok
+)
+SELECT u.c.d AS d, u.c.col AS col, CAST(SUM(n) AS BIGINT) AS cnt
+FROM counts, UNNEST([{structs}]) AS u(c)
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "stream_cms_merge",
+    tags=("streaming", "llm", "sketch", "heavy-hitters"),
+    oracle=_cms_cells_oracle(),
+)
+def stream_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming build of the count-min sketch — the MERGEABILITY claim
+    of text_cms_heavy_hitters made executable: documents stream through
+    foreachBatch; each micro-batch contributes one fixed-size SUB-SKETCH
+    per source (the idempotent per-batch "write", keyed by batch_id);
+    after availableNow terminates, the sub-sketches merge by plain
+    per-cell ADDITION into the final DEPTH×WIDTH grid. Because integer
+    addition commutes and associates, the merged grid must equal the
+    batch-built sketch bit for bit REGARDLESS of how the corpus was
+    split across batches and sources — which is exactly what the DuckDB
+    oracle (the batch cells) verifies. This is the production streaming
+    frequency-state topology at 100 TB: per-batch/per-shard sketches are
+    tiny constant-size state, merged downstream by addition, never a
+    corpus-sized shuffle."""
+    import os
+    import tempfile
+
+    from ..operators.textanalysis import CMS_DEPTH
+    from ..operators.textanalysis import _cms_col_spark
+    from .foreach_batch import run_foreach_batch
+
+    configure(spark)
+    batch_schema = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).schema
+    docs = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    cell_structs = F.array(
+        *[
+            F.struct(F.lit(d).alias("d"), F.expr(_cms_col_spark(d)).alias("col"))
+            for d in range(CMS_DEPTH)
+        ]
+    )
+    subsketches: list[tuple[int, str, int, int, int]] = []
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # one bounded sub-sketch per (batch, source): DEPTH×WIDTH cells
+        # max — the constant-size state a real sink would upsert keyed by
+        # (batch_id, source) for idempotent replay
+        rows = (
+            batch_df.select(
+                "source", F.explode(F.split("text", " ")).alias("tok")
+            )
+            .groupBy("source", "tok")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("source", F.explode(cell_structs).alias("c"), "n")
+            .groupBy("source", F.col("c.d").alias("d"), F.col("c.col").alias("col"))
+            .agg(F.sum("n").alias("cnt"))
+            .collect()
+        )
+        for r in rows:
+            subsketches.append((batch_id, r.source, r.d, r.col, r.cnt))
+
+    with tempfile.TemporaryDirectory(prefix="cms_ckpt_") as ckpt:
+        run_foreach_batch(docs, merge_batch, ckpt, "stream_cms_merge")
+    subs = spark.createDataFrame(
+        subsketches, "batch_id long, source string, d int, col int, cnt long"
+    )
+    return subs.groupBy("d", "col").agg(F.sum("cnt").alias("cnt"))
