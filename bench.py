@@ -92,6 +92,7 @@ HEADLINE = [
     "sample_weighted_bernoulli",
     "join_asof_tolerance",
     "stream_cms_merge",
+    "multimodal_phash_clusters",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

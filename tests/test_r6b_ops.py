@@ -443,3 +443,30 @@ def test_stream_cms_merge_mass_conservation(spark, sf_dir):
         .collect()[0][0]
     )
     assert sum(c.cnt for c in cells) == CMS_DEPTH * total_tokens
+
+
+def test_phash_clusters_consistent_with_pairs(spark):
+    """Every near-dup pair's endpoints share a cluster root; exactly one
+    keep per cluster; n_members counts the cluster exactly. Run at
+    sf0.01 (sf0.001 has no pHash pairs — result legitimately empty)."""
+    from collections import Counter
+
+    from vena_etl_tool_spark.operators.multimodal import (
+        multimodal_phash_clusters,
+        multimodal_phash_neardup,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    pairs = [(r.doc_a, r.doc_b) for r in multimodal_phash_neardup(spark, sf).collect()]
+    rows = multimodal_phash_clusters(spark, sf).collect()
+    assert pairs and rows, "sf0.01 fixture lost its pHash near-dup families"
+    root = {r.doc_id: r.cluster_root for r in rows}
+    for a, b in pairs:
+        assert root[a] == root[b]
+    sizes = Counter(root.values())
+    for r in rows:
+        assert r.n_members == sizes[r.cluster_root]
+        assert r.keep == (r.doc_id == r.cluster_root)
+        assert r.cluster_root == min(
+            d for d, rt in root.items() if rt == r.cluster_root
+        )

@@ -510,3 +510,54 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select(
         "doc_a", "doc_b", hamming.alias("hamming")
     ).filter(F.col("hamming") <= PHASH_HAM_T)
+
+
+_PHASH_CC_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  {_phash_neardup_oracle()}
+), nodes AS (
+  SELECT doc_a AS node FROM pairs UNION SELECT doc_b FROM pairs
+), bidir AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+), reach AS (
+  SELECT node, node AS label FROM nodes
+  UNION
+  SELECT b.dst AS node, r.label FROM reach r JOIN bidir b ON b.src = r.node
+), cc AS (
+  SELECT node AS doc_id, MIN(label) AS cluster_root FROM reach GROUP BY node
+)
+SELECT cc.doc_id, cc.cluster_root, n.n_members,
+       cc.doc_id = cc.cluster_root AS keep
+FROM cc JOIN (SELECT cluster_root AS r, COUNT(*) AS n_members
+              FROM cc GROUP BY cluster_root) n ON n.r = cc.cluster_root
+"""
+
+
+@register(
+    "multimodal_phash_clusters",
+    tags=("llm", "multimodal", "dedup", "clustering"),
+    oracle=_PHASH_CC_ORACLE,
+)
+def multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-duplicate CLUSTER assignment — the multimodal dedup
+    endgame: verified pHash near-dup pairs (hamming ≤ threshold, banded
+    blocking, clone families pre-collapsed) become edges; connected
+    components give each asset its cluster root, cluster size, and a
+    keep-one-per-cluster flag — exactly the text-side dedup_cluster_assign
+    contract applied to perceptual fingerprints, which is how image/video
+    near-dup groups are collapsed in a multimodal corpus. Reuses the
+    dedup engine's min-label-propagation components (edge count ≪ corpus
+    — pair-verified output only), hash-checked against a recursive-CTE
+    DuckDB twin over the same banded pHash pair oracle."""
+    from .dedup import connected_components
+
+    pairs = multimodal_phash_neardup(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    sizes = cc.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
+    return cc.join(F.broadcast(sizes), "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_root"),
+        "n_members",
+        (F.col("node") == F.col("label")).alias("keep"),
+    )

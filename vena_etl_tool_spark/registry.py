@@ -177,6 +177,7 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     "sample_weighted_bernoulli",
     "join_asof_tolerance",
     "stream_cms_merge",
+    "multimodal_phash_clusters",
 )
 
 
