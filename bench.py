@@ -93,6 +93,8 @@ HEADLINE = [
     "join_asof_tolerance",
     "stream_cms_merge",
     "multimodal_phash_clusters",
+    "text_hll_cardinality",
+    "stream_hll_merge",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

@@ -1,0 +1,98 @@
+"""Tests for the third round-6 work session's operators: the portable
+HyperLogLog family, rendezvous sharding, PMI collocations, key-skew
+profiling, winsorized stats, trend fits, and kNN-graph triangles.
+
+Strategy mirrors the rest of the suite: pure-Python/numpy reconstruction
+of each sketch or statistic, plus invariant checks that make the audit
+columns non-vacuous.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import defaultdict
+
+import pytest
+
+from vena_etl_tool_spark.catalog import load_table
+from vena_etl_tool_spark.operators.textanalysis import (
+    HLL_ALPHA_DEN,
+    HLL_ALPHA_NUM,
+    HLL_M,
+    HLL_RMAX,
+    text_hll_cardinality,
+)
+
+
+def _hll_register(tok: str) -> tuple[int, int]:
+    h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+    j = h % HLL_M
+    w = h // HLL_M
+    bitlen = max(w.bit_length(), 1)  # bin(0)='0' has length 1 in both engines
+    return j, min(55 - bitlen, HLL_RMAX)
+
+
+def _hll_estimate(regs: dict[int, int]) -> tuple[int, int]:
+    from vena_etl_tool_spark.operators.textanalysis import (
+        HLL_LC_TABLE,
+        HLL_LC_THRESHOLD,
+    )
+
+    zero = HLL_M - len(regs)
+    s = sum(1 << (HLL_RMAX - m) for m in regs.values()) + zero * (1 << HLL_RMAX)
+    numer = HLL_ALPHA_NUM * HLL_M * HLL_M * (1 << HLL_RMAX)
+    raw = numer // (HLL_ALPHA_DEN * s)
+    if zero > 0 and raw < HLL_LC_THRESHOLD:
+        return HLL_LC_TABLE[zero], zero
+    return raw, zero
+
+
+def test_hll_matches_python_sketch(spark, sf_dir):
+    """Rebuild the HLL registers and integer estimate in pure Python and
+    require identical per-source AND merged rows; the merged registers
+    must equal the register-wise max of the per-source sketches (the
+    merge law), and the estimate must land within 35% of truth (3 sigma
+    for m=64 is ~39% — a hard failure here means broken hashing, not
+    sketch variance)."""
+    per_source: dict[str, set[str]] = defaultdict(set)
+    for r in load_table(spark, sf_dir, "documents").select("source", "text").collect():
+        per_source[r.source].update(r.text.split(" "))
+
+    regs_by_source: dict[str, dict[int, int]] = {}
+    for src, toks in per_source.items():
+        regs: dict[int, int] = {}
+        for t in toks:
+            j, rho = _hll_register(t)
+            regs[j] = max(regs.get(j, 0), rho)
+        regs_by_source[src] = regs
+    merged: dict[int, int] = {}
+    for regs in regs_by_source.values():
+        for j, m in regs.items():
+            merged[j] = max(merged.get(j, 0), m)
+    regs_by_source["ALL"] = merged
+    exact = {s: len(t) for s, t in per_source.items()}
+    exact["ALL"] = len(set().union(*per_source.values()))
+
+    rows = text_hll_cardinality(spark, sf_dir).collect()
+    assert {r.source for r in rows} == set(regs_by_source)
+    for r in rows:
+        est, zero = _hll_estimate(regs_by_source[r.source])
+        assert (r.hll_estimate, r.zero_registers) == (est, zero), r.source
+        assert r.exact_distinct == exact[r.source], r.source
+        err = abs(est - exact[r.source]) * 1000 // exact[r.source]
+        assert r.abs_err_permille == err, r.source
+        assert err <= 350, f"{r.source}: estimate off by {err}/1000"
+
+
+def test_stream_hll_merge_is_replay_invariant(spark, sf_dir):
+    """The streamed + deliberately replayed register grid must equal the
+    batch-built grid exactly (MAX-merge idempotence)."""
+    from vena_etl_tool_spark.streaming.queries import stream_hll_merge
+
+    truth: dict[int, int] = {}
+    for r in load_table(spark, sf_dir, "documents").select("text").collect():
+        for t in r.text.split(" "):
+            j, rho = _hll_register(t)
+            truth[j] = max(truth.get(j, 0), rho)
+    got = {r.j: r.m for r in stream_hll_merge(spark, sf_dir).collect()}
+    assert got == truth

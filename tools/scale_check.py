@@ -90,6 +90,12 @@ QUERIES = (
     "text_cms_heavy_hitters",
     # weighted Bernoulli sample: zero-shuffle scan+filter (plan-tested).
     "sample_weighted_bernoulli",
+    # r6 third session: HLL registers are a vocabulary-sized distinct +
+    # two 64-row aggregates — the corpus scan grows, the sketch does not
+    # (same budget class as CMS); the streaming twin is the same work
+    # split across foreachBatch sub-sketches.
+    "text_hll_cardinality",
+    "stream_hll_merge",
 )
 REPLICAS = 10
 

@@ -2165,3 +2165,182 @@ def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("cnt") - F.max("n")).alias("collision_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog — the cardinality sketch, bit-identical across engines
+# ---------------------------------------------------------------------------
+# 64 registers (b=6); the remaining 54 hash bits feed the leading-zero rank,
+# capped at HLL_RMAX so the harmonic sum stays an EXACT int64
+# (sum of 2^(RMAX - M) terms — no floating point anywhere).
+HLL_M = 64
+HLL_RMAX = 40
+# alpha_64 = 0.709 carried as the exact rational 709/1000 so the estimate is
+# a single integer division both engines compute identically.
+HLL_ALPHA_NUM = 709
+HLL_ALPHA_DEN = 1000
+# Small-range (linear counting) correction, oracle-portable: E_lc = m·ln(m/V)
+# precomputed for every possible zero-register count V at CODEGEN time and
+# embedded as a literal table in both engines — no runtime ln(), so no
+# cross-engine libm drift can break the hash. Index V=0 is unused (raw path).
+import math as _math  # noqa: E402  (module-local, keeps the table honest)
+
+HLL_LC_TABLE = tuple(
+    0 if v == 0 else round(HLL_M * _math.log(HLL_M / v)) for v in range(HLL_M)
+)
+# classic threshold: linear counting wins below 2.5·m
+HLL_LC_THRESHOLD = 5 * HLL_M // 2
+
+# 60-bit hash from the md5 hex prefix — same bridge the CMS family uses.
+_HLL_H_SPARK = "CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)"
+_HLL_H_DUCK = "('0x' || substr(md5(tok), 1, 15))::BIGINT"
+
+
+def _hll_register_sql(h_expr: str, div: str) -> tuple[str, str]:
+    """(register-index expr, rank expr) given the hash expr and the
+    engine's integer-division operator ('div' for Spark, '//' for DuckDB).
+    w = h div 64 has at most 54 bits, so the position of its leading 1 bit
+    counted from the top of the 54-bit window is 55 - bit_length(w); both
+    engines spell bit_length as length(bin(w)) (bin(0) = '0' in both)."""
+    j = f"({h_expr}) % {HLL_M}"
+    rho = f"LEAST(55 - length(bin(({h_expr}) {div} {HLL_M})), {HLL_RMAX})"
+    return j, rho
+
+
+_HLL_J_DUCK, _HLL_RHO_DUCK = _hll_register_sql(_HLL_H_DUCK, "//")
+
+_HLL_ORACLE = f"""
+WITH st AS (
+  SELECT DISTINCT source, tok
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+), r AS (
+  SELECT source, CAST({_HLL_J_DUCK} AS INT) AS j, {_HLL_RHO_DUCK} AS rho
+  FROM st
+), regs_src AS (
+  SELECT source, j, MAX(rho) AS m FROM r GROUP BY source, j
+), regs AS (
+  SELECT * FROM regs_src
+  UNION ALL
+  SELECT 'ALL' AS source, j, MAX(m) AS m FROM regs_src GROUP BY j
+), est AS (
+  SELECT source,
+         CAST({HLL_M} - COUNT(*) AS BIGINT) AS zero_registers,
+         SUM(1::BIGINT << ({HLL_RMAX} - m))
+           + ({HLL_M} - COUNT(*)) * (1::BIGINT << {HLL_RMAX}) AS s
+  FROM regs GROUP BY source
+), raw AS (
+  SELECT source, zero_registers,
+         ({HLL_ALPHA_NUM} * {HLL_M} * {HLL_M} * (1::BIGINT << {HLL_RMAX}))
+           // ({HLL_ALPHA_DEN} * s) AS raw_est
+  FROM est
+), corrected AS (
+  SELECT source, zero_registers,
+         CAST(CASE WHEN zero_registers > 0 AND raw_est < {HLL_LC_THRESHOLD}
+              THEN ([{", ".join(str(v) for v in HLL_LC_TABLE)}])[zero_registers + 1]
+              ELSE raw_est END AS BIGINT) AS hll_estimate
+  FROM raw
+), ex AS (
+  SELECT source, CAST(COUNT(DISTINCT tok) AS BIGINT) AS exact_distinct
+  FROM st GROUP BY source
+  UNION ALL
+  SELECT 'ALL', CAST(COUNT(DISTINCT tok) AS BIGINT) FROM st
+)
+SELECT c.source,
+       x.exact_distinct,
+       c.hll_estimate,
+       c.zero_registers,
+       CAST(abs(c.hll_estimate - x.exact_distinct) * 1000
+            // x.exact_distinct AS BIGINT) AS abs_err_permille
+FROM corrected c JOIN ex x ON x.source = c.source
+"""
+
+
+@register(
+    "text_hll_cardinality",
+    tags=("llm", "text", "sketch", "cardinality"),
+    oracle=_HLL_ORACLE,
+)
+def text_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog token-cardinality sketch, audited per source
+    plus the MERGED corpus row: 64 registers from the md5-bridged 60-bit
+    hash (6 index bits, leading-zero rank over the remaining 54, capped
+    at HLL_RMAX), harmonic mean carried as the EXACT integer
+    sum(2^(RMAX-M)) so both engines produce the identical estimate —
+    this upgrades the rows-only approx_count_distinct story to a
+    hash-green cross-engine sketch the way text_cms_heavy_hitters did
+    for frequency. The 'ALL' row is computed by register-wise MAX of the
+    per-source sketches — the HLL merge law executed literally, and,
+    unlike CMS addition, MAX is IDEMPOTENT: replayed shards cannot skew
+    the merged estimate, which is why HLL state tolerates at-least-once
+    delivery at 100 TB where CMS needs exactly-once keying. Small-range
+    bias is corrected by linear counting (E = m·ln(m/V)) via a 64-entry
+    integer table precomputed at CODEGEN time and embedded literally in
+    both engines — the classic correction without runtime ln(), so no
+    libm drift can break the cross-engine hash; zero_registers and
+    abs_err_permille keep the estimate regime visible in the output.
+
+    Plan shape: one corpus scan → map-side-combined (source, tok)
+    distinct (vocabulary-sized) → two register aggregates of 64 rows per
+    source; estimates and exact counts join broadcast-small."""
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+        .cache()  # vocabulary-sized; reused by registers + exact counts
+    )
+    j_expr, rho_expr = _hll_register_sql(_HLL_H_SPARK, "div")
+    r = st.select(
+        "source",
+        F.expr(f"CAST({j_expr} AS INT)").alias("j"),
+        F.expr(rho_expr).alias("rho"),
+    )
+    regs_src = r.groupBy("source", "j").agg(F.max("rho").alias("m"))
+    # the merge law, executed: the corpus sketch IS the register-wise max
+    # of the per-source sketches
+    regs_all = (
+        regs_src.groupBy("j")
+        .agg(F.max("m").alias("m"))
+        .select(F.lit("ALL").alias("source"), "j", "m")
+    )
+    regs = regs_src.unionByName(regs_all)
+    two_rmax = 1 << HLL_RMAX
+    est = regs.groupBy("source").agg(
+        (HLL_M - F.count(F.lit(1))).cast("long").alias("zero_registers"),
+        (
+            F.sum(F.expr(f"shiftleft(1L, {HLL_RMAX} - m)"))
+            + (HLL_M - F.count(F.lit(1))) * F.lit(two_rmax)
+        ).alias("s"),
+    )
+    ex = (
+        st.groupBy("source")
+        .agg(F.countDistinct("tok").alias("exact_distinct"))
+        .unionByName(
+            st.agg(F.countDistinct("tok").alias("exact_distinct")).select(
+                F.lit("ALL").alias("source"), "exact_distinct"
+            )
+        )
+    )
+    # integer division on both sides: the 3.2e18 numerator is beyond 2^53,
+    # so a double-typed `/` would round where DuckDB's `//` is exact
+    numer = HLL_ALPHA_NUM * HLL_M * HLL_M * two_rmax
+    lc_literal = ", ".join(str(v) for v in HLL_LC_TABLE)
+    estimate = F.expr(
+        f"CAST(CASE WHEN zero_registers > 0"
+        f" AND {numer}L div ({HLL_ALPHA_DEN} * s) < {HLL_LC_THRESHOLD}"
+        f" THEN element_at(array({lc_literal}), CAST(zero_registers + 1 AS INT))"
+        f" ELSE {numer}L div ({HLL_ALPHA_DEN} * s) END AS BIGINT)"
+    )
+    return (
+        est.join(F.broadcast(ex), "source")
+        .withColumn("hll_estimate", estimate)
+        .select(
+            "source",
+            "exact_distinct",
+            "hll_estimate",
+            "zero_registers",
+            F.expr(
+                "CAST(abs(hll_estimate - exact_distinct) * 1000"
+                " div exact_distinct AS BIGINT)"
+            ).alias("abs_err_permille"),
+        )
+    )

@@ -178,6 +178,9 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     "join_asof_tolerance",
     "stream_cms_merge",
     "multimodal_phash_clusters",
+    # --- third r6 work session ---
+    "text_hll_cardinality",
+    "stream_hll_merge",
 )
 
 

@@ -853,3 +853,84 @@ def stream_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         subsketches, "batch_id long, source string, d int, col int, cnt long"
     )
     return subs.groupBy("d", "col").agg(F.sum("cnt").alias("cnt"))
+
+
+def _hll_registers_oracle() -> str:
+    from ..operators.textanalysis import _HLL_J_DUCK, _HLL_RHO_DUCK
+
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+)
+SELECT CAST({_HLL_J_DUCK} AS INT) AS j, CAST(MAX({_HLL_RHO_DUCK}) AS INT) AS m
+FROM toks GROUP BY j
+"""
+
+
+@register(
+    "stream_hll_merge",
+    tags=("streaming", "llm", "sketch", "cardinality"),
+    oracle=_hll_registers_oracle(),
+)
+def stream_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming build of the HyperLogLog register state — and the claim
+    that distinguishes it from stream_cms_merge made executable: HLL
+    merge is register-wise MAX, which is IDEMPOTENT, so a replayed
+    micro-batch cannot skew the merged state. Each micro-batch emits one
+    bounded sub-sketch per (batch, source) — at most HLL_M rows each,
+    the constant-size state a real sink would upsert; then the first
+    batch's sub-sketches are deliberately appended a SECOND time
+    (simulating at-least-once redelivery after a sink-ack loss) before
+    the final MAX-merge. The DuckDB oracle is the batch-built register
+    grid over the whole corpus — hash equality proves the duplicated
+    delivery changed nothing. CMS (addition) needs exactly-once keying
+    by batch_id to survive replay; HLL does not — the practical reason
+    cardinality state is the easiest sketch to operate at 100 TB.
+
+    Plan shape per batch: map-side-combined token aggregate into ≤
+    sources×64 register rows; driver-held state is a few KB; the merge
+    is a 64-row groupBy."""
+    import os
+    import tempfile
+
+    from ..operators.textanalysis import _HLL_H_SPARK, _hll_register_sql
+    from .foreach_batch import run_foreach_batch
+
+    configure(spark)
+    batch_schema = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).schema
+    docs = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    j_expr, rho_expr = _hll_register_sql(_HLL_H_SPARK, "div")
+    subsketches: list[tuple[int, str, int, int]] = []
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        rows = (
+            batch_df.select(
+                "source", F.explode(F.split("text", " ")).alias("tok")
+            )
+            .select(
+                "source",
+                F.expr(f"CAST({j_expr} AS INT)").alias("j"),
+                F.expr(rho_expr).alias("rho"),
+            )
+            .groupBy("source", "j")
+            .agg(F.max("rho").alias("m"))
+            .collect()
+        )
+        for r in rows:
+            subsketches.append((batch_id, r.source, r.j, r.m))
+
+    with tempfile.TemporaryDirectory(prefix="hll_ckpt_") as ckpt:
+        run_foreach_batch(docs, merge_batch, ckpt, "stream_hll_merge")
+    # at-least-once redelivery, simulated: batch 0's sub-sketches arrive
+    # twice; MAX-merge must be invariant (the oracle hash enforces it)
+    replayed = subsketches + [s for s in subsketches if s[0] == 0]
+    subs = spark.createDataFrame(
+        replayed, "batch_id long, source string, j int, m int"
+    )
+    return subs.groupBy("j").agg(F.max("m").cast("int").alias("m"))
