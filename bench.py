@@ -95,6 +95,7 @@ HEADLINE = [
     "multimodal_phash_clusters",
     "text_hll_cardinality",
     "stream_hll_merge",
+    "layout_rendezvous_shards",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

@@ -96,3 +96,57 @@ def test_stream_hll_merge_is_replay_invariant(spark, sf_dir):
             truth[j] = max(truth.get(j, 0), rho)
     got = {r.j: r.m for r in stream_hll_merge(spark, sf_dir).collect()}
     assert got == truth
+
+
+def test_rendezvous_minimal_disruption(spark, sf_dir):
+    """Python HRW reconstruction must match, and the law must hold:
+    no pre-existing shard gains a doc when the ring grows 8 -> 9, the
+    new shard's arrivals equal everyone else's departures, and the
+    moved share is in a loose binomial neighborhood of 1/9."""
+    from vena_etl_tool_spark.operators.layouts import (
+        SHARDS_AFTER,
+        SHARDS_BEFORE,
+        layout_rendezvous_shards,
+    )
+
+    def shard_of(doc_id: int, n: int) -> int:
+        return max(
+            range(n),
+            key=lambda s: int(
+                hashlib.md5(f"{doc_id}#{s}".encode()).hexdigest()[:15], 16
+            ),
+        )
+
+    before: dict[int, int] = defaultdict(int)
+    after: dict[int, int] = defaultdict(int)
+    moved_out: dict[int, int] = defaultdict(int)
+    moved_in: dict[int, int] = defaultdict(int)
+    ids = [
+        r.doc_id
+        for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    ]
+    for d in ids:
+        o, n = shard_of(d, SHARDS_BEFORE), shard_of(d, SHARDS_AFTER)
+        before[o] += 1
+        after[n] += 1
+        if o != n:
+            moved_out[o] += 1
+            moved_in[n] += 1
+
+    rows = layout_rendezvous_shards(spark, sf_dir).collect()
+    assert len(rows) == SHARDS_AFTER
+    total_moved = 0
+    for r in rows:
+        assert (r.n_before, r.n_after, r.moved_in, r.moved_out) == (
+            before[r.shard],
+            after[r.shard],
+            moved_in[r.shard],
+            moved_out[r.shard],
+        ), r.shard
+        if r.shard < SHARDS_BEFORE:
+            assert r.moved_in == 0, f"shard {r.shard} gained docs on ring growth"
+        total_moved += r.moved_out
+    new = next(r for r in rows if r.shard == SHARDS_BEFORE)
+    assert new.n_before == 0 and new.moved_in == new.n_after == total_moved
+    # E[moved] = n/9; allow +-50% (binomial tail at fixture sizes)
+    assert abs(total_moved - len(ids) / SHARDS_AFTER) < len(ids) / SHARDS_AFTER * 0.5

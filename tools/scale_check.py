@@ -96,6 +96,9 @@ QUERIES = (
     # split across foreachBatch sub-sketches.
     "text_hll_cardinality",
     "stream_hll_merge",
+    # rendezvous sharding: routing is a map-only per-row argmax (zero
+    # shuffle); the audit aggregate is <=81 rows — expect ~linear.
+    "layout_rendezvous_shards",
 )
 REPLICAS = 10
 

@@ -321,3 +321,121 @@ def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("file_bytes").over(bin_w).cast("long").alias("bin_bytes"),
         F.count(F.lit(1)).over(bin_w).cast("long").alias("bin_files"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous (highest-random-weight) shard assignment
+# ---------------------------------------------------------------------------
+# Stateless consistent placement: a doc's shard is the argmax over shards of
+# hash(doc_id, shard). Growing the ring from N to N+1 shards can, by
+# construction, move a doc ONLY onto the new shard (its old winner still has
+# the same weight and loses only to the newcomer) — the minimal-disruption
+# law this operator's oracle hash literally enforces (moved_in = 0 for every
+# pre-existing shard).
+SHARDS_BEFORE = 8
+SHARDS_AFTER = 9
+
+_HRW_H_DUCK = (
+    "('0x' || substr(md5(doc_id::VARCHAR || '#' || s::VARCHAR), 1, 15))::BIGINT"
+)
+
+_HRW_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, s, {_HRW_H_DUCK} AS hv
+  FROM documents, UNNEST(range({SHARDS_AFTER})) AS u(s)
+), assign AS (
+  SELECT doc_id,
+         arg_max(s, hv) FILTER (s < {SHARDS_BEFORE}) AS old_shard,
+         arg_max(s, hv) AS new_shard
+  FROM h GROUP BY doc_id
+), pairs AS (
+  SELECT old_shard, new_shard, COUNT(*) AS n FROM assign GROUP BY 1, 2
+)
+SELECT CAST(g.shard AS INT) AS shard,
+       CAST(COALESCE(SUM(n) FILTER (p.old_shard = g.shard), 0) AS BIGINT) AS n_before,
+       CAST(COALESCE(SUM(n) FILTER (p.new_shard = g.shard), 0) AS BIGINT) AS n_after,
+       CAST(COALESCE(SUM(n) FILTER (
+         p.new_shard = g.shard AND p.old_shard <> p.new_shard), 0) AS BIGINT) AS moved_in,
+       CAST(COALESCE(SUM(n) FILTER (
+         p.old_shard = g.shard AND p.old_shard <> p.new_shard), 0) AS BIGINT) AS moved_out
+FROM (SELECT UNNEST(range({SHARDS_AFTER})) AS shard) g CROSS JOIN pairs p
+GROUP BY g.shard
+"""
+
+
+@register(
+    "layout_rendezvous_shards",
+    tags=("llm", "layout", "sharding", "consistent-hashing"),
+    oracle=_HRW_ORACLE,
+)
+def layout_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hash shard assignment audit across a ring resize
+    (8 → 9 shards): per shard, the population before and after, docs
+    moved in, docs moved out. The HRW minimal-disruption law makes a
+    sharp, hash-checkable prediction — moved_in MUST be 0 for every
+    pre-existing shard (a doc re-homes only when the NEW shard wins its
+    rendezvous), and the expected moved share is 1/9 of the corpus.
+    This is the placement story at 100 TB: shard routing is a pure
+    per-row expression (no directory service, no lookup join, no
+    state), and resharding re-writes ~1/(N+1) of the data instead of
+    the ~(N-1)/N a mod-N scheme would.
+
+    Plan shape: map-only per-row argmax over a 9-element struct array
+    (array_max, JVM whole-stage codegen, zero shuffle for routing);
+    the audit aggregate collapses to an ≤81-row (old, new) pair table
+    map-side before the only exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def weight(s: int):
+        return F.expr(
+            f"CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), '#', '{s}')),"
+            f" 1, 15), 16, 10) AS BIGINT)"
+        )
+
+    arr = F.array(
+        *[
+            F.struct(weight(s).alias("hv"), F.lit(s).alias("s"))
+            for s in range(SHARDS_AFTER)
+        ]
+    )
+    assigned = docs.select(
+        F.array_max(F.filter(arr, lambda x: x.s < SHARDS_BEFORE))["s"].alias(
+            "old_shard"
+        ),
+        F.array_max(arr)["s"].alias("new_shard"),
+    )
+    pairs = assigned.groupBy("old_shard", "new_shard").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    shards = spark.range(SHARDS_AFTER).select(F.col("id").cast("int").alias("shard"))
+    moved = F.col("old_shard") != F.col("new_shard")
+    return (
+        shards.crossJoin(F.broadcast(pairs))
+        .groupBy("shard")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("old_shard") == F.col("shard"), F.col("n"))),
+                F.lit(0),
+            ).alias("n_before"),
+            F.coalesce(
+                F.sum(F.when(F.col("new_shard") == F.col("shard"), F.col("n"))),
+                F.lit(0),
+            ).alias("n_after"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("new_shard") == F.col("shard")) & moved, F.col("n")
+                    )
+                ),
+                F.lit(0),
+            ).alias("moved_in"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("old_shard") == F.col("shard")) & moved, F.col("n")
+                    )
+                ),
+                F.lit(0),
+            ).alias("moved_out"),
+        )
+    )

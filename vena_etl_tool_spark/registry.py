@@ -181,6 +181,7 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     # --- third r6 work session ---
     "text_hll_cardinality",
     "stream_hll_merge",
+    "layout_rendezvous_shards",
 )
 
 
