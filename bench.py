@@ -96,6 +96,7 @@ HEADLINE = [
     "text_hll_cardinality",
     "stream_hll_merge",
     "layout_rendezvous_shards",
+    "text_pmi_collocations",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

@@ -150,3 +150,46 @@ def test_rendezvous_minimal_disruption(spark, sf_dir):
     assert new.n_before == 0 and new.moved_in == new.n_after == total_moved
     # E[moved] = n/9; allow +-50% (binomial tail at fixture sizes)
     assert abs(total_moved - len(ids) / SHARDS_AFTER) < len(ids) / SHARDS_AFTER * 0.5
+
+
+def test_pmi_collocations_match_python(spark, sf_dir):
+    """Recompute adjacent-bigram lift in Python (same float expression
+    shape) and require identical top rows; every reported pair must be
+    a genuinely adjacent bigram with counts above the noise floor."""
+    import math
+
+    from vena_etl_tool_spark.operators.textanalysis import (
+        PMI_MIN_PAIR,
+        PMI_SCALE,
+        PMI_TOPN,
+        text_pmi_collocations,
+    )
+
+    uni: dict[str, int] = defaultdict(int)
+    big: dict[tuple[str, str], int] = defaultdict(int)
+    for r in load_table(spark, sf_dir, "documents").select("text").collect():
+        ts = r.text.split(" ")
+        for t in ts:
+            uni[t] += 1
+        for a, b in zip(ts, ts[1:]):
+            big[(a, b)] += 1
+    t = sum(uni.values())
+    scored = [
+        (
+            math.floor(float(n * t) / float(uni[a] * uni[b]) * float(PMI_SCALE)),
+            a,
+            b,
+            n,
+        )
+        for (a, b), n in big.items()
+        if n >= PMI_MIN_PAIR
+    ]
+    scored.sort(key=lambda x: (-x[0], x[1], x[2]))
+    expected = scored[:PMI_TOPN]
+
+    rows = sorted(text_pmi_collocations(spark, sf_dir).collect(), key=lambda r: r.rk)
+    assert len(rows) == len(expected)
+    for r, (lift, a, b, n) in zip(rows, expected):
+        assert (r.w1, r.w2, r.pair_count, r.lift_ppm) == (a, b, n, lift)
+        assert r.w1_count == uni[a] and r.w2_count == uni[b]
+        assert r.pair_count >= PMI_MIN_PAIR

@@ -99,6 +99,9 @@ QUERIES = (
     # rendezvous sharding: routing is a map-only per-row argmax (zero
     # shuffle); the audit aggregate is <=81 rows — expect ~linear.
     "layout_rendezvous_shards",
+    # PMI: two vocabulary-sized aggregates (bigram + unigram grain) and
+    # broadcast joins — sketch-class budget, expect ~linear in the scan.
+    "text_pmi_collocations",
 )
 REPLICAS = 10
 

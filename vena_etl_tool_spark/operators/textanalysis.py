@@ -2344,3 +2344,123 @@ def text_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("abs_err_permille"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations — association mining over adjacent bigrams
+# ---------------------------------------------------------------------------
+PMI_MIN_PAIR = 5  # noise floor: a collocation seen < 5 times is not evidence
+PMI_TOPN = 20
+# PMI = ln(ratio) with ratio = C_ab*T/(C_a*C_b); ln is monotone, so ranking
+# and reporting the SCALED RATIO keeps the whole query in deterministic
+# arithmetic. Both engines compute floor(double(C_ab*T)/double(C_a*C_b)*1e6)
+# with the identical expression shape: the int64 products are exact in a
+# double while T < 2^26.5 (guarded), and IEEE division/multiplication of
+# identical operands is correctly rounded — bit-identical cross-engine.
+PMI_SCALE = 1_000_000
+_PMI_T_GUARD = 94_000_000  # T above this → C_ab*T may exceed 2^53
+
+_PMI_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), uni AS (
+  SELECT tok, COUNT(*) AS c
+  FROM (SELECT unnest(l) AS tok FROM toks) GROUP BY tok
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS t FROM uni
+), pairs AS (
+  SELECT l[i] AS w1, l[i + 1] AS w2, COUNT(*) AS n
+  FROM toks, UNNEST(range(1, len(l))) AS u(i)
+  GROUP BY 1, 2
+), scored AS (
+  SELECT p.w1, p.w2, p.n AS pair_count, ua.c AS w1_count, ub.c AS w2_count,
+         CAST(FLOOR(CAST(p.n * t.t AS DOUBLE)
+                    / CAST(ua.c * ub.c AS DOUBLE)
+                    * {PMI_SCALE}.0) AS BIGINT) AS lift_ppm
+  FROM pairs p
+  JOIN uni ua ON ua.tok = p.w1
+  JOIN uni ub ON ub.tok = p.w2
+  CROSS JOIN tot t
+  WHERE p.n >= {PMI_MIN_PAIR}
+)
+SELECT *
+FROM (
+  SELECT w1, w2, pair_count, w1_count, w2_count, lift_ppm,
+         ROW_NUMBER() OVER (ORDER BY lift_ppm DESC, w1, w2) AS rk
+  FROM scored
+) WHERE rk <= {PMI_TOPN}
+"""
+
+
+@register(
+    "text_pmi_collocations",
+    tags=("llm", "text", "collocation", "topk"),
+    oracle=_PMI_ORACLE,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-PMI adjacent-bigram collocations: the association statistic
+    behind phrase detection (word2vec-style phrase merging, tokenizer
+    vocab candidates). PMI's ln() is monotone, so the query ranks and
+    reports the scaled lift C_ab·T/(C_a·C_b) instead — keeping both
+    engines in exact int64 products and one correctly-rounded double
+    division (expression shape identical on both sides; a broadcast-row
+    assert_true guards the 2^53 exactness bound on C_ab·T). Bigrams are
+    extracted map-only by zipping the token array with its own tail
+    (slice + arrays_zip — NOT sequence(), whose empty-range semantics
+    differ between engines); no positional self-join ever happens.
+
+    Plan shape: two vocabulary-shuffled aggregates over one corpus
+    scan each (bigram grain and unigram grain), then the bigram table
+    joins the broadcast unigram counts twice and the broadcast total
+    row; the final top-20 rides a filtered unpartitioned window over
+    only the >= MIN_PAIR survivors."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", " ").alias("l"))
+    uni = (
+        toks.select(F.explode("l").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = uni.agg(
+        F.sum("c").cast("long").alias("t")
+    ).withColumn(
+        # exactness guard: beyond this, switch lift to DECIMAL(38) math
+        "t",
+        F.expr(
+            f"CASE WHEN assert_true(t < {_PMI_T_GUARD}L, 'PMI lift needs "
+            f"decimal math beyond T={_PMI_T_GUARD}') IS NULL THEN t END"
+        ),
+    )
+    pairs = (
+        toks.withColumn("a1", F.expr("slice(l, 1, size(l) - 1)"))
+        .withColumn("a2", F.expr("slice(l, 2, size(l) - 1)"))
+        .select(F.explode(F.arrays_zip("a1", "a2")).alias("z"))
+        .select(F.col("z.a1").alias("w1"), F.col("z.a2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= PMI_MIN_PAIR)
+    )
+    ua = uni.select(F.col("tok").alias("w1"), F.col("c").alias("w1_count"))
+    ub = uni.select(F.col("tok").alias("w2"), F.col("c").alias("w2_count"))
+    scored = (
+        pairs.join(F.broadcast(ua), "w1")
+        .join(F.broadcast(ub), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("n").alias("pair_count"),
+            "w1_count",
+            "w2_count",
+            F.expr(
+                f"CAST(FLOOR(CAST(n * t AS DOUBLE)"
+                f" / CAST(w1_count * w2_count AS DOUBLE)"
+                f" * {PMI_SCALE}.0) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+    w = Window.orderBy(F.col("lift_ppm").desc(), "w1", "w2")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= PMI_TOPN)
+    )

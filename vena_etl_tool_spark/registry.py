@@ -182,6 +182,7 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     "text_hll_cardinality",
     "stream_hll_merge",
     "layout_rendezvous_shards",
+    "text_pmi_collocations",
 )
 
 
