@@ -97,6 +97,7 @@ HEADLINE = [
     "stream_hll_merge",
     "layout_rendezvous_shards",
     "text_pmi_collocations",
+    "profile_key_skew",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

@@ -193,3 +193,38 @@ def test_pmi_collocations_match_python(spark, sf_dir):
         assert (r.w1, r.w2, r.pair_count, r.lift_ppm) == (a, b, n, lift)
         assert r.w1_count == uni[a] and r.w2_count == uni[b]
         assert r.pair_count >= PMI_MIN_PAIR
+
+
+def test_key_skew_profile_matches_python(spark, sf_dir):
+    """Reconstruct the l_suppkey distribution in Python and pin its row;
+    structural invariants hold for every key (p50 <= p99 <= max,
+    top1 <= top10 shares, skew ratio >= 1e6 ppm = 1.0x mean)."""
+    from vena_etl_tool_spark.operators.aggregates import profile_key_skew
+
+    cnt: dict[int, int] = defaultdict(int)
+    for r in load_table(spark, sf_dir, "lineitem").select("l_suppkey").collect():
+        cnt[r.l_suppkey] += 1
+    n_rows = sum(cnt.values())
+    counts = sorted(cnt.values())
+
+    def pdisc(q: float) -> int:
+        import math
+
+        return counts[math.ceil(q * len(counts)) - 1]
+
+    by_key_desc = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    top10 = sum(n for _, n in by_key_desc[:10])
+
+    rows = {r.key_name: r for r in profile_key_skew(spark, sf_dir).collect()}
+    assert set(rows) == {"l_partkey", "l_suppkey", "l_orderkey"}
+    r = rows["l_suppkey"]
+    assert (r.n_rows, r.n_keys, r.max_count) == (n_rows, len(cnt), counts[-1])
+    assert (r.p50_count, r.p99_count) == (pdisc(0.5), pdisc(0.99))
+    assert r.top1_share_ppm == by_key_desc[0][1] * 1_000_000 // n_rows
+    assert r.top10_share_ppm == top10 * 1_000_000 // n_rows
+    assert r.skew_ratio_ppm == counts[-1] * len(cnt) * 1_000_000 // n_rows
+    for k, row in rows.items():
+        assert row.n_rows == n_rows, k  # every key column covers every row
+        assert row.p50_count <= row.p99_count <= row.max_count, k
+        assert row.top1_share_ppm <= row.top10_share_ppm, k
+        assert row.skew_ratio_ppm >= 1_000_000, k

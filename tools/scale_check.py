@@ -102,6 +102,9 @@ QUERIES = (
     # PMI: two vocabulary-sized aggregates (bigram + unigram grain) and
     # broadcast joins — sketch-class budget, expect ~linear in the scan.
     "text_pmi_collocations",
+    # key-skew report: one fact exchange to per-key counts, then all
+    # work is keys-grain — expect ~linear in the scan.
+    "profile_key_skew",
 )
 REPLICAS = 10
 

@@ -10,7 +10,7 @@ discipline from operators/_shared.py.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import load_table, register_views
 from ..registry import register
@@ -391,4 +391,85 @@ def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.selectExpr(
         f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
         "(col, n_rows, n_null, n_distinct, min_val, max_val)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew diagnosis — the report that drives salting/AQE decisions
+# ---------------------------------------------------------------------------
+_SKEW_KEYS = ("l_partkey", "l_suppkey", "l_orderkey")
+_SKEW_TOPN = 10
+
+_SKEW_ORACLE = f"""
+WITH kv AS (
+  {" UNION ALL ".join(f"SELECT '{k}' AS key_name, {k} AS key_value FROM lineitem" for k in _SKEW_KEYS)}
+), cnts AS (
+  SELECT key_name, key_value, COUNT(*) AS cnt FROM kv GROUP BY 1, 2
+), rk AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY key_name ORDER BY cnt DESC, key_value) AS r
+  FROM cnts
+)
+SELECT key_name,
+  CAST(SUM(cnt) AS BIGINT) AS n_rows,
+  CAST(COUNT(*) AS BIGINT) AS n_keys,
+  CAST(MAX(cnt) AS BIGINT) AS max_count,
+  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cnt) AS BIGINT) AS p50_count,
+  CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY cnt) AS BIGINT) AS p99_count,
+  CAST(MAX(CASE WHEN r = 1 THEN cnt END) * 1000000 // SUM(cnt) AS BIGINT)
+    AS top1_share_ppm,
+  CAST(SUM(CASE WHEN r <= {_SKEW_TOPN} THEN cnt ELSE 0 END) * 1000000
+       // SUM(cnt) AS BIGINT) AS top10_share_ppm,
+  CAST(MAX(cnt) * COUNT(*) * 1000000 // SUM(cnt) AS BIGINT) AS skew_ratio_ppm
+FROM rk GROUP BY key_name
+"""
+
+
+@register(
+    "profile_key_skew",
+    tags=("aggregate", "profiling", "skew", "llm"),
+    oracle=_SKEW_ORACLE,
+)
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew report over lineitem's three join keys in ONE pass:
+    per key, row/key counts, max and exact p50/p99 per-key multiplicity,
+    the top-1/top-10 key concentration in ppm, and max/mean as
+    skew_ratio_ppm. This is the diagnosis that decides between plain
+    shuffle, salting (operators/skew.py), and AQE skew-split at 100 TB —
+    produced as a first-class operator instead of an ad-hoc notebook
+    query, cheap enough to run as a pre-flight before every big join.
+
+    Plan shape: one fact scan fans out map-only via stack() to
+    (key_name, key_value) grain, one exchange to per-key counts, and
+    everything downstream (window rank + percentiles) runs at KEYS
+    grain — orders of magnitude smaller than the fact table; the final
+    aggregate has exactly len(_SKEW_KEYS) groups."""
+    li = load_table(spark, sf_dir, "lineitem")
+    stack_args = ", ".join(f"'{k}', {k}" for k in _SKEW_KEYS)
+    kv = li.selectExpr(
+        f"stack({len(_SKEW_KEYS)}, {stack_args}) AS (key_name, key_value)"
+    )
+    cnts = kv.groupBy("key_name", "key_value").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("key_name").orderBy(F.col("cnt").desc(), "key_value")
+    return (
+        cnts.withColumn("r", F.row_number().over(w))
+        .groupBy("key_name")
+        .agg(
+            F.sum("cnt").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("cnt").alias("max_count"),
+            F.expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cnt) AS BIGINT)").alias("p50_count"),
+            F.expr("CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY cnt) AS BIGINT)").alias("p99_count"),
+            F.expr(
+                "CAST(MAX(CASE WHEN r = 1 THEN cnt END) * 1000000"
+                " div SUM(cnt) AS BIGINT)"
+            ).alias("top1_share_ppm"),
+            F.expr(
+                f"CAST(SUM(CASE WHEN r <= {_SKEW_TOPN} THEN cnt ELSE 0 END)"
+                " * 1000000 div SUM(cnt) AS BIGINT)"
+            ).alias("top10_share_ppm"),
+            F.expr(
+                "CAST(MAX(cnt) * COUNT(*) * 1000000 div SUM(cnt) AS BIGINT)"
+            ).alias("skew_ratio_ppm"),
+        )
     )

@@ -183,6 +183,7 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     "stream_hll_merge",
     "layout_rendezvous_shards",
     "text_pmi_collocations",
+    "profile_key_skew",
 )
 
 
