@@ -98,6 +98,7 @@ HEADLINE = [
     "layout_rendezvous_shards",
     "text_pmi_collocations",
     "profile_key_skew",
+    "ts_linear_trend",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

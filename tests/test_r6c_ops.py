@@ -228,3 +228,42 @@ def test_key_skew_profile_matches_python(spark, sf_dir):
         assert row.p50_count <= row.p99_count <= row.max_count, k
         assert row.top1_share_ppm <= row.top10_share_ppm, k
         assert row.skew_ratio_ppm >= 1_000_000, k
+
+
+def test_linear_trend_matches_numpy(spark, sf_dir):
+    """The integer sufficient-statistics slope must agree with numpy's
+    lstsq fit on the same daily series (within milli-unit truncation),
+    and the reported num/den must reproduce exactly."""
+    import numpy as np
+
+    from vena_etl_tool_spark.operators.timeseries import ts_linear_trend
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value").collect()
+    d0 = min(r.ts.date() for r in ev)
+    daily: dict[tuple[str, int], int] = defaultdict(int)
+    for r in ev:
+        # DECIMAL(18,4) accumulate == exact sum of round(value*1e4) ints
+        daily[(r.event_type, (r.ts.date() - d0).days)] += round(r.value * 10_000)
+
+    rows = ts_linear_trend(spark, sf_dir).collect()
+    by_type: dict[str, list[tuple[int, int]]] = defaultdict(list)
+    for (et, x), y in daily.items():
+        by_type[et].append((x, y))
+    assert {r.event_type for r in rows} == set(by_type)
+    for r in rows:
+        pts = by_type[r.event_type]
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        assert (r.n_days, r.slope_num, r.slope_den) == (n, num, den)
+        assert r.sum_y_e4 == sy
+        sign = -1 if num < 0 else 1
+        expect_milli = sign * (abs(num) * 1000 // den)
+        assert r.slope_milli_e4_per_day == expect_milli
+        xs = np.array([x for x, _ in pts], dtype=float)
+        ys = np.array([y for _, y in pts], dtype=float)
+        np_slope = np.polyfit(xs, ys, 1)[0]
+        assert abs(np_slope * 1000 - r.slope_milli_e4_per_day) <= 1000 + abs(np_slope) * 1e-6

@@ -105,6 +105,9 @@ QUERIES = (
     # key-skew report: one fact exchange to per-key counts, then all
     # work is keys-grain — expect ~linear in the scan.
     "profile_key_skew",
+    # OLS trend: two map-side-combinable aggregates (daily grain, then
+    # per-type sufficient statistics) — expect ~linear.
+    "ts_linear_trend",
 )
 REPLICAS = 10
 

@@ -227,3 +227,105 @@ def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid_to.alias("valid_to"),
         valid_to.isNull().alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-group OLS trend fit — exact-integer least squares
+# ---------------------------------------------------------------------------
+# slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), computed entirely in int64:
+# x = days since the GLOBAL min day (broadcast row — centering keeps n·Σxy
+# below ~5e16 instead of brushing int64 max with epoch-day x), y = the daily
+# value total in exact DECIMAL(18,4) ten-thousandths. The reported
+# slope_milli is trunc(|num|·1000/den)·sign — sign handled explicitly
+# because Spark's div truncates toward zero while DuckDB's // floors, and
+# they disagree on negatives; all divisions here see non-negative operands.
+_TREND_ORACLE = """
+WITH lo AS (
+  SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events
+), daily AS (
+  SELECT event_type,
+         date_diff('day', lo.d0, CAST(ts AS DATE)) AS x,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS y
+  FROM events, lo
+  GROUP BY event_type, x
+), sums AS (
+  SELECT event_type,
+         COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx,
+         MIN(x) AS x_min, MAX(x) AS x_max
+  FROM daily GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_days,
+       CAST(x_min AS BIGINT) AS x_min, CAST(x_max AS BIGINT) AS x_max,
+       CAST(sy AS BIGINT) AS sum_y_e4,
+       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+       CAST(CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE
+         (CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END) *
+         (abs(n * sxy - sx * sy) // (n * sxx - sx * sx) * 1000
+          + abs(n * sxy - sx * sy) % (n * sxx - sx * sx) * 1000
+            // (n * sxx - sx * sx))
+       END AS BIGINT) AS slope_milli_e4_per_day
+FROM sums
+"""
+
+
+@register(
+    "ts_linear_trend",
+    tags=("timeseries", "events", "regression"),
+    oracle=_TREND_ORACLE,
+)
+def ts_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type linear trend of daily value totals — OLS slope via
+    the sufficient statistics (n, Σx, Σy, Σxy, Σx²) so the 'model fit'
+    is just two aggregates: one to daily grain (exact DECIMAL sums),
+    one per group. Exact int64 throughout; x is centered on the global
+    min day (broadcast single-row aggregate) to keep products far from
+    int64 range, and the truncated-division sign is handled explicitly
+    (Spark div truncates, DuckDB // floors — they differ on negatives).
+    At 100 TB this is the degenerate-but-dominant case of grouped
+    regression: no iterative solver, no UDF, pure map-side-combinable
+    sums — the same shape works for thousands of groups per pass.
+
+    Plan shape: fact scan → daily aggregate (one exchange on
+    (event_type, day)) → per-type aggregate of ~365-row groups; the
+    min-day row broadcasts."""
+    ev = load_table(spark, sf_dir, "events")
+    lo = ev.agg(F.min(F.col("ts").cast("date")).alias("d0"))
+    daily = (
+        ev.crossJoin(F.broadcast(lo))
+        .groupBy(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.col("d0")).alias("x"),
+        )
+        .agg(
+            (F.sum(F.col("value").cast("decimal(18,4)")) * 10000)
+            .cast("long")
+            .alias("y")
+        )
+    )
+    sums = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.min("x").alias("x_min"),
+        F.max("x").alias("x_max"),
+    )
+    return sums.selectExpr(
+        "event_type",
+        "CAST(n AS BIGINT) AS n_days",
+        "CAST(x_min AS BIGINT) AS x_min",
+        "CAST(x_max AS BIGINT) AS x_max",
+        "CAST(sy AS BIGINT) AS sum_y_e4",
+        "CAST(n * sxy - sx * sy AS BIGINT) AS slope_num",
+        "CAST(n * sxx - sx * sx AS BIGINT) AS slope_den",
+        """CAST(CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE
+             (CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END) *
+             (abs(n * sxy - sx * sy) div (n * sxx - sx * sx) * 1000
+              + abs(n * sxy - sx * sy) % (n * sxx - sx * sx) * 1000
+                div (n * sxx - sx * sx))
+           END AS BIGINT) AS slope_milli_e4_per_day""",
+    )

@@ -184,6 +184,7 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     "layout_rendezvous_shards",
     "text_pmi_collocations",
     "profile_key_skew",
+    "ts_linear_trend",
 )
 
 
