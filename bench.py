@@ -99,6 +99,7 @@ HEADLINE = [
     "text_pmi_collocations",
     "profile_key_skew",
     "ts_linear_trend",
+    "agg_winsorized_stats",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

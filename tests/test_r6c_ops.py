@@ -267,3 +267,34 @@ def test_linear_trend_matches_numpy(spark, sf_dir):
         ys = np.array([y for _, y in pts], dtype=float)
         np_slope = np.polyfit(xs, ys, 1)[0]
         assert abs(np_slope * 1000 - r.slope_milli_e4_per_day) <= 1000 + abs(np_slope) * 1e-6
+
+
+def test_winsorized_stats_match_python(spark, sf_dir):
+    """Pin one source's winsorized row against a pure-Python clamp, and
+    require structural invariants everywhere (clamped mass ~5%+5%,
+    winsorized mean between the cutoffs, variance non-negative)."""
+    from vena_etl_tool_spark.operators.aggregates import agg_winsorized_stats
+
+    import math
+
+    per_source: dict[str, list[int]] = defaultdict(list)
+    for r in load_table(spark, sf_dir, "documents").select("source", "n_chars").collect():
+        per_source[r.source].append(r.n_chars)
+
+    rows = {r.source: r for r in agg_winsorized_stats(spark, sf_dir).collect()}
+    assert set(rows) == set(per_source)
+    for src, vals in per_source.items():
+        vals.sort()
+        lo = vals[math.ceil(0.05 * len(vals)) - 1]
+        hi = vals[math.ceil(0.95 * len(vals)) - 1]
+        clamped = [min(max(v, lo), hi) for v in vals]
+        n = len(vals)
+        r = rows[src]
+        assert (r.n_docs, r.lo_cut, r.hi_cut) == (n, lo, hi), src
+        assert r.n_clamped_lo == sum(1 for v in vals if v < lo), src
+        assert r.n_clamped_hi == sum(1 for v in vals if v > hi), src
+        assert r.win_mean_milli == sum(clamped) * 1000 // n, src
+        sv, svv = sum(clamped), sum(v * v for v in clamped)
+        assert r.win_var == (n * svv - sv * sv) // (n * n), src
+        assert lo * 1000 <= r.win_mean_milli <= hi * 1000, src
+        assert r.win_var >= 0 and r.n_clamped_lo + r.n_clamped_hi <= n // 8, src

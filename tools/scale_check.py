@@ -108,6 +108,9 @@ QUERIES = (
     # OLS trend: two map-side-combinable aggregates (daily grain, then
     # per-type sufficient statistics) — expect ~linear.
     "ts_linear_trend",
+    # winsorized stats: per-group percentile cutoffs broadcast back onto
+    # the scan (lm-quality topology) — expect ~linear.
+    "agg_winsorized_stats",
 )
 REPLICAS = 10
 

@@ -473,3 +473,92 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("skew_ratio_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized robust statistics — outlier-insensitive profiling
+# ---------------------------------------------------------------------------
+_WINSOR_LO = 0.05
+_WINSOR_HI = 0.95
+
+_WINSOR_ORACLE = f"""
+WITH cuts AS (
+  SELECT source,
+         percentile_disc({_WINSOR_LO}) WITHIN GROUP (ORDER BY n_chars) AS lo_cut,
+         percentile_disc({_WINSOR_HI}) WITHIN GROUP (ORDER BY n_chars) AS hi_cut
+  FROM documents GROUP BY source
+), clamped AS (
+  SELECT d.source, c.lo_cut, c.hi_cut,
+         LEAST(GREATEST(d.n_chars, c.lo_cut), c.hi_cut) AS v,
+         CAST(d.n_chars < c.lo_cut AS INT) AS is_lo,
+         CAST(d.n_chars > c.hi_cut AS INT) AS is_hi
+  FROM documents d JOIN cuts c ON c.source = d.source
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(MAX(lo_cut) AS BIGINT) AS lo_cut,
+  CAST(MAX(hi_cut) AS BIGINT) AS hi_cut,
+  CAST(SUM(is_lo) AS BIGINT) AS n_clamped_lo,
+  CAST(SUM(is_hi) AS BIGINT) AS n_clamped_hi,
+  CAST(SUM(v) * 1000 // COUNT(*) AS BIGINT) AS win_mean_milli,
+  CAST((COUNT(*) * SUM(v * v) - SUM(v) * SUM(v))
+       // (COUNT(*) * COUNT(*)) AS BIGINT) AS win_var
+FROM clamped GROUP BY source
+"""
+
+
+@register(
+    "agg_winsorized_stats",
+    tags=("aggregate", "profiling", "robust", "llm"),
+    oracle=_WINSOR_ORACLE,
+)
+def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-source length statistics — the robust-profiling
+    counterpart of profile_column_stats: per-group p5/p95 cutoffs
+    (percentile_disc — exact, rank-based, portable), values clamped
+    into [lo, hi], then mean and population variance of the clamped
+    values in exact integer arithmetic (milli-units / num-div-den).
+    Outliers can't drag the mean, and the clamp counts expose how much
+    mass the tails held — the quality-gate statistic a corpus curation
+    pipeline wants before setting length filters.
+
+    Plan shape: one aggregate to per-source cutoffs (a handful of
+    rows, broadcast back onto the scan — same topology as
+    text_lm_quality_buckets), then one clamped aggregate; no global
+    sort, no second shuffle of the fact table."""
+    docs = load_table(spark, sf_dir, "documents")
+    cuts = docs.groupBy("source").agg(
+        # Spark's percentile_disc returns DOUBLE (DuckDB keeps BIGINT) —
+        # cast back immediately; the cutoff is an actual data value, so
+        # the round-trip is exact
+        F.expr(
+            f"CAST(percentile_disc({_WINSOR_LO})"
+            " WITHIN GROUP (ORDER BY n_chars) AS BIGINT)"
+        ).alias("lo_cut"),
+        F.expr(
+            f"CAST(percentile_disc({_WINSOR_HI})"
+            " WITHIN GROUP (ORDER BY n_chars) AS BIGINT)"
+        ).alias("hi_cut"),
+    )
+    clamped = docs.join(F.broadcast(cuts), "source").select(
+        "source",
+        "lo_cut",
+        "hi_cut",
+        F.least(F.greatest("n_chars", "lo_cut"), "hi_cut").alias("v"),
+        (F.col("n_chars") < F.col("lo_cut")).cast("int").alias("is_lo"),
+        (F.col("n_chars") > F.col("hi_cut")).cast("int").alias("is_hi"),
+    )
+    return clamped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("lo_cut").cast("long").alias("lo_cut"),
+        F.max("hi_cut").cast("long").alias("hi_cut"),
+        F.sum("is_lo").cast("long").alias("n_clamped_lo"),
+        F.sum("is_hi").cast("long").alias("n_clamped_hi"),
+        F.expr("CAST(SUM(v) * 1000 div COUNT(*) AS BIGINT)").alias(
+            "win_mean_milli"
+        ),
+        F.expr(
+            "CAST((COUNT(*) * SUM(v * v) - SUM(v) * SUM(v))"
+            " div (COUNT(*) * COUNT(*)) AS BIGINT)"
+        ).alias("win_var"),
+    )

@@ -185,6 +185,7 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     "text_pmi_collocations",
     "profile_key_skew",
     "ts_linear_trend",
+    "agg_winsorized_stats",
 )
 
 
