@@ -100,6 +100,7 @@ HEADLINE = [
     "profile_key_skew",
     "ts_linear_trend",
     "agg_winsorized_stats",
+    "sim_graph_triangles",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

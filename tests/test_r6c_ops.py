@@ -298,3 +298,44 @@ def test_winsorized_stats_match_python(spark, sf_dir):
         assert r.win_var == (n * svv - sv * sv) // (n * n), src
         assert lo * 1000 <= r.win_mean_milli <= hi * 1000, src
         assert r.win_var >= 0 and r.n_clamped_lo + r.n_clamped_hi <= n // 8, src
+
+
+def test_triangle_census_matches_networkless_python(spark, sf_dir):
+    """Recount triangles with a pure-Python adjacency-set walk over the
+    SAME mutual edge set and require identical per-node rows; at least
+    one triangle must exist or the census is vacuous."""
+    from vena_etl_tool_spark.operators.similarity import (
+        sim_graph_triangles,
+        sim_knn_graph_mutual,
+    )
+
+    edges = [
+        (r.vec_a, r.vec_b)
+        for r in sim_knn_graph_mutual(spark, sf_dir).select("vec_a", "vec_b").collect()
+    ]
+    adj: dict[int, set[int]] = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    tri: dict[int, int] = defaultdict(int)
+    for a, b in edges:  # oriented a<b; close with c>b to count each once
+        for c in adj[a] & adj[b]:
+            if c > b:
+                for n in (a, b, c):
+                    tri[n] += 1
+
+    rows = sim_graph_triangles(spark, sf_dir).collect()
+    assert {r.vec_id for r in rows} == set(adj)
+    total = 0
+    for r in rows:
+        assert r.degree == len(adj[r.vec_id]), r.vec_id
+        assert r.triangles == tri.get(r.vec_id, 0), r.vec_id
+        if r.degree < 2:
+            assert r.clustering_ppm is None
+        else:
+            assert r.clustering_ppm == r.triangles * 2_000_000 // (
+                r.degree * (r.degree - 1)
+            )
+            assert 0 <= r.clustering_ppm <= 1_000_000
+        total += r.triangles
+    assert total > 0, "no triangles in fixture graph — census vacuous"

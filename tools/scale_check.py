@@ -111,6 +111,9 @@ QUERIES = (
     # winsorized stats: per-group percentile cutoffs broadcast back onto
     # the scan (lm-quality topology) — expect ~linear.
     "agg_winsorized_stats",
+    # triangle census: inherits the kNN graph's clone collapse; the
+    # enumeration joins run on the K-capped cached edge list.
+    "sim_graph_triangles",
 )
 REPLICAS = 10
 

@@ -1997,3 +1997,87 @@ def sim_label_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
             "correct"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle census over the mutual-kNN graph
+# ---------------------------------------------------------------------------
+_TRIANGLE_ORACLE = f"""
+WITH {_KNN_GRAPH_CTES}, e AS (
+  SELECT vec_a, vec_b FROM mutual
+), tri AS (
+  SELECT e1.vec_a AS a, e1.vec_b AS b, e2.vec_b AS c
+  FROM e e1
+  JOIN e e2 ON e2.vec_a = e1.vec_b
+  JOIN e e3 ON e3.vec_a = e1.vec_a AND e3.vec_b = e2.vec_b
+), tri_nodes AS (
+  SELECT u.n AS vec_id FROM tri, UNNEST([a, b, c]) AS u(n)
+), tcnt AS (
+  SELECT vec_id, COUNT(*) AS triangles FROM tri_nodes GROUP BY vec_id
+), deg AS (
+  SELECT vec_id, COUNT(*) AS degree
+  FROM (SELECT vec_a AS vec_id FROM e UNION ALL SELECT vec_b AS vec_id FROM e)
+  GROUP BY vec_id
+)
+SELECT d.vec_id,
+       CAST(d.degree AS BIGINT) AS degree,
+       CAST(COALESCE(t.triangles, 0) AS BIGINT) AS triangles,
+       CAST(COALESCE(t.triangles, 0) * 2000000
+            // NULLIF(d.degree * (d.degree - 1), 0) AS BIGINT) AS clustering_ppm
+FROM deg d LEFT JOIN tcnt t USING (vec_id)
+"""
+
+
+@register(
+    "sim_graph_triangles",
+    tags=("llm", "similarity", "graph"),
+    oracle=_TRIANGLE_ORACLE.format(
+        scores=_ivf_scores_duck(), pair_dot=_knn_pair_dot_duck()
+    ),
+)
+def sim_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle count and local clustering coefficient over the
+    mutual-kNN graph — the cohesion statistic that separates genuine
+    semantic clusters (triangle-dense neighborhoods) from hub noise
+    (high degree, no closure), and the standard quality check on an RNN
+    edge set before running community detection over it. Coefficient
+    reported as exact-integer ppm: 2·triangles·1e6 / (deg·(deg−1)),
+    NULL for degree-1 nodes (NULLIF on both engines).
+
+    Plan shape: triangles enumerate on the ID-ORIENTED edge list
+    (a<b<c), so each triangle is produced exactly once by two
+    equi-joins on 8-byte ids; the edge list is cached (≤ n·K/2 rows —
+    two longs wide) so the kNN-build subtree runs once, not three
+    times. At 100 TB you orient wedges from the lower-degree endpoint
+    (degree orientation bounds wedge fan-out by sqrt-degeneracy); with
+    K=4-capped degrees here, id orientation is already bounded and
+    keeps the enumeration order oracle-deterministic."""
+    edges = (
+        sim_knn_graph_mutual(spark, sf_dir).select("vec_a", "vec_b").cache()
+    )
+    e1 = edges.select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
+    e2 = edges.select(F.col("vec_a").alias("b"), F.col("vec_b").alias("c"))
+    e3 = edges.select(F.col("vec_a").alias("a"), F.col("vec_b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    tri_nodes = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("vec_id")
+    )
+    tcnt = tri_nodes.groupBy("vec_id").agg(F.count(F.lit(1)).alias("triangles"))
+    deg = (
+        edges.select(F.col("vec_a").alias("vec_id"))
+        .unionAll(edges.select(F.col("vec_b").alias("vec_id")))
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.join(tcnt, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("degree").cast("long").alias("degree"),
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+            F.expr(
+                "CAST(COALESCE(triangles, 0) * 2000000"
+                " div NULLIF(degree * (degree - 1), 0) AS BIGINT)"
+            ).alias("clustering_ppm"),
+        )
+    )

@@ -186,6 +186,7 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     "profile_key_skew",
     "ts_linear_trend",
     "agg_winsorized_stats",
+    "sim_graph_triangles",
 )
 
 
