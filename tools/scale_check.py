@@ -72,6 +72,15 @@ QUERIES = (
     # distinct names before any token/pair work, so a 10x all-clones part
     # table should cost ~one extra linear groupBy pass (ratio ~1).
     "join_fuzzy_trigram",
+    # as-of with tolerance: same partitioned-window budget as the plain
+    # as-of join (events replicated; user_id keys shift per replica).
+    "join_asof_tolerance",
+    # streaming CMS merge: per-batch sub-sketches into a fixed grid —
+    # corpus scan grows, state does not.
+    "stream_cms_merge",
+    # pHash clusters: banded hamming + label propagation on capped
+    # buckets; inherits the occupancy band-width rule.
+    "multimodal_phash_clusters",
     # IVFADC: corpus side is a map-only encode (linear); candidates per
     # query grow with cell occupancy (10x here — fixed 16-cell keyspace),
     # but each candidate costs 8 integer lookups on 4 B of codes, so the
@@ -102,9 +111,10 @@ QUERIES = (
     # PMI: two vocabulary-sized aggregates (bigram + unigram grain) and
     # broadcast joins — sketch-class budget, expect ~linear in the scan.
     "text_pmi_collocations",
-    # key-skew report: one fact exchange to per-key counts, then all
-    # work is keys-grain — expect ~linear in the scan.
-    "profile_key_skew",
+    # (profile_key_skew reads lineitem, which build_replica does NOT
+    # scale — a 10x row would be measuring a fixed input. Its budget is
+    # one fact exchange then keys-grain work; same class as the TPC-H
+    # aggregates that are likewise not scale-checked here.)
     # OLS trend: two map-side-combinable aggregates (daily grain, then
     # per-type sufficient statistics) — expect ~linear.
     "ts_linear_trend",
