@@ -101,6 +101,7 @@ HEADLINE = [
     "ts_linear_trend",
     "agg_winsorized_stats",
     "sim_graph_triangles",
+    "events_cumulative_uniques",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

@@ -339,3 +339,28 @@ def test_triangle_census_matches_networkless_python(spark, sf_dir):
             assert 0 <= r.clustering_ppm <= 1_000_000
         total += r.triangles
     assert total > 0, "no triangles in fixture graph — census vacuous"
+
+
+def test_cumulative_uniques_identity(spark, sf_dir):
+    """Python reconstruction plus the defining identities: cumulative =
+    running sum of new; dau = new + returning; final cumulative equals
+    the corpus's total distinct users."""
+    from vena_etl_tool_spark.operators.analytics import events_cumulative_uniques
+
+    seen: set[int] = set()
+    by_day: dict = defaultdict(set)
+    for r in load_table(spark, sf_dir, "events").select("ts", "user_id").collect():
+        by_day[r.ts.date()].add(r.user_id)
+
+    rows = sorted(events_cumulative_uniques(spark, sf_dir).collect(), key=lambda r: r.day)
+    assert [r.day for r in rows] == sorted(by_day)
+    running = 0
+    for r in rows:
+        users = by_day[r.day]
+        new = len(users - seen)
+        assert (r.dau, r.new_users) == (len(users), new), r.day
+        assert r.returning_users == len(users) - new
+        running += new
+        assert r.cumulative_users == running
+        seen |= users
+    assert rows[-1].cumulative_users == len(seen)

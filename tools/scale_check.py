@@ -124,6 +124,9 @@ QUERIES = (
     # triangle census: inherits the kNN graph's clone collapse; the
     # enumeration joins run on the K-capped cached edge list.
     "sim_graph_triangles",
+    # cumulative uniques: two user/day-keyed exchanges + a ~day-count
+    # window — the first-seen-flag rewrite is linear by construction.
+    "events_cumulative_uniques",
 )
 REPLICAS = 10
 

@@ -474,3 +474,77 @@ def events_value_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("robust_z"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative distinct users — the first-seen-flag rewrite
+# ---------------------------------------------------------------------------
+_CUM_UNIQUES_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id
+), daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         COUNT(DISTINCT user_id) AS dau
+  FROM events GROUP BY day
+), new_by_day AS (
+  SELECT first_day AS day, COUNT(*) AS new_users FROM firsts GROUP BY first_day
+)
+SELECT d.day,
+       CAST(d.dau AS BIGINT) AS dau,
+       CAST(COALESCE(n.new_users, 0) AS BIGINT) AS new_users,
+       CAST(d.dau - COALESCE(n.new_users, 0) AS BIGINT) AS returning_users,
+       CAST(SUM(COALESCE(n.new_users, 0)) OVER (
+         ORDER BY d.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cumulative_users
+FROM daily d LEFT JOIN new_by_day n ON n.day = d.day
+"""
+
+
+@register(
+    "events_cumulative_uniques",
+    tags=("events", "window", "aggregate"),
+    oracle=_CUM_UNIQUES_ORACLE,
+)
+def events_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active / new / returning / cumulative-unique users — the
+    growth-accounting rollup, written the way it survives 100 TB: a
+    running COUNT(DISTINCT) over an expanding window is quadratic state
+    (every day re-deduplicates all history), so instead each user's
+    FIRST day is computed once (one user-keyed aggregate), new-user
+    counts roll up per day, and the cumulative series is a running SUM
+    over the day-grain table — which is only ~365 rows per year, making
+    the unpartitioned ordered window a non-issue. DAU dedups within
+    single days only (bounded state). The identity
+    cumulative_users[d] = Σ new_users[≤d] replaces history-wide
+    distinct with the first-seen flag — the same trick
+    stream-processing systems use for exactly-this metric.
+
+    Plan shape: two user/day-keyed exchanges (first-day aggregate,
+    daily DAU aggregate) and one day-grain window; no day×history
+    blow-up anywhere."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    new_by_day = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    daily = ev.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.join(new_by_day, "day", "left")
+        .select(
+            "day",
+            F.col("dau").cast("long").alias("dau"),
+            F.coalesce("new_users", F.lit(0)).cast("long").alias("new_users"),
+            (F.col("dau") - F.coalesce("new_users", F.lit(0)))
+            .cast("long")
+            .alias("returning_users"),
+            F.sum(F.coalesce("new_users", F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("cumulative_users"),
+        )
+    )

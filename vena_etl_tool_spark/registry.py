@@ -187,6 +187,7 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     "ts_linear_trend",
     "agg_winsorized_stats",
     "sim_graph_triangles",
+    "events_cumulative_uniques",
 )
 
 

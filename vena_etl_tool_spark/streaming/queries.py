@@ -89,26 +89,35 @@ def _events_ts_dtype(spark: SparkSession, sf_dir: str) -> str:
     return _TS_DTYPE_CACHE[sf_dir]
 
 
+def table_stream(spark: SparkSession, sf_dir: str, table: str, schema) -> DataFrame:
+    """File-stream source for ``<sf_dir>/<table>.parquet`` under BOTH
+    layouts the engine meets: the driver fixtures store each table as a
+    single FILE (the file source wants a directory, so point at sf_dir
+    and glob the one file), while Spark-written copies (scale-check
+    replicas, staging dirs) are DIRECTORIES of part files (stream the
+    directory itself — a glob on the parent would match nothing, which
+    silently yields an EMPTY stream, not an error)."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(path):
+        return spark.readStream.schema(schema).parquet(path)
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", f"{table}.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-stream source over the events parquet, normalized to µs TIMESTAMP.
 
     ts is TIMESTAMP (session tz = UTC) — watermarks reject TIMESTAMP_NTZ;
-    outputs cast to ntz at the wire. The file-stream source wants a
-    directory: point at sf_dir and glob the one table file.
+    outputs cast to ntz at the wire.
     """
     configure(spark)
     if _events_ts_dtype(spark, sf_dir) == "bigint":
-        raw = (
-            spark.readStream.schema(_SCHEMA_TS_LONG)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
+        raw = table_stream(spark, sf_dir, "events", _SCHEMA_TS_LONG)
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return (
-        spark.readStream.schema(_SCHEMA_TS_NATIVE)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    return table_stream(spark, sf_dir, "events", _SCHEMA_TS_NATIVE)
 
 
 # Streaming state partitions are sized to STATE CARDINALITY (thousands of
@@ -816,11 +825,7 @@ def stream_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch_schema = spark.read.parquet(
         os.path.join(sf_dir, "documents.parquet")
     ).schema
-    docs = (
-        spark.readStream.schema(batch_schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    docs = table_stream(spark, sf_dir, "documents", batch_schema)
     cell_structs = F.array(
         *[
             F.struct(F.lit(d).alias("d"), F.expr(_cms_col_spark(d)).alias("col"))
@@ -900,11 +905,7 @@ def stream_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch_schema = spark.read.parquet(
         os.path.join(sf_dir, "documents.parquet")
     ).schema
-    docs = (
-        spark.readStream.schema(batch_schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    docs = table_stream(spark, sf_dir, "documents", batch_schema)
     j_expr, rho_expr = _hll_register_sql(_HLL_H_SPARK, "div")
     subsketches: list[tuple[int, str, int, int]] = []
 
