@@ -912,8 +912,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CLUSTER_JACCARD = 0.5
 
-_CC_ORACLE = """
-WITH RECURSIVE w AS (
+_CC_CTES = """w AS (
   SELECT doc_id, string_split(text, ' ') AS words FROM documents
 ), sh_all AS (
   SELECT doc_id, unnest(list_distinct(
@@ -948,7 +947,10 @@ WITH RECURSIVE w AS (
   SELECT b.dst AS node, r.label FROM reach r JOIN bidir b ON b.src = r.node
 ), cc AS (
   SELECT node AS doc_id, MIN(label) AS cluster_root FROM reach GROUP BY node
-)
+)"""
+
+_CC_ORACLE = f"""
+WITH RECURSIVE {_CC_CTES}
 SELECT cc.doc_id, cc.cluster_root, n.n_members,
        cc.doc_id = cc.cluster_root AS keep
 FROM cc JOIN (SELECT cluster_root AS r, COUNT(*) AS n_members
@@ -1870,4 +1872,80 @@ def fuzzy_trigram_pairs(part: DataFrame) -> DataFrame:
         "n_parts_b",
         "n_shared",
         F.round("j", 6).alias("jaccard"),
+    )
+
+
+_CANONICAL_ORACLE = f"""
+WITH RECURSIVE {{ctes}}, members AS (
+  SELECT cc.doc_id, cc.cluster_root, d.n_chars
+  FROM cc JOIN documents d ON d.doc_id = cc.doc_id
+), sized AS (
+  SELECT cluster_root AS r, COUNT(*) AS n_members
+  FROM members GROUP BY cluster_root
+), ranked AS (
+  SELECT doc_id, cluster_root, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY cluster_root
+                            ORDER BY n_chars DESC, doc_id) AS pick_rk
+  FROM members
+), canon AS (
+  SELECT cluster_root, doc_id AS canonical_id FROM ranked WHERE pick_rk = 1
+)
+SELECT m.doc_id, m.cluster_root, s.n_members, c.canonical_id,
+       m.n_chars, m.doc_id = c.canonical_id AS keep
+FROM members m
+JOIN sized s ON s.r = m.cluster_root
+JOIN canon c ON c.cluster_root = m.cluster_root
+"""
+
+
+@register(
+    "dedup_canonical_pick",
+    tags=("llm", "dedup", "clustering", "survivorship"),
+    oracle=_CANONICAL_ORACLE.format(ctes=_CC_CTES),
+)
+def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship policy over duplicate clusters — the half of dedup
+    that dedup_cluster_assign leaves open: WHICH copy to keep. The
+    min-id root is an arbitrary winner; production keeps the
+    highest-quality member. Here the policy is deterministic
+    best-by-length (n_chars DESC, doc_id tiebreak — stand-in for a full
+    quality score, same plan shape), picked with one row_number window
+    over cluster members. Emits every member with its cluster root,
+    size, canonical winner, and keep flag, so the drop set is the
+    operator's output, not a downstream join.
+
+    Plan shape: the cluster labels (iterative CC over verified near-dup
+    edges) join doc metadata by id; the pick window partitions by
+    cluster root — cluster-size-bounded partitions (single digits after
+    upstream exact dedup), never corpus-scale."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).filter(
+        F.col("jaccard") >= CLUSTER_JACCARD
+    )
+    cc = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_root")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    members = cc.join(docs, "doc_id")
+    sized = members.groupBy("cluster_root").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    w = Window.partitionBy("cluster_root").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    canon = (
+        members.withColumn("pick_rk", F.row_number().over(w))
+        .filter(F.col("pick_rk") == 1)
+        .select("cluster_root", F.col("doc_id").alias("canonical_id"))
+    )
+    return (
+        members.join(F.broadcast(sized), "cluster_root")
+        .join(F.broadcast(canon), "cluster_root")
+        .select(
+            "doc_id",
+            "cluster_root",
+            "n_members",
+            "canonical_id",
+            "n_chars",
+            (F.col("doc_id") == F.col("canonical_id")).alias("keep"),
+        )
     )
