@@ -102,6 +102,7 @@ HEADLINE = [
     "agg_winsorized_stats",
     "sim_graph_triangles",
     "events_cumulative_uniques",
+    "dedup_canonical_pick",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

@@ -364,3 +364,66 @@ def test_cumulative_uniques_identity(spark, sf_dir):
         assert r.cumulative_users == running
         seen |= users
     assert rows[-1].cumulative_users == len(seen)
+
+
+def test_canonical_pick_policy(spark, sf_dir):
+    """The winner per cluster must be its longest member (min doc_id on
+    ties), exactly one keep per cluster, and cluster membership must
+    agree with dedup_cluster_assign."""
+    from vena_etl_tool_spark.operators.dedup import (
+        dedup_canonical_pick,
+        dedup_cluster_assign,
+    )
+
+    rows = dedup_canonical_pick(spark, sf_dir).collect()
+    assert rows, "no duplicate clusters in fixture — pick is vacuous"
+    clusters: dict[int, list] = defaultdict(list)
+    for r in rows:
+        clusters[r.cluster_root].append(r)
+    for root, members in clusters.items():
+        assert len(members) == members[0].n_members
+        best = min(members, key=lambda m: (-m.n_chars, m.doc_id))
+        keeps = [m for m in members if m.keep]
+        assert len(keeps) == 1 and keeps[0].doc_id == best.doc_id == keeps[0].canonical_id
+    base = {
+        (r.doc_id, r.cluster_root)
+        for r in dedup_cluster_assign(spark, sf_dir).collect()
+    }
+    assert {(r.doc_id, r.cluster_root) for r in rows} == base
+
+
+def test_canonical_pick_clusters_exact_clone_families(spark, tmp_path):
+    """On a corpus WITH exact clones (which the fixture SFs lack), a
+    family of k >= 2 identical texts must form its own cluster rooted
+    and canonicalized at the min-id member even with no near-dup edge,
+    and singleton uniques must not appear."""
+    import os
+
+    from vena_etl_tool_spark.operators.dedup import dedup_canonical_pick
+
+    rows = [
+        # clone family of 3 (one text, ids 10/11/12) — no near-dup partner
+        (10, "alpha beta gamma delta epsilon zeta", "en", "s1"),
+        (11, "alpha beta gamma delta epsilon zeta", "en", "s1"),
+        (12, "alpha beta gamma delta epsilon zeta", "en", "s1"),
+        # a singleton unique doc — must NOT appear in output
+        (20, "completely different words here entirely so", "en", "s1"),
+        # near-dup pair (high 3-gram overlap), different texts
+        (30, "one two three four five six seven eight nine ten", "en", "s1"),
+        (31, "one two three four five six seven eight nine eleven", "en", "s1"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, lg, sc, len(t)) for i, t, lg, sc in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(os.path.join(str(tmp_path), "documents.parquet"))
+    out = {r.doc_id: r for r in dedup_canonical_pick(spark, str(tmp_path)).collect()}
+
+    assert set(out) == {10, 11, 12, 30, 31}
+    for d in (10, 11, 12):
+        assert out[d].cluster_root == 10 and out[d].n_members == 3
+        assert out[d].canonical_id == 10 and out[d].keep == (d == 10)
+    assert out[30].cluster_root == out[31].cluster_root == 30
+    assert out[30].n_members == 2
+    # 31's text is longer ("eleven" vs "ten") — best-by-length keeps 31
+    assert out[30].canonical_id == 31 and out[31].keep and not out[30].keep

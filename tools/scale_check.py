@@ -127,6 +127,9 @@ QUERIES = (
     # cumulative uniques: two user/day-keyed exchanges + a ~day-count
     # window — the first-seen-flag rewrite is linear by construction.
     "events_cumulative_uniques",
+    # canonical pick: cluster labels join doc metadata by id; the pick
+    # window partitions are cluster-size-bounded.
+    "dedup_canonical_pick",
 )
 REPLICAS = 10
 

@@ -1914,18 +1914,56 @@ def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     size, canonical winner, and keep flag, so the drop set is the
     operator's output, not a downstream join.
 
-    Plan shape: the cluster labels (iterative CC over verified near-dup
-    edges) join doc metadata by id; the pick window partitions by
-    cluster root — cluster-size-bounded partitions (single digits after
-    upstream exact dedup), never corpus-scale."""
-    pairs = dedup_ngram_jaccard(spark, sf_dir).filter(
-        F.col("jaccard") >= CLUSTER_JACCARD
+    Plan shape — the r6 clone-collapse rule applied to the whole
+    topology (a naive edges-then-pick ran 17× at 10× clone density):
+    exact-clone families collapse to their min-id representative BEFORE
+    any shingle/pair work (_distinct_text_reps), near-dup edges and the
+    iterative CC run at REP grain, then membership expands back through
+    the text-hash family map — a clone's cluster is its rep's cluster,
+    and a family of k ≥ 2 exact clones is itself a cluster even when
+    its rep has no near-dup edge. Family min-ids make the expanded
+    cluster root equal MIN(member id), so the fixture semantics (and
+    the oracle) are unchanged where no exact clones exist. The pick
+    window partitions by cluster root — cluster-size-bounded,
+    never corpus-scale."""
+    all_docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
     )
-    cc = connected_components(pairs, "doc_a", "doc_b").select(
-        F.col("node").alias("doc_id"), F.col("label").alias("cluster_root")
+    reps = _distinct_text_reps(all_docs.select("doc_id", "text"))
+    sh = _df_capped_postings(doc_shingles(reps))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    rep_pairs = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .filter(F.col("inter") >= 2)
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .filter(
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter"))
+            >= CLUSTER_JACCARD
+        )
     )
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    members = cc.join(docs, "doc_id")
+    cc_reps = connected_components(rep_pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("rep"), F.col("label").alias("cc_label")
+    )
+    fam = all_docs.groupBy(F.xxhash64("text").alias("_h")).agg(
+        F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("n_fam")
+    )
+    expanded = (
+        all_docs.select("doc_id", "n_chars", F.xxhash64("text").alias("_h"))
+        .join(fam, "_h")
+        .join(cc_reps, "rep", "left")
+        .withColumn("cluster_root", F.coalesce("cc_label", "rep"))
+        .filter(F.col("cc_label").isNotNull() | (F.col("n_fam") >= 2))
+    )
+    members = expanded.select("doc_id", "cluster_root", "n_chars")
     sized = members.groupBy("cluster_root").agg(
         F.count(F.lit(1)).alias("n_members")
     )

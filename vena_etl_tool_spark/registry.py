@@ -188,6 +188,7 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     "agg_winsorized_stats",
     "sim_graph_triangles",
     "events_cumulative_uniques",
+    "dedup_canonical_pick",
 )
 
 
