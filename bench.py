@@ -103,6 +103,7 @@ HEADLINE = [
     "sim_graph_triangles",
     "events_cumulative_uniques",
     "dedup_canonical_pick",
+    "text_quality_calibration",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

@@ -427,3 +427,38 @@ def test_canonical_pick_clusters_exact_clone_families(spark, tmp_path):
     assert out[30].n_members == 2
     # 31's text is longer ("eleven" vs "ten") — best-by-length keeps 31
     assert out[30].canonical_id == 31 and out[31].keep and not out[30].keep
+
+
+def test_quality_calibration_ranks(spark, sf_dir):
+    """Python rank reconstruction (ties share RANK), percentile bounds,
+    and the decile histogram is roughly uniform per source."""
+    from vena_etl_tool_spark.operators.textanalysis import text_quality_calibration
+
+    per_source: dict[str, list[tuple[int, int]]] = defaultdict(list)
+    for r in load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    ).collect():
+        per_source[r.source].append((r.doc_id, r.n_chars))
+
+    expect: dict[int, tuple[int, int, int]] = {}
+    for src, docs in per_source.items():
+        n = len(docs)
+        vals = sorted(c for _, c in docs)
+        for d, c in docs:
+            rank = vals.index(c) + 1  # RANK: 1 + count of strictly smaller
+            pct = (rank - 1) * 1000 // (n - 1) if n > 1 else None
+            dec = min((rank - 1) * 10 // (n - 1), 9) if n > 1 else None
+            expect[d] = (rank, pct, dec)
+
+    rows = text_quality_calibration(spark, sf_dir).collect()
+    assert len(rows) == sum(len(v) for v in per_source.values())
+    deciles: dict[str, dict[int, int]] = defaultdict(lambda: defaultdict(int))
+    for r in rows:
+        assert (r.src_rank, r.pct_milli, r.decile) == expect[r.doc_id], r.doc_id
+        if r.pct_milli is not None:
+            assert 0 <= r.pct_milli <= 1000 and 0 <= r.decile <= 9
+            deciles[r.source][r.decile] += 1
+    for src, hist in deciles.items():
+        n = sum(hist.values())
+        for d in range(10):
+            assert hist.get(d, 0) >= n // 40, (src, d, "decile far from uniform")

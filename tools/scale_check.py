@@ -130,6 +130,9 @@ QUERIES = (
     # canonical pick: cluster labels join doc metadata by id; the pick
     # window partitions are cluster-size-bounded.
     "dedup_canonical_pick",
+    # rank calibration: one window over the source partitioning — a
+    # single source-keyed exchange, linear by construction.
+    "text_quality_calibration",
 )
 REPLICAS = 10
 

@@ -2464,3 +2464,72 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= PMI_TOPN)
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source quality calibration — rank-based score normalization
+# ---------------------------------------------------------------------------
+_CALIB_ORACLE = """
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         RANK() OVER (PARTITION BY source ORDER BY n_chars) AS src_rank,
+         COUNT(*) OVER (PARTITION BY source) AS n_src
+  FROM documents
+)
+SELECT doc_id, source, n_chars,
+       CAST(src_rank AS BIGINT) AS src_rank,
+       CAST((src_rank - 1) * 1000 // NULLIF(n_src - 1, 0) AS BIGINT) AS pct_milli,
+       CAST(LEAST((src_rank - 1) * 10 // NULLIF(n_src - 1, 0), 9) AS BIGINT) AS decile
+FROM ranked
+"""
+
+
+@register(
+    "text_quality_calibration",
+    tags=("llm", "text", "quality", "window"),
+    oracle=_CALIB_ORACLE,
+)
+def text_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source rank calibration of a quality signal (n_chars as the
+    stand-in score): each document's within-source percentile in exact
+    integer milli-units, plus its decile bucket. This is how
+    heterogeneous sources mix without one source's score DISTRIBUTION
+    dominating another's — a web crawl and a books corpus have
+    incomparable raw scores, but 'top decile of its own source' is
+    comparable, and the decile column feeds directly into
+    dataset_mixture-style sampling weights. RANK (not row_number) keeps
+    tied scores at the same percentile; the explicit
+    (rank−1)·1000/(n−1) integer form avoids percent_rank()'s
+    double-typed output and its engine-specific single-row edge case
+    (NULLIF handles n=1 identically in both engines).
+
+    Plan shape: one window over the source partitioning — a single
+    exchange on the source key; no global sort. At 100 TB a source is
+    still one window partition, so heavily skewed source sizes would
+    switch this to the percentile-cutoff broadcast topology
+    (text_lm_quality_buckets) at the cost of bucket granularity."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars")
+    ws = Window.partitionBy("source")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.rank().over(w).alias("src_rank"),
+            F.count(F.lit(1)).over(ws).alias("n_src"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.col("src_rank").cast("long").alias("src_rank"),
+            F.expr(
+                "CAST((src_rank - 1) * 1000 div NULLIF(n_src - 1, 0) AS BIGINT)"
+            ).alias("pct_milli"),
+            F.expr(
+                "CAST(LEAST((src_rank - 1) * 10 div NULLIF(n_src - 1, 0), 9)"
+                " AS BIGINT)"
+            ).alias("decile"),
+        )
+    )

@@ -189,6 +189,7 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     "sim_graph_triangles",
     "events_cumulative_uniques",
     "dedup_canonical_pick",
+    "text_quality_calibration",
 )
 
 
