@@ -104,6 +104,7 @@ HEADLINE = [
     "events_cumulative_uniques",
     "dedup_canonical_pick",
     "text_quality_calibration",
+    "events_change_point",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

@@ -133,6 +133,9 @@ QUERIES = (
     # rank calibration: one window over the source partitioning — a
     # single source-keyed exchange, linear by construction.
     "text_quality_calibration",
+    # CUSUM change point: one combinable fact aggregate to day grain,
+    # then windows over the tiny per-type series — expect ~linear.
+    "events_change_point",
 )
 REPLICAS = 10
 

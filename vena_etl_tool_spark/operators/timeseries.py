@@ -329,3 +329,152 @@ def ts_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                 div (n * sxx - sx * sx))
            END AS BIGINT) AS slope_milli_e4_per_day""",
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection — exact-integer level-shift localization
+# ---------------------------------------------------------------------------
+# The classic offline CUSUM statistic: on the dense daily series y_1..y_n
+# (zero-filled grid), C_d = Σ_{i≤d}(y_i − ȳ) peaks at the most likely single
+# change point. Scaling by n keeps it integral: c_d = n·cum_d − d·S where
+# cum_d is the running sum and S = Σy (both exact int64 ten-thousandths), so
+# both engines agree bit-for-bit. The post-minus-pre mean shift reports in
+# the trend operator's signed-trunc-division milli convention.
+_CUSUM_ORACLE = """
+WITH bounds AS (
+  SELECT MIN(CAST(ts AS DATE)) AS d0,
+         date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE))) + 1 AS nd
+  FROM events
+), grid AS (
+  SELECT t.event_type, bounds.d0 + CAST(g.o AS INTEGER) AS day
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       bounds,
+       (SELECT unnest(range(0, (SELECT nd FROM bounds))) AS o) g
+), daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), series AS (
+  SELECT grid.event_type, grid.day, COALESCE(daily.y, 0) AS y
+  FROM grid LEFT JOIN daily USING (event_type, day)
+), cusum AS (
+  SELECT event_type, day, y,
+         ROW_NUMBER() OVER w AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n,
+         SUM(y) OVER w AS cum,
+         SUM(y) OVER (PARTITION BY event_type) AS s
+  FROM series
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), scored AS (
+  SELECT *, n * cum - rn * s AS c,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY abs(n * cum - rn * s) DESC, day) AS rk
+  FROM cusum
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_days,
+       day AS change_day,
+       CAST(c AS BIGINT) AS cusum_peak,
+       CAST(rn AS BIGINT) AS pre_days,
+       CAST(n - rn AS BIGINT) AS post_days,
+       CAST(cum AS BIGINT) AS pre_sum_e4,
+       CAST(s - cum AS BIGINT) AS post_sum_e4,
+       CAST(CASE WHEN n - rn = 0 THEN NULL ELSE
+         (CASE WHEN (s - cum) * rn - cum * (n - rn) < 0 THEN -1 ELSE 1 END) *
+         (abs((s - cum) * rn - cum * (n - rn)) // (rn * (n - rn)) * 1000
+          + abs((s - cum) * rn - cum * (n - rn)) % (rn * (n - rn)) * 1000
+            // (rn * (n - rn)))
+       END AS BIGINT) AS shift_e4_milli
+FROM scored WHERE rk = 1
+"""
+
+
+@register(
+    "events_change_point",
+    tags=("timeseries", "events", "changepoint", "monitoring"),
+    oracle=_CUSUM_ORACLE,
+)
+def events_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline CUSUM change-point detection per event type: zero-fill the
+    daily value series onto the global date grid, compute the cumulative
+    deviation-from-mean statistic, and report the day where |CUSUM|
+    peaks — the most likely single level shift — plus the pre/post mean
+    shift. The statistic is scaled by n (c_d = n·cum_d − d·S) so the
+    whole pipeline stays in exact int64 ten-thousandths: no double
+    accumulation, both engines agree bit-for-bit, and the shift reports
+    via the explicit-sign truncated division the trend operator
+    established (Spark div truncates, DuckDB // floors — they differ on
+    negatives).
+
+    Scale shape: the raw fact scan collapses to (event_type, day) grain
+    in ONE exchange with map-side combine; everything after runs on the
+    tiny day-grain series (the grid is types × days, built distributed
+    from a broadcast 1-row bounds aggregate). The per-type windows
+    partition on event_type — thousands of monitored series parallelize
+    across the cluster, and no window ever sees more than n_days rows.
+    At 100 TB this is the shape that matters: the heavy data touches one
+    combinable aggregate; detection runs on the rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        (
+            F.datediff(F.max(F.col("ts").cast("date")), F.min(F.col("ts").cast("date")))
+            + 1
+        ).alias("nd"),
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.col("nd") - 1)).alias("o"),
+            "d0",
+        )
+        .select("event_type", F.date_add(F.col("d0"), F.col("o")).alias("day"))
+    )
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg((F.sum(F.col("value").cast("decimal(18,4)")) * 10000).cast("long").alias("y"))
+    series = grid.join(daily, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("y", F.lit(0).cast("long")).alias("y")
+    )
+    w_ord = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cusum = series.select(
+        "event_type",
+        "day",
+        F.row_number().over(Window.partitionBy("event_type").orderBy("day")).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("y").over(w_ord).alias("cum"),
+        F.sum("y").over(w_all).alias("s"),
+    )
+    scored = cusum.withColumn("c", F.col("n") * F.col("cum") - F.col("rn") * F.col("s"))
+    rk = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(F.abs("c").desc(), F.col("day"))
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .selectExpr(
+            "event_type",
+            "CAST(n AS BIGINT) AS n_days",
+            "day AS change_day",
+            "CAST(c AS BIGINT) AS cusum_peak",
+            "CAST(rn AS BIGINT) AS pre_days",
+            "CAST(n - rn AS BIGINT) AS post_days",
+            "CAST(cum AS BIGINT) AS pre_sum_e4",
+            "CAST(s - cum AS BIGINT) AS post_sum_e4",
+            """CAST(CASE WHEN n - rn = 0 THEN NULL ELSE
+                 (CASE WHEN (s - cum) * rn - cum * (n - rn) < 0 THEN -1 ELSE 1 END) *
+                 (abs((s - cum) * rn - cum * (n - rn)) div (rn * (n - rn)) * 1000
+                  + abs((s - cum) * rn - cum * (n - rn)) % (rn * (n - rn)) * 1000
+                    div (rn * (n - rn)))
+               END AS BIGINT) AS shift_e4_milli""",
+        )
+    )

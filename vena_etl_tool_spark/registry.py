@@ -190,6 +190,8 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     "events_cumulative_uniques",
     "dedup_canonical_pick",
     "text_quality_calibration",
+    # --- fourth r6 work session ---
+    "events_change_point",
 )
 
 
