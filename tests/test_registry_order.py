@@ -49,14 +49,12 @@ def test_rotation_completes_oracle_backed_coverage():
         f"undeclared driver-coverage residue: "
         f"{sorted(set(residue) ^ set(registry.ROTATION_RESIDUE))}"
     )
-    # r6: the post-freeze additions are declared residue (the window kept
-    # the full r2-evidence backlog instead of displacing it) and must
-    # lead the r7 window. Bounded so the residue list can't silently
-    # become a second backlog: the r7 window holds 50 slots and seats the
-    # residue FIRST, so the bound is "residue + a reasonable changed-in-r7
-    # allowance still fits one window" (35 + ~15), not the original 20 —
-    # raised when the third r6 work session's additions reached it.
-    assert 6 <= len(registry.ROTATION_RESIDUE) < 35
+    # r7: the window froze at round start with the full r6 residue seated,
+    # so the residue list reopens EMPTY and accumulates only operators
+    # added during r7. Bound (r6 verdict #8): residue + the 12 declared
+    # r3-evidence stragglers must fit the r8 window with room for r8
+    # changes — cap new-op residue at 25.
+    assert len(registry.ROTATION_RESIDUE) <= 25
 
 
 def test_window_holds_at_least_50():

@@ -67,6 +67,18 @@ ROWS_ONLY_WHY = {
         "IS the invariant harness — tests pin trained recall >= the "
         "oracle-checked untrained baseline (`sim_ann_adc_recall`)"
     ),
+    "sim_ann_ivfadc_trained": (
+        "trained residual codebooks depend on pyspark.ml's distributed "
+        "float-sum merge order (deterministic per seed, not replicable in "
+        "DuckDB); the fixed-codebook twin `sim_ann_ivfadc` is hash-checked "
+        "with identical cells/probes, and tests pin trained residual "
+        "recon error strictly below the untrained twin's"
+    ),
+    "sim_ann_ivfadc_trained_recall": (
+        "composes the trained IVFADC index (above); the recall-vs-exact "
+        "audit IS the invariant harness — tests pin trained recall >= the "
+        "oracle-checked untrained baseline (`sim_ann_ivfadc_recall`)"
+    ),
 }
 
 

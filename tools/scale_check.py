@@ -136,6 +136,24 @@ QUERIES = (
     # CUSUM change point: one combinable fact aggregate to day grain,
     # then windows over the tiny per-type series — expect ~linear.
     "events_change_point",
+    # r7: bigram surprisal is one explode + vocabulary-grain model
+    # aggregate + a (w1,w2)-keyed scoring join back — every exchange is
+    # vocab- or corpus-linear (the replica multiplies doc counts but the
+    # bigram vocabulary barely grows: same texts, shifted ids).
+    "text_bigram_surprisal",
+    # r7: zone-map audit is one lineitem scan + a shard-grain aggregate
+    # (lineitem now replicated 10x — this is one of the new fact-side
+    # scale rows verdict #7 asked for).
+    "layout_zonemap_prune",
+    # r7 (verdict #7): the heaviest TPC-H-pattern queries get true 10x
+    # fact rows now that build_replica scales lineitem/orders; their
+    # budgets are hash-agg / sort-merge-join shuffles that should track
+    # the scan ~linearly, and profile_key_skew's one fact exchange to
+    # keys grain likewise.
+    "q1_pricing_summary",
+    "q18_large_volume_customers",
+    "q21_sole_returner",
+    "profile_key_skew",
 )
 REPLICAS = 10
 
@@ -167,6 +185,23 @@ def build_replica(spark, sf_dir: str, out_dir: str) -> None:
     prt.select("*", rep).withColumn(
         "p_partkey", F.col("p_partkey") + F.col("rep").cast("long") * n_docs
     ).drop("rep").write.mode("overwrite").parquet(os.path.join(out_dir, "part.parquet"))
+    # r7 (verdict #7): scale the TPC-H fact side too so the join/agg family
+    # and profile_key_skew have true 10x rows. o_orderkey/l_orderkey shift
+    # per replica (join integrity preserved within each copy); the dim keys
+    # (custkey, suppkey) stay UNSHIFTED — fixed dims × 10x facts is the
+    # realistic scale-up (each dim key's fan-in grows 10x, exactly the skew
+    # a 100 TB fact table piles onto its dimensions). l_partkey shifts with
+    # part so part-side joins keep 1:N structure per replica.
+    ords = load_table(spark, sf_dir, "orders")
+    ords.select("*", rep).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.col("rep").cast("long") * n_docs
+    ).drop("rep").write.mode("overwrite").parquet(os.path.join(out_dir, "orders.parquet"))
+    li = load_table(spark, sf_dir, "lineitem")
+    li.select("*", rep).withColumn(
+        "l_orderkey", F.col("l_orderkey") + F.col("rep").cast("long") * n_docs
+    ).withColumn(
+        "l_partkey", F.col("l_partkey") + F.col("rep").cast("long") * n_docs
+    ).drop("rep").write.mode("overwrite").parquet(os.path.join(out_dir, "lineitem.parquet"))
     for t in TABLES:
         dst = os.path.join(out_dir, f"{t}.parquet")
         if not os.path.exists(dst):

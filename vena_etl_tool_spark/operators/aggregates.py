@@ -554,11 +554,19 @@ def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("hi_cut").cast("long").alias("hi_cut"),
         F.sum("is_lo").cast("long").alias("n_clamped_lo"),
         F.sum("is_hi").cast("long").alias("n_clamped_hi"),
-        F.expr("CAST(SUM(v) * 1000 div COUNT(*) AS BIGINT)").alias(
-            "win_mean_milli"
-        ),
+        # exactness guard (ADVICE r6): DuckDB's SUM(BIGINT) promotes to
+        # HUGEINT and stays exact; Spark's SUM(long) stays long and wraps
+        # silently outside ANSI mode. Carry the moment arithmetic in
+        # DECIMAL(38,0) — exact to 1e38, which covers count*sum(v^2) for
+        # ~1e12 docs of 1e4 chars — so the cross-engine bridge holds at
+        # corpus sizes where int64 would diverge.
         F.expr(
-            "CAST((COUNT(*) * SUM(v * v) - SUM(v) * SUM(v))"
-            " div (COUNT(*) * COUNT(*)) AS BIGINT)"
+            "CAST(CAST(SUM(v) AS DECIMAL(38,0)) * 1000 div COUNT(*) AS BIGINT)"
+        ).alias("win_mean_milli"),
+        F.expr(
+            "CAST((CAST(COUNT(*) AS DECIMAL(38,0))"
+            " * SUM(CAST(v AS DECIMAL(18,0)) * v)"
+            " - CAST(SUM(v) AS DECIMAL(38,0)) * CAST(SUM(v) AS DECIMAL(38,0)))"
+            " div (CAST(COUNT(*) AS DECIMAL(38,0)) * COUNT(*)) AS BIGINT)"
         ).alias("win_var"),
     )

@@ -1875,24 +1875,80 @@ def fuzzy_trigram_pairs(part: DataFrame) -> DataFrame:
     )
 
 
+# Clone-collapsed survivorship oracle (ADVICE r6, medium): the Spark side
+# computes near-dup edges and CC at distinct-text REP grain and counts an
+# exact-clone family of k >= 2 as a cluster even when its rep has no
+# near-dup edge; the old oracle ran the CC CTEs at full document grain
+# with no family rule, so a corpus containing exact clones diverged
+# (verified: a 2-word clone pair → Spark 4 rows, oracle 2). This oracle
+# states the collapsed semantics directly: CC over distinct-text reps
+# (same shingle df-cap, now at rep grain), the k>=2 family-cluster rule,
+# and membership expanded back through the text-equality family map.
+_REPS_CC_CTES = f"""reps AS (
+  SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
+), w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM reps
+), sh_all AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, len(words) - 1),
+                   i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+  )) AS sh
+  FROM w WHERE len(words) >= 3
+), sh AS (
+  SELECT doc_id, sh FROM sh_all
+  WHERE sh IN (SELECT sh FROM sh_all GROUP BY sh HAVING COUNT(*) <= {SHINGLE_DF_CAP})
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), edges AS (
+  SELECT p.doc_a, p.doc_b
+  FROM pairs p
+  JOIN sizes sa ON sa.doc_id = p.doc_a
+  JOIN sizes sb ON sb.doc_id = p.doc_b
+  WHERE p.inter >= 2
+    AND CAST(p.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - p.inter) >= {CLUSTER_JACCARD}
+), nodes AS (
+  SELECT doc_a AS node FROM edges UNION SELECT doc_b FROM edges
+), bidir AS (
+  SELECT doc_a AS src, doc_b AS dst FROM edges
+  UNION ALL SELECT doc_b, doc_a FROM edges
+), reach AS (
+  SELECT node, node AS label FROM nodes
+  UNION
+  SELECT b.dst AS node, r.label FROM reach r JOIN bidir b ON b.src = r.node
+), cc AS (
+  SELECT node AS rep, MIN(label) AS cc_label FROM reach GROUP BY node
+)"""
+
 _CANONICAL_ORACLE = f"""
-WITH RECURSIVE {{ctes}}, members AS (
-  SELECT cc.doc_id, cc.cluster_root, d.n_chars
-  FROM cc JOIN documents d ON d.doc_id = cc.doc_id
+WITH RECURSIVE {_REPS_CC_CTES}, fam AS (
+  SELECT text, MIN(doc_id) AS rep, COUNT(*) AS n_fam,
+         MAX(n_chars) AS fam_chars
+  FROM documents GROUP BY text
+), rep_members AS (
+  SELECT f.rep, f.text, f.n_fam, f.fam_chars,
+         COALESCE(cc.cc_label, f.rep) AS cluster_root,
+         cc.cc_label IS NOT NULL AS has_edge
+  FROM fam f LEFT JOIN cc ON cc.rep = f.rep
+  WHERE cc.cc_label IS NOT NULL OR f.n_fam >= 2
 ), sized AS (
-  SELECT cluster_root AS r, COUNT(*) AS n_members
-  FROM members GROUP BY cluster_root
+  SELECT cluster_root AS r, SUM(n_fam) AS n_members
+  FROM rep_members GROUP BY cluster_root
 ), ranked AS (
-  SELECT doc_id, cluster_root, n_chars,
+  SELECT cluster_root, rep,
          ROW_NUMBER() OVER (PARTITION BY cluster_root
-                            ORDER BY n_chars DESC, doc_id) AS pick_rk
-  FROM members
+                            ORDER BY fam_chars DESC, rep) AS pick_rk
+  FROM rep_members
 ), canon AS (
-  SELECT cluster_root, doc_id AS canonical_id FROM ranked WHERE pick_rk = 1
+  SELECT cluster_root, rep AS canonical_id FROM ranked WHERE pick_rk = 1
 )
-SELECT m.doc_id, m.cluster_root, s.n_members, c.canonical_id,
-       m.n_chars, m.doc_id = c.canonical_id AS keep
-FROM members m
+SELECT d.doc_id, m.cluster_root, CAST(s.n_members AS BIGINT) AS n_members,
+       c.canonical_id, d.n_chars, d.doc_id = c.canonical_id AS keep
+FROM documents d
+JOIN rep_members m ON m.text = d.text
 JOIN sized s ON s.r = m.cluster_root
 JOIN canon c ON c.cluster_root = m.cluster_root
 """
@@ -1901,31 +1957,35 @@ JOIN canon c ON c.cluster_root = m.cluster_root
 @register(
     "dedup_canonical_pick",
     tags=("llm", "dedup", "clustering", "survivorship"),
-    oracle=_CANONICAL_ORACLE.format(ctes=_CC_CTES),
+    oracle=_CANONICAL_ORACLE,
 )
 def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survivorship policy over duplicate clusters — the half of dedup
     that dedup_cluster_assign leaves open: WHICH copy to keep. The
     min-id root is an arbitrary winner; production keeps the
-    highest-quality member. Here the policy is deterministic
-    best-by-length (n_chars DESC, doc_id tiebreak — stand-in for a full
-    quality score, same plan shape), picked with one row_number window
-    over cluster members. Emits every member with its cluster root,
-    size, canonical winner, and keep flag, so the drop set is the
-    operator's output, not a downstream join.
+    highest-quality member. The policy is deterministic best-by-length
+    (family n_chars DESC, rep doc_id tiebreak — stand-in for a full
+    quality score, same plan shape). Emits every member with its
+    cluster root, size, canonical winner, and keep flag, so the drop
+    set is the operator's output, not a downstream join.
 
-    Plan shape — the r6 clone-collapse rule applied to the whole
-    topology (a naive edges-then-pick ran 17× at 10× clone density):
-    exact-clone families collapse to their min-id representative BEFORE
-    any shingle/pair work (_distinct_text_reps), near-dup edges and the
-    iterative CC run at REP grain, then membership expands back through
-    the text-hash family map — a clone's cluster is its rep's cluster,
-    and a family of k ≥ 2 exact clones is itself a cluster even when
-    its rep has no near-dup edge. Family min-ids make the expanded
-    cluster root equal MIN(member id), so the fixture semantics (and
-    the oracle) are unchanged where no exact clones exist. The pick
-    window partitions by cluster root — cluster-size-bounded,
-    never corpus-scale."""
+    Plan shape — the r6 clone-collapse rule applied to the WHOLE
+    topology, survivorship pick included (r6 verdict #5: the
+    member-grain pick window was the residual 3.1x at 10x clone
+    density; a naive edges-then-pick ran 17x): exact-clone families
+    collapse to their min-id representative BEFORE any shingle/pair
+    work (_distinct_text_reps); near-dup edges, the iterative CC, the
+    cluster sizing (SUM of family counts), and the survivorship window
+    ALL run at REP grain. Identical texts have identical n_chars and a
+    family's rep is its min doc_id, so the rep-grain order
+    (fam_chars DESC, rep) picks the same winner the member-grain order
+    (n_chars DESC, doc_id) would — the canonical is defined at rep
+    grain and the oracle states it the same way. Member expansion is
+    then ONE hash join of the corpus against the (tiny) rep_members
+    map — linear emit, no member-grain shuffle or window anywhere.
+    A family of k >= 2 exact clones is itself a cluster even when its
+    rep has no near-dup edge (the oracle carries the same rule — the
+    clone-collapsed CTE form, per ADVICE r6)."""
     all_docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "n_chars"
     )
@@ -1954,29 +2014,31 @@ def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("rep"), F.col("label").alias("cc_label")
     )
     fam = all_docs.groupBy(F.xxhash64("text").alias("_h")).agg(
-        F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("n_fam")
+        F.min("doc_id").alias("rep"),
+        F.count(F.lit(1)).alias("n_fam"),
+        F.max("n_chars").alias("fam_chars"),
     )
-    expanded = (
-        all_docs.select("doc_id", "n_chars", F.xxhash64("text").alias("_h"))
-        .join(fam, "_h")
-        .join(cc_reps, "rep", "left")
+    rep_members = (
+        fam.join(cc_reps, "rep", "left")
         .withColumn("cluster_root", F.coalesce("cc_label", "rep"))
         .filter(F.col("cc_label").isNotNull() | (F.col("n_fam") >= 2))
+        .cache()
     )
-    members = expanded.select("doc_id", "cluster_root", "n_chars")
-    sized = members.groupBy("cluster_root").agg(
-        F.count(F.lit(1)).alias("n_members")
+    sized = rep_members.groupBy("cluster_root").agg(
+        F.sum("n_fam").cast("long").alias("n_members")
     )
     w = Window.partitionBy("cluster_root").orderBy(
-        F.col("n_chars").desc(), "doc_id"
+        F.col("fam_chars").desc(), "rep"
     )
     canon = (
-        members.withColumn("pick_rk", F.row_number().over(w))
+        rep_members.withColumn("pick_rk", F.row_number().over(w))
         .filter(F.col("pick_rk") == 1)
-        .select("cluster_root", F.col("doc_id").alias("canonical_id"))
+        .select("cluster_root", F.col("rep").alias("canonical_id"))
     )
     return (
-        members.join(F.broadcast(sized), "cluster_root")
+        all_docs.select("doc_id", "n_chars", F.xxhash64("text").alias("_h"))
+        .join(rep_members.select("_h", "cluster_root"), "_h")
+        .join(F.broadcast(sized), "cluster_root")
         .join(F.broadcast(canon), "cluster_root")
         .select(
             "doc_id",

@@ -207,15 +207,17 @@ def _fit_pq_codebooks(emb: DataFrame) -> list[list[list[float]]]:
     return books
 
 
-def _trained_pq_scores(s: int, books: list[list[list[float]]]) -> str:
-    """DOUBLE score array for subspace ``s`` against a trained codebook:
-    sc[k] = |c_k|^2 - 2<x_s, c_k> (argmin = nearest centroid; adding the
-    query-constant |x_s|^2 recovers the true squared distance). Plain
-    doubles — the trained variant is rows-only, so there is no
-    cross-engine float-order constraint to defend against."""
+def _trained_pq_scores(
+    s: int, books: list[list[list[float]]], src: str = "embedding"
+) -> str:
+    """DOUBLE score array for subspace ``s`` of column ``src`` against a
+    trained codebook: sc[k] = |c_k|^2 - 2<x_s, c_k> (argmin = nearest
+    centroid; adding the query-constant |x_s|^2 recovers the true squared
+    distance). Plain doubles — the trained variants are rows-only, so
+    there is no cross-engine float-order constraint to defend against."""
     from .similarity import PQ_SUBDIM
 
-    sub = f"slice(embedding, {s * PQ_SUBDIM + 1}, {PQ_SUBDIM})"
+    sub = f"slice({src}, {s * PQ_SUBDIM + 1}, {PQ_SUBDIM})"
     elems = []
     for cent in books[s]:
         c_sq = sum(v * v for v in cent)
@@ -353,6 +355,237 @@ def sim_ann_adc_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         exact_k.join(
             adc_k,
+            (F.col("a_query_id") == F.col("query_id"))
+            & (F.col("a_neighbor_id") == F.col("neighbor_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("a_neighbor_id").alias("hits"),
+            (F.count("a_neighbor_id").cast("double") / F.lit(TOP_K)).alias(
+                "recall_at_k"
+            ),
+        )
+    )
+
+
+# Residual codebooks for the trained IVFADC pair, memoized like the plain
+# PQ books: training is an offline artifact keyed by the corpus's actual
+# parquet file set. The coarse quantizer stays the FIXED seeded centroid
+# grid the hash-checked sim_ann_ivfadc uses, so the trained/untrained
+# recall difference isolates exactly one variable — residual codebook
+# quality — with identical cells, probes, and candidate sets.
+_IVFADC_BOOK_CACHE: dict[tuple[str, ...], list[list[list[float]]]] = {}
+
+
+def _fit_ivfadc_residual_codebooks(emb: DataFrame) -> list[list[list[float]]]:
+    """Per-subspace k-means over the corpus's CELL RESIDUALS (vector minus
+    its assigned coarse centroid) — the step Jégou's IVFADC trains offline.
+    At 100 TB the fit sees a driver-side sample of residual subvectors;
+    locally the corpus is sample-sized. Returned plain-float lists
+    broadcast into JVM literal-array expressions (no UDF)."""
+    from pyspark.ml.clustering import KMeans
+
+    from .similarity import (
+        PQ_CODES,
+        PQ_SUBDIM,
+        PQ_SUBSPACES,
+        _ivf_scores_spark,
+        _residual_spark,
+    )
+
+    key = tuple(sorted(emb.inputFiles()))
+    if key and key in _IVFADC_BOOK_CACHE:
+        return _IVFADC_BOOK_CACHE[key]
+
+    resid = (
+        emb.select(
+            "embedding", F.expr(_ivf_scores_spark()).alias("scores")
+        )
+        .select(
+            "embedding",
+            (F.expr("array_position(scores, array_min(scores))") - 1)
+            .cast("int")
+            .alias("cent"),
+        )
+        .select(F.expr(_residual_spark("embedding", "cent")).alias("res"))
+        .cache()  # 8 KMeans fits scan it; unpersisted by Spark LRU after
+    )
+    books = []
+    for s in range(PQ_SUBSPACES):
+        sub = resid.select(
+            array_to_vector(
+                F.expr(f"slice(res, {s * PQ_SUBDIM + 1}, {PQ_SUBDIM})")
+            ).alias("features")
+        )
+        km = KMeans(k=PQ_CODES, seed=6200 + s, maxIter=10, featuresCol="features")
+        books.append([[float(x) for x in c] for c in km.fit(sub).clusterCenters()])
+    if key:
+        _IVFADC_BOOK_CACHE[key] = books
+    return books
+
+
+def _ivfadc_trained_parts(spark: SparkSession, sf_dir: str):
+    """(coded corpus, query lookup tables) for the trained IVFADC pair —
+    the same two map-only projection chains as sim_ann_ivfadc with the
+    residual score arrays swapped to the trained codebooks (plain
+    doubles: the trained pair is rows-only, so no int-scaling bridge)."""
+    from .similarity import (
+        IVF_NPROBE,
+        N_QUERIES,
+        PQ_SUBSPACES,
+        _ivf_scores_spark,
+        _residual_spark,
+    )
+    from ._shared import spread_small
+    from pyspark.sql import Window
+
+    emb = spread_small(load_table(spark, sf_dir, "embeddings"))
+    books = _fit_ivfadc_residual_codebooks(emb)
+    scored = emb.select(
+        "vec_id", "label", "embedding",
+        F.expr(_ivf_scores_spark()).alias("scores"),
+    )
+    resid = scored.select(
+        "vec_id", "label",
+        (F.expr("array_position(scores, array_min(scores))") - 1)
+        .cast("int")
+        .alias("cent"),
+        "embedding",
+    ).select(
+        "vec_id", "label", "cent",
+        F.expr(_residual_spark("embedding", "cent")).alias("res"),
+    )
+    res_scored = resid.select(
+        "vec_id", "label", "cent", "res",
+        *[
+            F.expr(_trained_pq_scores(s, books, src="res")).alias(f"sc{s}")
+            for s in range(PQ_SUBSPACES)
+        ],
+    )
+    coded = res_scored.select(
+        "vec_id", "label", "cent",
+        *[
+            (F.expr(f"array_position(sc{s}, array_min(sc{s}))") - 1)
+            .cast("int")
+            .alias(f"code{s}")
+            for s in range(PQ_SUBSPACES)
+        ],
+        # per-row residual reconstruction error |r - c(code)|^2 =
+        # |r|^2 + min_k(|c_k|^2 - 2<r, c_k>): the trained-beats-untrained
+        # invariant's measurable (same identity the PQ pair exposes)
+        F.round(
+            F.expr(
+                "aggregate(transform(res, x -> x * x), 0.0D,"
+                " (acc, v) -> acc + v)"
+            )
+            + sum(
+                F.expr(f"array_min(sc{s})") for s in range(PQ_SUBSPACES)
+            ),
+            6,
+        ).alias("recon_err_sq"),
+    )
+    prn_w = Window.partitionBy("query_id").orderBy("s", "p_cent")
+    probes = (
+        scored.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "embedding",
+            F.posexplode("scores").alias("p_cent", "s"),
+        )
+        .withColumn("prn", F.row_number().over(prn_w))
+        .filter(F.col("prn") <= IVF_NPROBE)
+        .select("query_id", "embedding", "p_cent")
+    )
+    qres = probes.select(
+        "query_id", "p_cent",
+        F.expr(_residual_spark("embedding", "p_cent")).alias("q_res"),
+    )
+    qlt = qres.select(
+        "query_id", "p_cent",
+        F.expr(
+            "aggregate(transform(q_res, r -> r * r), 0.0D,"
+            " (acc, v) -> acc + v)"
+        ).alias("term0"),
+        *[
+            F.expr(_trained_pq_scores(s, books, src="q_res")).alias(f"qsc{s}")
+            for s in range(PQ_SUBSPACES)
+        ],
+    )
+    return coded, qlt
+
+
+@register(
+    "sim_ann_ivfadc_trained",
+    tags=("llm", "similarity", "ivf", "pq", "ann", "ml"),
+    oracle=None,  # trained residual codebooks: deterministic per seed but
+    # KMeans' distributed float-sum merge order makes cross-engine
+    # replication impractical; the fixed-codebook twin (sim_ann_ivfadc)
+    # is the hash-checked variant, and tests pin trained-beats-untrained
+    # reconstruction + recall invariants against it
+)
+def sim_ann_ivfadc_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC with TRAINED residual codebooks — the production form of
+    `sim_ann_ivfadc` (r6 verdict #6): same fixed coarse quantizer, same
+    cells, same probes, same candidate sets; only the 8 per-subspace
+    codebooks now come from KMeans over the corpus's own cell residuals
+    (memoized per input-file set like embedding_product_quantize_trained)
+    instead of a seeded random draw. Scale shape unchanged: map-only
+    corpus encode, N_QUERIES x NPROBE broadcast probe rows, 8 integer
+    lookups per candidate on 4 B of codes."""
+    from pyspark.sql import Window
+
+    from .similarity import PQ_SUBSPACES, TOP_K
+
+    coded, qlt = _ivfadc_trained_parts(spark, sf_dir)
+    adc = F.col("term0")
+    for s in range(PQ_SUBSPACES):
+        adc = adc + F.element_at(F.col(f"qsc{s}"), F.col(f"code{s}") + 1)
+    cand = (
+        F.broadcast(qlt)
+        .join(
+            coded,
+            (F.col("cent") == F.col("p_cent"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            F.round(adc, 9).alias("adc_score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_score", "neighbor_id")
+    return cand.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= TOP_K
+    )
+
+
+@register(
+    "sim_ann_ivfadc_trained_recall",
+    tags=("llm", "similarity", "eval", "ivf", "pq", "ml"),
+    oracle=None,  # composes the trained index (rows-only, above); the
+    # recall-vs-exact audit pattern IS its invariant harness, and the
+    # paired test asserts it does not fall below the untrained twin's
+)
+def sim_ann_ivfadc_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of trained-codebook IVFADC vs brute-force exact cosine —
+    the audit row the r6 verdict asked to pair with the trained index.
+    The untrained twin measured ~0.10 recall@5 at sf0.01 and attributed
+    the loss to BOTH levers; with cells/probes held identical, any lift
+    here is purely the trained residual codebooks ranking candidates
+    closer to their true distances (the full-scan ADC pair measured
+    0.20 trained vs 0.11 untrained on the same fixtures)."""
+    from .similarity import TOP_K, sim_cosine_topk
+
+    exact_k = sim_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    trained_k = sim_ann_ivfadc_trained(spark, sf_dir).select(
+        F.col("query_id").alias("a_query_id"),
+        F.col("neighbor_id").alias("a_neighbor_id"),
+    )
+    return (
+        exact_k.join(
+            trained_k,
             (F.col("a_query_id") == F.col("query_id"))
             & (F.col("a_neighbor_id") == F.col("neighbor_id")),
             "left",

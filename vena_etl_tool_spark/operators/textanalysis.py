@@ -2479,7 +2479,9 @@ WITH ranked AS (
 SELECT doc_id, source, n_chars,
        CAST(src_rank AS BIGINT) AS src_rank,
        CAST((src_rank - 1) * 1000 // NULLIF(n_src - 1, 0) AS BIGINT) AS pct_milli,
-       CAST(LEAST((src_rank - 1) * 10 // NULLIF(n_src - 1, 0), 9) AS BIGINT) AS decile
+       CAST(CASE WHEN n_src > 1
+                 THEN LEAST((src_rank - 1) * 10 // (n_src - 1), 9)
+            END AS BIGINT) AS decile
 FROM ranked
 """
 
@@ -2500,8 +2502,10 @@ def text_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     dataset_mixture-style sampling weights. RANK (not row_number) keeps
     tied scores at the same percentile; the explicit
     (rank−1)·1000/(n−1) integer form avoids percent_rank()'s
-    double-typed output and its engine-specific single-row edge case
-    (NULLIF handles n=1 identically in both engines).
+    double-typed output and its engine-specific single-row edge case;
+    a singleton source has no rank spread, so BOTH pct_milli (NULLIF)
+    and decile (explicit CASE — LEAST would otherwise skip the NULL and
+    return an arbitrary 9) are NULL for n_src = 1.
 
     Plan shape: one window over the source partitioning — a single
     exchange on the source key; no global sort. At 100 TB a source is
@@ -2527,9 +2531,97 @@ def text_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "CAST((src_rank - 1) * 1000 div NULLIF(n_src - 1, 0) AS BIGINT)"
             ).alias("pct_milli"),
+            # decile NULL-propagates for a singleton source (ADVICE r6):
+            # LEAST skips NULLs in both engines, so the raw form returned
+            # an arbitrary 9 for n_src=1 — the CASE makes pct_milli and
+            # decile consistently undefined when there is no rank spread.
             F.expr(
-                "CAST(LEAST((src_rank - 1) * 10 div NULLIF(n_src - 1, 0), 9)"
-                " AS BIGINT)"
+                "CAST(CASE WHEN n_src > 1"
+                " THEN LEAST((src_rank - 1) * 10 div (n_src - 1), 9)"
+                " END AS BIGINT)"
             ).alias("decile"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM surprisal — a perplexity proxy in exact integer arithmetic
+# ---------------------------------------------------------------------------
+_SURPRISAL_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), big AS (
+  SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+  FROM toks, UNNEST(range(1, len(l))) AS u(i)
+), model AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2
+), firsts AS (
+  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM model GROUP BY w1
+), scored AS (
+  SELECT m.w1, m.w2,
+         length(bin(f.c1 // m.c12)) - 1 AS bits
+  FROM model m JOIN firsts f USING (w1)
+)
+SELECT b.doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(s.bits) AS BIGINT) AS total_bits,
+       CAST(SUM(s.bits) * 1000 // COUNT(*) AS BIGINT) AS bits_per_bigram_milli
+FROM big b JOIN scored s ON s.w1 = b.w1 AND s.w2 = b.w2
+GROUP BY b.doc_id
+"""
+
+
+@register(
+    "text_bigram_surprisal",
+    tags=("llm", "text", "quality", "lm"),
+    oracle=_SURPRISAL_ORACLE,
+)
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM surprisal scoring — the perplexity-proxy quality signal
+    (KenLM-style filtering, made exactly portable): train adjacent-bigram
+    counts on the corpus itself, then score each document by the summed
+    surprisal of its bigrams under the model,
+    floor(log2(P(w2|w1)^-1)) = floor(log2(c(w1,*) / c(w1,w2))) bits.
+    The integer log2 is length(bin(q)) - 1 — bit length is exact and
+    identical in both engines (the HLL rank trick), so a
+    transcendental-looking LM score stays hash-checkable; the quotient is
+    >= 1 by construction (a bigram's count never exceeds its first
+    token's continuation total). High bits/bigram = improbable word
+    transitions under the corpus's own statistics — boilerplate and
+    fluent text score low, gibberish and shuffled text score high; the
+    milli-normalized column feeds the same mixture/filter machinery as
+    text_lm_quality_buckets.
+
+    Plan shape: ONE bigram explode feeds both the model aggregate
+    (vocabulary-grain shuffle) and the scoring join back onto the same
+    exploded rows ((w1,w2)-keyed shuffle join — vocabulary-sized build
+    side), then one doc-grain aggregate. No window, no driver state; at
+    100 TB every exchange is bigram-vocabulary- or corpus-linear, and
+    the model table could be persisted once and broadcast for repeated
+    scoring passes. Grain: documents with >= 2 tokens (a shorter doc has
+    no bigram and no defined surprisal)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("l"))
+    big = (
+        toks.withColumn("a1", F.expr("slice(l, 1, size(l) - 1)"))
+        .withColumn("a2", F.expr("slice(l, 2, size(l) - 1)"))
+        .select("doc_id", F.explode(F.arrays_zip("a1", "a2")).alias("z"))
+        .select("doc_id", F.col("z.a1").alias("w1"), F.col("z.a2").alias("w2"))
+    )
+    model = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    firsts = model.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    scored = model.join(firsts, "w1").select(
+        "w1", "w2",
+        (F.length(F.expr("bin(c1 div c12)")) - 1).alias("bits"),
+    )
+    return (
+        big.join(scored, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("bits").cast("long").alias("total_bits"),
+            F.expr("CAST(SUM(bits) * 1000 div COUNT(*) AS BIGINT)").alias(
+                "bits_per_bigram_milli"
+            ),
         )
     )

@@ -66,106 +66,35 @@ def _load_all() -> None:
 # records `no_oracle` as an error); never-checked > re-validation when
 # displacing; a query whose code or ORACLE changes re-enters the window.
 #
-# Round-6 window (r5 verdict #1): after r5, every oracle-backed query
-# holds a driver-green row somewhere in r1∪…∪r5, so this round is pure
-# evidence-freshness rotation plus this round's changes:
-#   (1) the 5 queries whose CODE or ORACLE changed in r6 — they re-enter
-#       per the window policy: dedup_containment (clone-family
-#       pre-collapse + reps oracle CTE), multimodal_phash_neardup (same
-#       collapse + occupancy band-width rule + reps oracle CTE),
-#       corpus_drift_topk (empty-corpus coalesce under the overflow
-#       guard), corpus_incremental_persisted (INCR_BAND_CAP shared
-#       constant), stream_dedup_within_watermark (single-input-batch
-#       runtime assert) — the last three are r5-green and the changes
-#       are behavior-preserving on the fixtures, but "changed ⇒
-#       re-enter" is the rule that keeps driver rows certifying CURRENT
-#       text;
-#   (2) the full 31-query r2-evidence backlog (23 declared in
-#       ROUND5_NOTES + the 8 late-r5 displacements) — after this round
-#       no oracle-backed query's newest driver evidence predates r3;
-#   (3) 14 oldest-r3-evidence picks, per the verdict's shortlist: the
-#       five r3 setop queries, sort_global_ranked, struct_functions,
-#       map_functions, hash_functions, and the five r3 TPC-H derivatives
-#       (q13/q14/q18/q19/q22).
-# The r6 rows-only additions (embedding_product_quantize_trained,
-# sim_ann_adc_trained_recall) can never hold a driver row and stay out.
-# Remaining r3-evidence queries (~32) are the declared r7 backlog.
+# Round-7 window (r6 verdict #1, frozen at round start per verdict #8):
+#   (1) all 30 ROTATION_RESIDUE queries from r6 — every r6-added
+#       oracle-backed operator takes its FIRST driver-green row here.
+#       Three of them additionally changed in r7 (ADVICE fixes):
+#       dedup_canonical_pick (clone-collapsed reps oracle + rep-grain
+#       survivorship pick), agg_winsorized_stats (DECIMAL(38,0) moment
+#       arithmetic), text_quality_calibration (NULL decile for a
+#       singleton source) — "changed ⇒ re-enter" and "never-checked"
+#       coincide for them.
+#   (2) 20 oldest-r3-evidence picks — the alphabetically-first 20 of the
+#       32-query r3 backlog computed from docs/COVERAGE.md ∪
+#       CORRECTNESS_r06 (this front-loads the whole streaming family,
+#       the heaviest re-certification risk).
+# The 12 remaining r3-evidence queries are the DECLARED r8 backlog:
+#   text_chunk_windows, text_fingerprint, text_quality_score,
+#   text_token_stats, text_wordfreq_topk, ts_anomaly_zscore,
+#   ts_gapfill_hourly, ts_moving_average, udf_apply_in_pandas,
+#   udf_map_in_pandas, udf_sql_registered, window_analytic.
+# After the r7 driver run: no oracle-backed query's newest evidence
+# predates r3, residue = only post-freeze r7 additions, and the r8
+# window (12 stragglers + r7 residue + r8 changes) fits one window.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- (1) changed in r6 ---
-    "dedup_containment",
-    "multimodal_phash_neardup",
-    "corpus_drift_topk",
-    "corpus_incremental_persisted",
-    "stream_dedup_within_watermark",
-    # --- (2) the r2-evidence backlog, complete (31) ---
-    "agg_collect",
-    "corpus_curation_pipeline",
-    "dedup_cluster_assign",
-    "dedup_levenshtein",
-    "dedup_ngram_jaccard",
-    "embedding_quantize_int8",
-    "filter_project",
-    "ingest_quarantine_counts",
-    "layout_partitioned_pruning",
-    "multimodal_resize_plan",
-    "q17_small_quantity_revenue",
-    "q21_sole_returner",
-    "q6_revenue_forecast",
-    "setop_except_all",
-    "setop_intersect_all",
-    "sim_ann_ivf",
-    "sim_cosine_topk",
-    "skew_salted_aggregate",
-    "stream_foreach_batch_sink",
-    "stream_static_join",
-    "subquery_correlated_scalar",
-    "subquery_in_not_in",
-    "subquery_lateral_topn",
-    "text_langid",
-    "text_redact",
-    "text_term_salience",
-    "topk_global",
-    "topn_per_group",
-    "udf_grouped_agg",
-    "udf_pandas_scalar_norm",
-    "window_ranking",
-    # --- (3) oldest r3-evidence picks (14) ---
-    "setop_except",
-    "setop_intersect",
-    "setop_union_all",
-    "setop_union_by_name",
-    "setop_union_distinct",
-    "sort_global_ranked",
-    "struct_functions",
-    "map_functions",
-    "hash_functions",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_filter",
-    "q22_dormant_balance",
-)
-
-# Oracle-backed queries added AFTER this round's window was frozen — they
-# rotate into the next round's window. Kept explicit so tests + ROUND notes
-# can audit that nothing silently escapes driver coverage. The r6 window
-# froze on the 31-query r2 backlog (displacing backlog entries for late
-# additions was exactly the r5 problem the verdict flagged), so operators
-# added after the freeze are declared residue and lead the r7 window
-# instead. First r6 session: the BPE trainer family, snapshot diff, the
-# mutual-kNN graph, and semantic clusters. Continuation session: the
-# fuzzy trigram join (PPJoin), IVFADC + its recall audit, JL random
-# projection + its distortion audit, integer PageRank, label propagation,
-# the audited count-min sketch, and weighted Bernoulli sampling
-# (per-operator rationale in docs/ROUND6_NOTES.md).
-ROTATION_RESIDUE: tuple[str, ...] = (
+    # --- (1) the full r6 ROTATION_RESIDUE (30), first driver rows ---
     "corpus_snapshot_diff",
     "sim_knn_graph_mutual",
     "sim_semantic_clusters",
     "text_bpe_merge_step",
     "text_bpe_train",
     "text_bpe_apply",
-    # --- added in the r6 continuation session ---
     "join_fuzzy_trigram",
     "sim_ann_ivfadc",
     "sim_ann_ivfadc_recall",
@@ -178,7 +107,6 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     "join_asof_tolerance",
     "stream_cms_merge",
     "multimodal_phash_clusters",
-    # --- third r6 work session ---
     "text_hll_cardinality",
     "stream_hll_merge",
     "layout_rendezvous_shards",
@@ -190,8 +118,42 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     "events_cumulative_uniques",
     "dedup_canonical_pick",
     "text_quality_calibration",
-    # --- fourth r6 work session ---
     "events_change_point",
+    # --- (2) oldest r3-evidence picks (20 of 32; rest = declared r8) ---
+    "ansi_safe_casts",
+    "bitwise_functions",
+    "dataset_split_assign",
+    "dedup_minhash_signatures",
+    "explode_functions",
+    "funnel_conversion",
+    "join_asof_last_click",
+    "layout_orc_roundtrip",
+    "layout_zorder_stats",
+    "merge_upsert_actions",
+    "q4_priority_exists",
+    "sample_stratified",
+    "scd2_priority_history",
+    "stream_dedup",
+    "stream_lifecycle_metrics",
+    "stream_session_window",
+    "stream_sliding_window",
+    "stream_stream_join",
+    "stream_tumbling_window",
+    "text_bpe_token_estimate",
+)
+
+# Oracle-backed queries added AFTER this round's window was frozen — they
+# rotate into the next round's window. Kept explicit so tests + ROUND notes
+# can audit that nothing silently escapes driver coverage. The r7 window
+# froze at round start (r6 verdict #8) seating the complete 30-query r6
+# residue first, so this list reopens empty; every oracle-backed operator
+# ADDED during r7 must be appended here (enforced by
+# tests/test_registry_order.py) and leads the r8 window together with the
+# 12 declared r3-evidence stragglers listed above DRIVER_WINDOW.
+ROTATION_RESIDUE: tuple[str, ...] = (
+    # --- first r7 work session ---
+    "text_bigram_surprisal",
+    "layout_zonemap_prune",
 )
 
 
