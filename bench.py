@@ -120,6 +120,9 @@ HEADLINE = [
     "sim_ann_ivfadc_trained_recall",
     "text_bigram_surprisal",
     "layout_zonemap_prune",
+    "skyline_pareto_frontier",
+    "text_bm25_search",
+    "text_hll_overlap",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

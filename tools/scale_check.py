@@ -154,6 +154,14 @@ QUERIES = (
     "q18_large_volume_customers",
     "q21_sole_returner",
     "profile_key_skew",
+    # r7 second session: the skyline's window runs on the (segment, price)
+    # grain after a map-side-combinable rollup (10x orders -> ~10x grain
+    # here since prices are near-unique, but the frontier join stays
+    # linear); BM25's posting build is IN-list-pruned at the scan; the HLL
+    # overlap ships 64 ints per source — only its exact-audit join grows.
+    "skyline_pareto_frontier",
+    "text_bm25_search",
+    "text_hll_overlap",
 )
 REPLICAS = 10
 

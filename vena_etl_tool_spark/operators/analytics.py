@@ -548,3 +548,103 @@ def events_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cumulative_users"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Skyline / Pareto frontier — multi-objective dominance
+# ---------------------------------------------------------------------------
+SKY_FROM = "DATE '1997-01-01'"   # one-year analysis window: bounds the
+SKY_TO = "DATE '1998-01-01'"     # oracle's quadratic NOT-EXISTS check
+
+
+@register(
+    "skyline_pareto_frontier",
+    tags=("analytics", "skyline", "window", "frontier"),
+    oracle=f"""
+WITH o AS (
+  SELECT c_mktsegment AS segment, o_orderkey, o_totalprice AS price,
+         CAST(o_orderdate AS DATE) AS order_date
+  FROM orders JOIN customer ON c_custkey = o_custkey
+  WHERE o_orderdate >= {SKY_FROM} AND o_orderdate < {SKY_TO}
+)
+SELECT segment, o_orderkey, price, order_date,
+       ROW_NUMBER() OVER (PARTITION BY segment
+                          ORDER BY price, o_orderkey) AS frontier_rank
+FROM o x
+WHERE NOT EXISTS (
+  SELECT 1 FROM o y
+  WHERE y.segment = x.segment
+    AND y.price <= x.price AND y.order_date >= x.order_date
+    AND (y.price < x.price OR y.order_date > x.order_date)
+)
+""",
+)
+def skyline_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) query — the classic multi-objective
+    operator (Börzsönyi et al., ICDE 2001) the relational surface lacks:
+    per market segment, the orders of the analysis year not DOMINATED by
+    any other (dominator: price <= AND order_date >=, at least one
+    strict) — i.e. the cheapest-for-how-recent frontier. Equal
+    (price, date) twins dominate neither and both survive.
+
+    Plan shape — the sort-first linear scan, NOT the quadratic
+    definition: (1) collapse to (segment, price) grain keeping the max
+    date per price (map-side-combinable aggregate — a price survives
+    only via its best date); (2) ONE window over the price-grain frame,
+    ordered by price, carrying the running max of earlier (strictly
+    cheaper) dates: a price-grain row survives iff its best date beats
+    every cheaper price's best date; (3) one hash join back to rows,
+    keeping rows AT the surviving (price, best-date) points. The oracle
+    states the textbook NOT-EXISTS dominance directly, so the gate
+    proves the O(n log n) rewrite equals the O(n^2) definition. At
+    100 TB the window runs on the price-GRAIN frame (distinct prices,
+    not rows); for a truly monster segment, range-partition by price,
+    take local frontiers, and merge — frontiers are monotone, the merge
+    is the same window on the tiny union of local frontiers."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.expr(SKY_FROM))
+            & (F.col("o_orderdate") < F.expr(SKY_TO))
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "segment",
+            "o_orderkey",
+            F.col("o_totalprice").alias("price"),
+            F.col("o_orderdate").cast("date").alias("order_date"),
+        )
+    )
+    grain = o.groupBy("segment", "price").agg(
+        F.max("order_date").alias("best_date")
+    )
+    w_prev = (
+        Window.partitionBy("segment")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier_prices = (
+        grain.withColumn("prev_best", F.max("best_date").over(w_prev))
+        .filter(
+            F.col("prev_best").isNull()
+            | (F.col("prev_best") < F.col("best_date"))
+        )
+        .select("segment", "price", "best_date")
+    )
+    w_rk = Window.partitionBy("segment").orderBy("price", "o_orderkey")
+    return (
+        o.join(frontier_prices, ["segment", "price"])
+        .filter(F.col("order_date") == F.col("best_date"))
+        .select(
+            "segment",
+            "o_orderkey",
+            "price",
+            "order_date",
+            F.row_number().over(w_rk).alias("frontier_rank"),
+        )
+    )

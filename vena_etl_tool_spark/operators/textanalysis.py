@@ -2625,3 +2625,384 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword retrieval — the RAG-pipeline lexical search primitive
+# ---------------------------------------------------------------------------
+# Fixed literal query set (query_id, term) — the retrieval workload is a
+# constant the way sim_cosine_topk's N_QUERIES is: tiny, broadcast, known.
+BM25_QUERIES: tuple[tuple[str, str], ...] = (
+    ("q_join", "spark"), ("q_join", "join"),
+    ("q_window", "window"), ("q_window", "agg"),
+    ("q_stream", "stream"), ("q_stream", "batch"), ("q_stream", "data"),
+    ("q_cust", "customer"), ("q_cust", "order"),
+)
+BM25_TOP_K = 10
+# k1 = 1.2 and b = 0.75 carried in milli units; the idf is the RAW
+# Robertson ratio (2N - 2df + 1)/(2df + 1) in ppm — log-free, like
+# text_pmi_collocations reports the ratio instead of ln(ratio): log is
+# monotone, so per-term weighting order is preserved while every operation
+# stays exact integer arithmetic that hashes identically cross-engine.
+# (Unlike PMI's single-term ranking, SUMMING ratio-idf instead of log-idf
+# does change multi-term blends — documented as this operator's scoring
+# function, deterministic and portable by construction.)
+
+_BM25_VALUES = ", ".join(f"('{q}', '{t}')" for q, t in BM25_QUERIES)
+
+_BM25_ORACLE = f"""
+WITH queries(query_id, term) AS (
+  VALUES {_BM25_VALUES}
+), stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) * 1000
+           // COUNT(*) AS avgdl_milli
+  FROM documents
+), posting AS (
+  SELECT tok AS term, doc_id, dl, COUNT(*) AS tf
+  FROM (
+    SELECT doc_id, len(string_split(text, ' ')) AS dl,
+           unnest(string_split(text, ' ')) AS tok
+    FROM documents
+  )
+  WHERE tok IN (SELECT DISTINCT term FROM queries)
+  GROUP BY tok, doc_id, dl
+), df AS (
+  SELECT term, COUNT(*) AS df FROM posting GROUP BY term
+), scored AS (
+  SELECT q.query_id, p.doc_id,
+         ((2 * s.n_docs - 2 * d.df + 1) * 1000000 // (2 * d.df + 1)) // 1000
+           * (p.tf * 2200 * 1000
+              // (p.tf * 1000
+                  + (1200 * (250 + (750 * (p.dl * 1000000 // s.avgdl_milli))
+                                   // 1000)) // 1000)) AS term_score
+  FROM queries q
+  JOIN posting p ON p.term = q.term
+  JOIN df d ON d.term = q.term
+  CROSS JOIN stats s
+), ranked AS (
+  SELECT query_id, doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+         CAST(SUM(term_score) AS BIGINT) AS score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY SUM(term_score) DESC, doc_id) AS rk
+  FROM scored GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, n_terms_matched, score, rk
+FROM ranked WHERE rk <= {BM25_TOP_K}
+"""
+
+
+@register(
+    "text_bm25_search",
+    tags=("llm", "text", "retrieval", "bm25", "topk"),
+    oracle=_BM25_ORACLE,
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval — the keyword half of every RAG / training-
+    data search stack (Robertson & Zaragoza 2009), in exact integer
+    arithmetic: for a fixed literal query set, score each matching
+    document SUM over matched terms of idf_surrogate x tf-saturation and
+    return the top-k per query. tf saturation is the real BM25 form
+    (k1 = 1.2, b = 0.75, carried in milli units with explicit integer-div
+    ordering mirrored in the oracle); the idf is the raw Robertson ratio
+    (2N-2df+1)/(2df+1) in ppm — log-free so the score stays
+    hash-checkable (the text_pmi_collocations precedent; log is monotone
+    per term, and the blended scoring function is documented as this
+    operator's own). The idf's leading `div 1000` happens BEFORE the tf
+    product so the int64 headroom holds to ~1e12 docs.
+
+    Plan shape: the query terms prune the posting build at the SCAN
+    (explode -> IN-list filter -> (term, doc) count — a posting list for
+    9 terms, not a corpus index); df is a terms-sized aggregate; the
+    scoring join is posting x broadcast(queries ⋈ df ⋈ corpus-stats);
+    one doc-grain sum and a top-k window per query (K x |queries| rows).
+    At 100 TB nothing shuffles at corpus grain except the pruned posting
+    build, and a pre-built inverted index (layout family) would replace
+    even that with a bucket-pruned read."""
+    docs = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        list(BM25_QUERIES), ["query_id", "term"]
+    )
+    terms = sorted({t for _, t in BM25_QUERIES})
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr(
+            "CAST(SUM(size(split(text, ' '))) AS BIGINT) * 1000"
+            " div COUNT(*)"
+        ).alias("avgdl_milli"),
+    )
+    posting = (
+        docs.select(
+            "doc_id",
+            F.size(F.split("text", " ")).alias("dl"),
+            F.explode(F.split("text", " ")).alias("term"),
+        )
+        .filter(F.col("term").isin(terms))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = posting.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        posting.join(F.broadcast(queries), "term")
+        .join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr(
+                "((2 * n_docs - 2 * df + 1) * 1000000 div (2 * df + 1))"
+                " div 1000"
+                " * (tf * 2200 * 1000"
+                "    div (tf * 1000"
+                "         + (1200 * (250 + (750 * (dl * 1000000"
+                "                                  div avgdl_milli))"
+                "                          div 1000)) div 1000))"
+            ).alias("term_score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), "doc_id"
+    )
+    return (
+        scored.groupBy("query_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_matched"),
+            F.sum("term_score").cast("long").alias("score"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= BM25_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# HLL source-overlap — sketch-based cross-source vocabulary contamination
+# ---------------------------------------------------------------------------
+_HLL_LC_LIST = ", ".join(str(v) for v in HLL_LC_TABLE)
+
+
+def _hll_est_duck(regs: str, keys: str) -> str:
+    """DuckDB CTE pair (est_<regs>, cor_<regs>) applying the portable-HLL
+    estimate (harmonic sum in exact int64 + codegen-time linear-counting
+    table) to a register CTE grouped by ``keys`` — the same formula
+    text_hll_cardinality inlines, factored so the pair-grain estimate is
+    literally the single-source one."""
+    return f"""est_{regs} AS (
+  SELECT {keys}, CAST({HLL_M} - COUNT(*) AS BIGINT) AS zero_registers,
+         SUM(1::BIGINT << ({HLL_RMAX} - m))
+           + ({HLL_M} - COUNT(*)) * (1::BIGINT << {HLL_RMAX}) AS s
+  FROM {regs} GROUP BY {keys}
+), cor_{regs} AS (
+  SELECT {keys},
+         CAST(CASE WHEN zero_registers > 0 AND raw_est < {HLL_LC_THRESHOLD}
+              THEN ([{_HLL_LC_LIST}])[zero_registers + 1]
+              ELSE raw_est END AS BIGINT) AS est
+  FROM (SELECT {keys}, zero_registers,
+               ({HLL_ALPHA_NUM} * {HLL_M} * {HLL_M}
+                  * (1::BIGINT << {HLL_RMAX}))
+                 // ({HLL_ALPHA_DEN} * s) AS raw_est
+        FROM est_{regs})
+)"""
+
+
+_HLL_OVERLAP_ORACLE = f"""
+WITH st AS (
+  SELECT DISTINCT source, tok
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+), r AS (
+  SELECT source, CAST({_HLL_J_DUCK} AS INT) AS j, {_HLL_RHO_DUCK} AS rho
+  FROM st
+), regs_src AS (
+  SELECT source, j, MAX(rho) AS m FROM r GROUP BY source, j
+), prs AS (
+  SELECT a.source AS sa, b.source AS sb
+  FROM (SELECT DISTINCT source FROM st) a
+  JOIN (SELECT DISTINCT source FROM st) b ON a.source < b.source
+), pair_regs AS (
+  SELECT p.sa, p.sb, r.j, MAX(r.m) AS m
+  FROM prs p JOIN regs_src r ON r.source = p.sa OR r.source = p.sb
+  GROUP BY p.sa, p.sb, r.j
+), {_hll_est_duck("regs_src", "source")},
+{_hll_est_duck("pair_regs", "sa, sb")},
+ex AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS c FROM st GROUP BY source
+), inter AS (
+  SELECT a.source AS sa, b.source AS sb, CAST(COUNT(*) AS BIGINT) AS c
+  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT p.sa AS source_a, p.sb AS source_b,
+       xa.c AS exact_a, xb.c AS exact_b,
+       COALESCE(i.c, 0) AS exact_inter,
+       xa.c + xb.c - COALESCE(i.c, 0) AS exact_union,
+       ca.est AS hll_a, cb.est AS hll_b, cp.est AS hll_union,
+       ca.est + cb.est - cp.est AS hll_inter,
+       CAST(abs(cp.est - (xa.c + xb.c - COALESCE(i.c, 0))) * 1000
+            // (xa.c + xb.c - COALESCE(i.c, 0)) AS BIGINT)
+         AS hll_union_err_permille,
+       CAST(COALESCE(i.c, 0) * 1000
+            // (xa.c + xb.c - COALESCE(i.c, 0)) AS BIGINT) AS jaccard_milli,
+       CAST(GREATEST(ca.est + cb.est - cp.est, 0) * 1000
+            // cp.est AS BIGINT) AS hll_jaccard_milli
+FROM prs p
+JOIN cor_regs_src ca ON ca.source = p.sa
+JOIN cor_regs_src cb ON cb.source = p.sb
+JOIN cor_pair_regs cp ON cp.sa = p.sa AND cp.sb = p.sb
+JOIN ex xa ON xa.source = p.sa
+JOIN ex xb ON xb.source = p.sb
+LEFT JOIN inter i ON i.sa = p.sa AND i.sb = p.sb
+"""
+
+
+@register(
+    "text_hll_overlap",
+    tags=("llm", "text", "sketch", "cardinality", "overlap"),
+    oracle=_HLL_OVERLAP_ORACLE,
+)
+def text_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source vocabulary overlap from HLL sketches — the
+    contamination/leakage estimator that works when two corpus shards
+    can't be joined: for every source pair, the UNION sketch is the
+    register-wise MAX of the two per-source sketches (the HLL merge
+    law), and the intersection estimate is inclusion-exclusion
+    |A| + |B| - |A∪B| — the standard sketch-overlap recipe (and its
+    known weakness: the subtraction can go NEGATIVE for small true
+    overlaps, which the raw hll_inter column deliberately exposes while
+    hll_jaccard_milli clamps at 0). Exact distinct counts and the exact
+    pairwise intersection ride along so every pair row carries its own
+    error audit (hll_union_err_permille), the same honest-recall pattern
+    as sim_ann_ivfadc_recall.
+
+    Plan shape: ONE corpus scan -> (source, tok) distinct (vocabulary-
+    sized, cached) -> 64-register sketches per source; the pair frame is
+    |sources|^2/2 rows of 64-int registers — constant-size state per
+    source, so at 100 TB each shard ships 64 ints, never its
+    vocabulary; only the exact-audit join touches vocabulary-grain data
+    (drop it in production and the whole comparison is sketch-sized).
+    All estimate arithmetic is the exact-int64 portable-HLL form
+    (md5-bridged hash, bit-length rank, codegen-time linear-counting
+    table) shared with text_hll_cardinality."""
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+        .cache()
+    )
+    j_expr, rho_expr = _hll_register_sql(_HLL_H_SPARK, "div")
+    regs = (
+        st.select(
+            "source",
+            F.expr(f"CAST({j_expr} AS INT)").alias("j"),
+            F.expr(rho_expr).alias("rho"),
+        )
+        .groupBy("source", "j")
+        .agg(F.max("rho").alias("m"))
+        .cache()  # reused by the single-source and pair-grain estimates
+    )
+    two_rmax = 1 << HLL_RMAX
+    numer = HLL_ALPHA_NUM * HLL_M * HLL_M * two_rmax
+
+    def estimate(grouped, out):
+        est = grouped.agg(
+            (HLL_M - F.count(F.lit(1))).cast("long").alias("zero_registers"),
+            (
+                F.sum(F.expr(f"shiftleft(1L, {HLL_RMAX} - m)"))
+                + (HLL_M - F.count(F.lit(1))) * F.lit(two_rmax)
+            ).alias("s"),
+        )
+        return est.select(
+            *[c for c in est.columns if c not in ("zero_registers", "s")],
+            F.expr(
+                f"CAST(CASE WHEN zero_registers > 0"
+                f" AND {numer}L div ({HLL_ALPHA_DEN} * s) < {HLL_LC_THRESHOLD}"
+                f" THEN element_at(array({_HLL_LC_LIST}),"
+                f" CAST(zero_registers + 1 AS INT))"
+                f" ELSE {numer}L div ({HLL_ALPHA_DEN} * s) END AS BIGINT)"
+            ).alias(out),
+        )
+
+    srcs = st.select("source").distinct()
+    prs = (
+        srcs.select(F.col("source").alias("source_a"))
+        .crossJoin(srcs.select(F.col("source").alias("source_b")))
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    pair_regs = (
+        prs.join(regs, F.col("source") == F.col("source_a"))
+        .select("source_a", "source_b", "j", "m")
+        .unionByName(
+            prs.join(regs, F.col("source") == F.col("source_b")).select(
+                "source_a", "source_b", "j", "m"
+            )
+        )
+        .groupBy("source_a", "source_b", "j")
+        .agg(F.max("m").alias("m"))
+    )
+    est_src = estimate(regs.groupBy("source"), "est")
+    est_pair = estimate(pair_regs.groupBy("source_a", "source_b"), "hll_union")
+    ex = st.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    inter = (
+        st.select(F.col("source").alias("source_a"), "tok")
+        .join(
+            st.select(F.col("source").alias("source_b"), "tok"),
+            "tok",
+        )
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_inter"))
+    )
+    return (
+        prs.join(
+            F.broadcast(est_src.select(F.col("source").alias("source_a"),
+                                       F.col("est").alias("hll_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(est_src.select(F.col("source").alias("source_b"),
+                                       F.col("est").alias("hll_b"))),
+            "source_b",
+        )
+        .join(F.broadcast(est_pair), ["source_a", "source_b"])
+        .join(
+            F.broadcast(ex.select(F.col("source").alias("source_a"),
+                                  F.col("c").alias("exact_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(ex.select(F.col("source").alias("source_b"),
+                                  F.col("c").alias("exact_b"))),
+            "source_b",
+        )
+        .join(F.broadcast(inter), ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "exact_a",
+            "exact_b",
+            F.coalesce("exact_inter", F.lit(0)).alias("exact_inter"),
+            (
+                F.col("exact_a") + F.col("exact_b")
+                - F.coalesce("exact_inter", F.lit(0))
+            ).alias("exact_union"),
+            "hll_a",
+            "hll_b",
+            "hll_union",
+            (F.col("hll_a") + F.col("hll_b") - F.col("hll_union")).alias(
+                "hll_inter"
+            ),
+        )
+        .select(
+            "*",
+            F.expr(
+                "CAST(abs(hll_union - exact_union) * 1000 div exact_union"
+                " AS BIGINT)"
+            ).alias("hll_union_err_permille"),
+            F.expr(
+                "CAST(exact_inter * 1000 div exact_union AS BIGINT)"
+            ).alias("jaccard_milli"),
+            F.expr(
+                "CAST(GREATEST(hll_inter, 0L) * 1000 div hll_union"
+                " AS BIGINT)"
+            ).alias("hll_jaccard_milli"),
+        )
+    )

@@ -154,6 +154,10 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     # --- first r7 work session ---
     "text_bigram_surprisal",
     "layout_zonemap_prune",
+    # --- second r7 work session ---
+    "skyline_pareto_frontier",
+    "text_bm25_search",
+    "text_hll_overlap",
 )
 
 
