@@ -123,6 +123,9 @@ HEADLINE = [
     "skyline_pareto_frontier",
     "text_bm25_search",
     "text_hll_overlap",
+    "events_markov_transitions",
+    "text_boilerplate_ngrams",
+    "ts_ewma_halflife",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

@@ -162,6 +162,13 @@ QUERIES = (
     "skyline_pareto_frontier",
     "text_bm25_search",
     "text_hll_overlap",
+    # Markov transitions: one user-partitioned lag window then a
+    # |types|^2-grain aggregate; boilerplate n-grams: span-vocabulary
+    # exchanges (the replica multiplies positions, not the span vocab);
+    # EWMA: one day-grain rollup then a tiny (type, day) banded self-join.
+    "events_markov_transitions",
+    "text_boilerplate_ngrams",
+    "ts_ewma_halflife",
 )
 REPLICAS = 10
 

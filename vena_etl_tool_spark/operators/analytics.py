@@ -648,3 +648,77 @@ def skyline_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w_rk).alias("frontier_rank"),
         )
     )
+
+
+@register(
+    "events_markov_transitions",
+    tags=("events", "markov", "sequence", "window"),
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+), trans AS (
+  SELECT prev_type AS from_type, event_type AS to_type,
+         CAST(COUNT(*) AS BIGINT) AS n_trans
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+), totals AS (
+  SELECT from_type, CAST(SUM(n_trans) AS BIGINT) AS from_total
+  FROM trans GROUP BY from_type
+)
+SELECT t.from_type, t.to_type, t.n_trans, s.from_total,
+       CAST(t.n_trans * 1000 // s.from_total AS BIGINT) AS prob_milli,
+       CAST(length(bin(s.from_total // t.n_trans)) - 1 AS BIGINT)
+         AS surprisal_bits
+FROM trans t JOIN totals s USING (from_type)
+""",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition model over per-user event sequences
+    — the sequence-model complement to events_path_mining (which ranks
+    whole 3-step paths; this estimates the TRANSITION MATRIX the paths
+    walk): each user's events order by (ts, event_id), consecutive pairs
+    count into (from_type, to_type) cells, and each cell carries its
+    row-normalized probability (milli) plus an exact integer surprisal
+    floor(log2(1/p)) via the bit-length trick text_bigram_surprisal
+    uses — high-bits transitions are the anomalous state changes a
+    monitoring pipeline alerts on, in arithmetic both engines hash
+    identically.
+
+    Plan shape: ONE user-partitioned window (the sessionize exchange) to
+    form pairs, then a |types|^2-grain aggregate and a broadcast join of
+    the |types|-row totals — after the lag, nothing is event-grain. At
+    100 TB the transition matrix is a few KB however large the event
+    log; the user partitioning is the same single shuffle every
+    sequence operator here shares."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    totals = trans.groupBy("from_type").agg(
+        F.sum("n_trans").cast("long").alias("from_total")
+    )
+    return trans.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        "from_total",
+        F.expr("CAST(n_trans * 1000 div from_total AS BIGINT)").alias(
+            "prob_milli"
+        ),
+        (F.length(F.expr("bin(from_total div n_trans)")) - 1)
+        .cast("long")
+        .alias("surprisal_bits"),
+    )

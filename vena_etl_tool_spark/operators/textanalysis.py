@@ -3006,3 +3006,95 @@ def text_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hll_jaccard_milli"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate n-gram flagging — the C4-style corpus-frequency filter
+# ---------------------------------------------------------------------------
+BOILER_W = 3         # sliding window width (tokens)
+BOILER_MIN_DOCS = 10  # a span seen in >= this many DISTINCT docs is boilerplate
+
+
+@register(
+    "text_boilerplate_ngrams",
+    tags=("llm", "text", "quality", "boilerplate"),
+    oracle=f"""
+WITH pos AS (
+  SELECT doc_id,
+         list_transform(range(1, len(words) - {BOILER_W - 2}),
+                        i -> words[i] || ' ' || words[i+1] || ' '
+                             || words[i+2]) AS spans
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+  WHERE len(words) >= {BOILER_W}
+), exploded AS (
+  SELECT doc_id, unnest(spans) AS span FROM pos
+), df AS (
+  SELECT span, COUNT(DISTINCT doc_id) AS n_docs
+  FROM exploded GROUP BY span
+), boiler AS (
+  SELECT span FROM df WHERE n_docs >= {BOILER_MIN_DOCS}
+)
+SELECT e.doc_id,
+       COUNT(*) AS n_spans,
+       CAST(COUNT(*) FILTER (WHERE b.span IS NOT NULL) AS BIGINT)
+         AS n_boiler,
+       CAST(COUNT(*) FILTER (WHERE b.span IS NOT NULL) * 1000
+            // COUNT(*) AS BIGINT) AS boiler_permille
+FROM exploded e LEFT JOIN boiler b ON b.span = e.span
+GROUP BY e.doc_id
+""",
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate flagging — the C4/RefinedWeb curation
+    rule text_span_dedup deliberately is NOT: span_dedup keeps each
+    span's FIRST occurrence (ExactSubstr semantics); this one scores
+    every SLIDING BOILER_W-token window against its corpus document
+    frequency and flags ALL occurrences of spans seen in >=
+    BOILER_MIN_DOCS distinct documents — headers, navigation chrome,
+    license blurbs repeat across documents and get removed everywhere,
+    including their first appearance. Output is the per-doc audit
+    (total positions, boilerplate positions, permille) that feeds the
+    same filter thresholds as text_quality_score. Grain: docs with >=
+    BOILER_W tokens (shorter docs have no window).
+
+    Plan shape: one explode to sliding positions; df is a span-grain
+    groupBy with COUNT(DISTINCT doc_id) (two-level: map-side combine on
+    (span, doc) then span — Spark plans distinct-agg exactly so); the
+    flagging join is position ⋈ span-keyed boilerplate set, then one
+    doc-grain aggregate. At 100 TB every exchange is span-vocabulary- or
+    position-linear, and the span key would ship as xxhash64(span) —
+    8 bytes — with text never entering an Exchange (the
+    corpus_curation_pipeline rule)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= BOILER_W
+    )
+    exploded = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(w) - {BOILER_W - 1}),"
+                f" i -> concat_ws(' ', slice(w, i, {BOILER_W})))"
+            )
+        ).alias("span"),
+    )
+    boiler = (
+        exploded.groupBy("span")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= BOILER_MIN_DOCS)
+        .select("span", F.lit(True).alias("is_boiler"))
+    )
+    return (
+        exploded.join(boiler, "span", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count_if(F.col("is_boiler").isNotNull())
+            .cast("long")
+            .alias("n_boiler"),
+            F.expr(
+                "CAST(COUNT_IF(is_boiler IS NOT NULL) * 1000 div COUNT(*)"
+                " AS BIGINT)"
+            ).alias("boiler_permille"),
+        )
+    )

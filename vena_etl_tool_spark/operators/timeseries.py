@@ -478,3 +478,102 @@ def events_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
                END AS BIGINT) AS shift_e4_milli""",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exponentially weighted moving average — decay smoothing, exactly
+# ---------------------------------------------------------------------------
+EWMA_K = 8  # lookback horizon in days; half-life = 1 day (alpha = 1/2)
+
+
+@register(
+    "ts_ewma_halflife",
+    tags=("timeseries", "window", "events", "ewma"),
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(day - DATE '1970-01-01' AS BIGINT) AS epoch_day,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS day_total
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT c.event_type, c.day, CAST(c.day_total AS DOUBLE) AS day_total,
+       CAST(COUNT(*) AS BIGINT) AS n_days_in_window,
+       ROUND(
+         CAST(SUM(p.day_total
+                  * (1::BIGINT << CAST({EWMA_K} - 1
+                                       - (c.epoch_day - p.epoch_day)
+                                       AS INT))) AS DOUBLE)
+         / CAST(SUM(1::BIGINT << CAST({EWMA_K} - 1
+                                      - (c.epoch_day - p.epoch_day)
+                                      AS INT)) AS DOUBLE),
+         6) AS ewma
+FROM daily c
+JOIN daily p
+  ON p.event_type = c.event_type
+ AND c.epoch_day - p.epoch_day >= 0
+ AND c.epoch_day - p.epoch_day < {EWMA_K}
+GROUP BY c.event_type, c.day, c.day_total
+""",
+)
+def ts_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average with a one-day half-life —
+    the decay smoothing ts_moving_average's uniform 7-day window cannot
+    express (yesterday should count half of today, not equally). The
+    usual recursive EWMA is float-order-dependent and unportable; with
+    alpha = 1/2 and a finite EWMA_K-day horizon the weights are EXACT
+    integer powers of two (2^(K-1-lag)), so the weighted sum is exact
+    DECIMAL x int arithmetic and only the final normalizing division is
+    a (correctly-rounded, engine-identical) double op — the PMI
+    determinism argument. Missing days drop out of BOTH sums, so gaps
+    renormalize instead of decaying toward a phantom zero (the sparse-
+    series semantics the moving average gets from RANGE framing).
+
+    Plan shape: one day-grain rollup of the event stream (the only
+    corpus-sized exchange, map-side combinable), then a self-join of the
+    TINY (type, day) frame on a banded day offset — at 100 TB the day
+    grain is ~365 x |types| rows/year regardless of event volume, so the
+    quadratic-looking join never touches event grain (the
+    events_change_point budget rule)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(dsum("value", 4).alias("day_total"))
+        .withColumn("epoch_day", F.unix_date("day"))
+    )
+    c = daily.select(
+        F.col("event_type"),
+        F.col("day"),
+        F.col("epoch_day").alias("c_epoch"),
+        F.col("day_total").alias("c_total"),
+    )
+    p = daily.select(
+        F.col("event_type"),
+        F.col("epoch_day").alias("p_epoch"),
+        F.col("day_total").alias("p_total"),
+    )
+    lag = F.col("c_epoch") - F.col("p_epoch")
+    wgt = F.expr(f"shiftleft(1L, CAST({EWMA_K} - 1 - (c_epoch - p_epoch) AS INT))")
+    return (
+        c.join(p, "event_type")
+        .filter((lag >= 0) & (lag < EWMA_K))
+        .groupBy("event_type", "day", "c_total")
+        .agg(
+            F.count(F.lit(1)).alias("n_days_in_window"),
+            F.round(
+                F.sum(F.col("p_total") * wgt).cast("double")
+                / F.sum(wgt).cast("double"),
+                6,
+            ).alias("ewma"),
+        )
+        .select(
+            "event_type",
+            "day",
+            F.col("c_total").cast("double").alias("day_total"),
+            "n_days_in_window",
+            "ewma",
+        )
+    )

@@ -158,6 +158,9 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     "skyline_pareto_frontier",
     "text_bm25_search",
     "text_hll_overlap",
+    "events_markov_transitions",
+    "text_boilerplate_ngrams",
+    "ts_ewma_halflife",
 )
 
 
