@@ -126,6 +126,7 @@ HEADLINE = [
     "events_markov_transitions",
     "text_boilerplate_ngrams",
     "ts_ewma_halflife",
+    "profile_histogram_equiwidth",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

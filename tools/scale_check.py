@@ -169,6 +169,10 @@ QUERIES = (
     "events_markov_transitions",
     "text_boilerplate_ngrams",
     "ts_ewma_halflife",
+    # histogram: one map-side-combinable hash aggregate to ~23 bins over
+    # the (now 10x-replicated) orders fact — pure scan-bound, expect the
+    # fact-volume linear signature.
+    "profile_histogram_equiwidth",
 )
 REPLICAS = 10
 

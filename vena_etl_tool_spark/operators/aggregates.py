@@ -570,3 +570,52 @@ def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (CAST(COUNT(*) AS DECIMAL(38,0)) * COUNT(*)) AS BIGINT)"
         ).alias("win_var"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram — the ANALYZE-statistics / data-profiling primitive
+# ---------------------------------------------------------------------------
+HIST_BIN_W = 25_000.0  # o_totalprice bin width (~23 bins over TPC-H range)
+
+
+@register(
+    "profile_histogram_equiwidth",
+    tags=("aggregate", "profiling", "histogram"),
+    oracle=f"""
+SELECT CAST(floor(o_totalprice / {HIST_BIN_W}) AS BIGINT) AS bin,
+       CAST(floor(o_totalprice / {HIST_BIN_W}) AS BIGINT) * {HIST_BIN_W}
+         AS bin_lo,
+       COUNT(*) AS n_rows,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY 1, 2
+""",
+)
+def profile_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value histogram over orders.o_totalprice — the
+    profiling primitive behind ANALYZE statistics, optimizer selectivity
+    estimates, and data-quality drift dashboards (the missing sibling of
+    profile_column_stats' min/max/distinct and agg_percentiles_exact's
+    quantiles: those summarize, this shows SHAPE). Bins are fixed-width
+    floor(price / W): the bin id is ONE correctly-rounded double
+    division + floor — identical in both engines (the PMI argument) —
+    and each bin carries count, min/max (exact doubles from the scan)
+    and an exact-DECIMAL sum.
+
+    Plan shape: a single map-side-combinable hash aggregate — the
+    histogram is ~range/W rows however big the fact table, so at 100 TB
+    this is one scan + a KB-sized exchange, the cheapest possible
+    full-table profile. Equi-DEPTH histograms need the percentile
+    machinery instead (agg_percentiles_exact / approx twin)."""
+    orders = load_table(spark, sf_dir, "orders")
+    bin_ = F.floor(F.col("o_totalprice") / HIST_BIN_W).cast("long")
+    return orders.groupBy(
+        bin_.alias("bin"), (bin_ * HIST_BIN_W).alias("bin_lo")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        dsum("o_totalprice").alias("sum_price"),
+    )

@@ -161,6 +161,7 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     "events_markov_transitions",
     "text_boilerplate_ngrams",
     "ts_ewma_halflife",
+    "profile_histogram_equiwidth",
 )
 
 
