@@ -127,6 +127,9 @@ HEADLINE = [
     "text_boilerplate_ngrams",
     "ts_ewma_halflife",
     "profile_histogram_equiwidth",
+    "sim_ann_ivf_probe_sweep",
+    "dataset_temperature_weights",
+    "agg_mode_deterministic",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

@@ -211,3 +211,85 @@ def test_hll_overlap_sketch_laws(spark):
         assert r.hll_inter == r.hll_a + r.hll_b - r.hll_union
         assert 0 <= r.jaccard_milli <= 1000
         assert 0 <= r.hll_jaccard_milli <= 1000
+
+
+def test_probe_sweep_monotone_and_anchored(spark):
+    """Recall and candidate count are monotone non-decreasing in nprobe
+    (supersets by construction), and the nprobe=IVF_NPROBE row's hit set
+    agrees with composing sim_ann_ivf against exact truth directly."""
+    from vena_etl_tool_spark.operators.similarity import (
+        IVF_NPROBE,
+        SWEEP_LEVELS,
+        TOP_K,
+        sim_ann_ivf,
+        sim_ann_ivf_probe_sweep,
+        sim_cosine_topk,
+    )
+
+    rows = {r.nprobe: r for r in sim_ann_ivf_probe_sweep(spark, SMOKE_SF_DIR).collect()}
+    assert sorted(rows) == sorted(SWEEP_LEVELS)
+    levels = sorted(rows)
+    for a, b in zip(levels, levels[1:]):
+        assert rows[a].hits <= rows[b].hits
+        assert rows[a].recall_milli <= rows[b].recall_milli
+        assert rows[a].n_candidates <= rows[b].n_candidates
+    assert all(0 <= rows[v].recall_milli <= 1000 for v in levels)
+    # anchor: nprobe=2 hits == |ivf top-k ∩ exact top-k| composed directly
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim_cosine_topk(spark, SMOKE_SF_DIR).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in sim_ann_ivf(spark, SMOKE_SF_DIR).collect()
+        if r.rk <= TOP_K
+    }
+    assert rows[IVF_NPROBE].hits == len(exact & ivf)
+
+
+def test_temperature_weights_flatten_mixture(spark):
+    """alpha=1/2 compresses the mixture: the lightest domain's upsample
+    factor exceeds the heaviest's, weight mass sums to ~1e6, and
+    sqrt_mass is the exact integer isqrt."""
+    import math as m
+
+    from vena_etl_tool_spark.operators.textanalysis import (
+        dataset_temperature_weights,
+    )
+
+    out = dataset_temperature_weights(spark, SMOKE_SF_DIR).collect()
+    assert out
+    for r in out:
+        assert r.sqrt_mass == m.isqrt(r.n_tokens)
+    total_ppm = sum(r.weight_ppm for r in out)
+    assert 1_000_000 - len(out) <= total_ppm <= 1_000_000
+    lightest = min(out, key=lambda r: r.n_tokens)
+    heaviest = max(out, key=lambda r: r.n_tokens)
+    if lightest.n_tokens < heaviest.n_tokens:
+        assert lightest.upsample_milli > heaviest.upsample_milli
+        assert heaviest.upsample_milli < 1000 < lightest.upsample_milli
+
+
+def test_mode_reconstruct(spark):
+    from vena_etl_tool_spark.catalog import load_table
+    from vena_etl_tool_spark.operators.aggregates import (
+        agg_mode_deterministic,
+    )
+
+    orders = load_table(spark, SMOKE_SF_DIR, "orders").collect()
+    counts: dict[tuple, dict[str, int]] = {}
+    for o in orders:
+        g = (o.o_orderstatus, o.o_orderdate.year)
+        counts.setdefault(g, {})
+        counts[g][o.o_orderpriority] = counts[g].get(o.o_orderpriority, 0) + 1
+    out = {
+        (r.o_orderstatus, r.order_year): r
+        for r in agg_mode_deterministic(spark, SMOKE_SF_DIR).collect()
+    }
+    assert set(out) == set(counts)
+    for g, vals in counts.items():
+        mode = min(vals.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert out[g].mode_priority == mode[0]
+        assert out[g].mode_count == mode[1]
+        assert out[g].n_values == len(vals)
+        assert out[g].group_total == sum(vals.values())

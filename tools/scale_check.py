@@ -173,6 +173,15 @@ QUERIES = (
     # the (now 10x-replicated) orders fact — pure scan-bound, expect the
     # fact-volume linear signature.
     "profile_histogram_equiwidth",
+    # probe sweep: corpus side is the same map-only IVF assignment; the
+    # sweep multiplies only N_QUERIES x max_level broadcast probe rows,
+    # plus the brute-force exact-truth audit (query-side broadcast).
+    "sim_ann_ivf_probe_sweep",
+    # temperature weights: one (lang, source)-grain aggregate + 1-row
+    # broadcast — the dataset_mixture_weights budget exactly.
+    "dataset_temperature_weights",
+    # mode: fact scan to (status, year, priority) grain, window on grain.
+    "agg_mode_deterministic",
 )
 REPLICAS = 10
 

@@ -619,3 +619,78 @@ def profile_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_totalprice").alias("max_price"),
         dsum("o_totalprice").alias("sum_price"),
     )
+
+
+@register(
+    "agg_mode_deterministic",
+    tags=("aggregate", "mode", "window"),
+    oracle="""
+WITH counts AS (
+  SELECT o_orderstatus, year(o_orderdate) AS order_year,
+         o_orderpriority, COUNT(*) AS n
+  FROM orders GROUP BY 1, 2, 3
+)
+SELECT o_orderstatus, order_year,
+       o_orderpriority AS mode_priority, n AS mode_count,
+       n_values, group_total,
+       CAST(n * 1000 // group_total AS BIGINT) AS share_milli
+FROM (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus, order_year
+                            ORDER BY n DESC, o_orderpriority) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY o_orderstatus, order_year)
+              AS BIGINT) AS n_values,
+         CAST(SUM(n) OVER (PARTITION BY o_orderstatus, order_year)
+              AS BIGINT) AS group_total
+  FROM counts
+) WHERE rk = 1
+""",
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE per group — the most-frequent-value aggregate
+    with ties broken by value order. Both engines ship a native mode()
+    whose tie-breaking is implementation-defined (Spark picks an
+    arbitrary hash-map winner, DuckDB the first encountered), so the
+    portable form is stated explicitly: count to (group, value) grain,
+    then one row_number window ordered (count DESC, value) — the same
+    determinism discipline the repo applies to every top-1 pick. Here:
+    the modal order priority per (status, year). Output carries the
+    mode's share and the distinct-value count, the two numbers that say
+    whether the mode MEANS anything.
+
+    Plan shape: the fact table collapses to (group, value) grain in one
+    map-side-combinable aggregate (5 priorities x status x year groups
+    here); the window runs on that tiny grain — at 100 TB the only
+    fact-sized cost is the first scan, the window never sees row grain
+    (the skyline/price-grain rule again)."""
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy(
+        "o_orderstatus",
+        F.year("o_orderdate").alias("order_year"),
+        "o_orderpriority",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    grp = Window.partitionBy("o_orderstatus", "order_year")
+    w = grp.orderBy(F.col("n").desc(), "o_orderpriority")
+    return (
+        counts.select(
+            "o_orderstatus",
+            "order_year",
+            "o_orderpriority",
+            "n",
+            F.row_number().over(w).alias("rk"),
+            F.count(F.lit(1)).over(grp).cast("long").alias("n_values"),
+            F.sum("n").over(grp).cast("long").alias("group_total"),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderstatus",
+            "order_year",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("mode_count"),
+            "n_values",
+            "group_total",
+            F.expr("CAST(n * 1000 div group_total AS BIGINT)").alias(
+                "share_milli"
+            ),
+        )
+    )

@@ -2081,3 +2081,171 @@ def sim_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF probe sweep — the nprobe tuning curve, measured in one query
+# ---------------------------------------------------------------------------
+SWEEP_LEVELS = (1, 2, 4, 8)  # nprobe levels; IVF_NPROBE=2 is the prod point
+
+_SWEEP_ORACLE = f"""
+WITH scored AS (
+  SELECT vec_id, label, embedding,
+         (SELECT CAST(SUM(CAST(FLOOR(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
+          FROM UNNEST(embedding) AS u(x)) AS sq_norm,
+         {_ivf_scores_duck()} AS scores,
+         list_transform(generate_series(1, {IVF_CENTROIDS}),
+                        i -> {{'s': scores[i], 'cid': i - 1}}) AS score_structs
+  FROM embeddings
+), assigned AS (
+  SELECT vec_id, embedding, sq_norm,
+         list_position(scores, list_min(scores)) - 1 AS cent
+  FROM scored
+), probes AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, sq_norm AS q_sq,
+         cid AS cent, prn
+  FROM (
+    SELECT vec_id, embedding, sq_norm, u.cid AS cid, u.s AS s,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY u.s, u.cid) AS prn
+    FROM scored, UNNEST(score_structs) AS t(u)
+    WHERE vec_id < {N_QUERIES}
+  ) WHERE prn <= {max(SWEEP_LEVELS)}
+), levels(nprobe) AS (
+  VALUES {", ".join(f"({v})" for v in SWEEP_LEVELS)}
+), cand AS (
+  SELECT l.nprobe, p.query_id, c.vec_id AS neighbor_id,
+         (SELECT CAST(SUM(CAST(FLOOR(CAST(struct_extract(pp, 1) AS DOUBLE) * CAST(struct_extract(pp, 2) AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
+          FROM UNNEST(list_zip(p.q_emb, c.embedding)) AS t(pp))
+         / (SQRT(p.q_sq) * SQRT(c.sq_norm)) AS cosine
+  FROM levels l
+  JOIN probes p ON p.prn <= l.nprobe
+  JOIN assigned c ON c.cent = p.cent AND c.vec_id <> p.query_id
+), approx AS (
+  SELECT nprobe, query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY nprobe, query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rk,
+         COUNT(*) OVER (PARTITION BY nprobe, query_id) AS n_cand
+  FROM cand
+), exact AS (
+  SELECT query_id, neighbor_id
+  FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             (SELECT CAST(SUM(CAST(FLOOR(CAST(struct_extract(p, 1) AS DOUBLE) * CAST(struct_extract(p, 2) AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
+              FROM UNNEST(list_zip(q.embedding, c.embedding)) AS t(p))
+             / (SQRT(q.sq_norm) * SQRT(c.sq_norm)) DESC, c.vec_id) AS rk
+    FROM scored q JOIN scored c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+  ) WHERE rk <= {TOP_K}
+)
+SELECT a.nprobe,
+       CAST(COUNT(*) FILTER (WHERE a.rk <= {TOP_K} AND e.neighbor_id IS NOT NULL)
+            AS BIGINT) AS hits,
+       CAST(COUNT(*) FILTER (WHERE a.rk <= {TOP_K} AND e.neighbor_id IS NOT NULL)
+            * 1000 // ({N_QUERIES} * {TOP_K}) AS BIGINT) AS recall_milli,
+       CAST(SUM(CASE WHEN a.rk = 1 THEN a.n_cand ELSE 0 END) AS BIGINT)
+         AS n_candidates
+FROM approx a
+LEFT JOIN exact e
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY a.nprobe
+"""
+
+
+@register(
+    "sim_ann_ivf_probe_sweep",
+    tags=("llm", "similarity", "ivf", "ann", "eval", "tuning"),
+    oracle=_SWEEP_ORACLE,
+)
+def sim_ann_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nprobe tuning curve — recall@k and candidate cost per probe
+    depth (1, 2, 4, 8 of the 16 cells), measured in ONE query instead of
+    four: nprobe is THE production knob for IVF search (FAISS's
+    `nprobe`), trading scan fraction for recall, and a 100 TB deployment
+    picks it from exactly this curve. Probe ranks are computed once up
+    to max(SWEEP_LEVELS); a tiny levels table joins `prn <= nprobe`, so
+    each level's candidate set is provably a superset of the previous —
+    recall is monotone non-decreasing in nprobe BY CONSTRUCTION, and the
+    differential gate hash-checks the whole curve (the IVF assignment,
+    the sweep expansion, the exact-truth join, and the per-level
+    aggregate) against DuckDB.
+
+    Plan shape: corpus assignment is the same map-only argmin as
+    sim_ann_ivf; the sweep multiplies only the broadcast PROBE rows
+    (N_QUERIES x max_level), never the corpus; candidates re-score with
+    the exact scaled-int dot; the exact-truth side is the brute-force
+    audit (corpus x N_QUERIES, query-side broadcast). Audit-shaped: at
+    100 TB you'd sample queries, as here."""
+    emb = with_sq_norm(spread_small(load_table(spark, sf_dir, "embeddings")))
+    scored = emb.select(
+        "vec_id", "label", "embedding", "sq_norm",
+        F.expr(_ivf_scores_spark()).alias("scores"),
+    )
+    corpus = scored.select(
+        "vec_id", "embedding", "sq_norm",
+        (F.expr("array_position(scores, array_min(scores))") - 1)
+        .cast("int")
+        .alias("cent"),
+    )
+    prn_w = Window.partitionBy("query_id").orderBy("s", "p_cent")
+    probes = (
+        scored.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("sq_norm").alias("q_sq"),
+            F.posexplode("scores").alias("p_cent", "s"),
+        )
+        .withColumn("prn", F.row_number().over(prn_w))
+        .filter(F.col("prn") <= max(SWEEP_LEVELS))
+        .select("query_id", "q_emb", "q_sq", "p_cent", "prn")
+    )
+    levels = spark.createDataFrame(
+        [(v,) for v in SWEEP_LEVELS], ["nprobe"]
+    )
+    cand = (
+        corpus.join(
+            F.broadcast(probes.crossJoin(levels).filter(F.col("prn") <= F.col("nprobe"))),
+            (F.col("cent") == F.col("p_cent"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn(
+            "cosine",
+            dot_exact(F.col("q_emb"), F.col("embedding"))
+            / (F.sqrt("q_sq") * F.sqrt("sq_norm")),
+        )
+        .select("nprobe", "query_id", F.col("vec_id").alias("neighbor_id"), "cosine")
+    )
+    w = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id"
+    )
+    wc = Window.partitionBy("nprobe", "query_id")
+    approx = cand.select(
+        "nprobe", "query_id", "neighbor_id",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wc).alias("n_cand"),
+    )
+    exact = sim_cosine_topk(spark, sf_dir).select(
+        F.col("query_id").alias("e_query_id"),
+        F.col("neighbor_id").alias("e_neighbor_id"),
+    )
+    hit = (F.col("rk") <= TOP_K) & F.col("e_neighbor_id").isNotNull()
+    return (
+        approx.join(
+            exact,
+            (F.col("e_query_id") == F.col("query_id"))
+            & (F.col("e_neighbor_id") == F.col("neighbor_id")),
+            "left",
+        )
+        .groupBy("nprobe")
+        .agg(
+            F.count_if(hit).cast("long").alias("hits"),
+            F.expr(
+                f"CAST(COUNT_IF(rk <= {TOP_K} AND e_neighbor_id IS NOT NULL)"
+                f" * 1000 div ({N_QUERIES} * {TOP_K}) AS BIGINT)"
+            ).alias("recall_milli"),
+            F.sum(F.when(F.col("rk") == 1, F.col("n_cand")).otherwise(0))
+            .cast("long")
+            .alias("n_candidates"),
+        )
+    )

@@ -3098,3 +3098,78 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("boiler_permille"),
         )
     )
+
+
+@register(
+    "dataset_temperature_weights",
+    tags=("llm", "sampling", "aggregate", "mixture"),
+    oracle="""
+WITH per_src AS (
+  SELECT lang, source, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang, source
+), w AS (
+  SELECT *, CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS sqrt_mass
+  FROM per_src
+), tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(SUM(sqrt_mass) AS BIGINT) AS total_sqrt
+  FROM w
+)
+SELECT lang, source, n_docs, n_tokens, sqrt_mass,
+       CAST(sqrt_mass * 1000000 // total_sqrt AS BIGINT) AS weight_ppm,
+       CAST(n_tokens * 1000000 // total_tokens AS BIGINT) AS actual_ppm,
+       CAST((sqrt_mass * 1000000 // total_sqrt) * 1000
+            // (n_tokens * 1000000 // total_tokens) AS BIGINT)
+         AS upsample_milli
+FROM w, tot
+""",
+)
+def dataset_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling weights, alpha = 0.5 — the
+    multilingual-pretraining recipe (sample domain d with probability
+    proportional to mass_d^alpha; mBERT/XLM-R use alpha ~0.3-0.7) that
+    sits BETWEEN dataset_mixture_weights' uniform target (alpha = 0) and
+    proportional sampling (alpha = 1): low-resource domains upsample,
+    high-resource ones downsample, without flattening the mixture
+    entirely. alpha = 1/2 is the portable choice: mass^0.5 is
+    FLOOR(SQRT(n_tokens)) — IEEE sqrt of an exactly-representable int64
+    is correctly rounded and identical in both engines, so the whole
+    weight table stays hash-checkable (the transcendental-free
+    discipline of text_pmi_collocations; a general alpha needs pow(),
+    which is NOT correctly rounded and would break the bridge).
+    upsample_milli > 1000 marks domains a sampler repeats.
+
+    Plan shape: one corpus aggregate to (lang, source) grain + a 1-row
+    broadcast of the totals — identical budget to
+    dataset_mixture_weights, output broadcast-sized downstream."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+    )
+    w = per_src.withColumn(
+        "sqrt_mass",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("long"),
+    )
+    tot = w.agg(
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("sqrt_mass").cast("long").alias("total_sqrt"),
+    )
+    return w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        "sqrt_mass",
+        F.expr("CAST(sqrt_mass * 1000000 div total_sqrt AS BIGINT)").alias(
+            "weight_ppm"
+        ),
+        F.expr("CAST(n_tokens * 1000000 div total_tokens AS BIGINT)").alias(
+            "actual_ppm"
+        ),
+        F.expr(
+            "CAST((sqrt_mass * 1000000 div total_sqrt) * 1000"
+            " div (n_tokens * 1000000 div total_tokens) AS BIGINT)"
+        ).alias("upsample_milli"),
+    )

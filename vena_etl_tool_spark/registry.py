@@ -162,6 +162,10 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     "text_boilerplate_ngrams",
     "ts_ewma_halflife",
     "profile_histogram_equiwidth",
+    # --- third r7 work session ---
+    "sim_ann_ivf_probe_sweep",
+    "dataset_temperature_weights",
+    "agg_mode_deterministic",
 )
 
 
