@@ -577,3 +577,316 @@ def ts_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ewma",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling median — exact order statistics over a trailing calendar window
+# ---------------------------------------------------------------------------
+# Smoothing a metrics series with a trailing MEDIAN instead of a mean is the
+# robust-monitoring default (one bad day shouldn't move the smoother), but
+# engines disagree on median interpolation for even counts. The portable
+# definition used here is the LOWER median (rank ceil(n/2) of the sorted
+# window), which is always one of the input values — integer in, integer
+# out, bit-identical across engines. The window is the trailing 7 calendar
+# days on the zero-filled grid (ROWS 6 PRECEDING on a dense series IS the
+# calendar window — the same grid construction events_change_point uses).
+_ROLLMED_ORACLE = """
+WITH bounds AS (
+  SELECT MIN(CAST(ts AS DATE)) AS d0,
+         date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE))) + 1 AS nd
+  FROM events
+), grid AS (
+  SELECT t.event_type, bounds.d0 + CAST(g.o AS INTEGER) AS day
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       bounds,
+       (SELECT unnest(range(0, (SELECT nd FROM bounds))) AS o) g
+), daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), series AS (
+  SELECT grid.event_type, grid.day, COALESCE(daily.y, 0) AS y
+  FROM grid LEFT JOIN daily USING (event_type, day)
+), windowed AS (
+  SELECT event_type, day, y,
+         list(y) OVER (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS arr
+  FROM series
+)
+SELECT event_type, day,
+       CAST(y AS BIGINT) AS y_e4,
+       CAST(len(arr) AS BIGINT) AS n_window,
+       CAST(list_sort(arr)[CAST((len(arr) + 1) // 2 AS INTEGER)] AS BIGINT)
+         AS med7_e4
+FROM windowed
+"""
+
+
+@register(
+    "ts_rolling_median",
+    tags=("timeseries", "events", "robust"),
+    oracle=_ROLLMED_ORACLE,
+)
+def ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day rolling MEDIAN of daily value totals per event type —
+    the robust smoother for monitoring series. Exact order statistic
+    (lower median of the sorted window), not percentile_approx: the
+    window holds ≤7 values by construction, so collecting it into an
+    array inside the window frame is O(7) per row and the median is an
+    exact element lookup — engine-portable where interpolating medians
+    and t-digest sketches are not.
+
+    Scale shape: the fact scan collapses to (event_type, day) grain in
+    one map-side-combinable exchange; the rolling window runs on the
+    dense day-grid series (types × days rows — thousands of series
+    parallelize across the cluster, each window sees ≤7 values). The
+    array never exceeds 7 elements, so there is no per-row blowup: this
+    is the general pattern for exact small-window order statistics at
+    100 TB — rollup first, windowed collect on the rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        (
+            F.datediff(F.max(F.col("ts").cast("date")), F.min(F.col("ts").cast("date")))
+            + 1
+        ).alias("nd"),
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.col("nd") - 1)).alias("o"),
+            "d0",
+        )
+        .select("event_type", F.date_add(F.col("d0"), F.col("o")).alias("day"))
+    )
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg((F.sum(F.col("value").cast("decimal(18,4)")) * 10000).cast("long").alias("y"))
+    series = grid.join(daily, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("y", F.lit(0).cast("long")).alias("y")
+    )
+    w7 = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return series.withColumn("arr", F.collect_list("y").over(w7)).selectExpr(
+        "event_type",
+        "day",
+        "CAST(y AS BIGINT) AS y_e4",
+        "CAST(size(arr) AS BIGINT) AS n_window",
+        "CAST(element_at(array_sort(arr), CAST((size(arr) + 1) div 2 AS INT))"
+        " AS BIGINT) AS med7_e4",
+    )
+
+
+# ---------------------------------------------------------------------------
+# MAD anomaly flags — the robust twin of ts_anomaly_zscore
+# ---------------------------------------------------------------------------
+# Mean/stddev anomaly scoring (ts_anomaly_zscore) breaks down exactly when
+# it matters: the outliers it should flag inflate the stddev that defines
+# "outlier". The robust recipe is median/MAD — both are order statistics, so
+# with the LOWER-median convention the whole detector stays in exact int64
+# ten-thousandths and hash-matches across engines (a 0.6745 consistency
+# constant would reintroduce doubles; the 3×MAD threshold absorbs it).
+_MAD_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), medl AS (
+  SELECT event_type, list_sort(list(y)) AS ys, COUNT(*) AS n
+  FROM daily GROUP BY 1
+), med AS (
+  SELECT event_type, CAST(n AS BIGINT) AS n_days,
+         ys[CAST((n + 1) // 2 AS INTEGER)] AS med
+  FROM medl
+), dev AS (
+  SELECT d.event_type, d.day, d.y, m.n_days, m.med,
+         abs(d.y - m.med) AS dv
+  FROM daily d JOIN med m USING (event_type)
+), madl AS (
+  SELECT event_type, list_sort(list(dv)) AS ds, COUNT(*) AS n
+  FROM dev GROUP BY 1
+), mad AS (
+  SELECT event_type, ds[CAST((n + 1) // 2 AS INTEGER)] AS mad FROM madl
+)
+SELECT dev.event_type, dev.day,
+       CAST(dev.y AS BIGINT) AS y_e4,
+       CAST(dev.n_days AS BIGINT) AS n_days,
+       CAST(dev.med AS BIGINT) AS med_e4,
+       CAST(mad.mad AS BIGINT) AS mad_e4,
+       CAST(dev.dv AS BIGINT) AS dev_e4
+FROM dev JOIN mad USING (event_type)
+WHERE (mad.mad > 0 AND dev.dv > 3 * mad.mad)
+   OR (mad.mad = 0 AND dev.dv > 0)
+"""
+
+
+@register(
+    "ts_anomaly_mad",
+    tags=("timeseries", "events", "robust", "anomaly"),
+    oracle=_MAD_ORACLE,
+)
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD anomaly detection on daily value totals — the robust
+    twin of ts_anomaly_zscore. A day is anomalous when its absolute
+    deviation from the per-type median exceeds 3× the median absolute
+    deviation (with the degenerate MAD=0 constant-series rule: any
+    deviation flags). Both statistics are LOWER medians — exact order
+    statistics in int64 ten-thousandths, so unlike stddev-based scoring
+    the detector is immune to the outliers it hunts AND immune to
+    summation-order double drift across engines.
+
+    Scale shape: facts collapse to (event_type, day) grain in one
+    map-side-combinable exchange; the two median passes aggregate the
+    day-grain rollup (≤ n_days values per group — bounded arrays, same
+    justification as ts_rolling_median) and broadcast back as
+    series-grain statistics. At 100 TB the heavy scan feeds exactly one
+    exchange; everything else is rollup-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg((F.sum(F.col("value").cast("decimal(18,4)")) * 10000).cast("long").alias("y"))
+    med = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.expr(
+            "element_at(array_sort(collect_list(y)),"
+            " CAST((count(*) + 1) div 2 AS INT))"
+        ).alias("med"),
+    )
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "dv", F.abs(F.col("y") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr(
+            "element_at(array_sort(collect_list(dv)),"
+            " CAST((count(*) + 1) div 2 AS INT))"
+        ).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(
+            ((F.col("mad") > 0) & (F.col("dv") > 3 * F.col("mad")))
+            | ((F.col("mad") == 0) & (F.col("dv") > 0))
+        )
+        .selectExpr(
+            "event_type",
+            "day",
+            "CAST(y AS BIGINT) AS y_e4",
+            "CAST(n_days AS BIGINT) AS n_days",
+            "CAST(med AS BIGINT) AS med_e4",
+            "CAST(mad AS BIGINT) AS mad_e4",
+            "CAST(dv AS BIGINT) AS dev_e4",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust trend — median of pairwise slopes at day grain
+# ---------------------------------------------------------------------------
+# OLS (ts_linear_trend) has breakdown point 0: one corrupted day can flip
+# the reported trend. The Theil–Sen estimator — the median of all pairwise
+# slopes — tolerates ~29% corruption and is THE standard robust trend for
+# monitoring. Naively it is O(n²) in the series length, which is exactly
+# why computing it at DAY grain matters: after the rollup, n is the number
+# of days (bounded by the calendar), so the pair self-join is
+# grain-bounded and corpus-independent — the same argument as
+# ts_ewma_halflife's banded self-join. Each pair slope is an exact
+# truncated division in milli units (both operands handled with the
+# explicit-sign convention ts_linear_trend established); the median is the
+# lower order statistic, picked by rank — the VALUE at a fixed rank of a
+# sorted multiset is deterministic even though row_number tie order is not,
+# which is why only the slope (the sort key) leaves the query.
+_THEILSEN_ORACLE = """
+WITH lo AS (
+  SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events
+), daily AS (
+  SELECT event_type,
+         date_diff('day', lo.d0, CAST(ts AS DATE)) AS x,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS y
+  FROM events, lo
+  GROUP BY event_type, x
+), pairs AS (
+  SELECT a.event_type,
+         (CASE WHEN b.y - a.y < 0 THEN -1 ELSE 1 END) *
+         (abs(b.y - a.y) * 1000 // (b.x - a.x)) AS slope_milli
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND b.x > a.x
+), ranked AS (
+  SELECT event_type, slope_milli,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope_milli) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS np
+  FROM pairs
+), nd AS (
+  SELECT event_type, COUNT(*) AS n_days FROM daily GROUP BY 1
+)
+SELECT r.event_type,
+       CAST(nd.n_days AS BIGINT) AS n_days,
+       CAST(r.np AS BIGINT) AS n_pairs,
+       CAST(r.slope_milli AS BIGINT) AS theil_sen_slope_milli_e4_per_day
+FROM ranked r JOIN nd USING (event_type)
+WHERE r.rn = (r.np + 1) // 2
+"""
+
+
+@register(
+    "ts_theil_sen_trend",
+    tags=("timeseries", "events", "robust", "regression"),
+    oracle=_THEILSEN_ORACLE,
+)
+def ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per event type: the lower median of all
+    pairwise day-grain slopes. See the module comment above the oracle
+    for why the O(n²) pair join is safe — it runs at day grain (calendar-
+    bounded), never at event grain, so a 100 TB corpus and a 100 GB one
+    build the same pair table. Slopes are exact signed truncated
+    divisions in milli ten-thousandths; the median is picked by rank so
+    only the deterministic sort-key value is emitted."""
+    ev = load_table(spark, sf_dir, "events")
+    lo = ev.agg(F.min(F.col("ts").cast("date")).alias("d0"))
+    daily = (
+        ev.crossJoin(F.broadcast(lo))
+        .groupBy(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.col("d0")).alias("x"),
+        )
+        .agg(
+            (F.sum(F.col("value").cast("decimal(18,4)")) * 10000)
+            .cast("long")
+            .alias("y")
+        )
+    )
+    a = daily.select(
+        "event_type", F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = daily.select(
+        "event_type", F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    pairs = a.join(b, "event_type").filter(F.col("xb") > F.col("xa")).selectExpr(
+        "event_type",
+        "(CASE WHEN yb - ya < 0 THEN -1 ELSE 1 END) *"
+        " (abs(yb - ya) * 1000 div (xb - xa)) AS slope_milli",
+    )
+    ranked = pairs.select(
+        "event_type",
+        "slope_milli",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("slope_milli"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("np"),
+    )
+    nd = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_days"))
+    return (
+        ranked.filter(F.expr("rn = (np + 1) div 2"))
+        .join(F.broadcast(nd), "event_type")
+        .selectExpr(
+            "event_type",
+            "CAST(n_days AS BIGINT) AS n_days",
+            "CAST(np AS BIGINT) AS n_pairs",
+            "CAST(slope_milli AS BIGINT) AS theil_sen_slope_milli_e4_per_day",
+        )
+    )

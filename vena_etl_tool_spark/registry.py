@@ -166,6 +166,10 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     "sim_ann_ivf_probe_sweep",
     "dataset_temperature_weights",
     "agg_mode_deterministic",
+    # --- fourth r7 work session ---
+    "ts_rolling_median",
+    "ts_anomaly_mad",
+    "ts_theil_sen_trend",
 )
 
 
