@@ -182,6 +182,14 @@ QUERIES = (
     "dataset_temperature_weights",
     # mode: fact scan to (status, year, priority) grain, window on grain.
     "agg_mode_deterministic",
+    # r7 fourth session: all three collapse events to day grain in one
+    # map-side-combinable exchange, then work on the calendar-bounded
+    # series — rolling median's window array is <=7 elements, MAD's two
+    # median passes aggregate <=n_days values per type, and Theil-Sen's
+    # O(n^2) pair join runs at day grain (corpus-independent pair count).
+    "ts_rolling_median",
+    "ts_anomaly_mad",
+    "ts_theil_sen_trend",
 )
 REPLICAS = 10
 

@@ -722,3 +722,173 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("surprisal_bits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day distinct actives — the explode-by-window-width rewrite
+# ---------------------------------------------------------------------------
+# Trailing-window COUNT(DISTINCT user) (the WAU in DAU/WAU/MAU dashboards) is
+# NOT decomposable: yesterday's distinct count tells you nothing about
+# today's, so the naive day×history window re-deduplicates the whole trail
+# per day. The scalable exact rewrite: collapse to (user, day) grain ONCE,
+# then explode each user-day to the W calendar days it keeps that user
+# active for, and de-duplicate (user, cover_day) — turning the sliding
+# distinct into two bounded exchanges with a fixed W× fan-out on the
+# already-deduplicated grain. W=7 here; the same shape serves MAU at W=30.
+_ROLLING_ACTIVES_ORACLE = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), bounds AS (
+  SELECT MAX(day) AS d1 FROM ud
+), cover AS (
+  SELECT DISTINCT ud.user_id, ud.day + CAST(g.o AS INTEGER) AS day
+  FROM ud, (SELECT unnest(range(0, 7)) AS o) g
+), wau AS (
+  SELECT cover.day, COUNT(*) AS wau
+  FROM cover, bounds WHERE cover.day <= bounds.d1 GROUP BY cover.day
+), dau AS (
+  SELECT day, COUNT(*) AS dau FROM ud GROUP BY day
+)
+SELECT w.day,
+       CAST(COALESCE(d.dau, 0) AS BIGINT) AS dau,
+       CAST(w.wau AS BIGINT) AS wau_7d,
+       CAST(COALESCE(d.dau, 0) * 1000 // w.wau AS BIGINT) AS stickiness_milli
+FROM wau w LEFT JOIN dau d ON d.day = w.day
+"""
+
+
+@register(
+    "events_rolling_actives",
+    tags=("events", "window", "aggregate", "distinct"),
+    oracle=_ROLLING_ACTIVES_ORACLE,
+)
+def events_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily + trailing-7-day distinct active users with the DAU/WAU
+    stickiness ratio (exact integer milli). See the module comment above
+    the oracle: the sliding distinct is made decomposable by exploding
+    each (user, day) to its 7 cover days and de-duplicating — user-day
+    grain in, user-day×7 grain out, never event grain and never a
+    history-wide re-dedup. Days past the data's last day are clipped
+    (their windows are not yet complete).
+
+    Plan shape: one exchange to (user, day) grain, one to the exploded
+    (user, cover_day) distinct, then a day-grain count — all map-side
+    combinable; the 1-row max-day bound broadcasts."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    d1 = ud.agg(F.max("day").alias("d1"))
+    cover = (
+        ud.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
+            "day",
+        )
+        .select("user_id", F.date_add(F.col("day"), F.col("o")).alias("day"))
+        .distinct()
+    )
+    wau = (
+        cover.crossJoin(F.broadcast(d1))
+        .filter(F.col("day") <= F.col("d1"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("wau"))
+    )
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    return wau.join(dau, "day", "left").selectExpr(
+        "day",
+        "CAST(COALESCE(dau, 0) AS BIGINT) AS dau",
+        "CAST(wau AS BIGINT) AS wau_7d",
+        "CAST(COALESCE(dau, 0) * 1000 div wau AS BIGINT) AS stickiness_milli",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-type co-occurrence lift — market-basket association at user grain
+# ---------------------------------------------------------------------------
+# The association-rule primitives (support / confidence / lift) over each
+# user's basket of distinct event types. Exact integer arithmetic: lift is
+# reported in milli (support × n_users × 1000 div (n_a × n_b)) so both
+# engines compute the same truncated value — a double division would hash-
+# diverge. The pair join runs at (user, type) grain, never event grain, and
+# the pair fan-out is bounded by C(|types|, 2) per user.
+_COOCCUR_ORACLE = """
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), n AS (
+  SELECT COUNT(DISTINCT user_id) AS nu FROM ut
+), tc AS (
+  SELECT event_type, COUNT(*) AS nt FROM ut GROUP BY event_type
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS support
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b,
+       CAST(p.support AS BIGINT) AS support_users,
+       CAST(ca.nt AS BIGINT) AS n_type_a,
+       CAST(cb.nt AS BIGINT) AS n_type_b,
+       CAST(n.nu AS BIGINT) AS n_users,
+       CAST(p.support * n.nu * 1000 // (ca.nt * cb.nt) AS BIGINT) AS lift_milli,
+       CAST(p.support * 1000 // ca.nt AS BIGINT) AS conf_a_to_b_milli
+FROM pairs p
+JOIN tc ca ON ca.event_type = p.type_a
+JOIN tc cb ON cb.event_type = p.type_b
+CROSS JOIN n
+"""
+
+
+@register(
+    "events_cooccurrence_lift",
+    tags=("events", "join", "aggregate", "association"),
+    oracle=_COOCCUR_ORACLE,
+)
+def events_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support / confidence / lift for unordered event-type pairs over
+    user baskets — the Apriori first pass, which for a bounded type
+    vocabulary IS the whole computation (every pair fits one aggregate).
+    Lift > 1000 milli means the pair co-occurs more than independence
+    predicts. All ratios are exact truncated integer milli.
+
+    Plan shape: the pair self-join runs on the (user, type) DISTINCT
+    grain — at fixture SFs AQE broadcasts that deduped grain outright
+    (BroadcastHashJoin in the formatted plan); at cluster scale it is a
+    user-keyed shuffle join of two copies of the same tiny grain, and
+    the aggregate collapses map-side to |types|² rows; the type totals
+    and the 1-row user count broadcast back. At a 100 TB event
+    log with an UNBOUNDED type vocabulary, cap pair generation to the
+    top-k types by support first (the standard Apriori prune) — the
+    plan shape is unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    nu = ut.agg(F.countDistinct("user_id").alias("nu"))
+    tc = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("nt"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(tc.select(F.col("event_type").alias("type_a"), F.col("nt").alias("n_type_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(tc.select(F.col("event_type").alias("type_b"), F.col("nt").alias("n_type_b"))),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(nu))
+        .selectExpr(
+            "type_a",
+            "type_b",
+            "CAST(support AS BIGINT) AS support_users",
+            "CAST(n_type_a AS BIGINT) AS n_type_a",
+            "CAST(n_type_b AS BIGINT) AS n_type_b",
+            "CAST(nu AS BIGINT) AS n_users",
+            "CAST(support * nu * 1000 div (n_type_a * n_type_b) AS BIGINT)"
+            " AS lift_milli",
+            "CAST(support * 1000 div n_type_a AS BIGINT) AS conf_a_to_b_milli",
+        )
+    )

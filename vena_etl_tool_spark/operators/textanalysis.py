@@ -336,16 +336,12 @@ def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     hex digit of the stable id). THE deterministic splitting pattern for
     training corpora: no RNG state, stable under re-partitioning and
     re-runs, reproducible across engines — md5 is the cross-engine
-    contract (vs seeded rand(), which is partitioning-dependent)."""
+    contract (vs seeded rand(), which is partitioning-dependent).
+    The rule itself is split_assign_col(), shared with the
+    dataset_split_leakage audit so the two cannot drift."""
     docs = load_table(spark, sf_dir, "documents")
-    first_hex = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
-    split = (
-        F.when(first_hex.isin(*"0123456789ab"), "train")
-        .when(first_hex.isin("c", "d"), "val")
-        .otherwise("test")
-    )
     return (
-        docs.select(split.alias("split"), "lang")
+        docs.select(split_assign_col().alias("split"), "lang")
         .groupBy("split", "lang")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -3172,4 +3168,106 @@ def dataset_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((sqrt_mass * 1000000 div total_sqrt) * 1000"
             " div (n_tokens * 1000000 div total_tokens) AS BIGINT)"
         ).alias("upsample_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Train/val/test split leakage audit — cross-split duplicate groups
+# ---------------------------------------------------------------------------
+# The silent eval-corruption bug in every training pipeline: near-identical
+# documents land on both sides of a content-addressed split (the md5-by-id
+# rule CANNOT prevent it — clones have different ids, so ~25% of clone
+# pairs straddle train/val/test by construction). This audit groups the
+# corpus by the order-insensitive token-bag fingerprint (text_fingerprint's
+# canon) and reports every group that spans >=2 splits, with the per-split
+# census. The split rule is EXACTLY dataset_split_assign's md5 first-hex
+# rule, shared below so the two operators cannot drift.
+SPLIT_CASE_SQL = (
+    "CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN "
+    "('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train' "
+    "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val' "
+    "ELSE 'test' END"
+)
+
+_SPLIT_LEAKAGE_ORACLE = f"""
+WITH assigned AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+         {SPLIT_CASE_SQL} AS split
+  FROM documents
+), grp AS (
+  SELECT fp,
+         COUNT(*) AS n_docs,
+         COUNT(DISTINCT split) AS n_splits,
+         MIN(doc_id) AS min_doc_id,
+         SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS train_docs,
+         SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS val_docs,
+         SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS test_docs
+  FROM assigned GROUP BY fp
+)
+SELECT fp AS fingerprint,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_splits AS BIGINT) AS n_splits,
+       CAST(min_doc_id AS BIGINT) AS min_doc_id,
+       CAST(train_docs AS BIGINT) AS train_docs,
+       CAST(val_docs AS BIGINT) AS val_docs,
+       CAST(test_docs AS BIGINT) AS test_docs
+FROM grp WHERE n_splits >= 2
+"""
+
+
+def split_assign_col() -> "F.Column":
+    """dataset_split_assign's content-addressed split rule as a column —
+    the single definition both the assigner and the leakage audit use."""
+    first_hex = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return (
+        F.when(first_hex.isin(*"0123456789ab"), "train")
+        .when(first_hex.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+
+
+@register(
+    "dataset_split_leakage",
+    tags=("llm", "text", "splitting", "dedup", "audit"),
+    oracle=_SPLIT_LEAKAGE_ORACLE,
+)
+def dataset_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split duplicate-group audit: every token-bag-fingerprint
+    group that spans >=2 of the md5-assigned train/val/test splits, with
+    its per-split census — the decontamination step that runs BEFORE
+    eval numbers are trusted. Groups are keyed by the order-insensitive
+    canonical fingerprint (sorted distinct token bag -> md5), so
+    reordered/duplicated-token clones are caught, not just byte clones.
+
+    Plan shape: fingerprint and split are map-only column transforms;
+    ONE fingerprint-keyed exchange groups the corpus (map-side
+    combinable counts); the >=2-splits filter prunes to the leaked
+    tail. Same budget as exact dedup — the fingerprint is the 16-byte
+    shuffle key, raw text never shuffles. At 100 TB this composes with
+    the near-dup family: feed minhash cluster labels in place of the
+    fingerprint for fuzzy leakage at identical plan shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    canon = F.concat_ws(" ", F.sort_array(F.array_distinct(F.split("text", " "))))
+    assigned = docs.select(
+        "doc_id",
+        F.md5(canon).alias("fp"),
+        split_assign_col().alias("split"),
+    )
+    grp = assigned.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("split").alias("n_splits"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("train_docs"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).alias("val_docs"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias("test_docs"),
+    )
+    return grp.filter(F.col("n_splits") >= 2).selectExpr(
+        "fp AS fingerprint",
+        "CAST(n_docs AS BIGINT) AS n_docs",
+        "CAST(n_splits AS BIGINT) AS n_splits",
+        "CAST(min_doc_id AS BIGINT) AS min_doc_id",
+        "CAST(train_docs AS BIGINT) AS train_docs",
+        "CAST(val_docs AS BIGINT) AS val_docs",
+        "CAST(test_docs AS BIGINT) AS test_docs",
     )

@@ -170,6 +170,10 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     "ts_rolling_median",
     "ts_anomaly_mad",
     "ts_theil_sen_trend",
+    # --- fifth r7 work session ---
+    "events_rolling_actives",
+    "events_cooccurrence_lift",
+    "dataset_split_leakage",
 )
 
 
