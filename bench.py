@@ -130,6 +130,12 @@ HEADLINE = [
     "sim_ann_ivf_probe_sweep",
     "dataset_temperature_weights",
     "agg_mode_deterministic",
+    "ts_rolling_median",
+    "ts_anomaly_mad",
+    "ts_theil_sen_trend",
+    "events_rolling_actives",
+    "events_cooccurrence_lift",
+    "dataset_split_leakage",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

@@ -190,6 +190,13 @@ QUERIES = (
     "ts_rolling_median",
     "ts_anomaly_mad",
     "ts_theil_sen_trend",
+    # r7 fifth session: rolling actives works on (user, day) distinct
+    # grain with a fixed 7x explode; co-occurrence pairs on (user, type)
+    # distinct grain aggregating to |types|^2; split leakage is
+    # exact-dedup-shaped (one fingerprint-keyed exchange).
+    "events_rolling_actives",
+    "events_cooccurrence_lift",
+    "dataset_split_leakage",
 )
 REPLICAS = 10
 

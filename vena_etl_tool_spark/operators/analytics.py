@@ -764,31 +764,41 @@ FROM wau w LEFT JOIN dau d ON d.day = w.day
 )
 def events_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily + trailing-7-day distinct active users with the DAU/WAU
-    stickiness ratio (exact integer milli). See the module comment above
-    the oracle: the sliding distinct is made decomposable by exploding
-    each (user, day) to its 7 cover days and de-duplicating — user-day
-    grain in, user-day×7 grain out, never event grain and never a
-    history-wide re-dedup. Days past the data's last day are clipped
-    (their windows are not yet complete).
+    stickiness ratio (exact integer milli). The oracle states the
+    semantics as explode-to-7-cover-days + DISTINCT; the Spark side uses
+    the stronger disjoint-segment rewrite: per user, sorted active days
+    emit the interval [GREATEST(day, prev_day + 7), day + 6] — prev_day
+    covers everything before prev_day + 7, so consecutive segments are
+    disjoint BY CONSTRUCTION and their union is exactly the cover set.
+    That deletes the distinct on the 7×-exploded rows (the widest
+    exchange in the naive plan): the explode output flows straight into
+    a map-side-combinable day-grain count. Days past the data's last
+    day are clipped (their windows are not yet complete).
 
-    Plan shape: one exchange to (user, day) grain, one to the exploded
-    (user, cover_day) distinct, then a day-grain count — all map-side
-    combinable; the 1-row max-day bound broadcasts."""
+    Plan shape: one exchange to (user, day) grain, one user-keyed
+    window (lag), then the day-grain count whose map-side combine
+    collapses the 7× fan-out before any shuffle; the 1-row max-day
+    bound broadcasts. The same shape serves MAU at W=30."""
+    from pyspark.sql import Window
+
     ev = load_table(spark, sf_dir, "events")
     ud = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
     d1 = ud.agg(F.max("day").alias("d1"))
-    cover = (
-        ud.select(
-            "user_id",
-            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
-            "day",
+    w = Window.partitionBy("user_id").orderBy("day")
+    seg = (
+        ud.withColumn("prev", F.lag("day").over(w))
+        .crossJoin(F.broadcast(d1))
+        .select(
+            F.greatest(
+                F.col("day"),
+                F.coalesce(F.date_add(F.col("prev"), 7), F.col("day")),
+            ).alias("s"),
+            F.least(F.date_add(F.col("day"), 6), F.col("d1")).alias("e"),
         )
-        .select("user_id", F.date_add(F.col("day"), F.col("o")).alias("day"))
-        .distinct()
+        .filter(F.col("s") <= F.col("e"))
     )
     wau = (
-        cover.crossJoin(F.broadcast(d1))
-        .filter(F.col("day") <= F.col("d1"))
+        seg.select(F.explode(F.expr("sequence(s, e)")).alias("day"))
         .groupBy("day")
         .agg(F.count(F.lit(1)).alias("wau"))
     )
