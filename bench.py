@@ -136,6 +136,13 @@ HEADLINE = [
     "events_rolling_actives",
     "events_cooccurrence_lift",
     "dataset_split_leakage",
+    "ts_autocorrelation",
+    "ts_seasonality_dow",
+    "events_attribution_linear",
+    "dataset_epoch_plan",
+    "text_gopher_rules",
+    "profile_expectations",
+    "integrity_orphan_audit",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

@@ -197,6 +197,18 @@ QUERIES = (
     "events_rolling_actives",
     "events_cooccurrence_lift",
     "dataset_split_leakage",
+    # r7 sixth session: ACF/seasonality run the lag math at calendar-day
+    # grain after one fact exchange; attribution pairs are user-keyed and
+    # bounded by per-user activity; epoch plan / gopher rules are one
+    # corpus aggregate; expectations are 1-row-per-table aggregates;
+    # the FK audit joins at distinct-key grain, never fact grain.
+    "ts_autocorrelation",
+    "ts_seasonality_dow",
+    "events_attribution_linear",
+    "dataset_epoch_plan",
+    "text_gopher_rules",
+    "profile_expectations",
+    "integrity_orphan_audit",
 )
 REPLICAS = 10
 

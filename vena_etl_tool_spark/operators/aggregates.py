@@ -694,3 +694,272 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Declarative data-quality expectations — the Deequ/Great-Expectations shape
+# ---------------------------------------------------------------------------
+# A constraint suite evaluated as ONE aggregate pass per table (each check
+# is a conditional count inside the same scan — the Deequ trick: N
+# constraints cost one shuffle-free aggregation, not N scans), then
+# unpivoted to one row per constraint with its compliance metric in ppm and
+# the pass verdict. Uniqueness is the one check that needs key grain —
+# COUNT(DISTINCT) rides the same aggregate.
+_EXPECT_PPM = 1_000_000
+
+
+@register(
+    "profile_expectations",
+    tags=("profiling", "quality", "aggregate"),
+    oracle=f"""
+WITH o AS (
+  SELECT COUNT(*) AS n,
+         COUNT(DISTINCT o_orderkey) AS n_uniq,
+         SUM(CAST(o_totalprice > 0 AS INT)) AS n_price_ok,
+         SUM(CAST(o_orderstatus IN ('O', 'F', 'P') AS INT)) AS n_status_ok,
+         SUM(CAST(CAST(o_orderdate AS DATE)
+                  BETWEEN DATE '1995-01-01' AND DATE '2001-12-31'
+                  AS INT)) AS n_date_ok
+  FROM orders
+), c AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(regexp_matches(c_name, '^Customer#[0-9]{{9}}$') AS INT))
+           AS n_name_ok,
+         SUM(CAST(c_acctbal >= -1000.0 AS INT)) AS n_bal_ok
+  FROM customer
+), l AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(l_quantity BETWEEN 1 AND 50 AS INT)) AS n_qty_ok,
+         SUM(CAST(l_shipdate IS NOT NULL AS INT)) AS n_ship_ok
+  FROM lineitem
+)
+SELECT * FROM (
+  SELECT 'orders' AS tbl, 'unique(o_orderkey)' AS constraint,
+         CAST(n AS BIGINT) AS n_rows, CAST(n_uniq AS BIGINT) AS n_ok,
+         CAST(n_uniq * {_EXPECT_PPM} // n AS BIGINT) AS metric_ppm,
+         CAST(n_uniq = n AS INT) AS pass FROM o
+  UNION ALL
+  SELECT 'orders', 'compliance(o_totalprice > 0)',
+         CAST(n AS BIGINT), CAST(n_price_ok AS BIGINT),
+         CAST(n_price_ok * {_EXPECT_PPM} // n AS BIGINT),
+         CAST(n_price_ok = n AS INT) FROM o
+  UNION ALL
+  SELECT 'orders', 'in_set(o_orderstatus)',
+         CAST(n AS BIGINT), CAST(n_status_ok AS BIGINT),
+         CAST(n_status_ok * {_EXPECT_PPM} // n AS BIGINT),
+         CAST(n_status_ok = n AS INT) FROM o
+  UNION ALL
+  SELECT 'orders', 'range(o_orderdate)',
+         CAST(n AS BIGINT), CAST(n_date_ok AS BIGINT),
+         CAST(n_date_ok * {_EXPECT_PPM} // n AS BIGINT),
+         CAST(n_date_ok = n AS INT) FROM o
+  UNION ALL
+  SELECT 'customer', 'pattern(c_name)',
+         CAST(n AS BIGINT), CAST(n_name_ok AS BIGINT),
+         CAST(n_name_ok * {_EXPECT_PPM} // n AS BIGINT),
+         CAST(n_name_ok = n AS INT) FROM c
+  UNION ALL
+  SELECT 'customer', 'min(c_acctbal) >= -1000',
+         CAST(n AS BIGINT), CAST(n_bal_ok AS BIGINT),
+         CAST(n_bal_ok * {_EXPECT_PPM} // n AS BIGINT),
+         CAST(n_bal_ok = n AS INT) FROM c
+  UNION ALL
+  SELECT 'lineitem', 'range(l_quantity)',
+         CAST(n AS BIGINT), CAST(n_qty_ok AS BIGINT),
+         CAST(n_qty_ok * {_EXPECT_PPM} // n AS BIGINT),
+         CAST(n_qty_ok = n AS INT) FROM l
+  UNION ALL
+  SELECT 'lineitem', 'completeness(l_shipdate)',
+         CAST(n AS BIGINT), CAST(n_ship_ok AS BIGINT),
+         CAST(n_ship_ok * {_EXPECT_PPM} // n AS BIGINT),
+         CAST(n_ship_ok = n AS INT) FROM l
+)
+""",
+)
+def profile_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality expectation suite: uniqueness, value
+    compliance, set membership, range, pattern, and completeness
+    constraints over orders/customer/lineitem — each table verified in
+    ONE aggregate pass (every constraint is a conditional count riding
+    the same scan; uniqueness rides as COUNT(DISTINCT)), then unpivoted
+    via stack() to one row per constraint with its compliance metric in
+    exact ppm and a pass verdict. This is the pre-load quality gate the
+    reference's validation step (pipeline/ingest.py) grows into at
+    warehouse scale.
+
+    Scale shape: three scans total (one per table — N constraints share
+    it), each collapsing to a 1-row aggregate; COUNT(DISTINCT) on the
+    key column is the only exchange that sees key grain. Output is
+    constraint-grain (bytes)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    p = _EXPECT_PPM
+    o = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("o_orderkey").alias("n_uniq"),
+        F.sum((F.col("o_totalprice") > 0).cast("int")).alias("n_price_ok"),
+        F.sum(F.col("o_orderstatus").isin("O", "F", "P").cast("int")).alias(
+            "n_status_ok"
+        ),
+        F.sum(
+            F.col("o_orderdate")
+            .cast("date")
+            .between(F.lit("1995-01-01").cast("date"), F.lit("2001-12-31").cast("date"))
+            .cast("int")
+        ).alias("n_date_ok"),
+    )
+    c = customer.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("c_name").rlike("^Customer#[0-9]{9}$").cast("int")).alias(
+            "n_name_ok"
+        ),
+        F.sum((F.col("c_acctbal") >= -1000.0).cast("int")).alias("n_bal_ok"),
+    )
+    li = lineitem.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").between(1, 50).cast("int")).alias("n_qty_ok"),
+        F.sum(F.col("l_shipdate").isNotNull().cast("int")).alias("n_ship_ok"),
+    )
+    o_rows = o.selectExpr(
+        f"""stack(4,
+          'unique(o_orderkey)', n_uniq,
+          'compliance(o_totalprice > 0)', n_price_ok,
+          'in_set(o_orderstatus)', n_status_ok,
+          'range(o_orderdate)', n_date_ok) AS (constraint, n_ok)""",
+        "n",
+    ).selectExpr(
+        "'orders' AS tbl",
+        "constraint",
+        "CAST(n AS BIGINT) AS n_rows",
+        "CAST(n_ok AS BIGINT) AS n_ok",
+        f"CAST(n_ok * {p} div n AS BIGINT) AS metric_ppm",
+        "CAST(n_ok = n AS INT) AS pass",
+    )
+    c_rows = c.selectExpr(
+        """stack(2,
+          'pattern(c_name)', n_name_ok,
+          'min(c_acctbal) >= -1000', n_bal_ok) AS (constraint, n_ok)""",
+        "n",
+    ).selectExpr(
+        "'customer' AS tbl",
+        "constraint",
+        "CAST(n AS BIGINT) AS n_rows",
+        "CAST(n_ok AS BIGINT) AS n_ok",
+        f"CAST(n_ok * {p} div n AS BIGINT) AS metric_ppm",
+        "CAST(n_ok = n AS INT) AS pass",
+    )
+    l_rows = li.selectExpr(
+        """stack(2,
+          'range(l_quantity)', n_qty_ok,
+          'completeness(l_shipdate)', n_ship_ok) AS (constraint, n_ok)""",
+        "n",
+    ).selectExpr(
+        "'lineitem' AS tbl",
+        "constraint",
+        "CAST(n AS BIGINT) AS n_rows",
+        "CAST(n_ok AS BIGINT) AS n_ok",
+        f"CAST(n_ok * {p} div n AS BIGINT) AS metric_ppm",
+        "CAST(n_ok = n AS INT) AS pass",
+    )
+    return o_rows.unionByName(c_rows).unionByName(l_rows)
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit — FK orphans and unreferenced parents
+# ---------------------------------------------------------------------------
+# Both directions of every FK edge in one full-outer join per edge at
+# DISTINCT-KEY grain: child keys missing from the parent (orphans — hard
+# corruption) and parent keys no child references (unreferenced — the
+# dead-dimension signal; ~1/3 of TPC-H customers have no orders by
+# construction, so the audit is non-trivially exercised on clean data).
+_FK_EDGES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+)
+
+
+def _fk_edge_oracle(child: str, ckey: str, parent: str, pkey: str) -> str:
+    return f"""
+  SELECT '{child}.{ckey}->{parent}.{pkey}' AS edge,
+         CAST(SUM(COALESCE(ck.cnt, 0)) AS BIGINT) AS n_child_rows,
+         CAST(COUNT(ck.k) AS BIGINT) AS n_child_keys,
+         CAST(SUM(CASE WHEN pk.k IS NULL AND ck.k IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_keys,
+         CAST(COUNT(pk.k) AS BIGINT) AS n_parent_keys,
+         CAST(SUM(CASE WHEN ck.k IS NULL AND pk.k IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_unreferenced
+  FROM (SELECT {ckey} AS k, COUNT(*) AS cnt FROM {child}
+        WHERE {ckey} IS NOT NULL GROUP BY 1) ck
+  FULL OUTER JOIN (SELECT DISTINCT {pkey} AS k FROM {parent}) pk USING (k)
+"""
+
+
+@register(
+    "integrity_orphan_audit",
+    tags=("profiling", "quality", "join", "integrity"),
+    oracle=" UNION ALL ".join(_fk_edge_oracle(*e) for e in _FK_EDGES),
+)
+def integrity_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over the schema's FK edges: per edge,
+    child row/key counts, orphan child keys (no parent — corruption),
+    parent key count, and unreferenced parent keys (no child — the
+    dead-dimension signal that is nonzero even on clean TPC-H: ~1/3 of
+    customers never order, some parts are never lined). One full-outer
+    join per edge at DISTINCT-KEY grain answers both directions at
+    once — the audit every warehouse load pipeline runs before enabling
+    constraints.
+
+    Scale shape: each child table collapses to key grain in one
+    map-side-combinable aggregate BEFORE the join, so the full-outer
+    join shuffles keys, never fact rows (full outer cannot broadcast —
+    all 5 edges sort-merge, but at distinct-key grain that exchange is
+    the small one by construction). Output is edge-grain (5 rows)."""
+    out = None
+    for child, ckey, parent, pkey in _FK_EDGES:
+        ck = (
+            load_table(spark, sf_dir, child)
+            .filter(F.col(ckey).isNotNull())
+            .groupBy(F.col(ckey).alias("k"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        pk = (
+            load_table(spark, sf_dir, parent)
+            .select(F.col(pkey).alias("k"))
+            .distinct()
+            .withColumn("p_present", F.lit(1))
+        )
+        edge = (
+            ck.withColumn("c_present", F.lit(1))
+            .join(pk, "k", "full_outer")
+            .agg(
+                F.sum(F.coalesce("cnt", F.lit(0))).cast("long").alias("n_child_rows"),
+                F.count("c_present").cast("long").alias("n_child_keys"),
+                F.sum(
+                    (F.col("p_present").isNull() & F.col("c_present").isNotNull())
+                    .cast("int")
+                )
+                .cast("long")
+                .alias("n_orphan_keys"),
+                F.count("p_present").cast("long").alias("n_parent_keys"),
+                F.sum(
+                    (F.col("c_present").isNull() & F.col("p_present").isNotNull())
+                    .cast("int")
+                )
+                .cast("long")
+                .alias("n_unreferenced"),
+            )
+            .select(
+                F.lit(f"{child}.{ckey}->{parent}.{pkey}").alias("edge"),
+                "n_child_rows",
+                "n_child_keys",
+                "n_orphan_keys",
+                "n_parent_keys",
+                "n_unreferenced",
+            )
+        )
+        out = edge if out is None else out.unionByName(edge)
+    return out

@@ -6,7 +6,7 @@ the join+aggregate surface a reference user's reporting queries exercise
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import load_table
 from ..registry import register
@@ -902,3 +902,136 @@ def events_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(support * 1000 div n_type_a AS BIGINT) AS conf_a_to_b_milli",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear multi-touch attribution — exact-milli credit assignment
+# ---------------------------------------------------------------------------
+# The marketing-analytics sibling of join_asof_last_click (which is
+# last-touch): every touchpoint in the 7-day lookback before a conversion
+# shares the conversion's 1000 milli-credits equally. The integer split is
+# 1000 div m per touch with the remainder (1000 mod m) assigned to the MOST
+# RECENT touch (deterministic: ts desc, event_id desc), so per-conversion
+# credit always sums to exactly 1000 and the whole table stays
+# hash-checkable — a double 1/m split would drift by summation order.
+_ATTR_LOOKBACK_DAYS = 7
+_ATTR_TOUCH_TYPES = ("click", "view", "signup")
+
+_ATTR_ORACLE = f"""
+WITH conv AS (
+  SELECT user_id, event_id AS conv_id, ts AS conv_ts
+  FROM events WHERE event_type = 'purchase'
+), touch AS (
+  SELECT user_id, event_id AS touch_id, event_type AS touch_type, ts AS touch_ts
+  FROM events WHERE event_type IN {_ATTR_TOUCH_TYPES!r}
+), pairs AS (
+  SELECT c.conv_id, t.touch_id, t.touch_type,
+         COUNT(*) OVER (PARTITION BY c.conv_id) AS m,
+         ROW_NUMBER() OVER (PARTITION BY c.conv_id
+                            ORDER BY t.touch_ts DESC, t.touch_id DESC) AS rn
+  FROM conv c
+  JOIN touch t ON t.user_id = c.user_id
+              AND t.touch_ts < c.conv_ts
+              AND t.touch_ts >= c.conv_ts - INTERVAL {_ATTR_LOOKBACK_DAYS} DAY
+), credited AS (
+  SELECT touch_type, conv_id,
+         1000 // m + CASE WHEN rn = 1 THEN 1000 % m ELSE 0 END AS credit_milli
+  FROM pairs
+), per_type AS (
+  SELECT touch_type,
+         CAST(COUNT(*) AS BIGINT) AS n_touches,
+         CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+         CAST(SUM(credit_milli) AS BIGINT) AS credit_milli
+  FROM credited GROUP BY touch_type
+), direct AS (
+  SELECT '(direct)' AS touch_type,
+         CAST(0 AS BIGINT) AS n_touches,
+         CAST(COUNT(*) AS BIGINT) AS n_conversions,
+         CAST(COUNT(*) * 1000 AS BIGINT) AS credit_milli
+  FROM conv c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM touch t
+    WHERE t.user_id = c.user_id AND t.touch_ts < c.conv_ts
+      AND t.touch_ts >= c.conv_ts - INTERVAL {_ATTR_LOOKBACK_DAYS} DAY)
+)
+SELECT * FROM per_type UNION ALL SELECT * FROM direct
+"""
+
+
+@register(
+    "events_attribution_linear",
+    tags=("events", "attribution", "analytics"),
+    oracle=_ATTR_ORACLE,
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (equal-split) multi-touch attribution: each purchase's 1000
+    milli-credits divide evenly across the user's click/view/signup
+    touchpoints in the 7-day lookback window; conversions with no
+    touchpoints report under '(direct)' with full credit. Integer split
+    with the remainder pinned to the most recent touch keeps every
+    conversion summing to exactly 1000 — exact cross-engine, where a
+    double 1/m would hash-drift.
+
+    Scale shape: the touch⋈conversion pair join is keyed on user_id
+    with a time-band predicate — per-user work is (purchases ×
+    touches) of ONE user's history, bounded by per-user activity, never
+    a cross of the global tables; the same user-keyed exchange then
+    feeds the per-conversion window (no second shuffle — conv_id rows
+    are co-located because conv_id lives inside one user's partition
+    only after the user-keyed join, so Spark re-exchanges on conv_id:
+    rollup-sized, pairs not raw events). The '(direct)' branch is a
+    user-keyed anti join on the same exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("conv_id"),
+        F.col("ts").alias("conv_ts"),
+    )
+    touch = ev.filter(F.col("event_type").isin(*_ATTR_TOUCH_TYPES)).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("touch_type"),
+        F.col("ts").alias("touch_ts"),
+    )
+    band = (
+        (F.col("t_user") == F.col("user_id"))
+        & (F.col("touch_ts") < F.col("conv_ts"))
+        & (
+            F.col("touch_ts")
+            >= F.col("conv_ts") - F.expr(f"INTERVAL {_ATTR_LOOKBACK_DAYS} DAY")
+        )
+    )
+    pairs = conv.join(touch, band).select(
+        "conv_id",
+        "touch_id",
+        "touch_type",
+        F.count(F.lit(1)).over(Window.partitionBy("conv_id")).alias("m"),
+        F.row_number()
+        .over(
+            Window.partitionBy("conv_id").orderBy(
+                F.col("touch_ts").desc(), F.col("touch_id").desc()
+            )
+        )
+        .alias("rn"),
+    )
+    credited = pairs.selectExpr(
+        "touch_type",
+        "conv_id",
+        "1000 div m + CASE WHEN rn = 1 THEN 1000 % m ELSE 0 END AS credit_milli",
+    )
+    per_type = credited.groupBy("touch_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.countDistinct("conv_id").cast("long").alias("n_conversions"),
+        F.sum("credit_milli").cast("long").alias("credit_milli"),
+    )
+    direct = (
+        conv.join(touch, band, "left_anti")
+        .agg(F.count(F.lit(1)).alias("nc"))
+        .selectExpr(
+            "'(direct)' AS touch_type",
+            "CAST(0 AS BIGINT) AS n_touches",
+            "CAST(nc AS BIGINT) AS n_conversions",
+            "CAST(nc * 1000 AS BIGINT) AS credit_milli",
+        )
+    )
+    return per_type.unionByName(direct)

@@ -3271,3 +3271,231 @@ def dataset_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(val_docs AS BIGINT) AS val_docs",
         "CAST(test_docs AS BIGINT) AS test_docs",
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-constrained epoch plan — turning mixture weights into repeat factors
+# ---------------------------------------------------------------------------
+# The step after dataset_temperature_weights: given a token training budget
+# (a fixed multiple of the corpus) and the alpha=1/2 temperature target, how
+# many EPOCHS of each (lang, source) does the sampler actually run, with
+# repeats capped (the data-constrained-scaling recipe: repeating pretraining
+# data beyond ~4 epochs stops helping, so capped domains surrender their
+# excess budget)? All integer: the target allocation is budget·sqrt_mass //
+# total_sqrt, epochs are milli-units capped at EPOCH_CAP_MILLI, and the
+# planned token count folds the truncation back so planned <= target always
+# holds (invariant-testable). Products carry DECIMAL(38,0) on the Spark side
+# (n_tokens × 1000000 exceeds int64 at real corpus sizes; DuckDB
+# auto-promotes to HUGEINT).
+_EPOCH_BUDGET_MULT = 2  # train budget = 2x the corpus token mass
+_EPOCH_CAP_MILLI = 4000  # max 4 epochs per domain
+
+_EPOCH_ORACLE = f"""
+WITH per_src AS (
+  SELECT lang, source, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang, source
+), w AS (
+  SELECT *, CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS sqrt_mass
+  FROM per_src
+), tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(SUM(sqrt_mass) AS BIGINT) AS total_sqrt
+  FROM w
+), plan AS (
+  SELECT lang, source, n_docs, n_tokens, sqrt_mass,
+         total_tokens * {_EPOCH_BUDGET_MULT} * sqrt_mass // total_sqrt
+           AS target_tokens,
+         LEAST({_EPOCH_CAP_MILLI},
+               total_tokens * {_EPOCH_BUDGET_MULT} * sqrt_mass
+                 // total_sqrt * 1000 // n_tokens) AS epochs_milli
+  FROM w, tot
+)
+SELECT lang, source, n_docs, n_tokens, sqrt_mass,
+       CAST(target_tokens AS BIGINT) AS target_tokens,
+       CAST(epochs_milli AS BIGINT) AS epochs_milli,
+       CAST(epochs_milli = {_EPOCH_CAP_MILLI} AS INT) AS capped,
+       CAST(n_tokens * epochs_milli // 1000 AS BIGINT) AS planned_tokens,
+       CAST(target_tokens - n_tokens * epochs_milli // 1000 AS BIGINT)
+         AS shortfall_tokens
+FROM plan
+"""
+
+
+@register(
+    "dataset_epoch_plan",
+    tags=("llm", "sampling", "mixture", "aggregate"),
+    oracle=_EPOCH_ORACLE,
+)
+def dataset_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain epoch/repeat plan for a token budget of 2x the corpus
+    under the alpha=1/2 temperature target — the actionable output of
+    dataset_temperature_weights: epochs_milli is how many passes the
+    sampler makes over each (lang, source) (1000 = exactly once),
+    capped at 4 epochs per the data-constrained-scaling rule, with the
+    surrendered budget reported as shortfall_tokens. planned <= target
+    by construction (truncating splits), so the plan never overspends.
+
+    Scale shape: identical to dataset_temperature_weights — one corpus
+    aggregate to (lang, source) grain plus a 1-row totals broadcast;
+    the plan itself is domain-grain (broadcast-sized). The sqrt is
+    FLOOR(SQRT(int64)) — correctly rounded IEEE, identical in both
+    engines (the transcendental-free bridge discipline)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+    )
+    w = per_src.withColumn(
+        "sqrt_mass",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("long"),
+    )
+    tot = w.agg(
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("sqrt_mass").cast("long").alias("total_sqrt"),
+    )
+    plan = w.crossJoin(F.broadcast(tot)).selectExpr(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        "sqrt_mass",
+        f"CAST(total_tokens AS DECIMAL(38,0)) * {_EPOCH_BUDGET_MULT} * sqrt_mass"
+        " div total_sqrt AS target_tokens",
+        f"""LEAST(CAST({_EPOCH_CAP_MILLI} AS BIGINT),
+              CAST(CAST(total_tokens AS DECIMAL(38,0)) * {_EPOCH_BUDGET_MULT}
+                   * sqrt_mass div total_sqrt AS DECIMAL(38,0))
+                * 1000 div n_tokens) AS epochs_milli""",
+    )
+    return plan.selectExpr(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        "sqrt_mass",
+        "CAST(target_tokens AS BIGINT) AS target_tokens",
+        "CAST(epochs_milli AS BIGINT) AS epochs_milli",
+        f"CAST(epochs_milli = {_EPOCH_CAP_MILLI} AS INT) AS capped",
+        "CAST(CAST(n_tokens AS DECIMAL(38,0)) * epochs_milli div 1000 AS BIGINT)"
+        " AS planned_tokens",
+        "CAST(target_tokens - CAST(n_tokens AS DECIMAL(38,0)) * epochs_milli"
+        " div 1000 AS BIGINT) AS shortfall_tokens",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules — the classic pretraining document filter
+# ---------------------------------------------------------------------------
+# The rule family from the Gopher/MassiveText data pipeline (word-count
+# bounds, mean-word-length band, symbol-to-word ratio, alphabetic-word
+# fraction, minimum stopword evidence), each computed in exact integer
+# milli-units per document and reported as per-(source, lang) fail counts —
+# the shape a curation dashboard consumes before setting thresholds. The
+# per-rule thresholds are the published ones where integer-expressible.
+_GOPHER_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "that")
+
+_GOPHER_ORACLE = f"""
+WITH per_doc AS (
+  SELECT source, lang,
+         len(string_split(text, ' ')) AS n_words,
+         list_sum(list_transform(string_split(text, ' '), w -> len(w)))
+           AS sum_wlen,
+         len(list_filter(string_split(text, ' '),
+                         w -> regexp_matches(w, '^[A-Za-z]'))) AS n_alpha,
+         len(list_filter(string_split(text, ' '),
+                         w -> contains(w, '#') OR contains(w, '...')))
+           AS n_symbol,
+         {" + ".join(f"CAST(list_contains(string_split(text, ' '), '{s}') AS INT)" for s in _GOPHER_STOPWORDS)}
+           AS stop_hits
+  FROM documents
+), flags AS (
+  SELECT source, lang,
+         CAST(n_words BETWEEN 50 AND 100000 AS INT) AS ok_word_count,
+         CAST(sum_wlen * 1000 // n_words BETWEEN 3000 AND 10000 AS INT)
+           AS ok_mean_wlen,
+         CAST(n_symbol * 1000 // n_words <= 100 AS INT) AS ok_symbol_ratio,
+         CAST(n_alpha * 1000 // n_words >= 800 AS INT) AS ok_alpha_frac,
+         CAST(stop_hits >= 2 AS INT) AS ok_stopwords
+  FROM per_doc WHERE n_words > 0
+)
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(1 - ok_word_count) AS BIGINT) AS fail_word_count,
+       CAST(SUM(1 - ok_mean_wlen) AS BIGINT) AS fail_mean_wlen,
+       CAST(SUM(1 - ok_symbol_ratio) AS BIGINT) AS fail_symbol_ratio,
+       CAST(SUM(1 - ok_alpha_frac) AS BIGINT) AS fail_alpha_frac,
+       CAST(SUM(1 - ok_stopwords) AS BIGINT) AS fail_stopwords,
+       CAST(SUM(ok_word_count * ok_mean_wlen * ok_symbol_ratio
+                * ok_alpha_frac * ok_stopwords) AS BIGINT) AS n_pass_all
+FROM flags GROUP BY source, lang
+"""
+
+
+@register(
+    "text_gopher_rules",
+    tags=("llm", "text", "quality", "curation"),
+    oracle=_GOPHER_ORACLE,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition-free quality rules per document, rolled up
+    to per-(source, lang) fail counts: word-count bounds [50, 100000],
+    mean word length in [3.0, 10.0], symbol-to-word ratio <= 0.1
+    ('#'/'...' carriers), alphabetic-word fraction >= 0.8, and >= 2
+    distinct stopwords present. Every ratio is an exact integer milli
+    division, so the rule verdicts hash-match across engines — the
+    filter itself is the deliverable (n_pass_all is what survives).
+
+    Scale shape: pure per-row expression work (higher-order array
+    functions inside whole-stage codegen — no UDF, no explode: the
+    token array never leaves the row) followed by ONE
+    map-side-combinable aggregate to (source, lang) grain. At 100 TB
+    this is a single scan + a kilobyte-sized shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    stop_hits = None
+    for s in _GOPHER_STOPWORDS:
+        term = F.array_contains(words, s).cast("int")
+        stop_hits = term if stop_hits is None else stop_hits + term
+    per_doc = docs.select(
+        "source",
+        "lang",
+        F.size(words).alias("n_words"),
+        F.expr(
+            "aggregate(split(text, ' '), 0L, (acc, w) -> acc + length(w))"
+        ).alias("sum_wlen"),
+        F.size(F.filter(words, lambda w: w.rlike("^[A-Za-z]"))).alias("n_alpha"),
+        F.size(
+            F.filter(
+                words,
+                lambda w: w.contains("#") | w.contains("..."),
+            )
+        ).alias("n_symbol"),
+        stop_hits.alias("stop_hits"),
+    ).filter(F.col("n_words") > 0)
+    flags = per_doc.selectExpr(
+        "source",
+        "lang",
+        "CAST(n_words BETWEEN 50 AND 100000 AS INT) AS ok_word_count",
+        "CAST(sum_wlen * 1000 div n_words BETWEEN 3000 AND 10000 AS INT)"
+        " AS ok_mean_wlen",
+        "CAST(n_symbol * 1000 div n_words <= 100 AS INT) AS ok_symbol_ratio",
+        "CAST(n_alpha * 1000 div n_words >= 800 AS INT) AS ok_alpha_frac",
+        "CAST(stop_hits >= 2 AS INT) AS ok_stopwords",
+    )
+    return flags.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(1 - F.col("ok_word_count")).cast("long").alias("fail_word_count"),
+        F.sum(1 - F.col("ok_mean_wlen")).cast("long").alias("fail_mean_wlen"),
+        F.sum(1 - F.col("ok_symbol_ratio")).cast("long").alias("fail_symbol_ratio"),
+        F.sum(1 - F.col("ok_alpha_frac")).cast("long").alias("fail_alpha_frac"),
+        F.sum(1 - F.col("ok_stopwords")).cast("long").alias("fail_stopwords"),
+        F.sum(
+            F.col("ok_word_count")
+            * F.col("ok_mean_wlen")
+            * F.col("ok_symbol_ratio")
+            * F.col("ok_alpha_frac")
+            * F.col("ok_stopwords")
+        )
+        .cast("long")
+        .alias("n_pass_all"),
+    )

@@ -890,3 +890,272 @@ def ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(slope_milli AS BIGINT) AS theil_sen_slope_milli_e4_per_day",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function — exact-integer lag-k ACF at day grain
+# ---------------------------------------------------------------------------
+# The seasonality / burstiness diagnostic: r_k = Σ(y_t−ȳ)(y_{t+k}−ȳ) /
+# Σ(y_t−ȳ)² on the dense daily count series (zero-filled global grid, so a
+# silent day is a real 0, not a missing sample). Multiplying through by n²
+# clears the mean fractions: num_k = n²·Σy_t·y_{t+k} − n·S·(P_k+Q_k) +
+# (n−k)·S² and den = n²·Σy² − n·S² are integers, so the milli ratio is the
+# explicit-sign truncated division ts_linear_trend established. The lag
+# pairs come from a self-join of the DAY-GRAIN rollup (n = calendar days —
+# corpus-independent, the ts_theil_sen_trend argument), never event grain.
+_ACF_MAX_LAG = 7
+
+_ACF_ORACLE = f"""
+WITH bounds AS (
+  SELECT MIN(CAST(ts AS DATE)) AS d0,
+         date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE))) + 1 AS nd
+  FROM events
+), grid AS (
+  SELECT t.event_type, g.o AS x
+  FROM (SELECT unnest(generate_series(0, nd - 1)) AS o FROM bounds) g
+  CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+), cnts AS (
+  SELECT event_type, date_diff('day', b.d0, CAST(ts AS DATE)) AS x,
+         COUNT(*) AS c
+  FROM events, bounds b GROUP BY 1, 2
+), daily AS (
+  SELECT grid.event_type, grid.x, COALESCE(cnts.c, 0) AS y
+  FROM grid LEFT JOIN cnts USING (event_type, x)
+), stats AS (
+  SELECT event_type, COUNT(*) AS n, SUM(y) AS s, SUM(y * y) AS ss
+  FROM daily GROUP BY 1
+), lagged AS (
+  SELECT a.event_type, k.k,
+         COUNT(*) AS m,
+         SUM(a.y * b.y) AS sxy,
+         SUM(a.y) AS pa,
+         SUM(b.y) AS qb
+  FROM daily a
+  CROSS JOIN (SELECT unnest(generate_series(1, {_ACF_MAX_LAG})) AS k) k
+  JOIN daily b ON b.event_type = a.event_type AND b.x = a.x + k.k
+  GROUP BY 1, 2
+), nd AS (
+  SELECT l.event_type, l.k, l.m, st.n, st.s,
+         st.n * st.n * l.sxy - st.n * st.s * (l.pa + l.qb) + l.m * st.s * st.s
+           AS num,
+         st.n * st.n * st.ss - st.n * st.s * st.s AS den
+  FROM lagged l JOIN stats st USING (event_type)
+)
+SELECT event_type, CAST(k AS BIGINT) AS lag_days,
+       CAST(n AS BIGINT) AS n_days, CAST(m AS BIGINT) AS n_pairs,
+       CAST(num AS BIGINT) AS acf_num, CAST(den AS BIGINT) AS acf_den,
+       CAST(CASE WHEN den = 0 THEN NULL ELSE
+         (CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+         (abs(num) // den * 1000 + abs(num) % den * 1000 // den)
+       END AS BIGINT) AS acf_milli
+FROM nd
+"""
+
+
+@register(
+    "ts_autocorrelation",
+    tags=("timeseries", "events", "acf"),
+    oracle=_ACF_ORACLE,
+)
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation of the daily event-count series per event
+    type — the seasonality/burstiness diagnostic (a weekly cycle shows as
+    an acf peak at lag 7; white noise hovers near 0). The single-
+    denominator ACF form (full-series mean and variance) avoids any
+    square root: scaled by n², numerator and denominator are exact
+    integers, and the milli ratio uses the explicit-sign truncated
+    division convention (Spark div truncates, DuckDB // floors — they
+    differ on negatives, and ACF numerators go negative).
+
+    Scale shape: facts collapse to the zero-filled (event_type, day)
+    grid in one map-side-combinable exchange; the 7-lag pair join runs
+    at DAY grain (calendar-bounded, corpus-independent — the
+    ts_theil_sen_trend argument), so its cost never grows with the
+    event volume. Moment products carry DECIMAL(38,0) on the Spark side
+    (SUM(long) wraps silently; DuckDB promotes to HUGEINT) — exact far
+    beyond 100 TB daily counts."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        (
+            F.datediff(F.max(F.col("ts").cast("date")), F.min(F.col("ts").cast("date")))
+            + 1
+        ).alias("nd"),
+    )
+    types = ev.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.col("nd") - 1)).alias("x"),
+        )
+    )
+    cnts = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.col("d0")).alias("x"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    daily = grid.join(cnts, ["event_type", "x"], "left").select(
+        "event_type", "x", F.coalesce("c", F.lit(0)).cast("long").alias("y")
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("s"),
+        F.sum(F.col("y") * F.col("y")).alias("ss"),
+    )
+    ks = spark.range(1, _ACF_MAX_LAG + 1).select(F.col("id").alias("k"))
+    a = daily.crossJoin(F.broadcast(ks))
+    b = daily.select(
+        F.col("event_type").alias("et_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+    )
+    lagged = (
+        a.join(
+            b,
+            (F.col("et_b") == F.col("event_type"))
+            & (F.col("xb") == F.col("x") + F.col("k")),
+        )
+        .groupBy("event_type", "k")
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.sum(F.col("y") * F.col("yb")).alias("sxy"),
+            F.sum("y").alias("pa"),
+            F.sum("yb").alias("qb"),
+        )
+    )
+    nd = lagged.join(stats, "event_type").selectExpr(
+        "event_type",
+        "k",
+        "m",
+        "n",
+        "CAST(n AS DECIMAL(38,0)) * n * sxy - CAST(n AS DECIMAL(38,0)) * s * (pa + qb)"
+        " + CAST(m AS DECIMAL(38,0)) * s * s AS num",
+        "CAST(n AS DECIMAL(38,0)) * n * ss - CAST(n AS DECIMAL(38,0)) * s * s AS den",
+    )
+    return nd.selectExpr(
+        "event_type",
+        "CAST(k AS BIGINT) AS lag_days",
+        "CAST(n AS BIGINT) AS n_days",
+        "CAST(m AS BIGINT) AS n_pairs",
+        "CAST(num AS BIGINT) AS acf_num",
+        "CAST(den AS BIGINT) AS acf_den",
+        """CAST(CASE WHEN den = 0 THEN NULL ELSE
+             (CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+             (abs(num) div den * 1000 + abs(num) % den * 1000 div den)
+           END AS BIGINT) AS acf_milli""",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week seasonal index — the calendar-profile companion of the ACF
+# ---------------------------------------------------------------------------
+# index_dow = mean(daily count | dow) / mean(daily count), in exact milli:
+# (sum_dow · n_total · 1000) div (n_dow · sum_total). Day-of-week is
+# computed portably as days-since-a-known-Monday mod 7 (Spark's dayofweek
+# is 1=Sunday, DuckDB's dayofweek is 0=Sunday, DuckDB's isodow has no Spark
+# twin — the epoch arithmetic sidesteps all three conventions).
+_DOW_ORACLE = """
+WITH bounds AS (
+  SELECT MIN(CAST(ts AS DATE)) AS d0,
+         date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE))) + 1 AS nd
+  FROM events
+), grid AS (
+  SELECT t.event_type, (b.d0 + g.o * INTERVAL 1 DAY)::DATE AS day
+  FROM bounds b, (SELECT unnest(generate_series(0, nd - 1)) AS o FROM bounds) g
+  CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+), cnts AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+), daily AS (
+  SELECT grid.event_type, grid.day,
+         date_diff('day', DATE '1970-01-05', grid.day) % 7 + 1 AS dow,
+         COALESCE(cnts.c, 0) AS y
+  FROM grid LEFT JOIN cnts USING (event_type, day)
+), tot AS (
+  SELECT event_type, COUNT(*) AS n_total, SUM(y) AS sum_total
+  FROM daily GROUP BY 1
+)
+SELECT d.event_type, CAST(d.dow AS BIGINT) AS dow,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(d.y) AS BIGINT) AS n_events,
+       CAST(SUM(d.y) * 1000 // COUNT(*) AS BIGINT) AS mean_daily_milli,
+       CAST(CASE WHEN t.sum_total = 0 THEN NULL ELSE
+         SUM(d.y) * t.n_total * 1000 // (COUNT(*) * t.sum_total)
+       END AS BIGINT) AS seasonal_index_milli
+FROM daily d JOIN tot t USING (event_type)
+GROUP BY d.event_type, d.dow, t.n_total, t.sum_total
+"""
+
+
+@register(
+    "ts_seasonality_dow",
+    tags=("timeseries", "events", "seasonality"),
+    oracle=_DOW_ORACLE,
+)
+def ts_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal index per event type — mean daily count for
+    each weekday relative to the overall mean (milli; 1000 = flat, >1000
+    = that weekday runs hot). Companion of ts_autocorrelation: the ACF
+    says THAT a weekly cycle exists, this profile says WHICH days carry
+    it. Computed on the zero-filled global day grid so silent days
+    weigh in as real zeros; day-of-week is epoch arithmetic
+    (days-since-Monday-1970-01-05 mod 7) because Spark's and DuckDB's
+    dayofweek disagree on the week origin.
+
+    Scale shape: one map-side-combinable exchange to (event_type, day)
+    grain, then two rollup-sized aggregates (7 rows per type out); the
+    totals broadcast back. The fact scan feeds exactly one shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        (
+            F.datediff(F.max(F.col("ts").cast("date")), F.min(F.col("ts").cast("date")))
+            + 1
+        ).alias("nd"),
+    )
+    types = ev.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.col("nd") - 1)).alias("o"),
+            "d0",
+        )
+        .select("event_type", F.date_add(F.col("d0"), F.col("o")).alias("day"))
+    )
+    cnts = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    daily = grid.join(cnts, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        (F.datediff(F.col("day"), F.lit("1970-01-05").cast("date")) % 7 + 1).alias(
+            "dow"
+        ),
+        F.coalesce("c", F.lit(0)).cast("long").alias("y"),
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_total"), F.sum("y").alias("sum_total")
+    )
+    return (
+        daily.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type", "dow", "n_total", "sum_total")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("y").alias("n_events"),
+        )
+        .selectExpr(
+            "event_type",
+            "CAST(dow AS BIGINT) AS dow",
+            "CAST(n_days AS BIGINT) AS n_days",
+            "CAST(n_events AS BIGINT) AS n_events",
+            "CAST(n_events * 1000 div n_days AS BIGINT) AS mean_daily_milli",
+            """CAST(CASE WHEN sum_total = 0 THEN NULL ELSE
+                 n_events * n_total * 1000 div (n_days * sum_total)
+               END AS BIGINT) AS seasonal_index_milli""",
+        )
+    )

@@ -174,6 +174,14 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     "events_rolling_actives",
     "events_cooccurrence_lift",
     "dataset_split_leakage",
+    # --- sixth r7 work session ---
+    "ts_autocorrelation",
+    "ts_seasonality_dow",
+    "events_attribution_linear",
+    "dataset_epoch_plan",
+    "text_gopher_rules",
+    "profile_expectations",
+    "integrity_orphan_audit",
 )
 
 
