@@ -315,7 +315,13 @@ def sim_ann_adc_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     join against the exact top-k truth."""
     from pyspark.sql import Window
 
-    from .similarity import N_QUERIES, PQ_SUBSPACES, TOP_K, sim_cosine_topk
+    from .similarity import (
+        N_QUERIES,
+        PQ_SUBSPACES,
+        TOP_K,
+        _ann_artifact,
+        sim_cosine_topk,
+    )
 
     scored = _trained_pq_scored(spark, sf_dir).drop("embedding")
     coded = scored.select(
@@ -351,7 +357,9 @@ def sim_ann_adc_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("neighbor_id").alias("a_neighbor_id"),
         )
     )
-    exact_k = sim_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    exact_k = _ann_artifact(
+        spark, sf_dir, "exact_cosine_topk", sim_cosine_topk
+    ).select("query_id", "neighbor_id")
     return (
         exact_k.join(
             adc_k,
@@ -576,10 +584,14 @@ def sim_ann_ivfadc_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame
     here is purely the trained residual codebooks ranking candidates
     closer to their true distances (the full-scan ADC pair measured
     0.20 trained vs 0.11 untrained on the same fixtures)."""
-    from .similarity import TOP_K, sim_cosine_topk
+    from .similarity import TOP_K, _ann_artifact, sim_cosine_topk
 
-    exact_k = sim_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    trained_k = sim_ann_ivfadc_trained(spark, sf_dir).select(
+    exact_k = _ann_artifact(
+        spark, sf_dir, "exact_cosine_topk", sim_cosine_topk
+    ).select("query_id", "neighbor_id")
+    trained_k = _ann_artifact(
+        spark, sf_dir, "ann_ivfadc_trained_topk", sim_ann_ivfadc_trained
+    ).select(
         F.col("query_id").alias("a_query_id"),
         F.col("neighbor_id").alias("a_neighbor_id"),
     )

@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from ..catalog import load_table
 from ..registry import register
-from ._shared import spread_small
+from ._shared import persisted_artifact, spread_small
 
 TOP_K = 5
 N_QUERIES = 20  # vec_id < 20 are the query vectors
@@ -568,16 +568,18 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (20 queries × k rows per method) left-joined on (query, neighbor) —
     the expensive parts are the underlying index scans, both already
     100 TB-shaped; the eval join is trivially broadcastable."""
-    exact_k = sim_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    exact_k = _ann_artifact(spark, sf_dir, "exact_cosine_topk", sim_cosine_topk).select(
+        "query_id", "neighbor_id"
+    )
     ann_k = (
-        sim_ann_lsh(spark, sf_dir)
+        _ann_artifact(spark, sf_dir, "ann_lsh_topk", sim_ann_lsh)
         .select(
             F.lit("lsh").alias("a_method"),
             F.col("query_id").alias("a_query_id"),
             F.col("neighbor_id").alias("a_neighbor_id"),
         )
         .unionAll(
-            sim_ann_ivf(spark, sf_dir).select(
+            _ann_artifact(spark, sf_dir, "ann_ivf_topk", sim_ann_ivf).select(
                 F.lit("ivf").alias("a_method"),
                 F.col("query_id").alias("a_query_id"),
                 F.col("neighbor_id").alias("a_neighbor_id"),
@@ -1008,8 +1010,10 @@ def sim_ann_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is near-random 64-d noise; production PQ trains per-subspace
     k-means codebooks (recall then tracks residual energy, the
     recon_err_sq column this pairing already reports)."""
-    exact_k = sim_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    adc_k = sim_ann_pq_adc(spark, sf_dir).select(
+    exact_k = _ann_artifact(spark, sf_dir, "exact_cosine_topk", sim_cosine_topk).select(
+        "query_id", "neighbor_id"
+    )
+    adc_k = _ann_artifact(spark, sf_dir, "ann_pq_adc_topk", sim_ann_pq_adc).select(
         F.col("query_id").alias("a_query_id"),
         F.col("neighbor_id").alias("a_neighbor_id"),
     )
@@ -1211,29 +1215,26 @@ def sim_knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (tests/test_plans.py pins WindowGroupLimit / scan count on it). The edge
 # set is two longs + a rounded double per row (≤ n·K/2 rows), so the
 # persisted footprint is trivial next to the corpus.
-_MUTUAL_GRAPH_CACHE: dict[tuple, DataFrame] = {}
-
-
 def _mutual_graph_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    files = tuple(sorted(load_table(spark, sf_dir, "embeddings").inputFiles()))
-    try:
-        app = spark.conf.get("spark.app.id")
-    except Exception:  # Connect session without the conf — key on identity
-        app = str(id(spark))
-    key = (app, files)
-    if not files:
-        return sim_knn_graph_mutual(spark, sf_dir)
-    hit = _MUTUAL_GRAPH_CACHE.get(key)
-    if hit is not None:
-        return hit
-    g = sim_knn_graph_mutual(spark, sf_dir).persist()
-    for stale in [k for k in list(_MUTUAL_GRAPH_CACHE) if k != key]:
-        try:
-            _MUTUAL_GRAPH_CACHE.pop(stale).unpersist()
-        except Exception:  # a stopped session's blocks are already gone
-            pass
-    _MUTUAL_GRAPH_CACHE[key] = g
-    return g
+    return persisted_artifact(
+        spark,
+        "mutual_knn_graph",
+        load_table(spark, sf_dir, "embeddings").inputFiles(),
+        lambda: sim_knn_graph_mutual(spark, sf_dir),
+    )
+
+
+def _ann_artifact(spark: SparkSession, sf_dir: str, name: str, fn) -> DataFrame:
+    """Persisted search output of a registered ANN query (or the exact
+    truth set) — the artifact every recall/eval audit scores against.
+    Ranked top-k rows only (N_QUERIES × TOP_K), so the persisted
+    footprint is constant regardless of corpus size."""
+    return persisted_artifact(
+        spark,
+        name,
+        load_table(spark, sf_dir, "embeddings").inputFiles(),
+        lambda: fn(spark, sf_dir),
+    )
 
 
 # Edge threshold for semantic clustering over the mutual graph. The
@@ -1565,8 +1566,10 @@ def sim_ann_ivfadc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings the residual term dominates, which is why production
     systems ship THIS shape (the trained flavor is the rows-only
     embedding_product_quantize_trained pairing)."""
-    exact_k = sim_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    ivfadc_k = sim_ann_ivfadc(spark, sf_dir).select(
+    exact_k = _ann_artifact(spark, sf_dir, "exact_cosine_topk", sim_cosine_topk).select(
+        "query_id", "neighbor_id"
+    )
+    ivfadc_k = _ann_artifact(spark, sf_dir, "ann_ivfadc_topk", sim_ann_ivfadc).select(
         F.col("query_id").alias("a_query_id"),
         F.col("neighbor_id").alias("a_neighbor_id"),
     )
@@ -2263,7 +2266,7 @@ def sim_ann_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("rk"),
         F.count(F.lit(1)).over(wc).alias("n_cand"),
     )
-    exact = sim_cosine_topk(spark, sf_dir).select(
+    exact = _ann_artifact(spark, sf_dir, "exact_cosine_topk", sim_cosine_topk).select(
         F.col("query_id").alias("e_query_id"),
         F.col("neighbor_id").alias("e_neighbor_id"),
     )
