@@ -1,0 +1,81 @@
+"""Semantics of the persisted derived-artifact cache (_shared.persisted_artifact):
+one build per (session, corpus, name), eviction of stale corpora, and the
+no-file-identity fallback. The graph/ANN consumers lean on these guarantees —
+a silent cache miss would only cost time, but a WRONG hit (stale corpus,
+cross-name collision) would serve another dataset's results."""
+
+from __future__ import annotations
+
+from vena_etl_tool_spark.operators._shared import _ARTIFACT_CACHE, persisted_artifact
+
+
+def _drop(name: str) -> None:
+    for k in [k for k in list(_ARTIFACT_CACHE) if k[1] == name]:
+        try:
+            _ARTIFACT_CACHE.pop(k).unpersist()
+        except Exception:
+            pass
+
+
+def test_memoizes_per_name_and_corpus(spark):
+    calls: list[int] = []
+
+    def build():
+        calls.append(1)
+        return spark.range(5)
+
+    try:
+        a = persisted_artifact(spark, "t_art", ("f1.parquet",), build)
+        b = persisted_artifact(spark, "t_art", ("f1.parquet",), build)
+        assert a is b and len(calls) == 1
+        # file-order insensitivity: the key canonicalizes the listing
+        c = persisted_artifact(spark, "t_art2", ("b.parquet", "a.parquet"), build)
+        d = persisted_artifact(spark, "t_art2", ("a.parquet", "b.parquet"), build)
+        assert c is d and len(calls) == 2
+        # a different name over the same files is a different artifact
+        assert persisted_artifact(spark, "t_art3", ("f1.parquet",), build) is not a
+        assert len(calls) == 3
+    finally:
+        _drop("t_art"), _drop("t_art2"), _drop("t_art3")
+
+
+def test_new_corpus_rebuilds_and_evicts_stale(spark):
+    calls: list[int] = []
+
+    def build():
+        calls.append(1)
+        return spark.range(3)
+
+    try:
+        a = persisted_artifact(spark, "t_evict", ("old.parquet",), build)
+        b = persisted_artifact(spark, "t_evict", ("new.parquet",), build)
+        assert b is not a and len(calls) == 2
+        live = [k for k in _ARTIFACT_CACHE if k[1] == "t_evict"]
+        assert len(live) == 1 and live[0][2] == ("new.parquet",)
+    finally:
+        _drop("t_evict")
+
+
+def test_no_file_identity_never_caches(spark):
+    calls: list[int] = []
+
+    def build():
+        calls.append(1)
+        return spark.range(2)
+
+    a = persisted_artifact(spark, "t_nofiles", (), build)
+    b = persisted_artifact(spark, "t_nofiles", (), build)
+    assert a is not b and len(calls) == 2
+    assert not [k for k in _ARTIFACT_CACHE if k[1] == "t_nofiles"]
+
+
+def test_graph_consumers_share_one_build(spark, sf_dir):
+    from vena_etl_tool_spark.operators.similarity import _mutual_graph_persisted
+
+    try:
+        g1 = _mutual_graph_persisted(spark, sf_dir)
+        g2 = _mutual_graph_persisted(spark, sf_dir)
+        assert g1 is g2
+        assert g1.storageLevel.useMemory or g1.storageLevel.useDisk
+    finally:
+        _drop("mutual_knn_graph")
