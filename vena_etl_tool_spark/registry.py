@@ -75,15 +75,22 @@ def _load_all() -> None:
 #       arithmetic), text_quality_calibration (NULL decile for a
 #       singleton source) — "changed ⇒ re-enter" and "never-checked"
 #       coincide for them.
-#   (2) 20 oldest-r3-evidence picks — the alphabetically-first 20 of the
+#   (2) 18 oldest-r3-evidence picks — alphabetically-first of the
 #       32-query r3 backlog computed from docs/COVERAGE.md ∪
 #       CORRECTNESS_r06 (this front-loads the whole streaming family,
-#       the heaviest re-certification risk).
-# The 12 remaining r3-evidence queries are the DECLARED r8 backlog:
-#   text_chunk_windows, text_fingerprint, text_quality_score,
-#   text_token_stats, text_wordfreq_topk, ts_anomaly_zscore,
-#   ts_gapfill_hourly, ts_moving_average, udf_apply_in_pandas,
-#   udf_map_in_pandas, udf_sql_registered, window_analytic.
+#       the heaviest re-certification risk), MINUS two seats re-taken
+#       mid-round by "changed ⇒ re-enter": the seventh work session's
+#       persisted-ANN-artifact refactor touched sim_ann_recall_eval and
+#       sim_ann_adc_recall, which were in neither the window nor the
+#       residue, so they displace the two backlog picks q4_priority_exists
+#       and text_bpe_token_estimate (both r3-green, unchanged in r7 —
+#       they rejoin the r8 backlog below).
+# The 14 remaining r3-evidence queries are the DECLARED r8 backlog:
+#   q4_priority_exists, text_bpe_token_estimate, text_chunk_windows,
+#   text_fingerprint, text_quality_score, text_token_stats,
+#   text_wordfreq_topk, ts_anomaly_zscore, ts_gapfill_hourly,
+#   ts_moving_average, udf_apply_in_pandas, udf_map_in_pandas,
+#   udf_sql_registered, window_analytic.
 # After the r7 driver run: no oracle-backed query's newest evidence
 # predates r3, residue = only post-freeze r7 additions, and the r8
 # window (12 stragglers + r7 residue + r8 changes) fits one window.
@@ -119,7 +126,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_canonical_pick",
     "text_quality_calibration",
     "events_change_point",
-    # --- (2) oldest r3-evidence picks (20 of 32; rest = declared r8) ---
+    # --- (2) oldest r3-evidence picks + r7-changed audits (see above) ---
+    "sim_ann_recall_eval",
+    "sim_ann_adc_recall",
     "ansi_safe_casts",
     "bitwise_functions",
     "dataset_split_assign",
@@ -130,7 +139,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "layout_orc_roundtrip",
     "layout_zorder_stats",
     "merge_upsert_actions",
-    "q4_priority_exists",
     "sample_stratified",
     "scd2_priority_history",
     "stream_dedup",
@@ -139,7 +147,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stream_sliding_window",
     "stream_stream_join",
     "stream_tumbling_window",
-    "text_bpe_token_estimate",
 )
 
 # Oracle-backed queries added AFTER this round's window was frozen — they
