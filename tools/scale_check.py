@@ -332,10 +332,16 @@ def main() -> int:
         print("|---|---|---|---|")
         for name in only or QUERIES:
             fn = specs[name].fn
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()  # warm
+            # Warm BOTH scales: codegen/JIT and any memoized derived
+            # artifacts (persisted_artifact) populate outside the timed
+            # run, so the ratio compares steady-state to steady-state —
+            # a cold 10x side would bill one-time build cost to the big
+            # scale only and inflate the ratio.
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             base = time.perf_counter() - t0
+            fn(spark, out_dir).write.mode("overwrite").format("noop").save()  # warm
             t0 = time.perf_counter()
             fn(spark, out_dir).write.mode("overwrite").format("noop").save()
             big = time.perf_counter() - t0

@@ -550,9 +550,19 @@ def multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup engine's min-label-propagation components (edge count ≪ corpus
     — pair-verified output only), hash-checked against a recursive-CTE
     DuckDB twin over the same banded pHash pair oracle."""
+    from ._shared import persisted_artifact
     from .dedup import connected_components
 
-    pairs = multimodal_phash_neardup(spark, sf_dir).select("doc_a", "doc_b")
+    # The verified pair set is a persisted artifact (same policy as the
+    # mutual-kNN graph): the registered neardup query IS the pair build,
+    # and the cluster pass consumes its output rather than replaying the
+    # band-join subtree.
+    pairs = persisted_artifact(
+        spark,
+        "phash_neardup_pairs",
+        load_table(spark, sf_dir, "documents").inputFiles(),
+        lambda: multimodal_phash_neardup(spark, sf_dir),
+    ).select("doc_a", "doc_b")
     cc = connected_components(pairs, "doc_a", "doc_b")
     sizes = cc.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
     return cc.join(F.broadcast(sizes), "label").select(
