@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from ..catalog import load_table
 from ..registry import register
-from ._shared import spread_small
+from ._shared import persisted_artifact, spread_small
 
 # Hot-shingle guard for the n-gram Jaccard blocking join: shingles shared
 # by more than this many documents are dropped before the self-join (a
@@ -1028,9 +1028,16 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     (single digits in practice); each round is one edges⋈labels shuffle,
     and the edge list — already pair-verified output, ≪ corpus — is the
     only state."""
-    pairs = dedup_ngram_jaccard(spark, sf_dir).filter(
-        F.col("jaccard") >= CLUSTER_JACCARD
-    )
+    # Verified pair set as a shared persisted artifact (the mutual-graph
+    # policy): the registered jaccard query IS the pair build; the
+    # cluster pass consumes its output instead of replaying the
+    # shingle/posting subtree.
+    pairs = persisted_artifact(
+        spark,
+        "ngram_jaccard_pairs",
+        load_table(spark, sf_dir, "documents").inputFiles(),
+        lambda: dedup_ngram_jaccard(spark, sf_dir),
+    ).filter(F.col("jaccard") >= CLUSTER_JACCARD)
     cc = connected_components(pairs, "doc_a", "doc_b")
     sizes = cc.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
     return (

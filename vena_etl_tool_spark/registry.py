@@ -84,13 +84,16 @@ def _load_all() -> None:
 #       sim_ann_adc_recall, which were in neither the window nor the
 #       residue, so they displace the two backlog picks q4_priority_exists
 #       and text_bpe_token_estimate (both r3-green, unchanged in r7 —
-#       they rejoin the r8 backlog below).
-# The 14 remaining r3-evidence queries are the DECLARED r8 backlog:
-#   q4_priority_exists, text_bpe_token_estimate, text_chunk_windows,
-#   text_fingerprint, text_quality_score, text_token_stats,
-#   text_wordfreq_topk, ts_anomaly_zscore, ts_gapfill_hourly,
-#   ts_moving_average, udf_apply_in_pandas, udf_map_in_pandas,
-#   udf_sql_registered, window_analytic.
+#       they rejoin the r8 backlog below). The same session also routed
+#       dedup_cluster_assign's pair input through the artifact cache
+#       (changed ⇒ re-enter, displacing sample_stratified — r3-green,
+#       unchanged — likewise to the r8 backlog).
+# The 15 remaining r3-evidence queries are the DECLARED r8 backlog:
+#   q4_priority_exists, sample_stratified, text_bpe_token_estimate,
+#   text_chunk_windows, text_fingerprint, text_quality_score,
+#   text_token_stats, text_wordfreq_topk, ts_anomaly_zscore,
+#   ts_gapfill_hourly, ts_moving_average, udf_apply_in_pandas,
+#   udf_map_in_pandas, udf_sql_registered, window_analytic.
 # After the r7 driver run: no oracle-backed query's newest evidence
 # predates r3, residue = only post-freeze r7 additions, and the r8
 # window (12 stragglers + r7 residue + r8 changes) fits one window.
@@ -129,6 +132,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # --- (2) oldest r3-evidence picks + r7-changed audits (see above) ---
     "sim_ann_recall_eval",
     "sim_ann_adc_recall",
+    "dedup_cluster_assign",
     "ansi_safe_casts",
     "bitwise_functions",
     "dataset_split_assign",
@@ -139,7 +143,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "layout_orc_roundtrip",
     "layout_zorder_stats",
     "merge_upsert_actions",
-    "sample_stratified",
     "scd2_priority_history",
     "stream_dedup",
     "stream_lifecycle_metrics",
