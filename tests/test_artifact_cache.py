@@ -39,7 +39,9 @@ def test_memoizes_per_name_and_corpus(spark):
         _drop("t_art"), _drop("t_art2"), _drop("t_art3")
 
 
-def test_new_corpus_rebuilds_and_evicts_stale(spark):
+def test_two_corpora_coexist_then_third_evicts_oldest(spark):
+    # Two slots per name: an alternating two-corpus pattern (the 10x scale
+    # harness) must NOT thrash; a third corpus evicts the oldest-inserted.
     calls: list[int] = []
 
     def build():
@@ -47,11 +49,17 @@ def test_new_corpus_rebuilds_and_evicts_stale(spark):
         return spark.range(3)
 
     try:
-        a = persisted_artifact(spark, "t_evict", ("old.parquet",), build)
-        b = persisted_artifact(spark, "t_evict", ("new.parquet",), build)
+        a = persisted_artifact(spark, "t_evict", ("c1.parquet",), build)
+        b = persisted_artifact(spark, "t_evict", ("c2.parquet",), build)
         assert b is not a and len(calls) == 2
-        live = [k for k in _ARTIFACT_CACHE if k[1] == "t_evict"]
-        assert len(live) == 1 and live[0][2] == ("new.parquet",)
+        # both corpora still live — alternation is all cache hits
+        assert persisted_artifact(spark, "t_evict", ("c1.parquet",), build) is a
+        assert persisted_artifact(spark, "t_evict", ("c2.parquet",), build) is b
+        assert len(calls) == 2
+        persisted_artifact(spark, "t_evict", ("c3.parquet",), build)
+        live = sorted(k[2] for k in _ARTIFACT_CACHE if k[1] == "t_evict")
+        assert len(calls) == 3
+        assert live == [("c2.parquet",), ("c3.parquet",)]
     finally:
         _drop("t_evict")
 

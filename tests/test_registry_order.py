@@ -51,7 +51,7 @@ def test_rotation_completes_oracle_backed_coverage():
     )
     # r7: the window froze at round start with the full r6 residue seated,
     # so the residue list reopens EMPTY and accumulates only operators
-    # added during r7. Bound (r6 verdict #8): residue + the 12 declared
+    # added during r7. Bound (r6 verdict #8): residue + the (now 15) declared
     # r3-evidence stragglers must fit the r8 window with room for r8
     # changes — cap new-op residue at 25.
     assert len(registry.ROTATION_RESIDUE) <= 25

@@ -55,33 +55,45 @@ def spread_small(df: "DataFrame") -> "DataFrame":
 # APIs (conf, persist, inputFiles); registered queries themselves are
 # never wrapped, so their explain plans keep showing the real build.
 _ARTIFACT_CACHE: dict[tuple, "DataFrame"] = {}
+_ARTIFACT_LOCK = __import__("threading").Lock()
+# Two live artifacts per name, not one: the 10x scale harness (and any
+# A/B comparison) alternates two corpora per query — a single slot would
+# evict on every switch and rebuild 2N times per sweep instead of 2.
+_ARTIFACT_SLOTS_PER_NAME = 2
 
 
 def persisted_artifact(spark, name: str, files, build) -> "DataFrame":
     """Return a persisted, memoized DataFrame for ``name`` over the corpus
     identified by ``files`` (the source scan's input-file list), building
     it with ``build()`` on first use. Falls back to an unshared build when
-    the source has no file identity (in-memory test frames)."""
+    the source has no file identity (in-memory test frames) or the session
+    surfaces no app id (a dead session's id() can be reused by a new one,
+    so identity-keyed caching could serve a defunct-session DataFrame)."""
     files = tuple(sorted(files))
     if not files:
         return build()
     try:
         app = spark.conf.get("spark.app.id")
-    except Exception:  # no app id surfaced — key on session identity
-        app = str(id(spark))
+    except Exception:
+        return build()
     key = (app, name, files)
-    hit = _ARTIFACT_CACHE.get(key)
-    if hit is not None:
-        return hit
-    df = build().persist()
-    # one live artifact per name: evict other sessions'/corpora entries
-    for stale in [k for k in list(_ARTIFACT_CACHE) if k[1] == name and k != key]:
-        try:
-            _ARTIFACT_CACHE.pop(stale).unpersist()
-        except Exception:  # a stopped session's blocks are already gone
-            pass
-    _ARTIFACT_CACHE[key] = df
-    return df
+    # lock spans check-build-insert: two concurrent misses on one key must
+    # not both persist (the loser's blocks would pin with no handle left)
+    with _ARTIFACT_LOCK:
+        hit = _ARTIFACT_CACHE.get(key)
+        if hit is not None:
+            return hit
+        df = build().persist()
+        # bounded per-name FIFO: evict the oldest-inserted same-name
+        # entries beyond the slot budget (dict preserves insertion order)
+        same = [k for k in _ARTIFACT_CACHE if k[1] == name]
+        for stale in same[: max(0, len(same) - (_ARTIFACT_SLOTS_PER_NAME - 1))]:
+            try:
+                _ARTIFACT_CACHE.pop(stale).unpersist()
+            except Exception:  # a stopped session's blocks are already gone
+                pass
+        _ARTIFACT_CACHE[key] = df
+        return df
 
 
 def davg(col: Column | str, scale: int = 2) -> Column:

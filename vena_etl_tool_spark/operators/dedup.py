@@ -1028,16 +1028,21 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     (single digits in practice); each round is one edges⋈labels shuffle,
     and the edge list — already pair-verified output, ≪ corpus — is the
     only state."""
-    # Verified pair set as a shared persisted artifact (the mutual-graph
-    # policy): the registered jaccard query IS the pair build; the
-    # cluster pass consumes its output instead of replaying the
-    # shingle/posting subtree.
+    # Verified cluster-edge set as a shared persisted artifact (the
+    # mutual-graph policy): the registered jaccard query IS the pair
+    # build; the cluster pass consumes its output instead of replaying
+    # the shingle/posting subtree. The >= CLUSTER_JACCARD filter sits
+    # INSIDE the artifact so only the edge set persists — the full
+    # candidate pair set can be much larger on a near-dup-dense corpus
+    # and no other consumer needs it.
     pairs = persisted_artifact(
         spark,
-        "ngram_jaccard_pairs",
+        "ngram_jaccard_cluster_edges",
         load_table(spark, sf_dir, "documents").inputFiles(),
-        lambda: dedup_ngram_jaccard(spark, sf_dir),
-    ).filter(F.col("jaccard") >= CLUSTER_JACCARD)
+        lambda: dedup_ngram_jaccard(spark, sf_dir).filter(
+            F.col("jaccard") >= CLUSTER_JACCARD
+        ),
+    )
     cc = connected_components(pairs, "doc_a", "doc_b")
     sizes = cc.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
     return (

@@ -75,19 +75,17 @@ def _load_all() -> None:
 #       arithmetic), text_quality_calibration (NULL decile for a
 #       singleton source) — "changed ⇒ re-enter" and "never-checked"
 #       coincide for them.
-#   (2) 18 oldest-r3-evidence picks — alphabetically-first of the
+#   (2) 17 oldest-r3-evidence picks — alphabetically-first of the
 #       32-query r3 backlog computed from docs/COVERAGE.md ∪
 #       CORRECTNESS_r06 (this front-loads the whole streaming family,
-#       the heaviest re-certification risk), MINUS two seats re-taken
+#       the heaviest re-certification risk), MINUS three seats re-taken
 #       mid-round by "changed ⇒ re-enter": the seventh work session's
-#       persisted-ANN-artifact refactor touched sim_ann_recall_eval and
-#       sim_ann_adc_recall, which were in neither the window nor the
-#       residue, so they displace the two backlog picks q4_priority_exists
-#       and text_bpe_token_estimate (both r3-green, unchanged in r7 —
-#       they rejoin the r8 backlog below). The same session also routed
-#       dedup_cluster_assign's pair input through the artifact cache
-#       (changed ⇒ re-enter, displacing sample_stratified — r3-green,
-#       unchanged — likewise to the r8 backlog).
+#       persisted-artifact refactor touched sim_ann_recall_eval and
+#       sim_ann_adc_recall (in neither the window nor the residue) and
+#       dedup_cluster_assign (r6-green but changed), so they displace
+#       the three backlog picks q4_priority_exists,
+#       text_bpe_token_estimate, and sample_stratified (all r3-green,
+#       unchanged in r7 — they rejoin the r8 backlog below).
 # The 15 remaining r3-evidence queries are the DECLARED r8 backlog:
 #   q4_priority_exists, sample_stratified, text_bpe_token_estimate,
 #   text_chunk_windows, text_fingerprint, text_quality_score,
@@ -96,7 +94,8 @@ def _load_all() -> None:
 #   udf_map_in_pandas, udf_sql_registered, window_analytic.
 # After the r7 driver run: no oracle-backed query's newest evidence
 # predates r3, residue = only post-freeze r7 additions, and the r8
-# window (12 stragglers + r7 residue + r8 changes) fits one window.
+# window (15 stragglers + 25 residue + r8 changes) fits one window
+# with 10 seats spare.
 DRIVER_WINDOW: tuple[str, ...] = (
     # --- (1) the full r6 ROTATION_RESIDUE (30), first driver rows ---
     "corpus_snapshot_diff",
@@ -159,7 +158,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # residue first, so this list reopens empty; every oracle-backed operator
 # ADDED during r7 must be appended here (enforced by
 # tests/test_registry_order.py) and leads the r8 window together with the
-# 12 declared r3-evidence stragglers listed above DRIVER_WINDOW.
+# 15 declared r3-evidence stragglers listed above DRIVER_WINDOW.
 ROTATION_RESIDUE: tuple[str, ...] = (
     # --- first r7 work session ---
     "text_bigram_surprisal",
