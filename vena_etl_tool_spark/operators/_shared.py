@@ -9,6 +9,8 @@ DOUBLE is again deterministic and gives both engines the same wire type.
 
 from __future__ import annotations
 
+import threading
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
@@ -55,7 +57,7 @@ def spread_small(df: "DataFrame") -> "DataFrame":
 # APIs (conf, persist, inputFiles); registered queries themselves are
 # never wrapped, so their explain plans keep showing the real build.
 _ARTIFACT_CACHE: dict[tuple, "DataFrame"] = {}
-_ARTIFACT_LOCK = __import__("threading").Lock()
+_ARTIFACT_LOCK = threading.Lock()
 # Two live artifacts per name, not one: the 10x scale harness (and any
 # A/B comparison) alternates two corpora per query — a single slot would
 # evict on every switch and rebuild 2N times per sweep instead of 2.
