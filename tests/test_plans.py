@@ -11,6 +11,29 @@ from vena_etl_tool_spark.registry import all_specs
 _SPECS = all_specs()
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _uncached_plans(spark):
+    """Plan tests assert the real BUILD plan. Spark's CacheManager
+    substitutes any persisted same-analyzed-plan fragment into later
+    queries, so a persisted derived artifact left behind by an earlier
+    test module (the registered query's own output, persisted whole by
+    persisted_artifact) would replace the asserted plan with an
+    InMemoryRelation scan. Drain the artifact cache and the catalog
+    cache first; artifacts rebuild lazily on next use."""
+    from vena_etl_tool_spark.operators._shared import _ARTIFACT_CACHE
+
+    for k in list(_ARTIFACT_CACHE):
+        try:
+            _ARTIFACT_CACHE.pop(k).unpersist()
+        except Exception:
+            pass
+    try:
+        spark.catalog.clearCache()
+    except Exception:
+        pass
+    yield
+
+
 def plan_of(spark, sf_dir, name: str) -> str:
     df = _SPECS[name].fn(spark, sf_dir)
     return df._jdf.queryExecution().executedPlan().toString()
