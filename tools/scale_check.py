@@ -210,7 +210,12 @@ QUERIES = (
     "profile_expectations",
     "integrity_orphan_audit",
 )
-REPLICAS = 10
+# Replica multiple for the scaled corpus. Default 10; override with
+# SPARK_GRAFT_REPLICAS (e.g. 100) for a two-decade probe on a focused
+# query subset — at 100x the full-table build writes ~1.7 GB under /tmp
+# and the fact-bound TPC-H queries take minutes, so pass an explicit
+# query list rather than sweeping all of QUERIES.
+REPLICAS = int(os.environ.get("SPARK_GRAFT_REPLICAS", "10"))
 
 
 def build_replica(spark, sf_dir: str, out_dir: str) -> None:
