@@ -317,7 +317,7 @@ def minhash_cap_sweep(spark, out_dir: str) -> None:
         q.write.mode("overwrite").format("noop").save()  # warm
         t0 = time.perf_counter()
         q.write.mode("overwrite").format("noop").save()
-        print(f"| minhash_lsh_pairs 10x, bucket cap {cap} | — | "
+        print(f"| minhash_lsh_pairs {REPLICAS}x, bucket cap {cap} | — | "
               f"{time.perf_counter() - t0:.2f}s | — |")
 
 
