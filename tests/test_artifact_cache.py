@@ -77,6 +77,39 @@ def test_no_file_identity_never_caches(spark):
     assert not [k for k in _ARTIFACT_CACHE if k[1] == "t_nofiles"]
 
 
+def test_concurrent_misses_build_once(spark):
+    # The check-build-insert races under concurrent callers without the
+    # lock: both would persist and the loser's blocks would pin with no
+    # handle left to unpersist.
+    import threading
+    import time
+
+    calls: list[int] = []
+
+    def build():
+        calls.append(1)
+        time.sleep(0.2)
+        return spark.range(4)
+
+    results: list = []
+
+    def worker():
+        results.append(
+            persisted_artifact(spark, "t_conc", ("f.parquet",), build)
+        )
+
+    try:
+        threads = [threading.Thread(target=worker) for _ in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert len(calls) == 1
+        assert all(r is results[0] for r in results)
+    finally:
+        _drop("t_conc")
+
+
 def test_graph_consumers_share_one_build(spark, sf_dir):
     from vena_etl_tool_spark.operators.similarity import _mutual_graph_persisted
 
