@@ -14,6 +14,20 @@ artifact itself.
 
 Each query is materialized with the noop sink (full execution, no driver
 collect) — the number is end-to-end plan time including scan/shuffle.
+
+Artifact-cache policy (ADVICE r7, documented by design): queries routed
+through ``operators/_shared.persisted_artifact`` (the graph family, the
+ANN recall audits, pHash clusters, dedup_cluster_assign) share persisted
+derived artifacts within the session, and Spark's CacheManager substitutes
+any cached plan into later same-plan queries. Per-query timings for those
+consumers are therefore STEADY-STATE-WITH-SHARED-ARTIFACTS: pass 1 absorbs
+the one-time builds (visible in ``pass_totals_sec`` — pass 1 > passes
+2/3), and min-of-3 per-query numbers measure the production posture where
+the artifact is already persisted. This is intentional — production
+builds an index/graph once and serves many queries against it — and the
+cold build cost is still measured, both by pass 1's total and by the
+unwrapped build queries' own rows. The line carries
+``artifact_policy: "steady_state"`` so the artifact declares it.
 """
 
 from __future__ import annotations
@@ -171,7 +185,7 @@ _R6_FROZEN = HEADLINE[: HEADLINE.index("events_change_point") + 1]
 assert len(_R6_FROZEN) == 81, len(_R6_FROZEN)
 R6_SUBSET = frozenset(_R6_FROZEN)
 
-ROUND = os.environ.get("SPARK_GRAFT_ROUND", "r07")
+ROUND = os.environ.get("SPARK_GRAFT_ROUND", "r08")
 
 
 def materialize(df) -> None:
@@ -274,6 +288,7 @@ def main() -> int:
             sum(t for n, t in timings.items() if n in R6_SUBSET), 3
         ),
         "pass_totals_sec": pass_totals,
+        "artifact_policy": "steady_state",
         "loadavg": [round(load_before, 2), round(os.getloadavg()[0], 2)],
         "top10_slowest": slowest,
         "detail_file": f"BENCH_DETAIL_{ROUND}.json",

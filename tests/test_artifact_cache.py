@@ -10,7 +10,7 @@ from vena_etl_tool_spark.operators._shared import _ARTIFACT_CACHE, persisted_art
 
 
 def _drop(name: str) -> None:
-    for k in [k for k in list(_ARTIFACT_CACHE) if k[1] == name]:
+    for k in [k for k in list(_ARTIFACT_CACHE) if k[2] == name]:
         try:
             _ARTIFACT_CACHE.pop(k).unpersist()
         except Exception:
@@ -57,7 +57,7 @@ def test_two_corpora_coexist_then_third_evicts_oldest(spark):
         assert persisted_artifact(spark, "t_evict", ("c2.parquet",), build) is b
         assert len(calls) == 2
         persisted_artifact(spark, "t_evict", ("c3.parquet",), build)
-        live = sorted(k[2] for k in _ARTIFACT_CACHE if k[1] == "t_evict")
+        live = sorted(k[3] for k in _ARTIFACT_CACHE if k[2] == "t_evict")
         assert len(calls) == 3
         assert live == [("c2.parquet",), ("c3.parquet",)]
     finally:
@@ -74,7 +74,7 @@ def test_no_file_identity_never_caches(spark):
     a = persisted_artifact(spark, "t_nofiles", (), build)
     b = persisted_artifact(spark, "t_nofiles", (), build)
     assert a is not b and len(calls) == 2
-    assert not [k for k in _ARTIFACT_CACHE if k[1] == "t_nofiles"]
+    assert not [k for k in _ARTIFACT_CACHE if k[2] == "t_nofiles"]
 
 
 def test_concurrent_misses_build_once(spark):
@@ -108,6 +108,41 @@ def test_concurrent_misses_build_once(spark):
         assert all(r is results[0] for r in results)
     finally:
         _drop("t_conc")
+
+
+def test_sibling_sessions_do_not_share_artifacts(spark):
+    # ADVICE r7: spark.app.id is shared by every sibling SparkSession of
+    # one SparkContext, but SQLConf is per-session — an artifact built
+    # under one session's conf (ANSI mode, shuffle partitions) must not be
+    # served to a sibling, and a sibling's insert must not evict this
+    # session's slots.
+    calls: list[int] = []
+
+    def build_a():
+        calls.append(1)
+        return spark.range(5)
+
+    sib = spark.newSession()
+
+    def build_b():
+        calls.append(1)
+        return sib.range(5)
+
+    try:
+        a = persisted_artifact(spark, "t_sib", ("f.parquet",), build_a)
+        b = persisted_artifact(sib, "t_sib", ("f.parquet",), build_b)
+        assert a is not b and len(calls) == 2
+        # same session re-asks → still a hit for each side
+        assert persisted_artifact(spark, "t_sib", ("f.parquet",), build_a) is a
+        assert persisted_artifact(sib, "t_sib", ("f.parquet",), build_b) is b
+        assert len(calls) == 2
+        # sibling churning through corpora must not evict this session's slot
+        persisted_artifact(sib, "t_sib", ("g.parquet",), build_b)
+        persisted_artifact(sib, "t_sib", ("h.parquet",), build_b)
+        assert persisted_artifact(spark, "t_sib", ("f.parquet",), build_a) is a
+        assert len(calls) == 4
+    finally:
+        _drop("t_sib")
 
 
 def test_graph_consumers_share_one_build(spark, sf_dir):

@@ -49,12 +49,14 @@ def test_rotation_completes_oracle_backed_coverage():
         f"undeclared driver-coverage residue: "
         f"{sorted(set(residue) ^ set(registry.ROTATION_RESIDUE))}"
     )
-    # r7: the window froze at round start with the full r6 residue seated,
+    # r8: the window froze at round start with the full r7 residue seated,
     # so the residue list reopens EMPTY and accumulates only operators
-    # added during r7. Bound (r6 verdict #8): residue + the (now 15) declared
-    # r3-evidence stragglers must fit the r8 window with room for r8
-    # changes — cap new-op residue at 25.
-    assert len(registry.ROTATION_RESIDUE) <= 25
+    # added during r8. Bound (r6 verdict #8): residue + the 35 remaining
+    # r4-evidence re-validation picks must fit the r9 window — cap new-op
+    # residue at 15 this round (tighter than r7's 25 because the backlog
+    # is now re-validation, not never-checked, so the window math is
+    # 35 + residue ≤ 50).
+    assert len(registry.ROTATION_RESIDUE) <= 15
 
 
 def test_window_holds_at_least_50():

@@ -64,13 +64,33 @@ _ARTIFACT_LOCK = threading.Lock()
 _ARTIFACT_SLOTS_PER_NAME = 2
 
 
+def _session_token(spark) -> str | None:
+    """A session-scoped cache token. ``spark.app.id`` is shared by every
+    sibling SparkSession of one SparkContext (``newSession()``), but SQLConf
+    is per-session — so a lazily-minted UUID conf distinguishes siblings: an
+    artifact built under one session's conf (ANSI mode, shuffle partitions)
+    is never served to a different session (ADVICE r7). A new session always
+    mints a fresh token, so a dead session's artifacts can't be revived the
+    way an ``id(spark)`` key could after CPython reuses the address."""
+    try:
+        tok = spark.conf.get("vena.etl.session.token", None)
+        if tok is None:
+            import uuid
+
+            tok = uuid.uuid4().hex
+            spark.conf.set("vena.etl.session.token", tok)
+        return tok
+    except Exception:
+        return None
+
+
 def persisted_artifact(spark, name: str, files, build) -> "DataFrame":
     """Return a persisted, memoized DataFrame for ``name`` over the corpus
     identified by ``files`` (the source scan's input-file list), building
     it with ``build()`` on first use. Falls back to an unshared build when
     the source has no file identity (in-memory test frames) or the session
-    surfaces no app id (a dead session's id() can be reused by a new one,
-    so identity-keyed caching could serve a defunct-session DataFrame)."""
+    surfaces no app id / conf (a dead session's id() can be reused by a new
+    one, so identity-keyed caching could serve a defunct-session DataFrame)."""
     files = tuple(sorted(files))
     if not files:
         return build()
@@ -78,7 +98,10 @@ def persisted_artifact(spark, name: str, files, build) -> "DataFrame":
         app = spark.conf.get("spark.app.id")
     except Exception:
         return build()
-    key = (app, name, files)
+    tok = _session_token(spark)
+    if tok is None:
+        return build()
+    key = (app, tok, name, files)
     # lock spans check-build-insert: two concurrent misses on one key must
     # not both persist (the loser's blocks would pin with no handle left)
     with _ARTIFACT_LOCK:
@@ -86,9 +109,11 @@ def persisted_artifact(spark, name: str, files, build) -> "DataFrame":
         if hit is not None:
             return hit
         df = build().persist()
-        # bounded per-name FIFO: evict the oldest-inserted same-name
-        # entries beyond the slot budget (dict preserves insertion order)
-        same = [k for k in _ARTIFACT_CACHE if k[1] == name]
+        # bounded FIFO scoped per (app, session, name) — a sibling session
+        # or second application interleaving the same artifact name must not
+        # thrash this session's slots or unpersist an artifact a live
+        # consumer in the other session still expects cached (ADVICE r7).
+        same = [k for k in _ARTIFACT_CACHE if k[:3] == (app, tok, name)]
         for stale in same[: max(0, len(same) - (_ARTIFACT_SLOTS_PER_NAME - 1))]:
             try:
                 _ARTIFACT_CACHE.pop(stale).unpersist()

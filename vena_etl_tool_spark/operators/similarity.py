@@ -2290,3 +2290,232 @@ def sim_ann_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_candidates"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction over the mutual-kNN graph — the "which near-dup /
+# related-doc edges did the kNN cutoff miss" primitive. Classic
+# neighborhood-overlap indices (Liben-Nowell & Kleinberg 2007; Zhou et
+# al. 2009's resource-allocation index): for every NON-adjacent pair with
+# >= 2 common neighbors, score by common-neighbor count, Jaccard of the
+# neighborhoods, and the RA index sum(1/deg(v)) over shared neighbors v.
+# In a curation pipeline these are the candidate edges a second, more
+# expensive verifier (exact cosine, human review) should check next — the
+# standard retrieval-free way to densify a sparse similarity graph.
+# ---------------------------------------------------------------------------
+
+_LINKPRED_TAIL = """
+, bidir AS (
+  SELECT vec_a AS src, vec_b AS dst FROM mutual
+  UNION ALL SELECT vec_b, vec_a FROM mutual
+), deg AS (
+  SELECT src, COUNT(*) AS deg FROM bidir GROUP BY src
+), paths AS (
+  SELECT a.dst AS u, b.dst AS w, a.src AS cn_node
+  FROM bidir a JOIN bidir b ON a.src = b.src AND a.dst < b.dst
+), lp_scored AS (
+  SELECT p.u, p.w,
+         CAST(COUNT(*) AS BIGINT) AS cn,
+         CAST(SUM(1000000 // d.deg) AS BIGINT) AS ra_micro
+  FROM paths p JOIN deg d ON d.src = p.cn_node
+  GROUP BY p.u, p.w
+), nonedge AS (
+  SELECT s.* FROM lp_scored s
+  LEFT JOIN mutual m ON m.vec_a = s.u AND m.vec_b = s.w
+  WHERE m.vec_a IS NULL AND s.cn >= 2
+)
+SELECT n.u AS vec_a, n.w AS vec_b, n.cn AS common_neighbors,
+       CAST(n.cn * 1000 // (du.deg + dw.deg - n.cn) AS BIGINT)
+         AS jaccard_milli,
+       n.ra_micro
+FROM nonedge n
+JOIN deg du ON du.src = n.u
+JOIN deg dw ON dw.src = n.w
+"""
+
+
+@register(
+    "sim_link_prediction",
+    tags=("llm", "similarity", "graph", "link-prediction"),
+    oracle="WITH "
+    + _KNN_GRAPH_CTES.format(scores=_ivf_scores_duck(), pair_dot=_knn_pair_dot_duck())
+    + _LINKPRED_TAIL,
+)
+def sim_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-overlap link prediction on the mutual-kNN graph:
+    every non-adjacent pair sharing >= 2 neighbors, scored by
+    common-neighbor count, neighborhood Jaccard (milli), and the
+    resource-allocation index sum over shared neighbors of
+    floor(1e6/deg) — three standard indices from one pass. All integer
+    arithmetic (degrees and counts), so the scores hash-match DuckDB.
+
+    Plan shape: the graph build is the shared persisted artifact (built
+    once per corpus, consumed by five graph queries); candidate pairs
+    come from ONE self-join of the directed edge list on the shared
+    endpoint — sum(deg²) rows, bounded by n·K² for the degree-capped
+    kNN graph (K fixed), NOT n² — then a pair-grain aggregate, an anti
+    join against the existing edge set, and two broadcast-sized degree
+    joins. Every shuffle key is an 8-byte node id or the 16-byte pair;
+    at 100 TB the path join is the only corpus-scale exchange and its
+    output is linear in n at fixed K."""
+    edges = (
+        _mutual_graph_persisted(spark, sf_dir)
+        .select("vec_a", "vec_b")
+        .localCheckpoint()
+    )
+    bidir = edges.select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    ).unionAll(edges.select(F.col("vec_b").alias("src"), F.col("vec_a").alias("dst")))
+    deg = bidir.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    a = bidir.select(F.col("src").alias("cn_node"), F.col("dst").alias("u"))
+    b = bidir.select(F.col("src").alias("cn_node2"), F.col("dst").alias("w"))
+    paths = a.join(
+        b, (F.col("cn_node") == F.col("cn_node2")) & (F.col("u") < F.col("w"))
+    ).select("u", "w", "cn_node")
+    scored = (
+        paths.join(deg.withColumnRenamed("src", "cn_node"), "cn_node")
+        .groupBy("u", "w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cn"),
+            F.sum(F.expr("1000000 div deg")).cast("long").alias("ra_micro"),
+        )
+        .filter(F.col("cn") >= 2)
+    )
+    nonedge = scored.join(
+        edges,
+        (edges["vec_a"] == scored["u"]) & (edges["vec_b"] == scored["w"]),
+        "left_anti",
+    )
+    du = deg.select(F.col("src").alias("u"), F.col("deg").alias("deg_u"))
+    dw = deg.select(F.col("src").alias("w"), F.col("deg").alias("deg_w"))
+    return (
+        nonedge.join(du, "u")
+        .join(dw, "w")
+        .select(
+            F.col("u").alias("vec_a"),
+            F.col("w").alias("vec_b"),
+            F.col("cn").alias("common_neighbors"),
+            F.expr("CAST(cn * 1000 div (deg_u + deg_w - cn) AS BIGINT)").alias(
+                "jaccard_milli"
+            ),
+            "ra_micro",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# One exact Lloyd (k-means) iteration — the ML-primitive building block
+# under IVF/PQ codebook training, made hash-checkable: assign every vector
+# to its nearest fixed centroid (the sim_ann_ivf scaled-int argmin), then
+# recompute each centroid as the truncated integer mean of its members,
+# per dimension. Trained-KMeans itself is rows-only by design (float
+# accumulation order); ONE step with integer-scaled coordinates is exactly
+# portable, so the differential gate covers the assignment geometry, the
+# per-cell aggregation, and the centroid-update arithmetic that the
+# trained path then iterates.
+# ---------------------------------------------------------------------------
+
+_LLOYD_DIM_IDX = "[" + ", ".join(str(i) for i in range(1, 65)) + "]"
+# old centroid coordinates pre-scaled to exact micro ints in PYTHON and
+# embedded as literals in both engines — no cross-engine float formatting
+# in the comparison path.
+_LLOYD_OLD_MICRO = [
+    [int(math.floor(float(c) * 1e6)) for c in row] for row in _IVF_CENTS
+]
+_LLOYD_OLD_SPARK = (
+    "array("
+    + ", ".join("array(" + ", ".join(f"{v}L" for v in row) + ")" for row in _LLOYD_OLD_MICRO)
+    + ")"
+)
+_LLOYD_OLD_DUCK = (
+    "["
+    + ", ".join("[" + ", ".join(str(v) for v in row) + "]" for row in _LLOYD_OLD_MICRO)
+    + "]"
+)
+
+_LLOYD_ORACLE = f"""
+WITH scored AS (
+  SELECT vec_id, embedding, {{scores}} AS scores FROM embeddings
+), assigned AS (
+  SELECT vec_id, embedding,
+         list_position(scores, list_min(scores)) - 1 AS cent
+  FROM scored
+), dims AS (
+  SELECT cent,
+         CAST(struct_extract(u.p, 2) - 1 AS BIGINT) AS dim,
+         CAST(FLOOR(CAST(struct_extract(u.p, 1) AS DOUBLE) * 1e6) AS BIGINT)
+           AS x_micro
+  FROM assigned, UNNEST(list_zip(embedding, {_LLOYD_DIM_IDX})) AS u(p)
+), agg AS (
+  SELECT cent, dim, COUNT(*) AS n, SUM(x_micro) AS s
+  FROM dims GROUP BY cent, dim
+)
+SELECT CAST(cent AS BIGINT) AS cent, dim,
+       CAST(n AS BIGINT) AS n_members,
+       CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END) * (abs(s) // n) AS BIGINT)
+         AS new_c_micro,
+       CAST({_LLOYD_OLD_DUCK}[cent + 1][dim + 1] AS BIGINT) AS old_c_micro,
+       CAST(abs((CASE WHEN s < 0 THEN -1 ELSE 1 END) * (abs(s) // n)
+                - {_LLOYD_OLD_DUCK}[cent + 1][dim + 1]) AS BIGINT)
+         AS shift_micro
+FROM agg
+"""
+
+
+@register(
+    "sim_kmeans_lloyd_step",
+    tags=("llm", "similarity", "ml", "clustering", "kmeans"),
+    oracle=_LLOYD_ORACLE.format(scores=_ivf_scores_duck()),
+)
+def sim_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact Lloyd iteration over the embedding corpus against the
+    fixed seeded IVF centroids: nearest-centroid assignment (scaled-int
+    argmin, deterministic), then the new centroid per (cell, dimension)
+    as the explicit-sign truncated integer mean of member coordinates in
+    micro units, with the per-dimension shift |new - old| — the
+    convergence signal a KMeans trainer watches. Old coordinates are
+    Python-precomputed micro-int literals embedded identically in both
+    engines. Empty cells emit no rows (a trainer re-seeds those).
+
+    Plan shape: map-only assignment (the shared argmin score array — no
+    shuffle), one posexplode to (cell, dim) grain, and ONE map-side-
+    combinable aggregate onto C x 64 cells — the same shape Spark MLlib's
+    KMeans uses per iteration (treeAggregate over partial per-cell sums).
+    At 100 TB each executor emits at most C x 64 partial rows per
+    partition regardless of corpus size; the shuffle is centroid-grain,
+    not corpus-grain, and iterating = repeating this one bounded step."""
+    emb = spread_small(load_table(spark, sf_dir, "embeddings"))
+    assigned = emb.select(
+        "vec_id", "embedding", F.expr(_ivf_scores_spark()).alias("scores")
+    ).select(
+        "embedding",
+        (F.expr("array_position(scores, array_min(scores))") - 1)
+        .cast("int")
+        .alias("cent"),
+    )
+    dims = assigned.select(
+        "cent", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "cent",
+        F.col("dim").cast("long").alias("dim"),
+        F.floor(F.col("x").cast("double") * F.lit(1e6)).cast("long").alias("x_micro"),
+    )
+    agg = dims.groupBy("cent", "dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("x_micro").cast("long").alias("s"),
+    )
+    return agg.select(
+        F.col("cent").cast("long").alias("cent"),
+        "dim",
+        "n_members",
+        F.expr(
+            "CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END)"
+            " * (abs(s) div n_members) AS BIGINT)"
+        ).alias("new_c_micro"),
+        F.expr(
+            f"CAST(element_at(element_at({_LLOYD_OLD_SPARK}, cent + 1),"
+            f" CAST(dim AS INT) + 1) AS BIGINT)"
+        ).alias("old_c_micro"),
+    ).withColumn(
+        "shift_micro", F.abs(F.col("new_c_micro") - F.col("old_c_micro")).cast("long")
+    )

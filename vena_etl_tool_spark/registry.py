@@ -66,104 +66,29 @@ def _load_all() -> None:
 # records `no_oracle` as an error); never-checked > re-validation when
 # displacing; a query whose code or ORACLE changes re-enters the window.
 #
-# Round-7 window (r6 verdict #1, frozen at round start per verdict #8):
-#   (1) all 30 ROTATION_RESIDUE queries from r6 — every r6-added
+# Round-8 window (frozen at round start per r6 verdict #8 / the r7
+# ADVICE cap note — residue absorbed BEFORE any new r8 registration):
+#   (1) all 25 ROTATION_RESIDUE queries from r7 — every r7-added
 #       oracle-backed operator takes its FIRST driver-green row here.
-#       Three of them additionally changed in r7 (ADVICE fixes):
-#       dedup_canonical_pick (clone-collapsed reps oracle + rep-grain
-#       survivorship pick), agg_winsorized_stats (DECIMAL(38,0) moment
-#       arithmetic), text_quality_calibration (NULL decile for a
-#       singleton source) — "changed ⇒ re-enter" and "never-checked"
-#       coincide for them.
-#   (2) 17 oldest-r3-evidence picks — alphabetically-first of the
-#       32-query r3 backlog computed from docs/COVERAGE.md ∪
-#       CORRECTNESS_r06 (this front-loads the whole streaming family,
-#       the heaviest re-certification risk), MINUS three seats re-taken
-#       mid-round by "changed ⇒ re-enter": the seventh work session's
-#       persisted-artifact refactor touched sim_ann_recall_eval and
-#       sim_ann_adc_recall (in neither the window nor the residue) and
-#       dedup_cluster_assign (r6-green but changed), so they displace
-#       the three backlog picks q4_priority_exists,
-#       text_bpe_token_estimate, and sample_stratified (all r3-green,
-#       unchanged in r7 — they rejoin the r8 backlog below).
-# The 15 remaining r3-evidence queries are the DECLARED r8 backlog:
-#   q4_priority_exists, sample_stratified, text_bpe_token_estimate,
-#   text_chunk_windows, text_fingerprint, text_quality_score,
-#   text_token_stats, text_wordfreq_topk, ts_anomaly_zscore,
-#   ts_gapfill_hourly, ts_moving_average, udf_apply_in_pandas,
-#   udf_map_in_pandas, udf_sql_registered, window_analytic.
-# After the r7 driver run: no oracle-backed query's newest evidence
-# predates r3, residue = only post-freeze r7 additions, and the r8
-# window (15 stragglers + 25 residue + r8 changes) fits one window
-# with 10 seats spare.
+#   (2) the 15 DECLARED r3-evidence stragglers from the r7 notes (the
+#       original 12 plus q4_priority_exists, sample_stratified,
+#       text_bpe_token_estimate, displaced in r7 by "changed ⇒
+#       re-enter" swaps) — after this run no oracle-backed query's
+#       newest driver evidence predates r4.
+#   (3) 10 filler seats: the alphabetically-first of the 45-query
+#       r4-evidence backlog (computed from CORRECTNESS_r01..r07 ∪
+#       registry, see docs/COVERAGE.md) — oldest-evidence
+#       re-validation. These are the DESIGNATED displacement victims
+#       for any mid-round "changed ⇒ re-enter" swap (all unchanged
+#       r4-green; displacing one only defers a re-validation).
+# After the r8 driver run: newest evidence ≥ r4 everywhere, residue =
+# only post-freeze r8 additions (cap 25), and the r9 window (35
+# remaining r4-evidence picks + residue) fits one window exactly when
+# residue stays ≤ 15 — freeze r9 accordingly.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- (1) the full r6 ROTATION_RESIDUE (30), first driver rows ---
-    "corpus_snapshot_diff",
-    "sim_knn_graph_mutual",
-    "sim_semantic_clusters",
-    "text_bpe_merge_step",
-    "text_bpe_train",
-    "text_bpe_apply",
-    "join_fuzzy_trigram",
-    "sim_ann_ivfadc",
-    "sim_ann_ivfadc_recall",
-    "embedding_random_projection",
-    "embedding_rp_distance_audit",
-    "sim_graph_pagerank",
-    "sim_label_spread",
-    "text_cms_heavy_hitters",
-    "sample_weighted_bernoulli",
-    "join_asof_tolerance",
-    "stream_cms_merge",
-    "multimodal_phash_clusters",
-    "text_hll_cardinality",
-    "stream_hll_merge",
-    "layout_rendezvous_shards",
-    "text_pmi_collocations",
-    "profile_key_skew",
-    "ts_linear_trend",
-    "agg_winsorized_stats",
-    "sim_graph_triangles",
-    "events_cumulative_uniques",
-    "dedup_canonical_pick",
-    "text_quality_calibration",
-    "events_change_point",
-    # --- (2) oldest r3-evidence picks + r7-changed audits (see above) ---
-    "sim_ann_recall_eval",
-    "sim_ann_adc_recall",
-    "dedup_cluster_assign",
-    "ansi_safe_casts",
-    "bitwise_functions",
-    "dataset_split_assign",
-    "dedup_minhash_signatures",
-    "explode_functions",
-    "funnel_conversion",
-    "join_asof_last_click",
-    "layout_orc_roundtrip",
-    "layout_zorder_stats",
-    "merge_upsert_actions",
-    "scd2_priority_history",
-    "stream_dedup",
-    "stream_lifecycle_metrics",
-    "stream_session_window",
-    "stream_sliding_window",
-    "stream_stream_join",
-    "stream_tumbling_window",
-)
-
-# Oracle-backed queries added AFTER this round's window was frozen — they
-# rotate into the next round's window. Kept explicit so tests + ROUND notes
-# can audit that nothing silently escapes driver coverage. The r7 window
-# froze at round start (r6 verdict #8) seating the complete 30-query r6
-# residue first, so this list reopens empty; every oracle-backed operator
-# ADDED during r7 must be appended here (enforced by
-# tests/test_registry_order.py) and leads the r8 window together with the
-# 15 declared r3-evidence stragglers listed above DRIVER_WINDOW.
-ROTATION_RESIDUE: tuple[str, ...] = (
-    # --- first r7 work session ---
+    # --- (1) the full r7 ROTATION_RESIDUE (25), first driver rows ---
     "text_bigram_surprisal",
     "layout_zonemap_prune",
-    # --- second r7 work session ---
     "skyline_pareto_frontier",
     "text_bm25_search",
     "text_hll_overlap",
@@ -171,19 +96,15 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     "text_boilerplate_ngrams",
     "ts_ewma_halflife",
     "profile_histogram_equiwidth",
-    # --- third r7 work session ---
     "sim_ann_ivf_probe_sweep",
     "dataset_temperature_weights",
     "agg_mode_deterministic",
-    # --- fourth r7 work session ---
     "ts_rolling_median",
     "ts_anomaly_mad",
     "ts_theil_sen_trend",
-    # --- fifth r7 work session ---
     "events_rolling_actives",
     "events_cooccurrence_lift",
     "dataset_split_leakage",
-    # --- sixth r7 work session ---
     "ts_autocorrelation",
     "ts_seasonality_dow",
     "events_attribution_linear",
@@ -191,6 +112,46 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     "text_gopher_rules",
     "profile_expectations",
     "integrity_orphan_audit",
+    # --- (2) the 15 declared r3-evidence stragglers ---
+    "q4_priority_exists",
+    "sample_stratified",
+    "text_bpe_token_estimate",
+    "text_chunk_windows",
+    "text_fingerprint",
+    "text_quality_score",
+    "text_token_stats",
+    "text_wordfreq_topk",
+    "ts_anomaly_zscore",
+    "ts_gapfill_hourly",
+    "ts_moving_average",
+    "udf_apply_in_pandas",
+    "udf_map_in_pandas",
+    "udf_sql_registered",
+    "window_analytic",
+    # --- (3) oldest-r4-evidence re-validation fillers (displaceable) ---
+    "corpus_incremental_update",
+    "dataset_mixture_sample",
+    "dataset_mixture_weights",
+    "dataset_pack_sequences",
+    "dataset_pack_stats",
+    "dataset_shuffle_order",
+    "dedup_embedding_cosine",
+    "dedup_minhash_lsh_pairs",
+    "dedup_semantic_ivf",
+    "dedup_simhash",
+)
+
+# Oracle-backed queries added AFTER this round's window was frozen — they
+# rotate into the next round's window. Kept explicit so tests + ROUND notes
+# can audit that nothing silently escapes driver coverage. The r8 window
+# froze at round start with the complete 25-query r7 residue seated, so
+# this list reopens EMPTY; every oracle-backed operator ADDED during r8
+# must be appended here (enforced by tests/test_registry_order.py) and
+# leads the r9 window together with the remaining 35 r4-evidence picks.
+ROTATION_RESIDUE: tuple[str, ...] = (
+    # --- first r8 work session ---
+    "sim_link_prediction",
+    "sim_kmeans_lloyd_step",
 )
 
 
