@@ -14,6 +14,7 @@ Module map (SURVEY.md §2 Part B):
 - udfs           §B.10 pandas UDF / applyInPandas / mapInPandas surface
 - dedup          §B.11 exact + MinHash-LSH + SimHash + n-gram Jaccard dedup
 - similarity     §B.11 cosine top-k / LSH ANN over embeddings
+- retrieval      §B.11 hybrid search: RRF fusion, TF-IDF similarity join
 - textanalysis   §B.11 lang-id, quality scoring, tokens, fingerprinting
 - multimodal     §B.11 binary-column plumbing (decode stubbed per mandate)
 - pysource       §B.1 custom Python DataSource connector seam
@@ -31,6 +32,7 @@ from . import (  # noqa: F401
     pricing,
     projection,
     pysource,
+    retrieval,
     scalars,
     semistructured,
     setops,

@@ -1,0 +1,352 @@
+"""Hybrid retrieval operators — the search-stack layer above the lexical
+(BM25) and dense (cosine ANN) primitives.
+
+Reference parity note: the reference tool (a Node.js upload client,
+/root/reference/src/) has no retrieval surface; this module extends the
+SURVEY.md §2 B.11 LLM-pipeline family with the two retrieval ops a
+training-data / RAG stack runs at corpus scale: reciprocal-rank fusion of
+heterogeneous rankers (Cormack, Clarke & Buettcher 2009) and sparse TF-IDF
+all-pairs document similarity over an inverted index (the
+similarity-join shape of Bayardo et al. 2007's all-pairs algorithm).
+
+Both stay in exact integer arithmetic so the differential gate
+hash-checks them end to end: RRF's 1/(k+rank) terms are floor(1e6/(60+rk))
+micro-units; TF-IDF cosines are compared via cross-multiplied squared
+dot products in DECIMAL(38,0)/HUGEINT — no float division anywhere.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import load_table
+from ..registry import register
+from ._shared import spread_small
+from .similarity import dot_exact, with_sq_norm
+from .textanalysis import _BM25_CTES, BM25_TOP_K, text_bm25_search
+
+# Fixed literal query-id → query-vector mapping: the dense half of each
+# hybrid query is the embedding of a designated corpus vector (vec_id is
+# doc_id-aligned in the fixtures — both are the 0..n-1 document key).
+RRF_QMAP: tuple[tuple[str, int], ...] = (
+    ("q_join", 0),
+    ("q_window", 1),
+    ("q_stream", 2),
+    ("q_cust", 3),
+)
+RRF_K = 60  # the standard RRF dampener (Cormack et al. 2009)
+RRF_DEPTH = BM25_TOP_K  # each system contributes its top-10 list
+RRF_TOP_K = 10
+
+_QMAP_VALUES = ", ".join(f"('{q}', {v})" for q, v in RRF_QMAP)
+
+_RRF_ORACLE = f"""
+WITH {_BM25_CTES}, lex AS (
+  SELECT query_id, doc_id, rk FROM ranked WHERE rk <= {RRF_DEPTH}
+), qmap(query_id, qvec) AS (
+  VALUES {_QMAP_VALUES}
+), norms AS (
+  SELECT vec_id, embedding,
+         (SELECT CAST(SUM(CAST(FLOOR(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
+          FROM UNNEST(embedding) AS u(x)) AS sq_norm
+  FROM embeddings
+), dense_scored AS (
+  SELECT m.query_id, c.vec_id AS doc_id,
+         (SELECT CAST(SUM(CAST(FLOOR(CAST(struct_extract(p, 1) AS DOUBLE) * CAST(struct_extract(p, 2) AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
+          FROM UNNEST(list_zip(q.embedding, c.embedding)) AS t(p))
+         / (SQRT(q.sq_norm) * SQRT(c.sq_norm)) AS cosine
+  FROM qmap m
+  JOIN norms q ON q.vec_id = m.qvec
+  JOIN norms c ON c.vec_id <> m.qvec
+), dense AS (
+  SELECT query_id, doc_id, rk FROM (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, doc_id) AS rk
+    FROM dense_scored
+  ) WHERE rk <= {RRF_DEPTH}
+), fused AS (
+  SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+         COALESCE(l.doc_id, d.doc_id) AS doc_id,
+         CAST(COALESCE(l.rk, 0) AS BIGINT) AS bm25_rk,
+         CAST(COALESCE(d.rk, 0) AS BIGINT) AS dense_rk,
+         CAST(COALESCE(1000000 // ({RRF_K} + l.rk), 0)
+              + COALESCE(1000000 // ({RRF_K} + d.rk), 0) AS BIGINT)
+           AS rrf_micro
+  FROM lex l
+  FULL OUTER JOIN dense d
+    ON d.query_id = l.query_id AND d.doc_id = l.doc_id
+)
+SELECT query_id, doc_id, bm25_rk, dense_rk, rrf_micro, fused_rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY rrf_micro DESC, doc_id) AS fused_rk
+  FROM fused
+) WHERE fused_rk <= {RRF_TOP_K}
+"""
+
+
+@register(
+    "retrieval_rrf_fusion",
+    tags=("llm", "text", "retrieval", "fusion", "topk"),
+    oracle=_RRF_ORACLE,
+)
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the BM25 lexical ranking and the dense
+    cosine ranking — THE standard hybrid-search combiner (RRF: each
+    system contributes floor(1e6/(60+rank)) micro-points for documents in
+    its top-10; absent systems contribute 0). The dense half embeds each
+    query as a designated corpus vector (RRF_QMAP — vec_id is
+    doc_id-aligned); the lexical half is the registered text_bm25_search
+    ranking, consumed as-is so fusion and retrieval can never drift.
+    Rank arithmetic is pure integers, so the fused list hash-matches the
+    composed DuckDB oracle (which reuses text_bm25_search's exact CTE
+    text).
+
+    Plan shape: the lexical side is BM25's pruned-posting build (query
+    terms filter the scan); the dense side broadcasts |RRF_QMAP| query
+    vectors against the partitioned corpus — one corpus scan each, both
+    ending in tiny top-k lists (|queries| x 10 rows), fused by a
+    list-sized full-outer join and one final window. At 100 TB both
+    systems would serve from prebuilt indexes (inverted lists / IVF) and
+    the fusion itself stays list-sized — the expensive parts are exactly
+    the two index scans, never the join."""
+    lex = text_bm25_search(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rk").alias("l_rk")
+    )
+    emb = with_sq_norm(spread_small(load_table(spark, sf_dir, "embeddings")))
+    qmap = spark.createDataFrame(list(RRF_QMAP), ["query_id", "qvec"])
+    qvecs = qmap.join(
+        emb.select(
+            F.col("vec_id").alias("qvec"),
+            F.col("embedding").alias("q_emb"),
+            F.col("sq_norm").alias("q_sq"),
+        ),
+        "qvec",
+    )
+    dense_scored = (
+        emb.join(F.broadcast(qvecs), emb["vec_id"] != qvecs["qvec"])
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            (
+                dot_exact(F.col("q_emb"), F.col("embedding"))
+                / (F.sqrt("q_sq") * F.sqrt("sq_norm"))
+            ).alias("cosine"),
+        )
+    )
+    dw = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "doc_id")
+    dense = (
+        dense_scored.withColumn("d_rk", F.row_number().over(dw))
+        .filter(F.col("d_rk") <= RRF_DEPTH)
+        .select("query_id", "doc_id", "d_rk")
+    )
+    fused = lex.join(dense, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        F.coalesce("l_rk", F.lit(0)).cast("long").alias("bm25_rk"),
+        F.coalesce("d_rk", F.lit(0)).cast("long").alias("dense_rk"),
+        (
+            F.coalesce(F.expr(f"1000000 div ({RRF_K} + l_rk)"), F.lit(0))
+            + F.coalesce(F.expr(f"1000000 div ({RRF_K} + d_rk)"), F.lit(0))
+        )
+        .cast("long")
+        .alias("rrf_micro"),
+    )
+    fw = Window.partitionBy("query_id").orderBy(F.col("rrf_micro").desc(), "doc_id")
+    return (
+        fused.withColumn("fused_rk", F.row_number().over(fw))
+        .filter(F.col("fused_rk") <= RRF_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sparse TF-IDF all-pairs similarity — "find similar documents without
+# embeddings": the inverted-index similarity join (Bayardo et al. 2007).
+# ---------------------------------------------------------------------------
+
+# Postings for terms above the df cap are dropped — the same
+# frequent-token guard as dedup's SHINGLE_DF_CAP: a stopword-grade term
+# contributes ~df² join pairs while carrying ~zero idf weight, so the cap
+# bounds the self-join fan-out (the operator is DEFINED over the df-capped
+# TF-IDF space; both engines apply the identical cap). The cap SCALES with
+# the corpus — max(64, n_docs/20) — because a fixed cap silently empties
+# the candidate space as the corpus grows (at 10x corpus every shared
+# term's df grows ~10x past a fixed cap; measured: a cap of 64 yields ZERO
+# candidate pairs at sf0.1). Terms in a single document can't produce a
+# pair and are pruned too.
+TFIDF_DF_CAP_FLOOR = 64
+TFIDF_DF_CAP_DIV = 20
+# report pairs with cos² >= 0.25 (cosine >= 0.5), compared in exact ppm
+TFIDF_COS2_PPM = 250_000
+
+# The oracle stays at readable MEMBER grain: the Spark side's clone-family
+# collapse is a pure execution optimization here (unlike containment/pHash,
+# no cap or threshold is applied at rep grain — df, weights, dots and norms
+# are all member-grain quantities), so naive SQL and the collapsed plan are
+# provably the same function.
+_TFIDF_ORACLE = f"""
+WITH n AS (
+  SELECT COUNT(*) AS n_docs,
+         GREATEST({TFIDF_DF_CAP_FLOOR}, COUNT(*) // {TFIDF_DF_CAP_DIV}) AS df_cap
+  FROM documents
+), toks AS (
+  SELECT doc_id, tok AS term, COUNT(*) AS tf
+  FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+  )
+  GROUP BY doc_id, tok
+), df AS (
+  SELECT term, COUNT(*) AS df FROM toks GROUP BY term
+  HAVING COUNT(*) >= 2 AND COUNT(*) <= (SELECT df_cap FROM n)
+), weighted AS (
+  SELECT t.doc_id, t.term,
+         CAST(t.tf * (1000 * n.n_docs // d.df) AS HUGEINT) AS w
+  FROM toks t JOIN df d ON d.term = t.term CROSS JOIN n
+), norms AS (
+  SELECT doc_id, SUM(w * w) AS nsq FROM weighted GROUP BY doc_id
+), dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         COUNT(*) AS n_shared_terms, SUM(a.w * b.w) AS dot
+  FROM weighted a JOIN weighted b
+    ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT d.doc_a, d.doc_b,
+       CAST(d.n_shared_terms AS BIGINT) AS n_shared_terms,
+       CAST(d.dot * d.dot * 1000000 // (na.nsq * nb.nsq) AS BIGINT)
+         AS cos2_ppm
+FROM dots d
+JOIN norms na ON na.doc_id = d.doc_a
+JOIN norms nb ON nb.doc_id = d.doc_b
+WHERE d.dot * d.dot * 1000000 // (na.nsq * nb.nsq) >= {TFIDF_COS2_PPM}
+"""
+
+
+@register(
+    "text_tfidf_cosine_pairs",
+    tags=("llm", "text", "similarity", "tfidf", "dedup"),
+    oracle=_TFIDF_ORACLE,
+)
+def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine similarity join over the document corpus —
+    similar-document pairs WITHOUT embeddings, the inverted-index
+    all-pairs shape (Bayardo et al. 2007): per-doc term weights
+    w = tf * floor(1000*N/df), pairs generated only through shared
+    posting-list entries (df-capped — see TFIDF_DF_CAP), and the cosine
+    test done exactly as dot² * 1e6 // (|a|²·|b|²) >= 90000 ppm in
+    DECIMAL(38,0)/HUGEINT cross-multiplication: no sqrt, no float
+    division, hash-identical in both engines. int64 would already wrap
+    at ~1e5-doc corpora (w² terms reach ~1e16), hence the 128-bit
+    accumulators; headroom holds to ~1e9 docs x 1e3 terms.
+
+    Plan shape — clone-collapsed (the r6 dedup primitive): exact-
+    duplicate texts collapse to their min-id representative BEFORE any
+    posting work, because clone families make the posting self-join
+    pathologically quadratic (a family of s clones shares every term →
+    s² pairs carrying zero new information; the fixtures' clone density
+    makes every surviving pair a clone pair). Unlike containment/pHash
+    no cap or threshold is applied at rep grain — df counts member docs
+    (rep tf x family size), weights/norms/dots are member-grain
+    quantities — so the collapsed plan computes exactly the naive
+    member-grain function and the ORACLE stays naive SQL. Stages: one
+    rep-grain explode → (rep, term, tf); a vocabulary-grain df aggregate
+    whose scale-aware cap kills the quadratic stopword postings BEFORE
+    the join; ONE posting self-join on the term key at REP grain; a
+    pair-grain aggregate, two norm joins, then membership expansion
+    (cross-rep pairs through the family map, intra-family pairs = the
+    C(s,2) clone pairs at cos²=1 with the rep's surviving-term count).
+    Candidate work is sum(df_rep²) over surviving terms — vocabulary-
+    linear and clone-immune, which is what makes TF-IDF similarity
+    runnable at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    fam = docs.groupBy("text").agg(
+        F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("fam_size")
+    )
+    members = docs.join(fam.select("text", "rep"), "text").select("doc_id", "rep")
+    n = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr(
+            f"GREATEST({TFIDF_DF_CAP_FLOOR}, COUNT(*) div {TFIDF_DF_CAP_DIV})"
+        ).alias("df_cap"),
+    )
+    rep_toks = (
+        fam.select("rep", "fam_size", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("rep", "fam_size", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # member-grain document frequency: each rep contributes fam_size docs
+    df_ = (
+        rep_toks.groupBy("term")
+        .agg(F.sum("fam_size").cast("long").alias("df"))
+        .crossJoin(F.broadcast(n))
+        .filter((F.col("df") >= 2) & (F.col("df") <= F.col("df_cap")))
+        .select("term", "df", "n_docs")
+    )
+    weighted = rep_toks.join(df_, "term").select(
+        "rep",
+        "term",
+        F.expr("CAST(tf * (1000 * n_docs div df) AS DECIMAL(38,0))").alias("w"),
+    )
+    norms = weighted.groupBy("rep").agg(
+        F.sum(F.expr("w * w")).cast("decimal(38,0)").alias("nsq"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+    )
+    a = weighted.select(
+        F.col("term").alias("t"), F.col("rep").alias("rep_a"), F.col("w").alias("wa")
+    )
+    b = weighted.select(
+        F.col("term").alias("t2"), F.col("rep").alias("rep_b"), F.col("w").alias("wb")
+    )
+    dots = (
+        a.join(b, (F.col("t") == F.col("t2")) & (F.col("rep_a") < F.col("rep_b")))
+        .groupBy("rep_a", "rep_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared_terms"),
+            F.sum(F.expr("wa * wb")).cast("decimal(38,0)").alias("dot"),
+        )
+    )
+    na = norms.select(F.col("rep").alias("rep_a"), F.col("nsq").alias("na"))
+    nb = norms.select(F.col("rep").alias("rep_b"), F.col("nsq").alias("nb"))
+    cross = (
+        dots.join(na, "rep_a")
+        .join(nb, "rep_b")
+        .withColumn(
+            "cos2_ppm",
+            F.expr("CAST((dot * dot * 1000000) div (na * nb) AS BIGINT)"),
+        )
+        .filter(F.col("cos2_ppm") >= TFIDF_COS2_PPM)
+        .select("rep_a", "rep_b", "n_shared_terms", "cos2_ppm")
+    )
+    ma = members.select(F.col("rep").alias("rep_a"), F.col("doc_id").alias("m_a"))
+    mb = members.select(F.col("rep").alias("rep_b"), F.col("doc_id").alias("m_b"))
+    cross_expanded = (
+        cross.join(ma, "rep_a")
+        .join(mb, "rep_b")
+        .select(
+            F.least("m_a", "m_b").alias("doc_a"),
+            F.greatest("m_a", "m_b").alias("doc_b"),
+            "n_shared_terms",
+            "cos2_ppm",
+        )
+    )
+    # intra-family clone pairs: identical vectors → cos² is exactly 1;
+    # shared-term count is the rep's surviving-term count. Reps whose
+    # every term was df-pruned have no vector and (like the naive SQL's
+    # inner joins) emit nothing.
+    intra = (
+        fam.filter(F.col("fam_size") >= 2)
+        .join(norms, "rep")
+        .select("rep", "n_terms")
+        .join(ma.withColumnRenamed("rep_a", "rep"), "rep")
+        .join(mb.withColumnRenamed("rep_b", "rep"), "rep")
+        .filter(F.col("m_a") < F.col("m_b"))
+        .select(
+            F.col("m_a").alias("doc_a"),
+            F.col("m_b").alias("doc_b"),
+            F.col("n_terms").alias("n_shared_terms"),
+            F.lit(1_000_000).cast("long").alias("cos2_ppm"),
+        )
+    )
+    return cross_expanded.unionByName(intra)

@@ -2646,8 +2646,10 @@ BM25_TOP_K = 10
 
 _BM25_VALUES = ", ".join(f"('{q}', '{t}')" for q, t in BM25_QUERIES)
 
-_BM25_ORACLE = f"""
-WITH queries(query_id, term) AS (
+# CTE body factored out so retrieval.py's RRF fusion oracle can reuse the
+# exact same lexical ranking text (`ranked` is the consumable CTE); the
+# composed _BM25_ORACLE string is byte-identical to its pre-factoring form.
+_BM25_CTES = f"""queries(query_id, term) AS (
   VALUES {_BM25_VALUES}
 ), stats AS (
   SELECT COUNT(*) AS n_docs,
@@ -2683,7 +2685,10 @@ WITH queries(query_id, term) AS (
          ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY SUM(term_score) DESC, doc_id) AS rk
   FROM scored GROUP BY query_id, doc_id
-)
+)"""
+
+_BM25_ORACLE = f"""
+WITH {_BM25_CTES}
 SELECT query_id, doc_id, n_terms_matched, score, rk
 FROM ranked WHERE rk <= {BM25_TOP_K}
 """

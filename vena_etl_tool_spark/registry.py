@@ -152,6 +152,9 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     # --- first r8 work session ---
     "sim_link_prediction",
     "sim_kmeans_lloyd_step",
+    # --- second r8 work session ---
+    "retrieval_rrf_fusion",
+    "text_tfidf_cosine_pairs",
 )
 
 
