@@ -2061,3 +2061,232 @@ def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") == F.col("canonical_id")).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH recall/precision audit — "did my banding settings lose duplicates?"
+# Every production MinHash deployment tunes (bands, rows, bucket cap)
+# against a measured recall number, not theory; this op produces that
+# number end-to-end in one hash-checked query: blocked exact-Jaccard truth
+# vs the LSH candidate set vs the verified output, on the exact-deduped
+# (clone-collapsed) corpus — the configuration minhash actually runs in
+# (exact dedup removes clone mass first; _distinct_text_reps enforces it).
+# ---------------------------------------------------------------------------
+
+LSH_AUDIT_THRESHOLD = 0.5
+
+
+def _lsh_recall_audit_oracle(max_bucket: int = 50) -> str:
+    h60 = _SQL_MD5_H60.format(col="sh")
+    mins = ",\n         ".join(
+        f"MIN(((h & 2147483647) * {_A[i]} + {_B[i]}) % {MERSENNE}) AS mh{i}"
+        for i in range(N_MINHASH)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_id, ("
+        + " || ':' || ".join(
+            [f"'{b}'"]
+            + [f"CAST(mh{b * BAND_ROWS + r} AS VARCHAR)" for r in range(BAND_ROWS)]
+        )
+        + ") AS band_key FROM mins"
+        for b in range(N_MINHASH // BAND_ROWS)
+    )
+    shingles = _SQL_SHINGLES_CTE.replace("FROM documents", "FROM reps")
+    jac = "ROUND(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 6)"
+    return f"""
+WITH reps AS (
+  SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
+), {shingles},
+h AS (SELECT doc_id, {h60} AS h FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM h GROUP BY doc_id),
+cool AS (
+  SELECT h FROM h GROUP BY h HAVING COUNT(*) <= {SHINGLE_DF_CAP}
+),
+bidx AS (SELECT hh.doc_id, hh.h FROM h hh JOIN cool USING (h)),
+tcand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bidx a JOIN bidx b ON a.h = b.h AND a.doc_id < b.doc_id
+),
+tinter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+  FROM tcand c
+  JOIN h ha ON ha.doc_id = c.doc_a
+  JOIN h hb ON hb.doc_id = c.doc_b AND hb.h = ha.h
+  GROUP BY c.doc_a, c.doc_b
+),
+truth AS (
+  SELECT i.doc_a, i.doc_b FROM tinter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE {jac} >= {LSH_AUDIT_THRESHOLD}
+),
+mins AS (
+  SELECT doc_id,
+         {mins}
+  FROM h GROUP BY doc_id
+),
+bands AS (
+{band_rows}
+),
+bcap AS (
+  SELECT band_id, band_key FROM bands
+  GROUP BY band_id, band_key HAVING COUNT(*) <= {max_bucket}
+),
+bf AS (SELECT b.* FROM bands b JOIN bcap USING (band_id, band_key)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bf a JOIN bf b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+vinter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+  FROM cand c
+  JOIN h ha ON ha.doc_id = c.doc_a
+  JOIN h hb ON hb.doc_id = c.doc_b AND hb.h = ha.h
+  GROUP BY c.doc_a, c.doc_b
+),
+verified AS (
+  SELECT i.doc_a, i.doc_b FROM vinter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE {jac} >= {LSH_AUDIT_THRESHOLD}
+),
+hits AS (
+  SELECT COUNT(*) AS n FROM verified v
+  JOIN truth t ON t.doc_a = v.doc_a AND t.doc_b = v.doc_b
+)
+SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+       CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+       CAST((SELECT COUNT(*) FROM verified) AS BIGINT) AS n_verified,
+       CAST((SELECT n FROM hits) AS BIGINT) AS n_hits,
+       CAST(CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN NULL
+            ELSE (SELECT n FROM hits) * 1000 // (SELECT COUNT(*) FROM truth)
+            END AS BIGINT) AS recall_milli,
+       CAST(CASE WHEN (SELECT COUNT(*) FROM cand) = 0 THEN NULL
+            ELSE (SELECT n FROM hits) * 1000 // (SELECT COUNT(*) FROM cand)
+            END AS BIGINT) AS candidate_precision_milli
+"""
+
+
+@register(
+    "dedup_lsh_recall_audit",
+    tags=("llm", "dedup", "minhash", "eval"),
+    oracle=_lsh_recall_audit_oracle(),
+)
+def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision audit of the MinHash-LSH configuration against
+    blocked exact-Jaccard truth, on the clone-collapsed corpus: n_truth
+    (exact near-dup pairs >= 0.5, discovered through the non-hot-shingle
+    inverted index), n_candidates (band-bucket collisions under the
+    bucket cap), n_verified (candidates passing exact verification),
+    n_hits (verified ∩ truth) and the milli recall/precision ratios.
+    The truth side is BLOCKED truth — pairs whose every shared shingle
+    is hotter than SHINGLE_DF_CAP are unreachable (at 100 TB unblocked
+    truth is a cross join; the blocking loss is measured at zero on the
+    fixtures by the brute-force test) — and the whole audit, including
+    both pair universes, hash-matches DuckDB via the md5 shingle hash.
+
+    Plan shape: clone collapse first (map-side-combined), then the
+    shingle explode feeds BOTH sides: the truth path is one df-capped
+    inverted-index self-join + intersection re-join (the
+    dedup_ngram_jaccard shape); the LSH path is the signature aggregate +
+    band self-join + set-intersect verify (the dedup_minhash_lsh_pairs
+    shape); the final row is four broadcast single-row aggregates. Audit-
+    shaped: at 100 TB you'd run it on a sampled partition stratum, but
+    every join here is the same bounded shape the production pipeline
+    already runs."""
+    docs = _distinct_text_reps(
+        spread_small(load_table(spark, sf_dir, "documents"))
+    )
+    with_h = doc_shingles(docs).select(
+        "doc_id", md5_hash60(F.col("sh")).alias("h")
+    )
+    per_doc = with_h.groupBy("doc_id").agg(
+        F.collect_list("h").alias("hs"), F.count(F.lit(1)).alias("n")
+    )
+    # --- blocked exact truth ---
+    hot_w = Window.partitionBy("h")
+    bidx = (
+        with_h.withColumn("_df", F.count(F.lit(1)).over(hot_w))
+        .filter(F.col("_df") <= SHINGLE_DF_CAP)
+        .drop("_df")
+    )
+    ta = bidx.select(F.col("h").alias("th"), F.col("doc_id").alias("doc_a"))
+    tb = bidx.select(F.col("h").alias("th2"), F.col("doc_id").alias("doc_b"))
+    tcand = (
+        ta.join(tb, (F.col("th") == F.col("th2")) & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    jac = F.round(
+        F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+    )
+    sets_a = per_doc.select(
+        F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"), F.col("n").alias("na")
+    )
+    sets_b = per_doc.select(
+        F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"), F.col("n").alias("nb")
+    )
+    truth = (
+        tcand.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
+        .filter(jac >= F.lit(LSH_AUDIT_THRESHOLD))
+        .select("doc_a", "doc_b")
+    )
+    # --- LSH candidates + verified (the production pipeline's shape) ---
+    sig = minhash_signature(
+        doc_shingles(docs), "doc_id", "sh", hash_expr=md5_hash60
+    )
+    bands = lsh_bands(sig, "doc_id", hashed_keys=False)
+    bsz_w = Window.partitionBy("band_id", "band_key")
+    bands = (
+        bands.withColumn("_bsz", F.count(F.lit(1)).over(bsz_w))
+        .filter(F.col("_bsz") <= 50)
+        .drop("_bsz")
+    )
+    ba = bands.alias("ba")
+    bb = bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band_id") == F.col("bb.band_id"))
+            & (F.col("ba.band_key") == F.col("bb.band_key"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    verified = (
+        cand.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
+        .filter(jac >= F.lit(LSH_AUDIT_THRESHOLD))
+        .select("doc_a", "doc_b")
+    )
+    hits = verified.join(truth, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    n_ver = verified.agg(F.count(F.lit(1)).cast("long").alias("n_verified"))
+    return (
+        n_truth.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_ver))
+        .crossJoin(F.broadcast(hits))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_verified",
+            "n_hits",
+            F.expr(
+                "CAST(CASE WHEN n_truth = 0 THEN NULL"
+                " ELSE n_hits * 1000 div n_truth END AS BIGINT)"
+            ).alias("recall_milli"),
+            F.expr(
+                "CAST(CASE WHEN n_candidates = 0 THEN NULL"
+                " ELSE n_hits * 1000 div n_candidates END AS BIGINT)"
+            ).alias("candidate_precision_milli"),
+        )
+    )

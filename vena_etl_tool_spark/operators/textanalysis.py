@@ -3504,3 +3504,193 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_pass_all"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility report — tokens-per-word by (lang, source): the
+# standard multilingual-tokenizer health metric (a BPE trained on mixed
+# text segments under-represented languages into more pieces; fertility
+# >> 1 flags languages paying a token tax in the training budget).
+# ---------------------------------------------------------------------------
+
+_FERTILITY_ORACLE = f"""
+WITH {{ctes}}, wc AS (
+  SELECT lang, source, word
+  FROM (SELECT lang, source, unnest(string_split(text, ' ')) AS word
+        FROM documents)
+)
+SELECT lang, source,
+  CAST(COUNT(*) AS BIGINT) AS n_words,
+  CAST(SUM(length(word)) AS BIGINT) AS n_chars,
+  CAST(SUM(COALESCE(len(v.syms), 1)) AS BIGINT) AS n_bpe_tokens,
+  CAST(SUM(COALESCE(len(v.syms), 1)) * 1000 // COUNT(*) AS BIGINT)
+    AS fertility_milli,
+  CAST(SUM(length(word)) * 1000 // SUM(COALESCE(len(v.syms), 1)) AS BIGINT)
+    AS chars_per_token_milli
+FROM wc LEFT JOIN v{BPE_TRAIN_ITERS} v USING (word)
+GROUP BY lang, source
+"""
+
+
+@register(
+    "text_bpe_fertility",
+    tags=("llm", "text", "bpe", "quality"),
+    oracle=_FERTILITY_ORACLE.format(ctes=_bpe_train_ctes()),
+)
+def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by (lang, source) under the trained BPE:
+    words, characters, BPE tokens, fertility (tokens per word, milli) and
+    characters per token (milli) — the per-language token-tax report a
+    multilingual pretraining run reads before fixing mixture weights
+    (fairness ref: the XLM-R / NLLB fertility analyses). Words below the
+    training length floor count as one token, same as text_bpe_apply.
+
+    Plan shape: the trained vocabulary is a persisted artifact (built
+    once per corpus by the text_bpe_train loop — vocabulary-sized, never
+    corpus-rescanned) broadcast-joined onto ONE corpus explode, then a
+    (lang, source)-grain map-side-combinable aggregate. All ratios are
+    integer milli via truncating division on positive operands, so the
+    report hash-matches the unrolled DuckDB training chain exactly."""
+    from ._shared import persisted_artifact
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = persisted_artifact(
+        spark,
+        "bpe_vocab",
+        docs.inputFiles(),
+        lambda: _bpe_train_impl(spark, sf_dir)[1],
+    )
+    words = docs.select(
+        "lang", "source", F.explode(F.split("text", " ")).alias("word")
+    )
+    joined = words.join(
+        F.broadcast(vocab.select("word", F.size("syms").alias("n_syms"))),
+        "word",
+        "left",
+    )
+    toks = F.sum(F.coalesce("n_syms", F.lit(1)))
+    return joined.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum(F.length("word")).cast("long").alias("n_chars"),
+        toks.cast("long").alias("n_bpe_tokens"),
+        F.expr(
+            "CAST(SUM(COALESCE(n_syms, 1)) * 1000 div COUNT(*) AS BIGINT)"
+        ).alias("fertility_milli"),
+        F.expr(
+            "CAST(SUM(length(word)) * 1000 div SUM(COALESCE(n_syms, 1))"
+            " AS BIGINT)"
+        ).alias("chars_per_token_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): score every raw document by
+# how much more likely its hashed-unigram features are under a TARGET
+# domain's distribution than under the raw corpus's — the standard cheap
+# way to select 100 TB of web text toward a small high-quality target
+# without training a classifier. Features are md5-hashed word buckets
+# (the fixed-dimension hashed n-gram space DSIR uses); both unigram models
+# are Laplace-smoothed bucket counts; and the per-bucket likelihood ratio
+# is reported LOG-FREE in exact ppm (the text_bm25_search / PMI
+# precedent: log is monotone per bucket, unigram ratios cluster in
+# [0.5, 2) where an integer log2 would quantize every bucket to 0 bits,
+# and the ppm ratio keeps full resolution while staying hash-checkable).
+# Summing ppm deviations instead of log ratios is this operator's
+# documented scoring function — deterministic and portable.
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 1024
+DSIR_TARGET_LANG = "en"  # the "target domain": English documents
+
+_DSIR_BUCKET_SPARK = (
+    f"CAST(pmod(conv(substr(md5(word), 1, 15), 16, 10), {DSIR_BUCKETS}) AS INT)"
+)
+_DSIR_BUCKET_DUCK = (
+    f"CAST((('0x' || substr(md5(word), 1, 15))::BIGINT) % {DSIR_BUCKETS} AS INT)"
+)
+
+_DSIR_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, {_DSIR_BUCKET_DUCK} AS bucket
+  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+        FROM documents)
+), model AS (
+  SELECT bucket,
+         COUNT(*) + 1 AS c_raw,
+         COUNT(*) FILTER (lang = '{DSIR_TARGET_LANG}') + 1 AS c_tgt
+  FROM toks GROUP BY bucket
+), totals AS (
+  SELECT (SUM(c_raw - 1) + {DSIR_BUCKETS}) * 1000000
+           // (SUM(c_tgt - 1) + {DSIR_BUCKETS}) AS k
+  FROM model
+), devs AS (
+  SELECT bucket, (c_tgt * k) // c_raw - 1000000 AS dev
+  FROM model, totals
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(d.dev) AS BIGINT) AS weight_ppm,
+       CAST((CASE WHEN SUM(d.dev) < 0 THEN -1 ELSE 1 END)
+            * (abs(SUM(d.dev)) // COUNT(*)) AS BIGINT)
+         AS ppm_per_token
+FROM toks t JOIN devs d USING (bucket)
+GROUP BY t.doc_id
+"""
+
+
+@register(
+    "dsir_importance_weights",
+    tags=("llm", "text", "quality", "sampling", "dsir"),
+    oracle=_DSIR_ORACLE,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weight per document: the summed per-token ppm
+    deviation of the target-domain/raw-corpus likelihood ratio over
+    md5-hashed unigram buckets (target = lang 'en'), Laplace-smoothed.
+    Positive ppm_per_token = looks like the target; the resampling step
+    keeps top-weight docs (dataset_temperature_weights /
+    sample_weighted machinery downstream). Ratio arithmetic: one global
+    constant k = floor(N_raw*1e6/N_tgt), per bucket
+    dev = floor(c_tgt*k/c_raw) - 1e6 — ONE division order, mirrored
+    exactly; int64-safe to ~9e12 target tokens (k*c_tgt bounded by
+    1e6*N_tgt*ratio).
+
+    Plan shape: ONE token explode feeds the bucket-grain model aggregate
+    (DSIR_BUCKETS rows, map-side combined) and the scoring join back
+    onto the same exploded rows (bucket-keyed broadcast build side),
+    then one doc-grain aggregate — the text_bigram_surprisal shape with
+    a fixed-width feature space, which is exactly why DSIR hashes:
+    model state is O(buckets), not O(vocab), at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split("text", " ")).alias("word"),
+    ).select("doc_id", "lang", F.expr(_DSIR_BUCKET_SPARK).alias("bucket"))
+    model = toks.groupBy("bucket").agg(
+        (F.count(F.lit(1)) + 1).alias("c_raw"),
+        (F.count_if(F.col("lang") == DSIR_TARGET_LANG) + 1).alias("c_tgt"),
+    )
+    totals = model.agg(
+        F.expr(
+            f"(SUM(c_raw - 1) + {DSIR_BUCKETS}) * 1000000"
+            f" div (SUM(c_tgt - 1) + {DSIR_BUCKETS})"
+        ).alias("k")
+    )
+    devs = (
+        model.crossJoin(F.broadcast(totals))
+        .select("bucket", F.expr("(c_tgt * k) div c_raw - 1000000").alias("dev"))
+    )
+    return (
+        toks.join(F.broadcast(devs), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("dev").cast("long").alias("weight_ppm"),
+            F.expr(
+                "CAST((CASE WHEN SUM(dev) < 0 THEN -1 ELSE 1 END)"
+                " * (abs(SUM(dev)) div COUNT(*)) AS BIGINT)"
+            ).alias("ppm_per_token"),
+        )
+    )

@@ -155,6 +155,10 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     # --- second r8 work session ---
     "retrieval_rrf_fusion",
     "text_tfidf_cosine_pairs",
+    # --- third r8 work session ---
+    "dedup_lsh_recall_audit",
+    "text_bpe_fertility",
+    "dsir_importance_weights",
 )
 
 
