@@ -1035,3 +1035,176 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_type.unionByName(direct)
+
+
+@register(
+    "events_activity_streaks",
+    tags=("events", "window", "analytics", "gaps-islands"),
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), grp AS (
+  SELECT user_id, d,
+         CAST(d - DATE '1970-01-01' AS BIGINT)
+           - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS g
+  FROM days
+), streaks AS (
+  SELECT user_id, g, COUNT(*) AS len, MIN(d) AS start_day
+  FROM grp GROUP BY user_id, g
+), per_user AS (
+  SELECT user_id,
+         CAST(SUM(len) AS BIGINT) AS n_active_days,
+         CAST(COUNT(*) AS BIGINT) AS n_streaks,
+         CAST(MAX(len) AS BIGINT) AS longest_streak_days
+  FROM streaks GROUP BY user_id
+), pick AS (
+  SELECT s.user_id, MIN(s.start_day) AS longest_streak_start
+  FROM streaks s JOIN per_user p
+    ON p.user_id = s.user_id AND s.len = p.longest_streak_days
+  GROUP BY s.user_id
+)
+SELECT p.user_id, p.n_active_days, p.n_streaks, p.longest_streak_days,
+       k.longest_streak_start
+FROM per_user p JOIN pick k ON k.user_id = p.user_id
+""",
+)
+def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-day activity streaks per user — the canonical
+    gaps-and-islands problem (engagement analytics' 'current streak' /
+    'longest streak' metric): distinct active days, islands formed by
+    the epoch-day-minus-row-number constant, per-island length, and per
+    user the streak count, the longest streak, and the earliest start
+    among longest streaks (deterministic tie-break).
+
+    Plan shape: day-grain distinct, ONE user-keyed window (row_number
+    over day order), an island aggregate and a user aggregate — all
+    four share the user_id hash partitioning, so Catalyst reuses a
+    single exchange of the day-grain rows (the sessionize_events
+    argument). Nothing is keyed on the full event grain after the first
+    distinct; at 100 TB the heavy step is that one day-grain collapse,
+    which is map-side combinable."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.select(
+        "user_id",
+        "d",
+        (F.unix_date("d").cast("long") - F.row_number().over(w)).alias("g"),
+    )
+    streaks = grp.groupBy("user_id", "g").agg(
+        F.count(F.lit(1)).alias("len"), F.min("d").alias("start_day")
+    )
+    per_user = streaks.groupBy("user_id").agg(
+        F.sum("len").cast("long").alias("n_active_days"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.max("len").cast("long").alias("longest_streak_days"),
+    )
+    pick = (
+        streaks.join(
+            per_user.select("user_id", "longest_streak_days"), "user_id"
+        )
+        .filter(F.col("len") == F.col("longest_streak_days"))
+        .groupBy("user_id")
+        .agg(F.min("start_day").alias("longest_streak_start"))
+    )
+    return per_user.join(pick, "user_id")
+
+
+@register(
+    "events_funnel_ttc",
+    tags=("events", "window", "analytics", "funnel"),
+    oracle="""
+WITH signups AS (
+  SELECT user_id, MIN(ts) AS t_signup
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), conv AS (
+  SELECT s.user_id,
+         CAST(date_trunc('week', s.t_signup) AS DATE) AS cohort_week,
+         CAST(floor(epoch(MIN(p.ts))) AS BIGINT)
+           - CAST(floor(epoch(s.t_signup)) AS BIGINT) AS ttc_sec
+  FROM signups s
+  JOIN events p
+    ON p.user_id = s.user_id AND p.event_type = 'purchase'
+   AND p.ts >= s.t_signup
+  GROUP BY s.user_id, s.t_signup
+), ranked AS (
+  SELECT cohort_week, ttc_sec,
+         ROW_NUMBER() OVER (PARTITION BY cohort_week
+                            ORDER BY ttc_sec, user_id) AS rn,
+         COUNT(*) OVER (PARTITION BY cohort_week) AS n
+  FROM conv
+)
+SELECT cohort_week,
+       CAST(MAX(n) AS BIGINT) AS n_converted,
+       CAST(MIN(ttc_sec) AS BIGINT) AS min_ttc_sec,
+       CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN ttc_sec END) AS BIGINT)
+         AS median_ttc_sec,
+       CAST(MAX(ttc_sec) AS BIGINT) AS max_ttc_sec,
+       CAST(SUM(ttc_sec) // MAX(n) AS BIGINT) AS mean_ttc_sec
+FROM ranked GROUP BY cohort_week
+""",
+)
+def events_funnel_ttc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution per signup-week cohort: for every
+    user, the seconds from first signup to the first purchase at-or-
+    after it; per cohort the converted count, min/median/max and the
+    truncated mean. The median is the lower order statistic picked by
+    rank — only the ttc VALUE leaves the query, so row_number tie order
+    never escapes (the ts_theil_sen_trend convention) — and epoch
+    arithmetic keeps every statistic int64-exact cross-engine.
+
+    Plan shape: one filtered aggregate for first signups (user-keyed),
+    one user-keyed band join onto purchase events with the at-or-after
+    predicate pushed into the join, then a cohort-grain ranking window —
+    shuffle keys are user_id then the cohort week; no global sort. At
+    100 TB cohorts are calendar-bounded so the ranked window partitions
+    stay balanced regardless of corpus size."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    conv = (
+        signups.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("t_signup")),
+        )
+        .groupBy("user_id", "t_signup")
+        .agg(F.min("p_ts").alias("t_conv"))
+        .select(
+            "user_id",
+            F.date_trunc("week", "t_signup").cast("date").alias("cohort_week"),
+            (
+                F.col("t_conv").cast("timestamp").cast("long")
+                - F.col("t_signup").cast("timestamp").cast("long")
+            ).alias("ttc_sec"),
+        )
+    )
+    w = Window.partitionBy("cohort_week").orderBy("ttc_sec", "user_id")
+    wc = Window.partitionBy("cohort_week")
+    ranked = conv.select(
+        "cohort_week",
+        "ttc_sec",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    return ranked.groupBy("cohort_week").agg(
+        F.max("n").cast("long").alias("n_converted"),
+        F.min("ttc_sec").cast("long").alias("min_ttc_sec"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("ttc_sec"))
+        )
+        .cast("long")
+        .alias("median_ttc_sec"),
+        F.max("ttc_sec").cast("long").alias("max_ttc_sec"),
+        F.expr("CAST(SUM(ttc_sec) div MAX(n) AS BIGINT)").alias("mean_ttc_sec"),
+    )

@@ -159,6 +159,10 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     "dedup_lsh_recall_audit",
     "text_bpe_fertility",
     "dsir_importance_weights",
+    # --- fourth r8 work session ---
+    "events_activity_streaks",
+    "events_funnel_ttc",
+    "stream_late_data_audit",
 )
 
 

@@ -935,3 +935,127 @@ def stream_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         replayed, "batch_id long, source string, j int, m int"
     )
     return subs.groupBy("j").agg(F.max("m").cast("int").alias("m"))
+
+
+@register(
+    "stream_late_data_audit",
+    tags=("streaming", "window", "monitoring", "audit"),
+    oracle="""
+WITH ev AS (
+  SELECT event_id, ts, event_type,
+         time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS wend
+  FROM events
+), wm1 AS (
+  SELECT MAX(ts) - INTERVAL '10 minutes' AS w FROM ev WHERE event_id % 2 = 0
+), wm2 AS (
+  SELECT MAX(ts) - INTERVAL '10 minutes' AS w FROM ev
+)
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_total,
+  CAST(COUNT(*) FILTER (wend <= (SELECT w FROM wm2)
+       AND NOT (event_id % 2 = 1 AND wend <= (SELECT w FROM wm1)))
+       AS BIGINT) AS n_emitted,
+  CAST(COUNT(*) FILTER (event_id % 2 = 1 AND wend <= (SELECT w FROM wm1))
+       AS BIGINT) AS n_dropped_late,
+  CAST(COUNT(*) FILTER (wend > (SELECT w FROM wm2)) AS BIGINT)
+    AS n_open_state
+FROM ev GROUP BY event_type
+""",
+)
+def stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark drop accounting — the observability number every
+    production watermark needs: how many rows arrived too late and were
+    silently dropped, vs emitted, vs still held in open state. The Spark
+    side RUNS the real two-restart append stream (the
+    stream_append_restart_flush lifecycle: even event_ids first, then
+    the odd half against the same checkpoint) and reconciles the ACTUAL
+    sink against batch totals per event_type:
+    n_emitted = sum of sink counts, n_dropped_late = odd rows whose
+    5-minute window had already closed under run 1's final watermark,
+    n_open_state = rows in windows the final watermark never closed,
+    with n_total = emitted + dropped + open holding only if Spark's
+    watermark semantics match the analytic model — which is exactly
+    what the DuckDB oracle computes analytically, so the hash match IS
+    the proof that the engine drops precisely the predicted rows.
+
+    Scale: state is bounded by the watermark horizon (windows per 10
+    minutes x event types); the reconciliation side is two batch
+    aggregates over the same scan. Audit-shaped — production runs it as
+    a foreachBatch side count or a sink-vs-source diff job."""
+    from ..catalog import load_table
+
+    workdir = fresh_stream_workdir("stream_late_data_audit")
+    stage = os.path.join(workdir, "stage")
+    sink_dir = os.path.join(workdir, "sink")
+    ckpt_dir = os.path.join(workdir, "ckpt")
+
+    ev_batch = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+    )
+    stream_schema = "event_id long, ts timestamp, event_type string"
+
+    def run_available_now() -> None:
+        ev = spark.readStream.schema(stream_schema).parquet(stage)
+        agg = (
+            ev.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "5 minutes"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        out = agg.select("event_type", "n")
+        with _state_partitions(spark):
+            q = (
+                out.writeStream.format("parquet")
+                .option("path", sink_dir)
+                .option("checkpointLocation", ckpt_dir)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+    ev_batch.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(stage)
+    run_available_now()
+    ev_batch.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(stage)
+    run_available_now()
+
+    emitted = (
+        spark.read.schema("event_type string, n long")
+        .parquet(sink_dir)
+        .groupBy("event_type")
+        .agg(F.sum("n").cast("long").alias("n_emitted"))
+    )
+    with_wend = ev_batch.select(
+        "event_id",
+        "event_type",
+        F.col("ts"),
+        F.window("ts", "5 minutes")["end"].alias("wend"),
+    )
+    wm1 = ev_batch.filter(F.col("event_id") % 2 == 0).agg(
+        (F.max("ts") - F.expr("INTERVAL 10 MINUTES")).alias("w1")
+    )
+    wm2 = ev_batch.agg((F.max("ts") - F.expr("INTERVAL 10 MINUTES")).alias("w2"))
+    stats = (
+        with_wend.crossJoin(F.broadcast(wm1))
+        .crossJoin(F.broadcast(wm2))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.count_if(
+                (F.col("event_id") % 2 == 1) & (F.col("wend") <= F.col("w1"))
+            )
+            .cast("long")
+            .alias("n_dropped_late"),
+            F.count_if(F.col("wend") > F.col("w2"))
+            .cast("long")
+            .alias("n_open_state"),
+        )
+    )
+    return stats.join(emitted, "event_type", "left").select(
+        "event_type",
+        "n_total",
+        F.coalesce("n_emitted", F.lit(0)).cast("long").alias("n_emitted"),
+        "n_dropped_late",
+        "n_open_state",
+    )
