@@ -1,13 +1,12 @@
 """Round-8 retrieval operators: RRF hybrid fusion and the TF-IDF cosine
 similarity join.
 
-text_tfidf_cosine_pairs runs clone-collapsed on the Spark side while its
-oracle is naive member-grain SQL — exactly the divergence class the r7
-ADVICE found in dedup_canonical_pick — so the critical test here is the
-FULL differential gate on a planted corpus that mixes clone families with
-cross-family near-dup edges (the fixtures' clone pairs never exercise the
-cross-rep expansion path at small SFs). RRF is rebuilt in pure Python from
-its two subsystem rankings.
+text_tfidf_cosine_pairs works at clone-collapsed rep grain on BOTH sides
+(the dedup_canonical_pick convention: family sizes as multiplicities, df
+still member-grain), so the critical test is the FULL differential gate on
+a planted corpus that mixes clone families with cross-family near-dup
+edges, plus a rep-grain Python reconstruction. RRF is rebuilt in pure
+Python from its two subsystem rankings.
 """
 
 from __future__ import annotations
@@ -50,8 +49,8 @@ def _write_documents(rows, path):
 
 @pytest.fixture()
 def tfidf_corpus_dir(spark, tmp_path):
-    """Clone families WITH cross-family near-dup edges — the case where the
-    collapsed plan must expand rep pairs through BOTH family maps."""
+    """Clone families WITH cross-family near-dup edges — the case where
+    rep-grain pairs must carry both families' sizes and member-grain df."""
     for t in TABLES:
         if t != "documents":
             os.symlink(
@@ -86,32 +85,43 @@ def test_tfidf_gate_holds_on_clone_plus_neardup_corpus(spark, tfidf_corpus_dir):
     )
     assert res.ok, res
     out = {
-        (r.doc_a, r.doc_b): r
+        (r.rep_a, r.rep_b): r
         for r in text_tfidf_cosine_pairs(spark, tfidf_corpus_dir).collect()
     }
-    # all 3x2 cross-family member pairs present (expansion through both maps)
-    for a in (1, 2, 3):
-        for b in (10, 11):
-            assert (a, b) in out and out[(a, b)].cos2_ppm < 1_000_000
-    # every intra-family clone pair present at exactly cos² = 1
+    # the cross-family near-dup pair appears ONCE, at rep grain, with both
+    # family sizes as multiplicities
+    assert (1, 10) in out
+    r = out[(1, 10)]
+    assert (r.fam_a, r.fam_b) == (3, 2) and r.cos2_ppm < 1_000_000
+    # clone pairs are dedup_exact's job — never emitted here
     for pair in [(1, 2), (1, 3), (2, 3), (10, 11), (20, 21)]:
-        assert out[pair].cos2_ppm == 1_000_000
+        assert pair not in out
+    # no member id other than a representative ever appears
+    assert all(a in (1, 10, 20, 30, 31) and b in (1, 10, 20, 30, 31)
+               for a, b in out)
 
 
 def _naive_tfidf_pairs(sf_dir):
     docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
     n_docs = len(docs)
     cap = max(TFIDF_DF_CAP_FLOOR, n_docs // TFIDF_DF_CAP_DIV)
-    toks = {
-        r.doc_id: Counter(r.text.split(" ")) for r in docs.itertuples()
-    }
+    # rep grain: min doc_id per distinct text, family sizes as counts
+    fam = {}
+    for r in docs.sort_values("doc_id").itertuples():
+        if r.text in fam:
+            fam[r.text][1] += 1
+        else:
+            fam[r.text] = [r.doc_id, 1]
+    toks = {rep: Counter(text.split(" ")) for text, (rep, _) in fam.items()}
+    size = {rep: s for rep, s in fam.values()}
     df = Counter()
-    for c in toks.values():
-        df.update(c.keys())
+    for text, (rep, s) in fam.items():
+        for t in toks[rep]:
+            df[t] += s  # member-grain document frequency
     keep = {t for t, d in df.items() if 2 <= d <= cap}
     vecs = {
-        i: {t: tf * (1000 * n_docs // df[t]) for t, tf in c.items() if t in keep}
-        for i, c in toks.items()
+        rep: {t: tf * (1000 * n_docs // df[t]) for t, tf in c.items() if t in keep}
+        for rep, c in toks.items()
     }
     nsq = {i: sum(w * w for w in v.values()) for i, v in vecs.items() if v}
     inv = defaultdict(list)
@@ -130,14 +140,14 @@ def _naive_tfidf_pairs(sf_dir):
         dot = sum(vecs[a][t] * vecs[b][t] for t in shared)
         ppm = dot * dot * 1_000_000 // (nsq[a] * nsq[b])
         if ppm >= TFIDF_COS2_PPM:
-            expect[(a, b)] = (len(shared), ppm)
+            expect[(a, b)] = (len(shared), ppm, size[a], size[b])
     return expect
 
 
 def test_tfidf_matches_python_reconstruction(spark, sf_dir):
     expect = _naive_tfidf_pairs(sf_dir)
     got = {
-        (r.doc_a, r.doc_b): (r.n_shared_terms, r.cos2_ppm)
+        (r.rep_a, r.rep_b): (r.n_shared_terms, r.cos2_ppm, r.fam_a, r.fam_b)
         for r in text_tfidf_cosine_pairs(spark, sf_dir).collect()
     }
     assert got == expect

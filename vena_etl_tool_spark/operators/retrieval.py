@@ -181,45 +181,55 @@ TFIDF_DF_CAP_DIV = 20
 # report pairs with cos² >= 0.25 (cosine >= 0.5), compared in exact ppm
 TFIDF_COS2_PPM = 250_000
 
-# The oracle stays at readable MEMBER grain: the Spark side's clone-family
-# collapse is a pure execution optimization here (unlike containment/pHash,
-# no cap or threshold is applied at rep grain — df, weights, dots and norms
-# are all member-grain quantities), so naive SQL and the collapsed plan are
-# provably the same function.
+# The operator works — and REPORTS — at representative (distinct-text)
+# grain: exact clones are dedup_exact's job, and emitting the C(s,2)
+# member pairs of an s-clone family would make the OUTPUT itself
+# quadratic in clone density (the r6 pathological-density trap, at the
+# sink instead of the shuffle). Family sizes ride along as multiplicities
+# so a consumer can expand membership lazily (the dedup_canonical_pick
+# rep-grain convention). df/idf stay MEMBER-grain quantities (a term's
+# weight counts clone copies), mirrored exactly in the oracle's collapse.
 _TFIDF_ORACLE = f"""
 WITH n AS (
   SELECT COUNT(*) AS n_docs,
          GREATEST({TFIDF_DF_CAP_FLOOR}, COUNT(*) // {TFIDF_DF_CAP_DIV}) AS df_cap
   FROM documents
+), fam AS (
+  SELECT MIN(doc_id) AS rep, COUNT(*) AS fam_size, text
+  FROM documents GROUP BY text
 ), toks AS (
-  SELECT doc_id, tok AS term, COUNT(*) AS tf
+  SELECT rep, fam_size, tok AS term, COUNT(*) AS tf
   FROM (
-    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    SELECT rep, fam_size, unnest(string_split(text, ' ')) AS tok FROM fam
   )
-  GROUP BY doc_id, tok
+  GROUP BY rep, fam_size, tok
 ), df AS (
-  SELECT term, COUNT(*) AS df FROM toks GROUP BY term
-  HAVING COUNT(*) >= 2 AND COUNT(*) <= (SELECT df_cap FROM n)
+  SELECT term, SUM(fam_size) AS df FROM toks GROUP BY term
+  HAVING SUM(fam_size) >= 2 AND SUM(fam_size) <= (SELECT df_cap FROM n)
 ), weighted AS (
-  SELECT t.doc_id, t.term,
+  SELECT t.rep, t.term,
          CAST(t.tf * (1000 * n.n_docs // d.df) AS HUGEINT) AS w
   FROM toks t JOIN df d ON d.term = t.term CROSS JOIN n
 ), norms AS (
-  SELECT doc_id, SUM(w * w) AS nsq FROM weighted GROUP BY doc_id
+  SELECT rep, SUM(w * w) AS nsq FROM weighted GROUP BY rep
 ), dots AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  SELECT a.rep AS rep_a, b.rep AS rep_b,
          COUNT(*) AS n_shared_terms, SUM(a.w * b.w) AS dot
   FROM weighted a JOIN weighted b
-    ON a.term = b.term AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
+    ON a.term = b.term AND a.rep < b.rep
+  GROUP BY a.rep, b.rep
 )
-SELECT d.doc_a, d.doc_b,
+SELECT d.rep_a, d.rep_b,
        CAST(d.n_shared_terms AS BIGINT) AS n_shared_terms,
        CAST(d.dot * d.dot * 1000000 // (na.nsq * nb.nsq) AS BIGINT)
-         AS cos2_ppm
+         AS cos2_ppm,
+       CAST(fa.fam_size AS BIGINT) AS fam_a,
+       CAST(fb.fam_size AS BIGINT) AS fam_b
 FROM dots d
-JOIN norms na ON na.doc_id = d.doc_a
-JOIN norms nb ON nb.doc_id = d.doc_b
+JOIN norms na ON na.rep = d.rep_a
+JOIN norms nb ON nb.rep = d.rep_b
+JOIN fam fa ON fa.rep = d.rep_a
+JOIN fam fb ON fb.rep = d.rep_b
 WHERE d.dot * d.dot * 1000000 // (na.nsq * nb.nsq) >= {TFIDF_COS2_PPM}
 """
 
@@ -234,29 +244,27 @@ def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     similar-document pairs WITHOUT embeddings, the inverted-index
     all-pairs shape (Bayardo et al. 2007): per-doc term weights
     w = tf * floor(1000*N/df), pairs generated only through shared
-    posting-list entries (df-capped — see TFIDF_DF_CAP), and the cosine
-    test done exactly as dot² * 1e6 // (|a|²·|b|²) >= 90000 ppm in
-    DECIMAL(38,0)/HUGEINT cross-multiplication: no sqrt, no float
-    division, hash-identical in both engines. int64 would already wrap
-    at ~1e5-doc corpora (w² terms reach ~1e16), hence the 128-bit
-    accumulators; headroom holds to ~1e9 docs x 1e3 terms.
+    posting-list entries (scale-aware df cap — see TFIDF_DF_CAP_FLOOR),
+    and the cosine test done exactly as
+    dot² * 1e6 // (|a|²·|b|²) >= 250000 ppm in DECIMAL(38,0)/HUGEINT
+    cross-multiplication: no sqrt, no float division, hash-identical in
+    both engines. int64 would already wrap at ~1e5-doc corpora (w² terms
+    reach ~1e16), hence the 128-bit accumulators; headroom holds to
+    ~1e9 docs x 1e3 terms.
 
-    Plan shape — clone-collapsed (the r6 dedup primitive): exact-
-    duplicate texts collapse to their min-id representative BEFORE any
-    posting work, because clone families make the posting self-join
-    pathologically quadratic (a family of s clones shares every term →
-    s² pairs carrying zero new information; the fixtures' clone density
-    makes every surviving pair a clone pair). Unlike containment/pHash
-    no cap or threshold is applied at rep grain — df counts member docs
-    (rep tf x family size), weights/norms/dots are member-grain
-    quantities — so the collapsed plan computes exactly the naive
-    member-grain function and the ORACLE stays naive SQL. Stages: one
-    rep-grain explode → (rep, term, tf); a vocabulary-grain df aggregate
-    whose scale-aware cap kills the quadratic stopword postings BEFORE
-    the join; ONE posting self-join on the term key at REP grain; a
-    pair-grain aggregate, two norm joins, then membership expansion
-    (cross-rep pairs through the family map, intra-family pairs = the
-    C(s,2) clone pairs at cos²=1 with the rep's surviving-term count).
+    Clone discipline (the r6 primitive, at the OUTPUT too): exact-
+    duplicate texts collapse to their min-id representative before any
+    posting work — an s-clone family shares every term, so member-grain
+    pairs would be quadratic in clone density both in the join AND in
+    the emitted rows (C(s,2) identical clone pairs carrying zero new
+    information — dedup_exact's job). Pairs are therefore reported at
+    rep grain with both family sizes as multiplicities; df/idf still
+    count member documents, so the vector space is the member-grain one.
+
+    Plan shape: one rep-grain explode -> (rep, term, tf); a vocabulary-
+    grain df aggregate whose cap kills the quadratic stopword postings
+    BEFORE the join; ONE posting self-join on the term key at rep grain;
+    a pair-grain aggregate and four id-keyed norm/family joins.
     Candidate work is sum(df_rep²) over surviving terms — vocabulary-
     linear and clone-immune, which is what makes TF-IDF similarity
     runnable at 100 TB."""
@@ -264,7 +272,6 @@ def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fam = docs.groupBy("text").agg(
         F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("fam_size")
     )
-    members = docs.join(fam.select("text", "rep"), "text").select("doc_id", "rep")
     n = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.expr(
@@ -290,8 +297,7 @@ def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(tf * (1000 * n_docs div df) AS DECIMAL(38,0))").alias("w"),
     )
     norms = weighted.groupBy("rep").agg(
-        F.sum(F.expr("w * w")).cast("decimal(38,0)").alias("nsq"),
-        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum(F.expr("w * w")).cast("decimal(38,0)").alias("nsq")
     )
     a = weighted.select(
         F.col("term").alias("t"), F.col("rep").alias("rep_a"), F.col("w").alias("wa")
@@ -309,7 +315,9 @@ def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na = norms.select(F.col("rep").alias("rep_a"), F.col("nsq").alias("na"))
     nb = norms.select(F.col("rep").alias("rep_b"), F.col("nsq").alias("nb"))
-    cross = (
+    fa = fam.select(F.col("rep").alias("rep_a"), F.col("fam_size").alias("fam_a"))
+    fb = fam.select(F.col("rep").alias("rep_b"), F.col("fam_size").alias("fam_b"))
+    return (
         dots.join(na, "rep_a")
         .join(nb, "rep_b")
         .withColumn(
@@ -317,36 +325,14 @@ def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST((dot * dot * 1000000) div (na * nb) AS BIGINT)"),
         )
         .filter(F.col("cos2_ppm") >= TFIDF_COS2_PPM)
-        .select("rep_a", "rep_b", "n_shared_terms", "cos2_ppm")
-    )
-    ma = members.select(F.col("rep").alias("rep_a"), F.col("doc_id").alias("m_a"))
-    mb = members.select(F.col("rep").alias("rep_b"), F.col("doc_id").alias("m_b"))
-    cross_expanded = (
-        cross.join(ma, "rep_a")
-        .join(mb, "rep_b")
+        .join(fa, "rep_a")
+        .join(fb, "rep_b")
         .select(
-            F.least("m_a", "m_b").alias("doc_a"),
-            F.greatest("m_a", "m_b").alias("doc_b"),
+            "rep_a",
+            "rep_b",
             "n_shared_terms",
             "cos2_ppm",
+            F.col("fam_a").cast("long").alias("fam_a"),
+            F.col("fam_b").cast("long").alias("fam_b"),
         )
     )
-    # intra-family clone pairs: identical vectors → cos² is exactly 1;
-    # shared-term count is the rep's surviving-term count. Reps whose
-    # every term was df-pruned have no vector and (like the naive SQL's
-    # inner joins) emit nothing.
-    intra = (
-        fam.filter(F.col("fam_size") >= 2)
-        .join(norms, "rep")
-        .select("rep", "n_terms")
-        .join(ma.withColumnRenamed("rep_a", "rep"), "rep")
-        .join(mb.withColumnRenamed("rep_b", "rep"), "rep")
-        .filter(F.col("m_a") < F.col("m_b"))
-        .select(
-            F.col("m_a").alias("doc_a"),
-            F.col("m_b").alias("doc_b"),
-            F.col("n_terms").alias("n_shared_terms"),
-            F.lit(1_000_000).cast("long").alias("cos2_ppm"),
-        )
-    )
-    return cross_expanded.unionByName(intra)
