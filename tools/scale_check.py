@@ -209,6 +209,39 @@ QUERIES = (
     "text_gopher_rules",
     "profile_expectations",
     "integrity_orphan_audit",
+    # r8 first session: link prediction inherits the kNN graph's clone
+    # collapse (same edge set on the all-clones replica) — its path join
+    # runs on the K-capped edge list; the Lloyd step is a map-only
+    # assignment + one C x 64-cell combinable aggregate (pure scan-bound).
+    "sim_link_prediction",
+    "sim_kmeans_lloyd_step",
+    # r8 second session: RRF is two list-producing scans + a list-sized
+    # fusion join; TF-IDF pairs run AND report at clone-collapsed rep
+    # grain (the all-clones replica collapses to the same rep set; df cap
+    # scales with n_docs so the candidate space is invariant too).
+    "retrieval_rrf_fusion",
+    "text_tfidf_cosine_pairs",
+    # r8 third session: the LSH audit is the ngram-jaccard blocking shape
+    # plus the minhash banding shape, both on the clone-collapsed corpus;
+    # fertility is one corpus explode + broadcast vocab join (the trained
+    # vocab is clone-invariant); DSIR is the bigram-surprisal topology
+    # with a FIXED 1024-bucket model (state never grows with the corpus).
+    "dedup_lsh_recall_audit",
+    "text_bpe_fertility",
+    "dsir_importance_weights",
+    # r8 fourth session: streaks work at (user, day) distinct grain with
+    # one user-keyed exchange; funnel TTC is two user-keyed aggregates +
+    # a calendar-bounded cohort window; the late-data audit replays the
+    # two-restart stream (~2 passes by construction, the
+    # stream_append_restart_flush budget) plus one reconcile aggregate.
+    "events_activity_streaks",
+    "events_funnel_ttc",
+    "stream_late_data_audit",
+    # r8 fifth session: centroid drift is the Lloyd-step budget (one
+    # posexplode to |labels| x 64-cell combinable aggregate); HHI is one
+    # (type, user)-keyed combinable aggregate then a |types|-grain rollup.
+    "embedding_centroid_drift",
+    "events_hhi_concentration",
 )
 # Replica multiple for the scaled corpus. Default 10; override with
 # SPARK_GRAFT_REPLICAS (e.g. 100) for a two-decade probe on a focused

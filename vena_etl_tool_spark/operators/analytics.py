@@ -1208,3 +1208,52 @@ def events_funnel_ttc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ttc_sec").cast("long").alias("max_ttc_sec"),
         F.expr("CAST(SUM(ttc_sec) div MAX(n) AS BIGINT)").alias("mean_ttc_sec"),
     )
+
+
+@register(
+    "events_hhi_concentration",
+    tags=("events", "aggregate", "analytics", "skew", "monitoring"),
+    oracle="""
+WITH per_user AS (
+  SELECT event_type, user_id, COUNT(*) AS cnt
+  FROM events GROUP BY event_type, user_id
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(cnt) AS BIGINT) AS n_events,
+       CAST(CAST(SUM(cnt * cnt) AS HUGEINT) * 1000000
+            // (CAST(SUM(cnt) AS HUGEINT) * SUM(cnt)) AS BIGINT) AS hhi_ppm,
+       CAST(MAX(cnt) * 1000000 // SUM(cnt) AS BIGINT)
+         AS top_user_share_ppm
+FROM per_user GROUP BY event_type
+""",
+)
+def events_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration of per-user activity by event
+    type — the traffic-skew diagnostic (HHI = sum of squared user
+    shares, 1e6 = one user owns everything, 1e6/n_users = perfectly
+    even). The same number that predicts shuffle-key skew for any
+    user-keyed join/agg over this table, which is why a 100 TB pipeline
+    computes it BEFORE picking salting factors (profile_key_skew's
+    argument, at the behavioral grain). HHI is computed as
+    1e6 * sum(cnt²) // total² — one division on 128-bit integers, no
+    per-user share truncation bias — exactly mirrored in HUGEINT.
+
+    Plan shape: one (type, user)-keyed map-side-combinable aggregate,
+    then a |types|-grain rollup. Nothing after the first exchange is
+    corpus-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return per_user.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("cnt").cast("long").alias("n_events"),
+        F.expr(
+            "CAST((CAST(SUM(cnt * cnt) AS DECIMAL(38,0)) * 1000000)"
+            " div (CAST(SUM(cnt) AS DECIMAL(38,0)) * SUM(cnt)) AS BIGINT)"
+        ).alias("hhi_ppm"),
+        F.expr(
+            "CAST(MAX(cnt) * 1000000 div SUM(cnt) AS BIGINT)"
+        ).alias("top_user_share_ppm"),
+    )

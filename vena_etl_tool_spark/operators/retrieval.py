@@ -269,9 +269,15 @@ def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear and clone-immune, which is what makes TF-IDF similarity
     runnable at 100 TB."""
     docs = load_table(spark, sf_dir, "documents")
+    # the exact-dedup family table and the pruned weighted postings are
+    # each consumed by 3-4 downstream subtrees; without materialization
+    # Spark re-derives the whole scan+aggregate per consumer (measured:
+    # 28 parquet scans in the un-cached plan). cache() is the
+    # minhash_lsh_pairs convention for these vocabulary/posting tables —
+    # at 100 TB both would be persisted artifacts of the dedup stage.
     fam = docs.groupBy("text").agg(
         F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("fam_size")
-    )
+    ).cache()
     n = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.expr(
@@ -295,7 +301,7 @@ def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rep",
         "term",
         F.expr("CAST(tf * (1000 * n_docs div df) AS DECIMAL(38,0))").alias("w"),
-    )
+    ).cache()
     norms = weighted.groupBy("rep").agg(
         F.sum(F.expr("w * w")).cast("decimal(38,0)").alias("nsq")
     )

@@ -2519,3 +2519,104 @@ def sim_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "shift_micro", F.abs(F.col("new_c_micro") - F.col("old_c_micro")).cast("long")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space drift monitor — the model-ops counterpart of
+# corpus_drift_topk: when a new embedding snapshot lands (re-embedded
+# corpus, new encoder version), per-class centroid movement is the first
+# check before trusting downstream ANN indexes / dedup thresholds built
+# on the old space. Snapshots here are the deterministic halves
+# vec_id % 2 (old) vs % 2 == 1 (new) — at production the two sides are
+# two snapshot directories with identical schema.
+# ---------------------------------------------------------------------------
+
+_DRIFT_ORACLE = f"""
+WITH dims AS (
+  SELECT label, vec_id % 2 AS snap,
+         CAST(struct_extract(u.p, 2) - 1 AS BIGINT) AS dim,
+         CAST(FLOOR(CAST(struct_extract(u.p, 1) AS DOUBLE) * 1e6) AS BIGINT)
+           AS x_micro
+  FROM embeddings, UNNEST(list_zip(embedding, {_LLOYD_DIM_IDX})) AS u(p)
+), cents AS (
+  SELECT label, dim,
+         COUNT(*) FILTER (snap = 0) AS n_old,
+         COUNT(*) FILTER (snap = 1) AS n_new,
+         (CASE WHEN SUM(x_micro) FILTER (snap = 0) < 0 THEN -1 ELSE 1 END)
+           * (abs(SUM(x_micro) FILTER (snap = 0))
+              // COUNT(*) FILTER (snap = 0)) AS c_old,
+         (CASE WHEN SUM(x_micro) FILTER (snap = 1) < 0 THEN -1 ELSE 1 END)
+           * (abs(SUM(x_micro) FILTER (snap = 1))
+              // COUNT(*) FILTER (snap = 1)) AS c_new
+  FROM dims GROUP BY label, dim
+  HAVING COUNT(*) FILTER (snap = 0) > 0 AND COUNT(*) FILTER (snap = 1) > 0
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(MAX(n_old) AS BIGINT) AS n_old,
+       CAST(MAX(n_new) AS BIGINT) AS n_new,
+       CAST(SUM((c_new - c_old) * (c_new - c_old)) AS BIGINT)
+         AS drift_sq_micro2,
+       CAST(MAX(abs(c_new - c_old)) AS BIGINT) AS max_dim_shift_micro
+FROM cents GROUP BY label
+"""
+
+
+@register(
+    "embedding_centroid_drift",
+    tags=("llm", "similarity", "embedding", "drift", "monitoring"),
+    oracle=_DRIFT_ORACLE,
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid drift between two embedding snapshots (the
+    vec_id parity halves): member counts per side, the squared L2
+    distance between the truncated-integer-mean centroids (micro²
+    units — no sqrt, exactly portable), and the largest single-dimension
+    shift. A re-embedding run that moves any class centroid beyond its
+    tolerance invalidates ANN indexes and cosine thresholds trained on
+    the old space — this is the one-query check that gates the swap.
+
+    Plan shape: one posexplode to (label, snap, dim) grain, ONE
+    map-side-combinable aggregate onto |labels| x 64 cells (both sides'
+    sums in the same pass via conditional aggregation — the two
+    snapshots are never joined), then a label-grain rollup. The shuffle
+    is label-grain regardless of corpus size — the sim_kmeans_lloyd_step
+    budget exactly."""
+    emb = spread_small(load_table(spark, sf_dir, "embeddings"))
+    dims = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("snap"),
+        F.posexplode("embedding").alias("dim", "x"),
+    ).select(
+        "label",
+        "snap",
+        F.col("dim").cast("long").alias("dim"),
+        F.floor(F.col("x").cast("double") * F.lit(1e6)).cast("long").alias("x_micro"),
+    )
+
+    def tmean(snap: int) -> str:
+        s = f"SUM(CASE WHEN snap = {snap} THEN x_micro END)"
+        n = f"COUNT(CASE WHEN snap = {snap} THEN 1 END)"
+        return (
+            f"(CASE WHEN {s} < 0 THEN -1 ELSE 1 END) * (abs({s}) div {n})"
+        )
+
+    cents = (
+        dims.groupBy("label", "dim")
+        .agg(
+            F.count_if(F.col("snap") == 0).alias("n_old"),
+            F.count_if(F.col("snap") == 1).alias("n_new"),
+            F.expr(tmean(0)).alias("c_old"),
+            F.expr(tmean(1)).alias("c_new"),
+        )
+        .filter((F.col("n_old") > 0) & (F.col("n_new") > 0))
+    )
+    return cents.groupBy(F.col("label").cast("long").alias("label")).agg(
+        F.max("n_old").cast("long").alias("n_old"),
+        F.max("n_new").cast("long").alias("n_new"),
+        F.sum((F.col("c_new") - F.col("c_old")) * (F.col("c_new") - F.col("c_old")))
+        .cast("long")
+        .alias("drift_sq_micro2"),
+        F.max(F.abs(F.col("c_new") - F.col("c_old")))
+        .cast("long")
+        .alias("max_dim_shift_micro"),
+    )

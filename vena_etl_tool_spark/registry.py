@@ -163,6 +163,9 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     "events_activity_streaks",
     "events_funnel_ttc",
     "stream_late_data_audit",
+    # --- fifth r8 work session ---
+    "embedding_centroid_drift",
+    "events_hhi_concentration",
 )
 
 
