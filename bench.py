@@ -157,6 +157,19 @@ HEADLINE = [
     "text_gopher_rules",
     "profile_expectations",
     "integrity_orphan_audit",
+    # --- r8 additions (after the frozen r7 boundary) ---
+    "sim_link_prediction",
+    "sim_kmeans_lloyd_step",
+    "retrieval_rrf_fusion",
+    "text_tfidf_cosine_pairs",
+    "dedup_lsh_recall_audit",
+    "text_bpe_fertility",
+    "dsir_importance_weights",
+    "events_activity_streaks",
+    "events_funnel_ttc",
+    "stream_late_data_audit",
+    "embedding_centroid_drift",
+    "events_hhi_concentration",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from
@@ -184,6 +197,10 @@ R5_SUBSET = frozenset(_R5_FROZEN)
 _R6_FROZEN = HEADLINE[: HEADLINE.index("events_change_point") + 1]
 assert len(_R6_FROZEN) == 81, len(_R6_FROZEN)
 R6_SUBSET = frozenset(_R6_FROZEN)
+# The 108-query r7 headline, frozen at its end-of-round boundary.
+_R7_FROZEN = HEADLINE[: HEADLINE.index("integrity_orphan_audit") + 1]
+assert len(_R7_FROZEN) == 108, len(_R7_FROZEN)
+R7_SUBSET = frozenset(_R7_FROZEN)
 
 ROUND = os.environ.get("SPARK_GRAFT_ROUND", "r08")
 
@@ -286,6 +303,9 @@ def main() -> int:
         ),
         "r6_subset_sec": round(
             sum(t for n, t in timings.items() if n in R6_SUBSET), 3
+        ),
+        "r7_subset_sec": round(
+            sum(t for n, t in timings.items() if n in R7_SUBSET), 3
         ),
         "pass_totals_sec": pass_totals,
         "artifact_policy": "steady_state",
