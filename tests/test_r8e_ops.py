@@ -74,3 +74,42 @@ def test_hhi_matches_python_and_bounds(spark, sf_dir):
         # and can never undercut the top user's squared share
         assert 1_000_000 // n_users - 1 <= hhi <= 1_000_000
         assert hhi >= top * top // 1_000_000 - 1
+
+
+def test_centroid_drift_survives_one_parity_label(spark, tmp_path):
+    # ANSI regression: a label whose members are all one vec_id parity has
+    # an empty snapshot side — the truncated mean must NULL (and the row
+    # drop), not throw on `div` by zero; the full differential gate must
+    # still hold on such a corpus.
+    import os
+
+    import numpy as np
+
+    from vena_etl_tool_spark.catalog import TABLES
+    from vena_etl_tool_spark.registry import REGISTRY, all_specs
+    from vena_etl_tool_spark.testing import diff_query, duckdb_connection
+
+    for t in TABLES:
+        if t != "embeddings":
+            os.symlink(
+                os.path.join("/root/testdata/sf0.001", f"{t}.parquet"),
+                os.path.join(str(tmp_path), f"{t}.parquet"),
+            )
+    rng = np.random.default_rng(7)
+    rows = []
+    # label 0: both parities; label 1: ONLY even vec_ids (one-parity)
+    for vid in range(8):
+        rows.append((vid, rng.normal(size=64).astype("float32").tolist(), 0))
+    for vid in (10, 12, 14):
+        rows.append((vid, rng.normal(size=64).astype("float32").tolist(), 1))
+    pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]).astype(
+        {"vec_id": "int64", "label": "int32"}
+    ).to_parquet(os.path.join(str(tmp_path), "embeddings.parquet"), index=False)
+    all_specs()
+    con = duckdb_connection(str(tmp_path))
+    res = diff_query(
+        spark, con, REGISTRY["embedding_centroid_drift"], str(tmp_path)
+    )
+    assert res.ok, res
+    out = embedding_centroid_drift(spark, str(tmp_path)).collect()
+    assert {r.label for r in out} == {0}  # the one-parity label drops out

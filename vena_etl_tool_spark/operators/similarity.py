@@ -2594,10 +2594,16 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def tmean(snap: int) -> str:
+        # NULL (not error) when a side is empty: ANSI mode makes a bare
+        # `div` THROW on the zero count — the n_old/n_new > 0 filter
+        # below runs after this expression is evaluated, so the guard
+        # must live inside it (a one-parity label would otherwise crash
+        # the whole job; the oracle's FILTER aggregates are null-safe).
         s = f"SUM(CASE WHEN snap = {snap} THEN x_micro END)"
         n = f"COUNT(CASE WHEN snap = {snap} THEN 1 END)"
         return (
-            f"(CASE WHEN {s} < 0 THEN -1 ELSE 1 END) * (abs({s}) div {n})"
+            f"CASE WHEN {n} = 0 THEN NULL ELSE"
+            f" (CASE WHEN {s} < 0 THEN -1 ELSE 1 END) * (abs({s}) div {n}) END"
         )
 
     cents = (
