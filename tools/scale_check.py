@@ -242,6 +242,12 @@ QUERIES = (
     # (type, user)-keyed combinable aggregate then a |types|-grain rollup.
     "embedding_centroid_drift",
     "events_hhi_concentration",
+    # r8 sixth session: RFM is one fact aggregate to customer grain then
+    # three windows over the customer-grain rows (10x facts onto FIXED
+    # dims = same customer count, 10x fan-in — the realistic regime);
+    # Benford is a 9-cell combinable aggregate, pure scan-bound.
+    "orders_rfm_segments",
+    "profile_benford_audit",
 )
 # Replica multiple for the scaled corpus. Default 10; override with
 # SPARK_GRAFT_REPLICAS (e.g. 100) for a two-decade probe on a focused

@@ -963,3 +963,87 @@ def integrity_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = edge if out is None else out.unionByName(edge)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit — the forensic data-quality screen (Nigrini's
+# accounting-fraud test, standard in data-integrity suites): naturally
+# occurring multi-magnitude amounts follow P(d) = log10(1 + 1/d); a
+# fabricated or truncated column does not. Expected probabilities are
+# Python-precomputed ppm literals embedded identically in both engines —
+# no transcendental function in the comparison path.
+# ---------------------------------------------------------------------------
+
+_BENFORD_PPM = (301029, 176091, 124938, 96910, 79181, 66946, 57991, 51152, 45757)
+_BENFORD_VALUES = ", ".join(f"({d + 1}, {p})" for d, p in enumerate(_BENFORD_PPM))
+
+
+@register(
+    "profile_benford_audit",
+    tags=("profiling", "quality", "aggregate", "audit"),
+    oracle=f"""
+WITH firsts AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice >= 1
+), n AS (
+  SELECT COUNT(*) AS total FROM firsts
+), expected(digit, expected_ppm) AS (
+  VALUES {_BENFORD_VALUES}
+)
+SELECT e.digit,
+       CAST(COALESCE(o.cnt, 0) AS BIGINT) AS n_values,
+       CAST(COALESCE(o.cnt, 0) * 1000000 // (SELECT total FROM n) AS BIGINT)
+         AS observed_ppm,
+       CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
+       CAST(abs(COALESCE(o.cnt, 0) * 1000000 // (SELECT total FROM n)
+                - e.expected_ppm) AS BIGINT) AS abs_dev_ppm
+FROM expected e
+LEFT JOIN (SELECT digit, COUNT(*) AS cnt FROM firsts GROUP BY digit) o
+  ON o.digit = e.digit
+""",
+)
+def profile_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit (Benford) distribution of order totals vs the
+    log10(1+1/d) expectation, per digit: observed count, observed ppm,
+    expected ppm, absolute deviation. A column that fails this screen
+    hard (synthetic amounts, fixed price lists, truncation artifacts)
+    gets routed to a human before it feeds revenue models — the fixture
+    amounts are uniform-ish, so the LARGE deviation here is itself the
+    correct verdict, hash-checked. First digit is extracted from the
+    integer part's decimal rendering (exact in both engines; amounts
+    < 1 are excluded as digit-less).
+
+    Plan shape: one map-side-combinable aggregate to 9 digit cells plus
+    a one-row total, joined against a 9-row literal table — nothing
+    after the scan is corpus-sized, the ANALYZE-pass shape
+    (profile_histogram_equiwidth's argument)."""
+    orders = load_table(spark, sf_dir, "orders")
+    firsts = orders.filter(F.col("o_totalprice") >= 1).select(
+        F.expr(
+            "CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING),"
+            " 1, 1) AS BIGINT)"
+        ).alias("digit")
+    )
+    n = firsts.agg(F.count(F.lit(1)).alias("total"))
+    obs = firsts.groupBy("digit").agg(F.count(F.lit(1)).alias("cnt"))
+    expected = spark.createDataFrame(
+        [(d + 1, p) for d, p in enumerate(_BENFORD_PPM)],
+        ["digit", "expected_ppm"],
+    )
+    return (
+        expected.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("digit").cast("long").alias("digit"),
+            F.coalesce("cnt", F.lit(0)).cast("long").alias("n_values"),
+            F.expr("CAST(COALESCE(cnt, 0) * 1000000 div total AS BIGINT)").alias(
+                "observed_ppm"
+            ),
+            F.col("expected_ppm").cast("long").alias("expected_ppm"),
+            F.expr(
+                "CAST(abs(COALESCE(cnt, 0) * 1000000 div total"
+                " - expected_ppm) AS BIGINT)"
+            ).alias("abs_dev_ppm"),
+        )
+    )

@@ -1257,3 +1257,92 @@ def events_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(MAX(cnt) * 1000000 div SUM(cnt) AS BIGINT)"
         ).alias("top_user_share_ppm"),
     )
+
+
+@register(
+    "orders_rfm_segments",
+    tags=("analytics", "window", "aggregate", "segmentation"),
+    oracle="""
+WITH asof_d AS (
+  SELECT MAX(o_orderdate) AS max_d FROM orders
+), per_cust AS (
+  SELECT o_custkey AS custkey,
+         CAST(date_diff('day', MAX(o_orderdate), (SELECT max_d FROM asof_d))
+              AS BIGINT) AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS monetary_cents
+  FROM orders GROUP BY o_custkey
+), scored AS (
+  SELECT custkey, recency_days, frequency, monetary_cents,
+         NTILE(4) OVER (ORDER BY recency_days, custkey) AS r_q,
+         NTILE(4) OVER (ORDER BY frequency DESC, custkey) AS f_q,
+         NTILE(4) OVER (ORDER BY monetary_cents DESC, custkey) AS m_q
+  FROM per_cust
+)
+SELECT r_q, f_q, m_q,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(monetary_cents) // COUNT(*) AS BIGINT)
+         AS avg_monetary_cents,
+       CAST(SUM(frequency) AS BIGINT) AS total_orders
+FROM scored GROUP BY r_q, f_q, m_q
+""",
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-value grid: per customer
+    the recency (days since last order, against the corpus max date),
+    frequency (order count) and monetary value (exact cents), each
+    quartiled by NTILE over a deterministic total order (metric +
+    custkey tiebreak), rolled up to the 4x4x4 segment census with exact
+    truncated-mean monetary value. ANSI NTILE distributes remainders to
+    the leading buckets identically in both engines, and money stays in
+    DECIMAL-derived integer cents — the whole grid hash-matches.
+
+    Plan shape: one customer-grain aggregate over the fact table (one
+    shuffle), three ranking windows over the SAME customer-grain rows
+    (customer-count-sized, not fact-sized), one segment-grain rollup.
+    The windows are global-order by construction (quartiles are a
+    corpus-wide statement); at 100 TB the customer-grain table is the
+    small side — if even that outgrows a sort, the percentile-cutoff
+    broadcast pattern (text_lm_quality_buckets) replaces NTILE."""
+    orders = load_table(spark, sf_dir, "orders")
+    asof = orders.agg(F.max("o_orderdate").alias("max_d"))
+    per_cust = (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_d"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(asof))
+        .select(
+            "custkey",
+            F.datediff(F.col("max_d"), F.col("last_d"))
+            .cast("long")
+            .alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    scored = per_cust.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(4).over(Window.orderBy("recency_days", "custkey")).alias("r_q"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("frequency").desc(), "custkey"))
+        .alias("f_q"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("monetary_cents").desc(), "custkey"))
+        .alias("m_q"),
+    )
+    return scored.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.expr("CAST(SUM(monetary_cents) div COUNT(*) AS BIGINT)").alias(
+            "avg_monetary_cents"
+        ),
+        F.sum("frequency").cast("long").alias("total_orders"),
+    )

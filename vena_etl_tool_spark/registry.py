@@ -166,6 +166,9 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     # --- fifth r8 work session ---
     "embedding_centroid_drift",
     "events_hhi_concentration",
+    # --- sixth r8 work session ---
+    "orders_rfm_segments",
+    "profile_benford_audit",
 )
 
 
