@@ -170,6 +170,8 @@ HEADLINE = [
     "stream_late_data_audit",
     "embedding_centroid_drift",
     "events_hhi_concentration",
+    "orders_rfm_segments",
+    "profile_benford_audit",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

@@ -2199,11 +2199,29 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _distinct_text_reps(
         spread_small(load_table(spark, sf_dir, "documents"))
     )
+    # ONE shingle explode + md5 pass feeds everything: the cached hash
+    # rows drive the truth-side inverted index directly, and the hash
+    # sets AND the 32 permutation minima ride the SAME per-doc aggregate
+    # (the minhash_lsh_pairs one-pass trick; the first cut re-exploded
+    # and re-hashed the corpus for the signature side). Measured at
+    # sf0.1 the wall-clock is UNCHANGED (~11 s min-of-3): the audit's
+    # cost is the exact-truth side — array_intersect over every blocked
+    # candidate pair — not the explode; kept for plan hygiene (one scan
+    # subtree, fewer stages). That truth cost is the price of measuring
+    # recall at all, and the sampled-stratum note below is the 100 TB
+    # answer.
     with_h = doc_shingles(docs).select(
         "doc_id", md5_hash60(F.col("sh")).alias("h")
-    )
+    ).cache()
+    h32 = F.col("h").bitwiseAND(F.lit(0x7FFFFFFF))
+    mins = [
+        F.min((h32 * F.lit(_A[i]) + F.lit(_B[i])) % F.lit(MERSENNE)).alias(f"mh{i}")
+        for i in range(N_MINHASH)
+    ]
     per_doc = with_h.groupBy("doc_id").agg(
-        F.collect_list("h").alias("hs"), F.count(F.lit(1)).alias("n")
+        F.collect_list("h").alias("hs"),
+        F.count(F.lit(1)).alias("n"),
+        *mins,
     )
     # --- blocked exact truth ---
     hot_w = Window.partitionBy("h")
@@ -2236,8 +2254,9 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
     )
     # --- LSH candidates + verified (the production pipeline's shape) ---
-    sig = minhash_signature(
-        doc_shingles(docs), "doc_id", "sh", hash_expr=md5_hash60
+    sig = per_doc.select(
+        "doc_id",
+        F.array(*[F.col(f"mh{i}") for i in range(N_MINHASH)]).alias("minhash"),
     )
     bands = lsh_bands(sig, "doc_id", hashed_keys=False)
     bsz_w = Window.partitionBy("band_id", "band_key")
