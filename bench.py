@@ -172,6 +172,7 @@ HEADLINE = [
     "events_hhi_concentration",
     "orders_rfm_segments",
     "profile_benford_audit",
+    "retrieval_rrf_fusion_ivf",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

@@ -201,3 +201,74 @@ def test_rrf_matches_subsystem_reconstruction(spark, sf_dir):
     single = [v[2] for v in got.values() if (v[0] > 0) != (v[1] > 0)]
     if both and single:
         assert max(both) > min(single)
+
+
+def test_rrf_ivf_matches_probe_reconstruction(spark, sf_dir):
+    """Full Python reconstruction of the IVF-served hybrid ranking: exact
+    scaled-int centroid assignment, NPROBE probe cells per query vector,
+    within-cell exact cosine ranks, integer RRF fusion with the BM25
+    list — the production-path twin must equal this end to end."""
+    import numpy as np
+
+    from vena_etl_tool_spark.operators.retrieval import (
+        retrieval_rrf_fusion_ivf,
+    )
+    from vena_etl_tool_spark.operators.similarity import (
+        IVF_NPROBE,
+        _IVF_CENTS,
+        _IVF_C_SQ,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    vecs = {r.vec_id: r.embedding for r in emb}
+
+    def scores(v):
+        out = []
+        for c in range(len(_IVF_CENTS)):
+            dot = sum(
+                math.floor(float(x) * float(p) * 1e12)
+                for x, p in zip(v, _IVF_CENTS[c])
+            )
+            out.append(_IVF_C_SQ[c] - 2 * dot)
+        return out
+
+    assign = {i: int(np.argmin(scores(v))) for i, v in vecs.items()}
+
+    def cos(a, b):
+        dot = sum(math.floor(float(x) * float(y) * 1e12) for x, y in zip(a, b))
+        na = sum(math.floor(float(x) * float(x) * 1e12) for x in a)
+        nb = sum(math.floor(float(y) * float(y) * 1e12) for y in b)
+        return (dot / 1e12) / (math.sqrt(na / 1e12) * math.sqrt(nb / 1e12))
+
+    dense = {}
+    for qid, qv in RRF_QMAP:
+        sc = scores(vecs[qv])
+        cells = sorted(range(len(sc)), key=lambda c: (sc[c], c))[:IVF_NPROBE]
+        cand = [i for i, v in vecs.items() if assign[i] in cells and i != qv]
+        ranked = sorted(((cos(vecs[qv], vecs[i]), -i) for i in cand), reverse=True)
+        for rk, (_, neg) in enumerate(ranked[:RRF_DEPTH], start=1):
+            dense[(qid, -neg)] = rk
+
+    lex = {
+        (r.query_id, r.doc_id): r.rk
+        for r in text_bm25_search(spark, sf_dir).collect()
+        if r.rk <= RRF_DEPTH
+    }
+    fused_scores = defaultdict(int)
+    for (q, d), rk in lex.items():
+        fused_scores[(q, d)] += 1_000_000 // (RRF_K + rk)
+    for (q, d), rk in dense.items():
+        fused_scores[(q, d)] += 1_000_000 // (RRF_K + rk)
+    expect = {}
+    for qid, _ in RRF_QMAP:
+        rows = sorted(
+            ((s, d) for (q, d), s in fused_scores.items() if q == qid),
+            key=lambda x: (-x[0], x[1]),
+        )
+        for rk, (s, d) in enumerate(rows[:RRF_TOP_K], start=1):
+            expect[(qid, d)] = (lex.get((qid, d), 0), dense.get((qid, d), 0), s, rk)
+    got = {
+        (r.query_id, r.doc_id): (r.bm25_rk, r.dense_rk, r.rrf_micro, r.fused_rk)
+        for r in retrieval_rrf_fusion_ivf(spark, sf_dir).collect()
+    }
+    assert got == expect

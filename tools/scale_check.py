@@ -248,6 +248,10 @@ QUERIES = (
     # Benford is a 9-cell combinable aggregate, pure scan-bound.
     "orders_rfm_segments",
     "profile_benford_audit",
+    # r8 seventh session: the IVF-served hybrid — dense candidates are
+    # ~NPROBE/C of the corpus per query vs the brute-force baseline's
+    # full scan (whose 2.9x row is the contrast this twin exists for).
+    "retrieval_rrf_fusion_ivf",
 )
 # Replica multiple for the scaled corpus. Default 10; override with
 # SPARK_GRAFT_REPLICAS (e.g. 100) for a two-decade probe on a focused

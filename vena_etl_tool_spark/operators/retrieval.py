@@ -346,3 +346,174 @@ def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("fam_b").cast("long").alias("fam_b"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# The scale-path twin: RRF over the IVF-served dense ranking. The plain
+# retrieval_rrf_fusion scores its dense half by brute force — the honest
+# BASELINE, linear in the corpus per query (its 10x scale row says so).
+# Production serves the dense half from the ANN index; this operator is
+# that composition, hash-checked end to end: the sim_ann_ivf probing
+# machinery (map-only scaled-int assignment, NPROBE cell lists) produces
+# the dense top-10, fused with the same BM25 lexical list by the same
+# integer RRF arithmetic. Baseline vs index twin = the sim_cosine_topk /
+# sim_ann_ivf pairing, lifted to the hybrid-search layer.
+# ---------------------------------------------------------------------------
+
+_RRF_IVF_ORACLE = f"""
+WITH {_BM25_CTES}, lex AS (
+  SELECT query_id, doc_id, rk FROM ranked WHERE rk <= {RRF_DEPTH}
+), qmap(query_id, qvec) AS (
+  VALUES {_QMAP_VALUES}
+), ivf_scored AS (
+  SELECT vec_id, embedding,
+         (SELECT CAST(SUM(CAST(FLOOR(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
+          FROM UNNEST(embedding) AS u(x)) AS sq_norm,
+         {{scores}} AS scores,
+         list_transform(generate_series(1, {{n_cents}}),
+                        i -> {{{{'s': scores[i], 'cid': i - 1}}}}) AS score_structs
+  FROM embeddings
+), ivf_assigned AS (
+  SELECT vec_id, embedding, sq_norm,
+         list_position(scores, list_min(scores)) - 1 AS cent
+  FROM ivf_scored
+), probes AS (
+  SELECT m.query_id, s.vec_id AS qvec, s.embedding AS q_emb,
+         s.sq_norm AS q_sq, u.cid AS cent
+  FROM qmap m
+  JOIN ivf_scored s ON s.vec_id = m.qvec, UNNEST(s.score_structs) AS t(u)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY m.query_id
+                             ORDER BY u.s, u.cid) <= {{nprobe}}
+), cand AS (
+  SELECT p.query_id, c.vec_id AS doc_id,
+         (SELECT CAST(SUM(CAST(FLOOR(CAST(struct_extract(pp, 1) AS DOUBLE) * CAST(struct_extract(pp, 2) AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
+          FROM UNNEST(list_zip(p.q_emb, c.embedding)) AS t(pp))
+         / (SQRT(p.q_sq) * SQRT(c.sq_norm)) AS cosine
+  FROM probes p JOIN ivf_assigned c ON c.cent = p.cent AND c.vec_id <> p.qvec
+), dense AS (
+  SELECT query_id, doc_id, rk FROM (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, doc_id) AS rk
+    FROM cand
+  ) WHERE rk <= {RRF_DEPTH}
+), fused AS (
+  SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+         COALESCE(l.doc_id, d.doc_id) AS doc_id,
+         CAST(COALESCE(l.rk, 0) AS BIGINT) AS bm25_rk,
+         CAST(COALESCE(d.rk, 0) AS BIGINT) AS dense_rk,
+         CAST(COALESCE(1000000 // ({RRF_K} + l.rk), 0)
+              + COALESCE(1000000 // ({RRF_K} + d.rk), 0) AS BIGINT)
+           AS rrf_micro
+  FROM lex l
+  FULL OUTER JOIN dense d
+    ON d.query_id = l.query_id AND d.doc_id = l.doc_id
+)
+SELECT query_id, doc_id, bm25_rk, dense_rk, rrf_micro, fused_rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY rrf_micro DESC, doc_id) AS fused_rk
+  FROM fused
+) WHERE fused_rk <= {RRF_TOP_K}
+"""
+
+
+def _rrf_ivf_oracle() -> str:
+    from .similarity import IVF_CENTROIDS, IVF_NPROBE, _ivf_scores_duck
+
+    return _RRF_IVF_ORACLE.format(
+        scores=_ivf_scores_duck(), n_cents=IVF_CENTROIDS, nprobe=IVF_NPROBE
+    )
+
+
+@register(
+    "retrieval_rrf_fusion_ivf",
+    tags=("llm", "text", "retrieval", "fusion", "ivf", "topk"),
+    oracle=_rrf_ivf_oracle(),
+)
+def retrieval_rrf_fusion_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid RRF retrieval with the dense half served by the IVF index —
+    the production twin of retrieval_rrf_fusion (whose brute-force dense
+    scorer is the measured-linear baseline): query vectors probe their
+    IVF_NPROBE nearest cells, candidates re-score exactly, and the dense
+    top-10 fuses with the BM25 top-10 by the same integer RRF. The whole
+    composition — assignment geometry, probe choice, candidate set,
+    fusion — hash-matches DuckDB, so the approximation itself is under
+    the differential gate, exactly like sim_ann_ivf vs sim_cosine_topk.
+
+    Plan shape: corpus side is ONE map-only scaled-int argmin (no
+    shuffle) + the cell-keyed candidate join against |queries| x NPROBE
+    broadcast probe rows — candidate work is ~NPROBE/C of the corpus per
+    query instead of the full scan; the lexical side is BM25's pruned
+    posting build; fusion stays list-sized. This is the operator whose
+    dense cost survives 100 TB (the occupancy rule: centroids ∝ corpus
+    keeps cells bounded)."""
+    from .similarity import (
+        IVF_NPROBE,
+        _ivf_scores_spark,
+        with_sq_norm as _wsn,
+    )
+
+    lex = text_bm25_search(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rk").alias("l_rk")
+    )
+    emb = _wsn(spread_small(load_table(spark, sf_dir, "embeddings")))
+    scored = emb.select(
+        "vec_id", "embedding", "sq_norm",
+        F.expr(_ivf_scores_spark()).alias("scores"),
+    )
+    corpus = scored.select(
+        "vec_id", "embedding", "sq_norm",
+        (F.expr("array_position(scores, array_min(scores))") - 1)
+        .cast("int")
+        .alias("cent"),
+    )
+    qmap = spark.createDataFrame(list(RRF_QMAP), ["query_id", "qvec"])
+    prn_w = Window.partitionBy("query_id").orderBy("s", "p_cent")
+    probes = (
+        qmap.join(scored, qmap["qvec"] == scored["vec_id"])
+        .select(
+            "query_id",
+            "qvec",
+            F.col("embedding").alias("q_emb"),
+            F.col("sq_norm").alias("q_sq"),
+            F.posexplode("scores").alias("p_cent", "s"),
+        )
+        .withColumn("prn", F.row_number().over(prn_w))
+        .filter(F.col("prn") <= IVF_NPROBE)
+        .select("query_id", "qvec", "q_emb", "q_sq", "p_cent")
+    )
+    cand = corpus.join(
+        F.broadcast(probes),
+        (F.col("cent") == F.col("p_cent")) & (F.col("vec_id") != F.col("qvec")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        (
+            dot_exact(F.col("q_emb"), F.col("embedding"))
+            / (F.sqrt("q_sq") * F.sqrt("sq_norm"))
+        ).alias("cosine"),
+    )
+    dw = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "doc_id")
+    dense = (
+        cand.withColumn("d_rk", F.row_number().over(dw))
+        .filter(F.col("d_rk") <= RRF_DEPTH)
+        .select("query_id", "doc_id", "d_rk")
+    )
+    fused = lex.join(dense, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        F.coalesce("l_rk", F.lit(0)).cast("long").alias("bm25_rk"),
+        F.coalesce("d_rk", F.lit(0)).cast("long").alias("dense_rk"),
+        (
+            F.coalesce(F.expr(f"1000000 div ({RRF_K} + l_rk)"), F.lit(0))
+            + F.coalesce(F.expr(f"1000000 div ({RRF_K} + d_rk)"), F.lit(0))
+        )
+        .cast("long")
+        .alias("rrf_micro"),
+    )
+    fw = Window.partitionBy("query_id").orderBy(F.col("rrf_micro").desc(), "doc_id")
+    return (
+        fused.withColumn("fused_rk", F.row_number().over(fw))
+        .filter(F.col("fused_rk") <= RRF_TOP_K)
+    )

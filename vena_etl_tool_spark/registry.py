@@ -169,6 +169,8 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     # --- sixth r8 work session ---
     "orders_rfm_segments",
     "profile_benford_audit",
+    # --- seventh r8 work session (residue at cap — round's last op) ---
+    "retrieval_rrf_fusion_ivf",
 )
 
 
