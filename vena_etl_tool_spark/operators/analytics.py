@@ -1221,7 +1221,7 @@ WITH per_user AS (
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_users,
        CAST(SUM(cnt) AS BIGINT) AS n_events,
-       CAST(CAST(SUM(cnt * cnt) AS HUGEINT) * 1000000
+       CAST(SUM(CAST(cnt AS HUGEINT) * cnt) * 1000000
             // (CAST(SUM(cnt) AS HUGEINT) * SUM(cnt)) AS BIGINT) AS hhi_ppm,
        CAST(MAX(cnt) * 1000000 // SUM(cnt) AS BIGINT)
          AS top_user_share_ppm
@@ -1249,8 +1249,11 @@ def events_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_user.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_users"),
         F.sum("cnt").cast("long").alias("n_events"),
+        # cnt² sums ride DECIMAL(38,0) BEFORE the aggregate: Spark SUM(long)
+        # wraps (or ANSI-errors) where DuckDB silently promotes to HUGEINT —
+        # the agg_winsorized_stats divergence class (ADVICE r6).
         F.expr(
-            "CAST((CAST(SUM(cnt * cnt) AS DECIMAL(38,0)) * 1000000)"
+            "CAST((SUM(CAST(cnt AS DECIMAL(38,0)) * cnt) * 1000000)"
             " div (CAST(SUM(cnt) AS DECIMAL(38,0)) * SUM(cnt)) AS BIGINT)"
         ).alias("hhi_ppm"),
         F.expr(

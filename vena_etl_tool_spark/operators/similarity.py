@@ -2500,9 +2500,13 @@ def sim_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dim").cast("long").alias("dim"),
         F.floor(F.col("x").cast("double") * F.lit(1e6)).cast("long").alias("x_micro"),
     )
+    # micro-coordinate sums carried in DECIMAL(38,0): at ~1e12 members a
+    # per-cell int64 sum brushes overflow, and Spark SUM(long) wraps where
+    # DuckDB promotes to HUGEINT (the agg_winsorized_stats class). The
+    # truncated-division output is unchanged wherever int64 sufficed.
     agg = dims.groupBy("cent", "dim").agg(
         F.count(F.lit(1)).cast("long").alias("n_members"),
-        F.sum("x_micro").cast("long").alias("s"),
+        F.sum(F.col("x_micro").cast("decimal(38,0)")).alias("s"),
     )
     return agg.select(
         F.col("cent").cast("long").alias("cent"),
@@ -2599,7 +2603,8 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         # below runs after this expression is evaluated, so the guard
         # must live inside it (a one-parity label would otherwise crash
         # the whole job; the oracle's FILTER aggregates are null-safe).
-        s = f"SUM(CASE WHEN snap = {snap} THEN x_micro END)"
+        # DECIMAL(38,0) sum — Spark SUM(long) wraps where DuckDB promotes
+        s = f"SUM(CASE WHEN snap = {snap} THEN CAST(x_micro AS DECIMAL(38,0)) END)"
         n = f"COUNT(CASE WHEN snap = {snap} THEN 1 END)"
         return (
             f"CASE WHEN {n} = 0 THEN NULL ELSE"
