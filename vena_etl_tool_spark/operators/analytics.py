@@ -1142,7 +1142,7 @@ SELECT cohort_week,
        CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN ttc_sec END) AS BIGINT)
          AS median_ttc_sec,
        CAST(MAX(ttc_sec) AS BIGINT) AS max_ttc_sec,
-       CAST(SUM(ttc_sec) // MAX(n) AS BIGINT) AS mean_ttc_sec
+       CAST(SUM(CAST(ttc_sec AS HUGEINT)) // MAX(n) AS BIGINT) AS mean_ttc_sec
 FROM ranked GROUP BY cohort_week
 """,
 )
@@ -1206,7 +1206,10 @@ def events_funnel_ttc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("median_ttc_sec"),
         F.max("ttc_sec").cast("long").alias("max_ttc_sec"),
-        F.expr("CAST(SUM(ttc_sec) div MAX(n) AS BIGINT)").alias("mean_ttc_sec"),
+        # DECIMAL(38,0) sum — Spark SUM(long) wraps where DuckDB promotes
+        F.expr(
+            "CAST(SUM(CAST(ttc_sec AS DECIMAL(38,0))) div MAX(n) AS BIGINT)"
+        ).alias("mean_ttc_sec"),
     )
 
 
@@ -1285,7 +1288,7 @@ WITH asof_d AS (
 )
 SELECT r_q, f_q, m_q,
        CAST(COUNT(*) AS BIGINT) AS n_customers,
-       CAST(SUM(monetary_cents) // COUNT(*) AS BIGINT)
+       CAST(SUM(CAST(monetary_cents AS HUGEINT)) // COUNT(*) AS BIGINT)
          AS avg_monetary_cents,
        CAST(SUM(frequency) AS BIGINT) AS total_orders
 FROM scored GROUP BY r_q, f_q, m_q
@@ -1344,8 +1347,9 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy("r_q", "f_q", "m_q").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
-        F.expr("CAST(SUM(monetary_cents) div COUNT(*) AS BIGINT)").alias(
-            "avg_monetary_cents"
-        ),
+        F.expr(
+            "CAST(SUM(CAST(monetary_cents AS DECIMAL(38,0)))"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("avg_monetary_cents"),
         F.sum("frequency").cast("long").alias("total_orders"),
     )
