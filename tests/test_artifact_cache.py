@@ -145,6 +145,104 @@ def test_sibling_sessions_do_not_share_artifacts(spark):
         _drop("t_sib")
 
 
+def test_concurrent_first_calls_mint_one_token(spark):
+    # ADVICE r8 (medium): _session_token's get-then-set ran outside
+    # _ARTIFACT_LOCK, so two threads making a FRESH session's first
+    # persisted_artifact calls could each mint a different token — keys
+    # diverge, both build+persist, and the loser's entry becomes
+    # permanently unreachable. The shared `spark` fixture already carries
+    # a token, so this test uses a brand-new sibling session.
+    import threading
+
+    sib = spark.newSession()
+    assert sib.conf.get("vena.etl.session.token", None) is None
+    calls: list[int] = []
+    barrier = threading.Barrier(8)
+
+    def build():
+        calls.append(1)
+        return sib.range(4)
+
+    def worker():
+        barrier.wait()
+        persisted_artifact(sib, "t_tok", ("f.parquet",), build)
+
+    try:
+        threads = [threading.Thread(target=worker) for _ in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert len(calls) == 1
+        toks = {k[1] for k in _ARTIFACT_CACHE if k[2] == "t_tok"}
+        assert toks == {sib.conf.get("vena.etl.session.token")}
+    finally:
+        _drop("t_tok")
+
+
+def test_dead_session_artifacts_are_swept(spark):
+    # ADVICE r8: eviction is scoped per (app, token, name), so a dead
+    # sibling session's entries were never displaced — unbounded growth in
+    # a long-lived SparkContext that churns newSession(). The sweep
+    # reclaims entries no future call can hit (owning session stopped or
+    # token re-minted). Weakref liveness is NOT viable — each cached
+    # DataFrame strongly references its session — so the unreachable
+    # condition is simulated here by re-minting the sibling's token (the
+    # same state a stopped session or a post-race loser leaves behind);
+    # truly abandoned-but-referenced sessions are bounded by the global
+    # FIFO cap instead (test below).
+    sib = spark.newSession()
+
+    def build_sib():
+        return sib.range(3)
+
+    def build_main():
+        return spark.range(3)
+
+    try:
+        persisted_artifact(sib, "t_dead", ("f.parquet",), build_sib)
+        dead_tok = sib.conf.get("vena.etl.session.token")
+        assert [k for k in _ARTIFACT_CACHE if k[1] == dead_tok]
+        sib.conf.set("vena.etl.session.token", "re-minted")
+        # any later insert (any session, any name) triggers the sweep
+        persisted_artifact(spark, "t_dead_probe", ("g.parquet",), build_main)
+        assert not [k for k in _ARTIFACT_CACHE if k[1] == dead_tok]
+    finally:
+        _drop("t_dead"), _drop("t_dead_probe")
+
+
+def test_global_cap_bounds_abandoned_sessions(spark, monkeypatch):
+    # The backstop for sessions that stay referenced (so never "dead" by
+    # the probe) but idle: once the cache holds _ARTIFACT_GLOBAL_CAP
+    # entries, other sessions' entries are FIFO-evicted — never the
+    # inserting session's own.
+    from vena_etl_tool_spark.operators import _shared
+
+    monkeypatch.setattr(_shared, "_ARTIFACT_GLOBAL_CAP", 3)
+    # drain pre-existing entries so the arithmetic below is exact (other
+    # tests' artifacts rebuild on next use — correctness unaffected)
+    for k in list(_ARTIFACT_CACHE):
+        try:
+            _ARTIFACT_CACHE.pop(k).unpersist()
+        except Exception:
+            pass
+    sib = spark.newSession()
+
+    try:
+        for i in range(3):
+            persisted_artifact(sib, f"t_cap_sib{i}", ("f.parquet",), lambda: sib.range(2))
+        sib_tok = sib.conf.get("vena.etl.session.token")
+        assert len([k for k in _ARTIFACT_CACHE if k[1] == sib_tok]) == 3
+        persisted_artifact(spark, "t_cap_main", ("f.parquet",), lambda: spark.range(2))
+        # cap held: one sibling entry evicted, main's entry present
+        assert len([k for k in _ARTIFACT_CACHE if k[1] == sib_tok]) == 2
+        assert [k for k in _ARTIFACT_CACHE if k[2] == "t_cap_main"]
+    finally:
+        for i in range(3):
+            _drop(f"t_cap_sib{i}")
+        _drop("t_cap_main")
+
+
 def test_graph_consumers_share_one_build(spark, sf_dir):
     from vena_etl_tool_spark.operators.similarity import _mutual_graph_persisted
 

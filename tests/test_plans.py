@@ -440,3 +440,25 @@ def test_tfidf_pairs_posting_tables_materialize_once(spark, sf_dir):
     assert plan.count("InMemoryTableScan") >= 4
     assert "CartesianProduct" not in plan
     spark.catalog.clearCache()
+
+
+def test_rfm_has_no_single_partition_window(spark, sf_dir):
+    """VERDICT r8 #2: the RFM quartiles must not run three global-NTILE
+    sorts (`WindowExec: No Partition Defined` — a single-partition sort
+    of the whole customer table, dead at 100x customers). The rewrite
+    range-exchanges each metric and ranks inside a window PARTITIONED BY
+    the exchange's partition id — every Window node in the executed plan
+    must carry the _pid partition key, and the three range exchanges
+    must be present."""
+    import re
+
+    df = _SPECS["orders_rfm_segments"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    win_lines = [ln for ln in plan.splitlines() if re.search(r"\bWindow \[", ln)]
+    assert win_lines, "expected partition-id-scoped rank windows in the plan"
+    unpartitioned = [
+        ln for ln in win_lines if "windowspecdefinition(_pid#" not in ln
+    ]
+    assert not unpartitioned, unpartitioned[:2]
+    assert plan.count("rangepartitioning") >= 3
+    spark.catalog.clearCache()

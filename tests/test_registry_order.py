@@ -49,13 +49,13 @@ def test_rotation_completes_oracle_backed_coverage():
         f"undeclared driver-coverage residue: "
         f"{sorted(set(residue) ^ set(registry.ROTATION_RESIDUE))}"
     )
-    # r8: the window froze at round start with the full r7 residue seated,
-    # so the residue list reopens EMPTY and accumulates only operators
-    # added during r8. Bound (r6 verdict #8): residue + the 35 remaining
-    # r4-evidence re-validation picks must fit the r9 window — cap new-op
-    # residue at 15 this round (tighter than r7's 25 because the backlog
-    # is now re-validation, not never-checked, so the window math is
-    # 35 + residue ≤ 50).
+    # r9: the window froze at round start with the full r8 residue (15)
+    # seated plus the complete 35-query r4-evidence backlog — zero spare
+    # seats — so the residue list reopens EMPTY and accumulates only
+    # operators added during r9. Bound: after a green r9 run the r10
+    # window = residue + oldest-evidence (r5) re-validation picks; the
+    # r5 backlog is 45 queries, so cap r9 residue at 15 (15 + 35 of the
+    # 45 fit one window; the remaining 10 r5 picks roll to r11).
     assert len(registry.ROTATION_RESIDUE) <= 15
 
 

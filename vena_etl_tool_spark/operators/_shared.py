@@ -62,6 +62,25 @@ _ARTIFACT_LOCK = threading.Lock()
 # A/B comparison) alternates two corpora per query — a single slot would
 # evict on every switch and rebuild 2N times per sweep instead of 2.
 _ARTIFACT_SLOTS_PER_NAME = 2
+# Global backstop: entries from sessions that stay strongly referenced but
+# idle (so the dead-session sweep can't reclaim them) are FIFO-evicted once
+# the cache holds this many DataFrames. Generous vs the working set (~30
+# artifact names × 2 slots in the full gate) so the cap never fires in
+# single-session use.
+_ARTIFACT_GLOBAL_CAP = 256
+
+
+def _entry_is_dead(key: tuple, df: "DataFrame") -> bool:
+    """True when no future persisted_artifact call can ever hit ``key``:
+    the owning session is stopped (conf access raises) or has re-minted
+    its token (the entry's key can no longer be constructed). A merely
+    *dropped* sibling session is NOT detectable this way — each cached
+    DataFrame strongly references its session (df._session), so weakref
+    liveness never fires; the global FIFO cap bounds that case instead."""
+    try:
+        return df.sparkSession.conf.get("vena.etl.session.token", None) != key[1]
+    except Exception:
+        return True
 
 
 def _session_token(spark) -> str | None:
@@ -71,14 +90,20 @@ def _session_token(spark) -> str | None:
     artifact built under one session's conf (ANSI mode, shuffle partitions)
     is never served to a different session (ADVICE r7). A new session always
     mints a fresh token, so a dead session's artifacts can't be revived the
-    way an ``id(spark)`` key could after CPython reuses the address."""
-    try:
-        tok = spark.conf.get("vena.etl.session.token", None)
-        if tok is None:
-            import uuid
+    way an ``id(spark)`` key could after CPython reuses the address.
 
-            tok = uuid.uuid4().hex
-            spark.conf.set("vena.etl.session.token", tok)
+    The whole get-or-mint runs under ``_ARTIFACT_LOCK``: without it, two
+    threads making a session's first persisted_artifact calls could each
+    mint a different token — keys diverge, both build+persist, and the
+    losing token's entry becomes unreachable-but-pinned (ADVICE r8)."""
+    try:
+        with _ARTIFACT_LOCK:
+            tok = spark.conf.get("vena.etl.session.token", None)
+            if tok is None:
+                import uuid
+
+                tok = uuid.uuid4().hex
+                spark.conf.set("vena.etl.session.token", tok)
         return tok
     except Exception:
         return None
@@ -109,6 +134,20 @@ def persisted_artifact(spark, name: str, files, build) -> "DataFrame":
         if hit is not None:
             return hit
         df = build().persist()
+        # Per-(app, session, name) eviction keeps sibling sessions from
+        # thrashing each other's slots (ADVICE r7) — but alone it lets
+        # dead sessions' entries accumulate forever (ADVICE r8). Sweep
+        # entries no future call can hit: owning session stopped, or its
+        # token re-minted. This session's own entries are never probed.
+        for stale in [
+            k
+            for k, v in list(_ARTIFACT_CACHE.items())
+            if k[1] != tok and _entry_is_dead(k, v)
+        ]:
+            try:
+                _ARTIFACT_CACHE.pop(stale).unpersist()
+            except Exception:  # a stopped session's blocks are already gone
+                pass
         # bounded FIFO scoped per (app, session, name) — a sibling session
         # or second application interleaving the same artifact name must not
         # thrash this session's slots or unpersist an artifact a live
@@ -117,8 +156,18 @@ def persisted_artifact(spark, name: str, files, build) -> "DataFrame":
         for stale in same[: max(0, len(same) - (_ARTIFACT_SLOTS_PER_NAME - 1))]:
             try:
                 _ARTIFACT_CACHE.pop(stale).unpersist()
-            except Exception:  # a stopped session's blocks are already gone
+            except Exception:
                 pass
+        # global backstop for sessions that stay referenced but idle: FIFO
+        # over OTHER sessions' entries (never this session's — a live
+        # consumer here may still expect them cached).
+        if len(_ARTIFACT_CACHE) >= _ARTIFACT_GLOBAL_CAP:
+            others = [k for k in _ARTIFACT_CACHE if k[1] != tok]
+            for stale in others[: len(_ARTIFACT_CACHE) - _ARTIFACT_GLOBAL_CAP + 1]:
+                try:
+                    _ARTIFACT_CACHE.pop(stale).unpersist()
+                except Exception:
+                    pass
         _ARTIFACT_CACHE[key] = df
         return df
 

@@ -40,6 +40,14 @@ SHINGLE_DF_CAP = 100
 # default so Spark output and oracle can never desynchronize silently.
 INCR_BAND_CAP = 50
 
+# Hot-bucket cap for the banded-LSH candidate join (ADVICE r8: one shared
+# constant, not per-site literals — editing one side must not silently
+# diverge the Spark filter from its oracle twins). Used by
+# dedup_minhash_lsh_pairs (Spark filter + _minhash_pairs_oracle default)
+# and dedup_lsh_recall_audit (Spark filter + _lsh_recall_audit_oracle
+# default).
+LSH_MAX_BUCKET = 50
+
 # MinHash parameters: 32 permutations in 8 bands of 4 rows.
 N_MINHASH = 32
 BAND_ROWS = 4
@@ -375,7 +383,9 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig.select("doc_id", *mh, *bks)
 
 
-def _minhash_pairs_oracle(jaccard_threshold: float = 0.5, max_bucket: int = 50) -> str:
+def _minhash_pairs_oracle(
+    jaccard_threshold: float = 0.5, max_bucket: int = LSH_MAX_BUCKET
+) -> str:
     h60 = _SQL_MD5_H60.format(col="sh")
     mins = ",\n         ".join(
         f"MIN(((h & 2147483647) * {_A[i]} + {_B[i]}) % {MERSENNE}) AS mh{i}"
@@ -457,7 +467,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_lsh_pairs(
     docs: DataFrame,
     jaccard_threshold: float = 0.5,
-    max_bucket_size: int | None = 50,
+    max_bucket_size: int | None = LSH_MAX_BUCKET,
     hash_expr: Callable[[Column], Column] | None = None,
     hashed_band_keys: bool = True,
 ) -> DataFrame:
@@ -2076,7 +2086,7 @@ def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
 LSH_AUDIT_THRESHOLD = 0.5
 
 
-def _lsh_recall_audit_oracle(max_bucket: int = 50) -> str:
+def _lsh_recall_audit_oracle(max_bucket: int = LSH_MAX_BUCKET) -> str:
     h60 = _SQL_MD5_H60.format(col="sh")
     mins = ",\n         ".join(
         f"MIN(((h & 2147483647) * {_A[i]} + {_B[i]}) % {MERSENNE}) AS mh{i}"
@@ -2262,7 +2272,7 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     bsz_w = Window.partitionBy("band_id", "band_key")
     bands = (
         bands.withColumn("_bsz", F.count(F.lit(1)).over(bsz_w))
-        .filter(F.col("_bsz") <= 50)
+        .filter(F.col("_bsz") <= LSH_MAX_BUCKET)
         .drop("_bsz")
     )
     ba = bands.alias("ba")

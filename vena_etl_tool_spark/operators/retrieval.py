@@ -250,11 +250,14 @@ def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-multiplication: no sqrt, no float division, hash-identical in
     both engines. int64 would already wrap at ~1e5-doc corpora (w² terms
     reach ~1e16), hence the 128-bit accumulators. Precise headroom: the
-    comparison needs 1e6·(Σw²)² < 1.4e38, i.e. Σw² per doc ≤ ~1.2e16 —
-    holds while tf·idf_milli stays ≤ ~7e6 per term at ~200 surviving
-    terms/doc; past that (very large N inflates idf_milli = 1000·N/df),
-    rescale every w by a shared power of two first — cosine is
-    scale-invariant, so the test is unchanged up to truncation.
+    BINDING limit is Spark's DECIMAL(38,0) — max ~1e38 (10^38−1), tighter
+    than DuckDB's HUGEINT (~1.7e38) — so the comparison needs
+    1e6·(Σw²)² < 1e38, i.e. Σw² per doc ≲ 1e16 (Spark errors under ANSI
+    before DuckDB would overflow). That holds while tf·idf_milli stays
+    ≤ ~7e6 per term at ~200 surviving terms/doc; past that (very large N
+    inflates idf_milli = 1000·N/df), rescale every w by a shared power of
+    two first — cosine is scale-invariant, so the test is unchanged up to
+    truncation.
 
     Clone discipline (the r6 primitive, at the OUTPUT too): exact-
     duplicate texts collapse to their min-id representative before any

@@ -66,112 +66,89 @@ def _load_all() -> None:
 # records `no_oracle` as an error); never-checked > re-validation when
 # displacing; a query whose code or ORACLE changes re-enters the window.
 #
-# Round-8 window (frozen at round start per r6 verdict #8 / the r7
-# ADVICE cap note — residue absorbed BEFORE any new r8 registration):
-#   (1) all 25 ROTATION_RESIDUE queries from r7 — every r7-added
+# Round-9 window (frozen at round start; math re-verified against the
+# r8-refreshed docs/COVERAGE.md — the ROUND8_NOTES "49 seats / 1 spare"
+# line was a typo the r8 verdict flagged: residue is 15, not 14):
+#   (1) all 15 ROTATION_RESIDUE queries from r8 — every r8-added
 #       oracle-backed operator takes its FIRST driver-green row here.
-#   (2) the 15 DECLARED r3-evidence stragglers from the r7 notes (the
-#       original 12 plus q4_priority_exists, sample_stratified,
-#       text_bpe_token_estimate, displaced in r7 by "changed ⇒
-#       re-enter" swaps) — after this run no oracle-backed query's
-#       newest driver evidence predates r4.
-#   (3) 10 filler seats: the alphabetically-first of the 45-query
-#       r4-evidence backlog (computed from CORRECTNESS_r01..r07 ∪
-#       registry, see docs/COVERAGE.md) — oldest-evidence
-#       re-validation. These are the DESIGNATED displacement victims
-#       for any mid-round "changed ⇒ re-enter" swap (all unchanged
-#       r4-green; displacing one only defers a re-validation).
-# After the r8 driver run: newest evidence ≥ r4 everywhere, residue =
-# only post-freeze r8 additions (cap 25), and the r9 window (35
-# remaining r4-evidence picks + residue) fits one window exactly when
-# residue stays ≤ 15 — freeze r9 accordingly.
+#       Three of these (orders_rfm_segments, events_hhi_concentration,
+#       dedup_lsh_recall_audit) are ALSO this round's planned
+#       "changed ⇒ re-enter" targets (verdict #2/#3, ADVICE items) —
+#       they were already seated, so the changes displace nothing.
+#   (2) the complete 35-query r4-evidence backlog (alphabetical; from
+#       docs/COVERAGE.md newest-evidence histogram: 35×r4 + 45×r5 +
+#       49×r6 + 50×r7 + 50×r8 + 15×never = 244 oracle-backed) —
+#       oldest-evidence re-validation. 15 + 35 = 50: ZERO spare seats.
+#       Any r9 "changed ⇒ re-enter" for a query OUTSIDE this window
+#       must displace one of these r4 fillers (all unchanged r4-green;
+#       displacing one only defers a re-validation — re-seat it in
+#       ROTATION_RESIDUE immediately, cap 15).
+# After a green r9 driver run: no oracle-backed query's newest driver
+# evidence predates r5, and the r10 window = the (then ≤15) r9 residue
+# + the oldest-evidence (r5) re-validation picks.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- (1) the full r7 ROTATION_RESIDUE (25), first driver rows ---
-    "text_bigram_surprisal",
-    "layout_zonemap_prune",
-    "skyline_pareto_frontier",
-    "text_bm25_search",
-    "text_hll_overlap",
-    "events_markov_transitions",
-    "text_boilerplate_ngrams",
-    "ts_ewma_halflife",
-    "profile_histogram_equiwidth",
-    "sim_ann_ivf_probe_sweep",
-    "dataset_temperature_weights",
-    "agg_mode_deterministic",
-    "ts_rolling_median",
-    "ts_anomaly_mad",
-    "ts_theil_sen_trend",
-    "events_rolling_actives",
-    "events_cooccurrence_lift",
-    "dataset_split_leakage",
-    "ts_autocorrelation",
-    "ts_seasonality_dow",
-    "events_attribution_linear",
-    "dataset_epoch_plan",
-    "text_gopher_rules",
-    "profile_expectations",
-    "integrity_orphan_audit",
-    # --- (2) the 15 declared r3-evidence stragglers ---
-    "q4_priority_exists",
-    "sample_stratified",
-    "text_bpe_token_estimate",
-    "text_chunk_windows",
-    "text_fingerprint",
-    "text_quality_score",
-    "text_token_stats",
-    "text_wordfreq_topk",
-    "ts_anomaly_zscore",
-    "ts_gapfill_hourly",
-    "ts_moving_average",
-    "udf_apply_in_pandas",
-    "udf_map_in_pandas",
-    "udf_sql_registered",
-    "window_analytic",
-    # --- (3) oldest-r4-evidence re-validation fillers (displaceable) ---
-    "corpus_incremental_update",
-    "dataset_mixture_sample",
-    "dataset_mixture_weights",
-    "dataset_pack_sequences",
-    "dataset_pack_stats",
-    "dataset_shuffle_order",
-    "dedup_embedding_cosine",
-    "dedup_minhash_lsh_pairs",
-    "dedup_semantic_ivf",
-    "dedup_simhash",
+    # --- (1) the full r8 ROTATION_RESIDUE (15), first driver rows ---
+    "sim_link_prediction",
+    "sim_kmeans_lloyd_step",
+    "retrieval_rrf_fusion",
+    "text_tfidf_cosine_pairs",
+    "dedup_lsh_recall_audit",
+    "text_bpe_fertility",
+    "dsir_importance_weights",
+    "events_activity_streaks",
+    "events_funnel_ttc",
+    "stream_late_data_audit",
+    "embedding_centroid_drift",
+    "events_hhi_concentration",
+    "orders_rfm_segments",
+    "profile_benford_audit",
+    "retrieval_rrf_fusion_ivf",
+    # --- (2) the complete 35-query r4-evidence backlog (alphabetical) ---
+    "events_path_mining",
+    "events_retention_cohorts",
+    "join_null_safe",
+    "join_range_bucketized",
+    "json_functions_extra",
+    "layout_bucketed_join",
+    "layout_compaction_plan",
+    "map_functions_extra",
+    "multimodal_audio_segments",
+    "pipeline_pretrain_flagship",
+    "q11_important_value",
+    "q12_late_shipments",
+    "q15_top_supplier",
+    "q16_part_supplier_diversity",
+    "q1_pricing_summary",
+    "q20_quantity_share_suppliers",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q8_market_share",
+    "q9_product_profit",
+    "scalar_functions_extra",
+    "sessionize_events",
+    "sim_ann_lsh",
+    "sort_within_partitions",
+    "source_python_datasource",
+    "source_python_stream",
+    "stream_curation_pipeline",
+    "stream_stream_left_outer",
+    "stream_transform_with_state",
+    "stream_tumbling_append",
+    "text_contamination_check",
+    "text_repetition_ratio",
+    "text_span_dedup",
+    "text_token_commonness",
+    "udtf_chunk_text",
 )
 
 # Oracle-backed queries added AFTER this round's window was frozen — they
 # rotate into the next round's window. Kept explicit so tests + ROUND notes
-# can audit that nothing silently escapes driver coverage. The r8 window
-# froze at round start with the complete 25-query r7 residue seated, so
-# this list reopens EMPTY; every oracle-backed operator ADDED during r8
-# must be appended here (enforced by tests/test_registry_order.py) and
-# leads the r9 window together with the remaining 35 r4-evidence picks.
-ROTATION_RESIDUE: tuple[str, ...] = (
-    # --- first r8 work session ---
-    "sim_link_prediction",
-    "sim_kmeans_lloyd_step",
-    # --- second r8 work session ---
-    "retrieval_rrf_fusion",
-    "text_tfidf_cosine_pairs",
-    # --- third r8 work session ---
-    "dedup_lsh_recall_audit",
-    "text_bpe_fertility",
-    "dsir_importance_weights",
-    # --- fourth r8 work session ---
-    "events_activity_streaks",
-    "events_funnel_ttc",
-    "stream_late_data_audit",
-    # --- fifth r8 work session ---
-    "embedding_centroid_drift",
-    "events_hhi_concentration",
-    # --- sixth r8 work session ---
-    "orders_rfm_segments",
-    "profile_benford_audit",
-    # --- seventh r8 work session (residue at cap — round's last op) ---
-    "retrieval_rrf_fusion_ivf",
-)
+# can audit that nothing silently escapes driver coverage. The r9 window
+# froze at round start with the complete 15-query r8 residue seated, so
+# this list reopens EMPTY; every oracle-backed operator ADDED during r9
+# must be appended here (enforced by tests/test_registry_order.py, cap 15)
+# and leads the r10 window together with the oldest-evidence (r5) picks.
+ROTATION_RESIDUE: tuple[str, ...] = ()
 
 
 def all_specs() -> dict[str, QuerySpec]:
