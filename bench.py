@@ -162,7 +162,10 @@ HEADLINE = [
     "sim_kmeans_lloyd_step",
     "retrieval_rrf_fusion",
     "text_tfidf_cosine_pairs",
-    "dedup_lsh_recall_audit",
+    # r9 swap (VERDICT r8 #3): the bench times the sampled-stratum twin —
+    # the posture a cluster runs; the full audit stays registered and
+    # gated but no longer pays ~9 s per pass here.
+    "dedup_lsh_recall_audit_stratum",
     "text_bpe_fertility",
     "dsir_importance_weights",
     "events_activity_streaks",
@@ -204,8 +207,63 @@ R6_SUBSET = frozenset(_R6_FROZEN)
 _R7_FROZEN = HEADLINE[: HEADLINE.index("integrity_orphan_audit") + 1]
 assert len(_R7_FROZEN) == 108, len(_R7_FROZEN)
 R7_SUBSET = frozenset(_R7_FROZEN)
+# The r8 end-of-round boundary (123 queries), frozen MINUS the recall
+# audit: r9 swapped the full dedup_lsh_recall_audit for its sampled-
+# stratum twin in HEADLINE (VERDICT r8 #3), so the like-for-like r8
+# subset is the 122 queries common to both rounds — compare
+# r8_subset_sec against BENCH_DETAIL_r08 with its dedup_lsh_recall_audit
+# row subtracted.
+_R8_FROZEN = [
+    n
+    for n in HEADLINE[: HEADLINE.index("retrieval_rrf_fusion_ivf") + 1]
+    if n != "dedup_lsh_recall_audit_stratum"
+]
+assert len(_R8_FROZEN) == 122, len(_R8_FROZEN)
+R8_SUBSET = frozenset(_R8_FROZEN)
 
-ROUND = os.environ.get("SPARK_GRAFT_ROUND", "r08")
+ROUND = os.environ.get("SPARK_GRAFT_ROUND", "r09")
+
+
+def _prev_round(round_tag: str) -> str | None:
+    try:
+        n = int(round_tag.lstrip("r"))
+        return f"r{n - 1:02d}" if n > 1 else None
+    except ValueError:
+        return None
+
+
+def canary_normalized_regressions(
+    timings: dict[str, float], canary: float
+) -> dict[str, float] | None:
+    """VERDICT r8 #8: cross-round perf claims without hand math. For every
+    query common to this run and the previous round's detail file, compare
+    canary-normalized times (query_sec / canary_sec — host-speed drift
+    divides out) and report those >1.5x their prior-round number. Returns
+    None when the previous detail file is missing/unreadable."""
+    prev = _prev_round(ROUND)
+    if prev is None:
+        return None
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), f"BENCH_DETAIL_{prev}.json"
+    )
+    try:
+        with open(path) as f:
+            detail = json.load(f)
+        prev_q = detail["queries"]
+        prev_canary = float(detail["canary_sec"])
+    except Exception:
+        return None
+    if not canary or not prev_canary:
+        return None
+    out: dict[str, float] = {}
+    for name, t in timings.items():
+        pt = prev_q.get(name)
+        if not pt:
+            continue
+        ratio = (t / canary) / (pt / prev_canary)
+        if ratio > 1.5:
+            out[name] = round(ratio, 2)
+    return out
 
 
 def materialize(df) -> None:
@@ -310,6 +368,10 @@ def main() -> int:
         "r7_subset_sec": round(
             sum(t for n, t in timings.items() if n in R7_SUBSET), 3
         ),
+        "r8_subset_sec": round(
+            sum(t for n, t in timings.items() if n in R8_SUBSET), 3
+        ),
+        "regressions": canary_normalized_regressions(timings, canary),
         "pass_totals_sec": pass_totals,
         "artifact_policy": "steady_state",
         "loadavg": [round(load_before, 2), round(os.getloadavg()[0], 2)],
@@ -329,7 +391,7 @@ def main() -> int:
     out = json.dumps(line)
     # hard guarantee for the driver's 2000-char stdout-tail capture
     if len(out) > 1900:
-        for drop in ("top10_slowest", "pass_totals_sec"):
+        for drop in ("top10_slowest", "regressions", "pass_totals_sec"):
             line.pop(drop, None)
             out = json.dumps(line)
             if len(out) <= 1900:

@@ -148,7 +148,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # this list reopens EMPTY; every oracle-backed operator ADDED during r9
 # must be appended here (enforced by tests/test_registry_order.py, cap 15)
 # and leads the r10 window together with the oldest-evidence (r5) picks.
-ROTATION_RESIDUE: tuple[str, ...] = ()
+ROTATION_RESIDUE: tuple[str, ...] = (
+    # --- first r9 work session ---
+    "dedup_lsh_recall_audit_stratum",
+)
 
 
 def all_specs() -> dict[str, QuerySpec]:
