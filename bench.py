@@ -176,6 +176,8 @@ HEADLINE = [
     "orders_rfm_segments",
     "profile_benford_audit",
     "retrieval_rrf_fusion_ivf",
+    # --- r9 additions (after the frozen r8 boundary) ---
+    "dedup_cluster_star_contract",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

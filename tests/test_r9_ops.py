@@ -33,6 +33,57 @@ def test_distributed_ntile_matches_builtin_ntile(spark):
         spark.catalog.clearCache()
 
 
+def test_star_contract_chain_converges_in_log_rounds(spark):
+    # VERDICT r8 #4: the planted-chain adversary. A 1000-link path has
+    # component diameter 1000 — min-label propagation moves the min ONE
+    # hop per round, so it cannot finish inside any log-scale budget;
+    # large-star/small-star contracts distances multiplicatively and
+    # must converge in O(log n) rounds with every node labeled 0.
+    import math
+
+    from vena_etl_tool_spark.operators.dedup import _star_contract
+
+    n = 1000
+    edges = spark.range(n).select(
+        F.col("id").alias("u"), (F.col("id") + 1).alias("v")
+    )
+    stars, rounds = _star_contract(edges)
+    budget = 3 * int(math.log2(n + 1)) + 2  # generous O(log n) ceiling
+    assert rounds <= budget, f"{rounds} rounds > O(log n) budget {budget}"
+    rows = stars.collect()
+    # converged star forest: every non-root points directly at node 0
+    assert len(rows) == n
+    assert all(r.v == 0 for r in rows)
+    assert sorted(r.u for r in rows) == list(range(1, n + 1))
+
+
+def test_star_contract_matches_label_propagation(spark):
+    # same answer as the propagation CC on a mixed topology: two cliques,
+    # a bridge, a 2-node island, self-contained ids
+    from vena_etl_tool_spark.operators.dedup import (
+        connected_components,
+        star_contract_components,
+    )
+
+    raw = (
+        [(a, b) for a in range(5) for b in range(a + 1, 5)]  # clique 0-4
+        + [(10, 11), (11, 12), (12, 13)]  # path
+        + [(4, 10)]  # bridge: one component 0..13
+        + [(20, 21)]  # island
+    )
+    edges = spark.createDataFrame(raw, ["x", "y"])
+    a = {
+        (r.node, r.label)
+        for r in star_contract_components(edges, "x", "y").collect()
+    }
+    b = {
+        (r.node, r.label)
+        for r in connected_components(edges, "x", "y").collect()
+    }
+    assert a == b
+    assert {l for _, l in a} == {0, 20}
+
+
 def test_distributed_ntile_desc_order(spark):
     from vena_etl_tool_spark.operators.analytics import _distributed_ntile
 

@@ -1020,6 +1020,89 @@ def connected_components(edges: DataFrame, src: str, dst: str, max_iter: int = 2
     return labels
 
 
+def _star_contract(edges: DataFrame, max_iter: int = 30) -> tuple[DataFrame, int]:
+    """Alternating large-star/small-star connected components (Kiveris
+    et al. 2014, "Connected Components in MapReduce and Beyond") over a
+    canonical (u > v) edge list; returns (star_edges, rounds_used) where
+    star_edges is the converged (node → component-min) star forest.
+
+    Why a second CC algorithm next to ``connected_components``: min-label
+    propagation needs rounds = component DIAMETER — fine for shallow
+    near-dup clusters, O(n) on an adversarial chain. Each star round
+    contracts reachable distances multiplicatively, giving O(log n)
+    rounds on ANY topology (the planted-1000-link-chain test measures
+    exactly this), which is the 100 TB guarantee: round count bounded by
+    log of the largest component, not its shape.
+
+    Per round: two node-grain min-aggregates + two edge⋈min joins (the
+    same shuffle class as one propagation round), lineage truncated with
+    localCheckpoint; convergence = empty symmetric difference of the
+    canonical edge sets (edge-set-sized, ≪ corpus)."""
+    e = (
+        edges.filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # large-star: every neighbor v > center connects to the center's
+        # min⁺ (min over neighbors and the center itself)
+        sym = e.unionAll(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        lmins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        lm = lmins.select("u", F.least("mn", F.col("u")).alias("m"))
+        large = (
+            sym.join(lm, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: all smaller neighbors (and the center) connect to
+        # the center's min — in canonical form every stored neighbor of
+        # u is smaller, so the min is one edge-grain aggregate
+        smins = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(smins, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionAll(smins.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # set equality of two DISTINCT frames: empty one-sided difference
+        # plus equal cardinality (a subset alone is not a fixed point)
+        converged = small.exceptAll(e).count() == 0 and small.count() == e.count()
+        e = small
+        if converged:
+            break
+    return e, rounds
+
+
+def star_contract_components(
+    edges: DataFrame, src: str, dst: str, max_iter: int = 30
+) -> DataFrame:
+    """(node, cluster_root) via large-star/small-star contraction —
+    drop-in alternative to ``connected_components`` with O(log n) round
+    guarantee. Roots label themselves."""
+    canon = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    stars, _ = _star_contract(canon, max_iter=max_iter)
+    roots = stars.select(F.col("v").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    members = stars.select(F.col("u").alias("node"), F.col("v").alias("label"))
+    # nodes can be BOTH a root and re-pointed in no converged star forest,
+    # so the union is disjoint by construction; still dedup defensively
+    # for the empty-edge corner (isolated input nodes never reach here).
+    return members.unionAll(roots).distinct()
+
+
 @register(
     "dedup_cluster_assign",
     tags=("llm", "dedup", "jaccard", "clustering"),
@@ -1063,6 +1146,41 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
             (F.col("node") == F.col("label")).alias("keep"),
         )
+    )
+
+
+@register(
+    "dedup_cluster_star_contract",
+    tags=("llm", "dedup", "jaccard", "clustering", "graph"),
+    oracle=_CC_ORACLE,
+)
+def dedup_cluster_star_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment via large-star/small-star contraction
+    (Kiveris et al.) — the 100 TB endgame for ``dedup_cluster_assign``
+    (VERDICT r8 #4): identical output contract (doc_id, cluster_root =
+    min reachable id, n_members, keep) over the same verified near-dup
+    edge artifact, but the round count is O(log n) on ANY component
+    topology where min-label propagation pays the component DIAMETER —
+    a planted 1000-link chain converges in ~log rounds here and would
+    need ~1000 propagation rounds (tests/test_r9_ops.py measures both).
+    Shares ``_CC_ORACLE`` with the propagation variant: two distributed
+    algorithms, one exact semantic, both hash-checked against the same
+    recursive-CTE truth."""
+    pairs = persisted_artifact(
+        spark,
+        "ngram_jaccard_cluster_edges",
+        load_table(spark, sf_dir, "documents").inputFiles(),
+        lambda: dedup_ngram_jaccard(spark, sf_dir).filter(
+            F.col("jaccard") >= CLUSTER_JACCARD
+        ),
+    )
+    cc = star_contract_components(pairs, "doc_a", "doc_b")
+    sizes = cc.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
+    return cc.join(sizes, "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_root"),
+        "n_members",
+        (F.col("node") == F.col("label")).alias("keep"),
     )
 
 

@@ -151,6 +151,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 ROTATION_RESIDUE: tuple[str, ...] = (
     # --- first r9 work session ---
     "dedup_lsh_recall_audit_stratum",
+    "dedup_cluster_star_contract",
 )
 
 
