@@ -84,6 +84,45 @@ def test_star_contract_matches_label_propagation(spark):
     assert {l for _, l in a} == {0, 20}
 
 
+def test_multimodal_decode_roundtrip_planted(spark):
+    # The decode seam must recover EXACTLY what the encode stage packed —
+    # header fields and pixel stats — for texts at the container format's
+    # edge cases: 1 byte, a width-wrap length (639/640 pixels), repeated
+    # bytes, and the full printable-ASCII alphabet.
+    from vena_etl_tool_spark.operators import multimodal as mm
+
+    texts = [
+        "a",
+        "x" * 639,
+        "y" * 640,
+        "".join(chr(c) for c in range(32, 122)),
+        "zz" * 300,
+    ]
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(i, t, "en", "plant", len(t)) for i, t in enumerate(texts)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        rows = {
+            r.doc_id: r
+            for r in mm.multimodal_decode_features(spark, d).collect()
+        }
+    for i, t in enumerate(texts):
+        b = t.encode()
+        r = rows[i]
+        assert r.header_ok
+        assert r.width == len(b) % 640 + 1
+        assert r.height == (len(b) * 7) % 480 + 1
+        assert r.channels == len(b) % 3 + 1
+        assert r.n_pixels == len(b)
+        assert r.pixel_sum == sum(b)
+        assert r.mean_centi == sum(b) * 100 // len(b)
+        assert r.first_pixel == b[0] and r.last_pixel == b[-1]
+
+
 def test_distributed_ntile_desc_order(spark):
     from vena_etl_tool_spark.operators.analytics import _distributed_ntile
 

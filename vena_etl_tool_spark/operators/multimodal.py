@@ -28,6 +28,19 @@ DECODE_BATCH_COLS = (
     "mean_byte double, feature_dim int"
 )
 
+# Self-describing container format for the executable decode path (r9,
+# verdict #6): a fixed 9-byte header — magic "VM01" (4 bytes), width
+# uint16 BE, height uint16 BE, channels uint8 — followed by the raw pixel
+# bytes. The *format* is what a real media container is (magic + typed
+# dims + payload); only the pixel content is synthesized (the document's
+# utf-8 bytes — fixture text is pure ASCII, so DuckDB's per-character
+# ascii() codes equal the utf-8 bytes, the same convention the pHash
+# family established). Header fields derive deterministically from the
+# pixel count so a DuckDB oracle can predict every decoded stat without
+# itself parsing binary.
+VM_MAGIC = b"VM01"
+VM_HEADER_LEN = 9
+
 
 @register(
     "multimodal_binary_metadata",
@@ -76,48 +89,112 @@ def _fake_decode(payload: bytes) -> dict:
     }
 
 
+_DECODE_ORACLE = f"""
+WITH px AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ''), c -> ascii(c)) AS codes
+  FROM documents
+), meta AS (
+  SELECT doc_id, codes, len(codes) AS n FROM px
+)
+SELECT doc_id,
+       TRUE AS header_ok,
+       CAST(n % 640 + 1 AS INTEGER) AS width,
+       CAST((n * 7) % 480 + 1 AS INTEGER) AS height,
+       CAST(n % 3 + 1 AS INTEGER) AS channels,
+       CAST(n AS BIGINT) AS n_pixels,
+       CAST(list_sum(codes) AS BIGINT) AS pixel_sum,
+       CAST(list_sum(codes) * 100 // n AS BIGINT) AS mean_centi,
+       CAST(codes[1] AS INTEGER) AS first_pixel,
+       CAST(codes[n] AS INTEGER) AS last_pixel
+FROM meta
+"""
+
+
 @register(
     "multimodal_decode_features",
     tags=("llm", "multimodal"),
-    oracle=None,  # decode is a stubbed seam (no media libs in container)
+    oracle=_DECODE_ORACLE,
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The decode/feature-extract slot: binary payload → mapInPandas with
-    Arrow batches → typed feature columns.
+    """The decode/feature-extract slot, EXECUTABLE end to end (r9): an
+    encode stage packs each document into a self-describing binary
+    container (``VM01`` magic + uint16-BE width/height + uint8 channels +
+    raw pixel bytes — struct.pack, real bytes), the binary column crosses
+    an Arrow batch boundary, and a second mapInPandas stage struct-unpacks
+    the header and reduces the pixel region to typed feature columns. The
+    DuckDB oracle predicts every decoded stat analytically from the
+    documents table, so a hash match proves the pack → Arrow → parse
+    round-trip is lossless — the decode seam is no longer a shape-only
+    stub (only the codec body would be swapped for PIL/libav at deploy).
 
     This is the real 100 TB shape: decode is embarrassingly parallel,
     stays off the driver, and the batch iterator keeps memory bounded to
-    one Arrow batch per core. Only `_fake_decode` is a stub."""
+    one Arrow batch per core. Mean is emitted as integer centi-units
+    (sum*100 div n) — the cross-engine exactness convention."""
 
-    # NOTE: the closure must be self-contained (no references to this
-    # package's module globals — the decode logic is inlined from
-    # _fake_decode): executors may not have the repo on sys.path; see
-    # session._ship_package.
+    # NOTE: closures must be self-contained (no references to this
+    # package's module globals): executors may not have the repo on
+    # sys.path; see session._ship_package. Header constants are inlined.
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import pandas as pd
+
+        def pack(text: str) -> bytes:
+            pixels = text.encode("utf-8")
+            n = len(pixels)
+            return (
+                struct.pack(
+                    ">4sHHB", b"VM01", n % 640 + 1, (n * 7) % 480 + 1, n % 3 + 1
+                )
+                + pixels
+            )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values,
+                 "payload": [pack(t) for t in pdf["text"]]}
+            )
+
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np  # local import: worker-side namespace only
+        import struct
+
+        import numpy as np
         import pandas as pd
 
         def decode(payload: bytes) -> dict:
-            arr = np.frombuffer(payload, dtype=np.uint8)
+            magic, w, h, c = struct.unpack(">4sHHB", payload[:9])
+            arr = np.frombuffer(payload[9:], dtype=np.uint8)
+            n = int(arr.size)
+            s = int(arr.sum(dtype=np.int64))
             return {
-                "n_bytes": int(arr.size),
-                "fake_width": int(arr[:4].sum() % 640) if arr.size else 0,
-                "fake_height": int(arr[4:8].sum() % 480) if arr.size >= 8 else 0,
-                "mean_byte": float(arr.mean()) if arr.size else 0.0,
-                "feature_dim": 16,
+                "header_ok": magic == b"VM01",
+                "width": int(w),
+                "height": int(h),
+                "channels": int(c),
+                "n_pixels": n,
+                "pixel_sum": s,
+                "mean_centi": s * 100 // n if n else 0,
+                "first_pixel": int(arr[0]) if n else -1,
+                "last_pixel": int(arr[-1]) if n else -1,
             }
 
         for pdf in batches:
-            feats = [decode(p) for p in pdf["payload"]]
-            out = pd.DataFrame(feats)
+            out = pd.DataFrame([decode(p) for p in pdf["payload"]])
             out.insert(0, "doc_id", pdf["doc_id"].values)
             yield out
 
     docs = load_table(spark, sf_dir, "documents")
-    with_payload = docs.select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    payloads = docs.select("doc_id", "text").mapInPandas(
+        encode_batches, "doc_id long, payload binary"
     )
-    return with_payload.mapInPandas(decode_batches, DECODE_BATCH_COLS)
+    return payloads.mapInPandas(
+        decode_batches,
+        "doc_id long, header_ok boolean, width int, height int, "
+        "channels int, n_pixels long, pixel_sum long, mean_centi long, "
+        "first_pixel int, last_pixel int",
+    )
 
 
 @register(

@@ -152,6 +152,10 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     # --- first r9 work session ---
     "dedup_lsh_recall_audit_stratum",
     "dedup_cluster_star_contract",
+    # --- second r9 work session ---
+    # rows-only → oracle-backed upgrade (verdict #6): the decode seam now
+    # parses a real packed binary container, so it needs driver evidence.
+    "multimodal_decode_features",
 )
 
 
