@@ -40,6 +40,34 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
 
+# Streaming state-store posture (SCALE.md "state store" row). The provider
+# choice is load-bearing at 100 TB key cardinality: the default HDFS-backed
+# store keeps every key's state on the executor HEAP (state must fit in
+# memory per partition), while RocksDB spills to local SSD and bounds
+# checkpoint deltas via changelog checkpointing. The fixtures run fine on
+# the default, so it stays the default locally; a deployment opts in with
+# VENA_ETL_STATE_STORE=rocksdb (read at session build AND in configure(),
+# so the driver-contract path honors it too). The conf is per-query — each
+# stream captures it into its checkpoint at first start — which is also why
+# stream_transform_with_state pins RocksDB for itself regardless (the TWS
+# API requires it).
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+_STATE_STORE_KEY = "spark.sql.streaming.stateStore.providerClass"
+
+
+def _state_store_overrides() -> dict[str, str]:
+    choice = os.environ.get("VENA_ETL_STATE_STORE", "").lower()
+    if choice in ("rocksdb", "rocks"):
+        return {
+            _STATE_STORE_KEY: ROCKSDB_PROVIDER,
+            # bounded incremental checkpoints: upload the changelog per
+            # batch, snapshot in the background
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+        }
+    return {}
+
 
 def _ship_package(spark: SparkSession) -> None:
     """Make this package importable on executor Python workers.
@@ -85,7 +113,7 @@ def _ship_package(spark: SparkSession) -> None:
 
 def configure(spark: SparkSession) -> SparkSession:
     """Apply runtime confs to an externally-created session (driver contract)."""
-    for k, v in RUNTIME_CONFS.items():
+    for k, v in {**RUNTIME_CONFS, **_state_store_overrides()}.items():
         try:
             spark.conf.set(k, v)
         except Exception:
@@ -119,7 +147,7 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
-    for k, v in RUNTIME_CONFS.items():
+    for k, v in {**RUNTIME_CONFS, **_state_store_overrides()}.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

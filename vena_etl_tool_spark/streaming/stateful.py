@@ -92,9 +92,7 @@ def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFram
 # partition count).
 # ---------------------------------------------------------------------------
 
-_ROCKSDB_PROVIDER = (
-    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
-)
+from ..session import ROCKSDB_PROVIDER as _ROCKSDB_PROVIDER
 
 
 class _state_store_provider:
