@@ -178,6 +178,8 @@ HEADLINE = [
     "retrieval_rrf_fusion_ivf",
     # --- r9 additions (after the frozen r8 boundary) ---
     "dedup_cluster_star_contract",
+    "multimodal_decode_features",
+    "stream_timer_sessions",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

@@ -123,6 +123,60 @@ def test_multimodal_decode_roundtrip_planted(spark):
         assert r.first_pixel == b[0] and r.last_pixel == b[-1]
 
 
+def test_timer_sessions_boundary_semantics(spark):
+    # Pins the engine conventions the stream_timer_sessions oracle rests
+    # on, at exact boundaries: (a) event-time timers fire iff
+    # timeout_ms < watermark_ms, STRICTLY — a timer sitting exactly AT
+    # the watermark stays in state; (b) a gap of exactly GAP ms does NOT
+    # break a session (the predicate is gap > GAP).
+    import os
+    import tempfile
+    from datetime import datetime, timezone
+
+    from vena_etl_tool_spark.streaming.stateful import (
+        SESSION_GAP_MS,
+        SESSION_WM_DELAY_MS,
+        stream_timer_sessions,
+    )
+
+    GAP, DELAY = SESSION_GAP_MS, SESSION_WM_DELAY_MS
+    E = int(datetime(2024, 1, 10, tzinfo=timezone.utc).timestamp() * 1000)
+    wm = E - DELAY
+    rows = [
+        (99, E),                # watermark anchor; its own timer >= wm
+        (1, wm - GAP - 5000),   # timer 5 s below wm -> fires
+        (2, wm - GAP),          # timer EXACTLY at wm -> must NOT fire
+        (3, wm - GAP - 1),      # timer 1 ms below wm -> fires
+        (4, E - 100_000_000),   # gap of exactly GAP ms -> ONE session...
+        (4, E - 100_000_000 + GAP),
+        (5, E - 200_000_000),   # gap of GAP+1 ms -> closes by gap...
+        (5, E - 200_000_000 + GAP + 1),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [
+                (i, datetime.fromtimestamp(ms / 1000, tz=timezone.utc),
+                 uid, "click", 1.0, "{}")
+                for i, (uid, ms) in enumerate(rows)
+            ],
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ).coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+        got = {
+            (r.user_id, r.session_start_ms, r.session_end_ms,
+             r.n_events, r.closed_by)
+            for r in stream_timer_sessions(spark, d).collect()
+        }
+    expect = {
+        (1, wm - GAP - 5000, wm - GAP - 5000, 1, "timer"),
+        (3, wm - GAP - 1, wm - GAP - 1, 1, "timer"),
+        (4, E - 100_000_000, E - 100_000_000 + GAP, 2, "timer"),
+        (5, E - 200_000_000, E - 200_000_000, 1, "gap"),
+        (5, E - 200_000_000 + GAP + 1, E - 200_000_000 + GAP + 1, 1, "timer"),
+    }
+    assert got == expect
+
+
 def test_distributed_ntile_desc_order(spark):
     from vena_etl_tool_spark.operators.analytics import _distributed_ntile
 

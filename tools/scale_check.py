@@ -252,6 +252,17 @@ QUERIES = (
     # ~NPROBE/C of the corpus per query vs the brute-force baseline's
     # full scan (whose 2.9x row is the contrast this twin exists for).
     "retrieval_rrf_fusion_ivf",
+    # r9: the stratum audit bounds the quadratic truth side to the
+    # doc_id % MOD rep stratum (expect the full audit's shape at ~1/MOD^2
+    # verification cost); star-contract CC runs on the verified pair set
+    # (edges ≪ corpus) with O(log n) rounds regardless of topology; the
+    # decode round-trip is two map-only Arrow passes (pure scan-bound);
+    # timer sessions keep one (start, last, n) triple per live user in
+    # the state store — state is user-count-, not event-count-, sized.
+    "dedup_lsh_recall_audit_stratum",
+    "dedup_cluster_star_contract",
+    "multimodal_decode_features",
+    "stream_timer_sessions",
 )
 # Replica multiple for the scaled corpus. Default 10; override with
 # SPARK_GRAFT_REPLICAS (e.g. 100) for a two-decade probe on a focused

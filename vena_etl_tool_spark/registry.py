@@ -156,6 +156,7 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     # rows-only → oracle-backed upgrade (verdict #6): the decode seam now
     # parses a real packed binary container, so it needs driver evidence.
     "multimodal_decode_features",
+    "stream_timer_sessions",
 )
 
 
