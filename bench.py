@@ -180,6 +180,13 @@ HEADLINE = [
     "dedup_cluster_star_contract",
     "multimodal_decode_features",
     "stream_timer_sessions",
+    "embedding_binary_quantize_recall",
+    "embedding_mrl_truncate_recall",
+    "profile_candidate_keys",
+    "profile_fd_violations",
+    "sample_weighted_systematic",
+    "dataset_padding_waste",
+    "join_asof_nearest",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

@@ -1,0 +1,193 @@
+"""Round-9 third-session operator invariants. Differential coverage lives
+in the registry gate; these pin the algebraic identities and planted-case
+semantics the oracles can't see."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from datetime import datetime, timezone
+
+import pyspark.sql.functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_systematic_sample_matches_bruteforce(spark):
+    # The distributed prefix-sum selection must equal the single-threaded
+    # definition: one point every STEP of cumulative weight along the
+    # md5 permutation.
+    import hashlib
+
+    from vena_etl_tool_spark.operators.projection import (
+        SYSSAMPLE_M,
+        sample_weighted_systematic,
+    )
+
+    got = {
+        r.o_orderkey: (r.weight_cents, r.cum_weight, r.n_points)
+        for r in sample_weighted_systematic(spark, SF).collect()
+    }
+    rows = (
+        spark.read.parquet(os.path.join(SF, "orders.parquet"))
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("w"),
+        )
+        .collect()
+    )
+    perm = sorted(
+        rows,
+        key=lambda r: (
+            hashlib.md5(f"syssample:{r.o_orderkey}".encode()).hexdigest(),
+            r.o_orderkey,
+        ),
+    )
+    total = sum(r.w for r in perm)
+    step = total // SYSSAMPLE_M
+    cum, expect = 0, {}
+    for r in perm:
+        prev = cum
+        cum += r.w
+        pts = cum // step - prev // step
+        if pts >= 1:
+            expect[r.o_orderkey] = (r.w, cum, pts)
+    assert got == expect
+    assert sum(p for _, _, p in got.values()) == total // step
+
+
+def test_padding_waste_bucketing_reduces_waste(spark):
+    from vena_etl_tool_spark.operators.textanalysis import (
+        PADDING_BUCKETS,
+        dataset_padding_waste,
+    )
+
+    rows = {r.bucket: r for r in dataset_padding_waste(spark, SF).collect()}
+    assert set(rows) == set(range(PADDING_BUCKETS + 1))
+    g = rows[0]
+    assert g.padded_tokens == g.max_len * g.n_docs
+    bucketed_waste = sum(rows[b].waste_tokens for b in range(1, PADDING_BUCKETS + 1))
+    assert all(rows[b].waste_tokens >= 0 for b in rows)
+    # length-bucketing can only shrink per-batch max => total waste drops
+    assert bucketed_waste <= g.waste_tokens
+    assert sum(rows[b].n_docs for b in range(1, PADDING_BUCKETS + 1)) == g.n_docs
+    assert sum(rows[b].sum_tokens for b in range(1, PADDING_BUCKETS + 1)) == g.sum_tokens
+    spark.catalog.clearCache()  # _distributed_ntile caches its ranked table
+
+
+def test_fd_audit_identities(spark):
+    from vena_etl_tool_spark.operators.aggregates import profile_fd_violations
+
+    rows = profile_fd_violations(spark, SF).collect()
+    li = {r.lhs_value: r for r in rows if r.fd == "lineitem.l_returnflag->l_linestatus"}
+    # the synthetic fixture draws flag/status independently, so the FD is
+    # violated for every determinant — the audit must say so exactly
+    assert set(li) == {"R", "A", "N"}
+    assert all(r.fd_holds == 0 and r.n_rhs_values == 2 for r in li.values())
+    docs = [r for r in rows if r.fd == "documents.source->lang"]
+    assert docs and all(r.fd_holds == 0 for r in docs)
+    for r in rows:
+        assert r.n_violations == r.n_rows - r.majority_n
+        assert (r.n_violations == 0) == (r.fd_holds == 1)
+        assert r.majority_n >= (r.n_rows + r.n_rhs_values - 1) // r.n_rhs_values
+
+
+def test_candidate_key_verdicts(spark):
+    from vena_etl_tool_spark.operators.aggregates import profile_candidate_keys
+
+    rows = {(r.tbl, r.cols): r for r in profile_candidate_keys(spark, SF).collect()}
+    # the synthetic lineitem does NOT honor the TPC-H compound key (line
+    # numbers repeat within an order) — the audit's job is to SAY so
+    assert rows[("lineitem", "l_orderkey,l_linenumber")].is_key == 0
+    assert rows[("lineitem", "l_orderkey")].is_key == 0
+    assert (
+        rows[("lineitem", "l_orderkey,l_linenumber")].uniqueness_ppm
+        > rows[("lineitem", "l_orderkey")].uniqueness_ppm
+    )
+    assert rows[("orders", "o_orderkey")].is_key == 1
+    assert rows[("events", "event_id")].is_key == 1
+    assert rows[("documents", "doc_id")].is_key == 1
+    for r in rows.values():
+        assert r.n_dup_rows == r.n_rows - r.n_distinct
+        assert 0 < r.uniqueness_ppm <= 1_000_000
+        assert (r.uniqueness_ppm == 1_000_000) == (r.is_key == 1)
+    # clone families exist only at sf0.1 — the text row must catch them
+    big = {
+        (r.tbl, r.cols): r
+        for r in profile_candidate_keys(spark, "/root/testdata/sf0.1").collect()
+    }
+    assert big[("documents", "text")].is_key == 0
+    assert big[("documents", "doc_id")].is_key == 1
+
+
+def test_recall_evals_structure_and_signal(spark):
+    from vena_etl_tool_spark.operators.embeddings_eval import (
+        MRL_DIMS,
+        embedding_binary_quantize_recall,
+        embedding_mrl_truncate_recall,
+    )
+    from vena_etl_tool_spark.operators.similarity import N_QUERIES, TOP_K
+
+    bq = embedding_binary_quantize_recall(spark, SF).collect()
+    assert len(bq) == N_QUERIES
+    assert all(0 <= r.hits <= TOP_K for r in bq)
+    # 64 sign bits + exact rerank must beat random (signal, not proof)
+    assert sum(r.hits for r in bq) > 0
+    mrl = embedding_mrl_truncate_recall(spark, SF).collect()
+    assert len(mrl) == N_QUERIES * len(MRL_DIMS)
+    by_d = {
+        d: sum(r.hits for r in mrl if r.trunc_dims == d) for d in MRL_DIMS
+    }
+    assert all(v > 0 for v in by_d.values())
+
+
+def test_asof_nearest_planted_directions(spark):
+    from vena_etl_tool_spark.operators.joins import (
+        ASOF_NEAREST_TOL_SEC,
+        join_asof_nearest,
+    )
+
+    T0 = datetime(2024, 3, 1, 12, 0, 0, tzinfo=timezone.utc)
+
+    def ev(eid, uid, etype, offset_s):
+        return (
+            eid,
+            datetime.fromtimestamp(T0.timestamp() + offset_s, tz=timezone.utc),
+            uid,
+            etype,
+            1.0,
+            "{}",
+        )
+
+    rows = [
+        # user 1: click 10 s before and 3 s after -> forward wins
+        ev(100, 1, "purchase", 0),
+        ev(1, 1, "click", -10),
+        ev(2, 1, "click", 3),
+        # user 2: equidistant (5 s both sides) -> tie goes backward
+        ev(200, 2, "purchase", 0),
+        ev(3, 2, "click", -5),
+        ev(4, 2, "click", 5),
+        # user 3: click exactly at the purchase ts -> backward, delta 0
+        ev(300, 3, "purchase", 0),
+        ev(5, 3, "click", 0),
+        # user 4: nearest click beyond tolerance -> masked to NULL
+        ev(400, 4, "purchase", 0),
+        ev(6, 4, "click", ASOF_NEAREST_TOL_SEC + 1),
+        # user 5: no clicks at all
+        ev(500, 5, "purchase", 0),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ).coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+        got = {r.event_id: r for r in join_asof_nearest(spark, d).collect()}
+    assert got[100].direction == "forward" and got[100].delta_us == 3_000_000
+    assert got[200].direction == "backward" and got[200].delta_us == -5_000_000
+    assert got[300].direction == "backward" and got[300].delta_us == 0
+    assert got[400].direction is None and got[400].nearest_click_us is None
+    assert got[500].direction is None and got[500].delta_us is None

@@ -263,6 +263,21 @@ QUERIES = (
     "dedup_cluster_star_contract",
     "multimodal_decode_features",
     "stream_timer_sessions",
+    # r9 third session: both recall evals are broadcast-queries ×
+    # partitioned-corpus scans (the corpus side grows, the query side is
+    # fixed at N_QUERIES); candidate keys are exact distinct aggregates
+    # (shuffle mass = distinct tuples); FD audit works at value-pair
+    # vocabulary grain; the systematic sampler is one range exchange +
+    # partition-grain offsets (sample size FIXED at M, so output shrinks
+    # relatively); padding waste = distributed NTILE + B+1-row aggregates;
+    # nearest as-of is the one-exchange union/two-frame window rewrite.
+    "embedding_binary_quantize_recall",
+    "embedding_mrl_truncate_recall",
+    "profile_candidate_keys",
+    "profile_fd_violations",
+    "sample_weighted_systematic",
+    "dataset_padding_waste",
+    "join_asof_nearest",
 )
 # Replica multiple for the scaled corpus. Default 10; override with
 # SPARK_GRAFT_REPLICAS (e.g. 100) for a two-decade probe on a focused

@@ -24,6 +24,7 @@ from . import (  # noqa: F401
     aggregates,
     analytics,
     dedup,
+    embeddings_eval,
     ingestion,
     joins,
     layouts,

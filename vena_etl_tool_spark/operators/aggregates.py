@@ -1047,3 +1047,162 @@ def profile_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("abs_dev_ppm"),
         )
     )
+
+
+# Candidate-key combos audited by profile_candidate_keys: (table, columns).
+# Chosen to exercise true keys, near-keys, and deliberate non-keys (the
+# documents.text row measures exactly the clone mass the dedup family
+# removes). All columns are non-null in the fixtures, so COUNT(DISTINCT
+# tuple) agrees across engines without null-tuple semantics in play.
+_KEY_COMBOS: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("lineitem", ("l_orderkey", "l_linenumber")),
+    ("lineitem", ("l_orderkey",)),
+    ("lineitem", ("l_partkey", "l_suppkey")),
+    ("orders", ("o_orderkey",)),
+    ("orders", ("o_custkey",)),
+    ("events", ("event_id",)),
+    ("events", ("user_id", "ts")),
+    ("documents", ("doc_id",)),
+    ("documents", ("text",)),
+)
+
+
+def _candidate_keys_oracle() -> str:
+    branches = []
+    for tbl, cols in _KEY_COMBOS:
+        tup = f"({', '.join(cols)})" if len(cols) > 1 else cols[0]
+        branches.append(f"""
+  SELECT '{tbl}' AS tbl, '{",".join(cols)}' AS cols,
+         COUNT(*) AS n_rows,
+         COUNT(DISTINCT {tup}) AS n_distinct,
+         COUNT(*) - COUNT(DISTINCT {tup}) AS n_dup_rows,
+         CAST(COUNT(DISTINCT {tup}) * 1000000 // COUNT(*) AS BIGINT)
+           AS uniqueness_ppm,
+         CAST(COUNT(DISTINCT {tup}) = COUNT(*) AS INT) AS is_key
+  FROM {tbl}""")
+    return "\nUNION ALL\n".join(branches)
+
+
+@register(
+    "profile_candidate_keys",
+    tags=("profiling", "quality", "aggregate"),
+    oracle=_candidate_keys_oracle(),
+)
+def profile_candidate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key discovery audit: exact uniqueness of declared and
+    suspected key combos across four tables — row count, distinct-tuple
+    count, duplicate mass, uniqueness ppm, and the is_key verdict. The
+    profiling pass a warehouse runs before trusting a MERGE key or
+    choosing a bucketing column; the documents.text row quantifies the
+    clone mass the dedup family later removes.
+
+    Scale: each combo is ONE exact distinct aggregate — partial+final
+    hash agg with map-side combine, shuffling only distinct tuples (for
+    true keys that equals the row count, which is what an exact
+    uniqueness audit must pay; the HLL twin in agg_approx_distinct is
+    the sketch-budget alternative). Combos on the same table still scan
+    it once each so column pruning stays per-combo-minimal."""
+    out = None
+    for tbl, cols in _KEY_COMBOS:
+        df = load_table(spark, sf_dir, tbl)
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct(*[F.col(c) for c in cols]).alias("n_distinct"),
+        ).select(
+            F.lit(tbl).alias("tbl"),
+            F.lit(",".join(cols)).alias("cols"),
+            "n_rows",
+            "n_distinct",
+            (F.col("n_rows") - F.col("n_distinct")).alias("n_dup_rows"),
+            F.expr("CAST(n_distinct * 1000000 div n_rows AS BIGINT)").alias(
+                "uniqueness_ppm"
+            ),
+            (F.col("n_distinct") == F.col("n_rows")).cast("int").alias("is_key"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out
+
+
+# Functional dependencies audited by profile_fd_violations. documents'
+# source -> lang is deliberately violated (every source mixes langs);
+# lineitem's returnflag -> linestatus is the classic partially-holding
+# dependency (R/A ship only as F; N splits O/F), so the audit proves it
+# reports both holding and violated determinant values exactly.
+_FD_SPECS: tuple[tuple[str, str, str], ...] = (
+    ("documents", "source", "lang"),
+    ("lineitem", "l_returnflag", "l_linestatus"),
+)
+
+
+def _fd_violations_oracle() -> str:
+    branches = []
+    for tbl, lhs, rhs in _FD_SPECS:
+        branches.append(f"""
+  SELECT '{tbl}.{lhs}->{rhs}' AS fd, CAST({lhs} AS VARCHAR) AS lhs_value,
+         CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_rhs_values,
+         MIN(rhs_val) FILTER (WHERE rk = 1) AS majority_rhs,
+         CAST(MIN(cnt) FILTER (WHERE rk = 1) AS BIGINT) AS majority_n,
+         CAST(SUM(cnt) - MIN(cnt) FILTER (WHERE rk = 1) AS BIGINT)
+           AS n_violations,
+         CAST(COUNT(*) = 1 AS INT) AS fd_holds
+  FROM (
+    SELECT {lhs}, CAST({rhs} AS VARCHAR) AS rhs_val, COUNT(*) AS cnt,
+           ROW_NUMBER() OVER (PARTITION BY {lhs}
+                              ORDER BY COUNT(*) DESC, CAST({rhs} AS VARCHAR))
+             AS rk
+    FROM {tbl} GROUP BY {lhs}, CAST({rhs} AS VARCHAR)
+  ) GROUP BY {lhs}""")
+    return "\nUNION ALL\n".join(branches)
+
+
+@register(
+    "profile_fd_violations",
+    tags=("profiling", "quality", "aggregate"),
+    oracle=_fd_violations_oracle(),
+)
+def profile_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit: for each candidate FD lhs -> rhs,
+    report per determinant value the row mass, the number of distinct
+    rhs values, the majority rhs (exact-count majority, lexicographic
+    tie-break) and the violation mass — the minimum number of rows an
+    FD-repair would have to change. fd_holds flags determinant values
+    where the dependency is exact.
+
+    Scale: one (lhs, rhs)-grain combinable aggregate per FD (the grain
+    is the value-pair vocabulary, not the fact volume), then a window
+    over the lhs partitioning of that tiny grain — nothing fact-sized
+    crosses the second exchange."""
+    out = None
+    for tbl, lhs, rhs in _FD_SPECS:
+        df = load_table(spark, sf_dir, tbl)
+        pairs = (
+            df.groupBy(
+                F.col(lhs).cast("string").alias("lhs_value"),
+                F.col(rhs).cast("string").alias("rhs_val"),
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = Window.partitionBy("lhs_value").orderBy(
+            F.col("cnt").desc(), F.col("rhs_val")
+        )
+        ranked = pairs.withColumn("rk", F.row_number().over(w))
+        agg = ranked.groupBy("lhs_value").agg(
+            F.sum("cnt").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_rhs_values"),
+            F.min(F.when(F.col("rk") == 1, F.col("rhs_val"))).alias(
+                "majority_rhs"
+            ),
+            F.min(F.when(F.col("rk") == 1, F.col("cnt"))).alias("majority_n"),
+        ).select(
+            F.lit(f"{tbl}.{lhs}->{rhs}").alias("fd"),
+            "lhs_value",
+            "n_rows",
+            "n_rhs_values",
+            "majority_rhs",
+            "majority_n",
+            (F.col("n_rows") - F.col("majority_n")).alias("n_violations"),
+            (F.col("n_rhs_values") == 1).cast("int").alias("fd_holds"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out

@@ -670,3 +670,114 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "had_recent_click"
         ),
     )
+
+
+# Nearest-direction as-of: how far (µs) a match may sit on EITHER side
+# of the probe before it stops counting.
+ASOF_NEAREST_TOL_SEC = 7200
+
+
+@register(
+    "join_asof_nearest",
+    tags=("join", "asof", "nearest"),
+    oracle=f"""
+WITH p AS (
+  SELECT event_id, user_id, ts, epoch_us(ts) AS tus
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, epoch_us(ts) AS cus FROM events WHERE event_type = 'click'
+), b AS (
+  SELECT p.event_id, MAX(c.cus) AS back_us
+  FROM p JOIN c ON c.user_id = p.user_id AND c.cus <= p.tus
+  GROUP BY p.event_id
+), f AS (
+  SELECT p.event_id, MIN(c.cus) AS fwd_us
+  FROM p JOIN c ON c.user_id = p.user_id AND c.cus > p.tus
+  GROUP BY p.event_id
+), picked AS (
+  SELECT p.event_id, p.user_id, p.ts, p.tus, b.back_us, f.fwd_us,
+         CASE
+           WHEN b.back_us IS NULL AND f.fwd_us IS NULL THEN NULL
+           WHEN f.fwd_us IS NULL THEN b.back_us
+           WHEN b.back_us IS NULL THEN f.fwd_us
+           WHEN p.tus - b.back_us <= f.fwd_us - p.tus THEN b.back_us
+           ELSE f.fwd_us
+         END AS near_us
+  FROM p LEFT JOIN b USING (event_id) LEFT JOIN f USING (event_id)
+)
+SELECT event_id, user_id, ts,
+       CASE WHEN abs(near_us - tus) <= {ASOF_NEAREST_TOL_SEC * 1000000}
+            THEN near_us END AS nearest_click_us,
+       CASE WHEN abs(near_us - tus) <= {ASOF_NEAREST_TOL_SEC * 1000000}
+            THEN near_us - tus END AS delta_us,
+       CASE WHEN abs(near_us - tus) <= {ASOF_NEAREST_TOL_SEC * 1000000}
+            THEN (CASE WHEN near_us <= tus THEN 'backward' ELSE 'forward' END)
+       END AS direction
+FROM picked
+""",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (pandas merge_asof
+    ``direction='nearest'``): for each purchase, the click by the same
+    user with the smallest |Δt| in EITHER direction — ties go backward
+    (the causal default) — masked to NULL beyond a tolerance. The sensor
+    -fusion/alignment primitive the backward-only as-of can't express.
+
+    Plan: the same single-shuffle union rewrite as join_asof_last_click,
+    with TWO frames over ONE (user_id, ts, side) sort — backward
+    last_value(ignorenulls) over the preceding frame, forward
+    first_value over the following frame (a click at exactly the
+    purchase ts sorts before it, so Δ=0 lands backward — the oracle's
+    `cus <= tus` branch states the same rule). No join at all: one
+    exchange of the fact table, linear window state, then pure
+    projection arithmetic in exact epoch-µs integers. At 100 TB this
+    beats the two-ASOF-joins formulation by a full shuffle and never
+    materializes candidate pairs."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(None).cast("long").alias("event_id"),
+        F.col("ts").alias("click_ts"), F.lit(0).alias("side"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id",
+        F.lit(None).cast(clicks.schema["click_ts"].dataType).alias("click_ts"),
+        F.lit(1).alias("side"),
+    )
+    base = Window.partitionBy("user_id").orderBy("ts", "side")
+    w_back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_fwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    matched = (
+        clicks.unionByName(purchases)
+        .withColumn("_back", F.last("click_ts", ignorenulls=True).over(w_back))
+        .withColumn("_fwd", F.first("click_ts", ignorenulls=True).over(w_fwd))
+        .filter(F.col("side") == 1)
+    )
+    # ts loads as TIMESTAMP_NTZ on pyspark 4.1; unix_micros wants a tz'd
+    # TIMESTAMP — the session tz is pinned UTC, so the cast is the exact
+    # epoch_us DuckDB computes on the naive value
+    tus = F.unix_micros(F.col("ts").cast("timestamp"))
+    back_us = F.unix_micros(F.col("_back").cast("timestamp"))
+    fwd_us = F.unix_micros(F.col("_fwd").cast("timestamp"))
+    near_us = (
+        F.when(back_us.isNull() & fwd_us.isNull(), F.lit(None).cast("long"))
+        .when(fwd_us.isNull(), back_us)
+        .when(back_us.isNull(), fwd_us)
+        .when(tus - back_us <= fwd_us - tus, back_us)
+        .otherwise(fwd_us)
+    )
+    tol = ASOF_NEAREST_TOL_SEC * 1_000_000
+    picked = matched.withColumn("_near", near_us).withColumn("_tus", tus)
+    in_tol = F.abs(F.col("_near") - F.col("_tus")) <= tol
+    return picked.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(in_tol, F.col("_near")).alias("nearest_click_us"),
+        F.when(in_tol, F.col("_near") - F.col("_tus")).alias("delta_us"),
+        F.when(
+            in_tol,
+            F.when(F.col("_near") <= F.col("_tus"), F.lit("backward")).otherwise(
+                F.lit("forward")
+            ),
+        ).alias("direction"),
+    )

@@ -236,3 +236,96 @@ def sample_weighted_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("u48") * WSAMPLE_REF < F.col("w") * F.lit(281474976710656))
         .select("doc_id", "source", F.col("w").cast("long").alias("weight"))
     )
+
+
+# Weighted systematic sampling: one selection point every STEP = W/M
+# cents of cumulative weight along a content-addressed permutation
+# (md5 of the key — deterministic, partition-independent). M is the
+# target sample size; rows heavier than STEP can absorb several points
+# (n_points > 1), the standard PPS-systematic property.
+SYSSAMPLE_M = 200
+
+
+@register(
+    "sample_weighted_systematic",
+    tags=("llm", "sampling", "projection"),
+    oracle=f"""
+WITH perm AS (
+  SELECT o_orderkey,
+         CAST(o_totalprice * 100 AS BIGINT) AS weight_cents,
+         md5('syssample:' || CAST(o_orderkey AS VARCHAR)) AS h
+  FROM orders
+), cum AS (
+  SELECT o_orderkey, weight_cents,
+         CAST(SUM(weight_cents) OVER (ORDER BY h, o_orderkey
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_weight,
+         CAST(SUM(weight_cents) OVER () AS BIGINT) AS total_w
+  FROM perm
+)
+SELECT o_orderkey, weight_cents, cum_weight,
+       CAST(cum_weight // (total_w // {SYSSAMPLE_M})
+            - (cum_weight - weight_cents) // (total_w // {SYSSAMPLE_M})
+            AS BIGINT) AS n_points
+FROM cum
+WHERE cum_weight // (total_w // {SYSSAMPLE_M})
+      > (cum_weight - weight_cents) // (total_w // {SYSSAMPLE_M})
+""",
+)
+def sample_weighted_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size SYSTEMATIC sample: order rows by
+    a content-addressed permutation (md5 of the key), take one selection
+    point every STEP = total_weight/M cents of cumulative weight — a row
+    is kept iff its cumulative-weight interval contains a multiple of
+    STEP, i.e. exact integer arithmetic end to end (weights are cents;
+    no float, no RNG). Systematic PPS gives lower variance than
+    independent Bernoulli at the same expected size and is the standard
+    survey/training-data subsampling design when weights are skewed.
+
+    Scale: the prefix sum is NOT a global single-partition window — the
+    same two-level topology as _distributed_ntile: range-exchange on the
+    permutation key, a per-partition-id window (parallel), then
+    partition offsets via a triangular join over the partition-count-
+    grain sums (bounded by config, not data) broadcast back. One range
+    exchange of the fact table total; survives any blow-up of orders."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    # cents exactly: decimal(18,2) * 100 stays integral (double *100 can
+    # land on x.9999…; the decimal cast is the money convention)
+    perm = orders.select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("weight_cents"),
+        F.md5(
+            F.concat(F.lit("syssample:"), F.col("o_orderkey").cast("string"))
+        ).alias("_h"),
+    )
+    part = perm.repartitionByRange(F.col("_h"), F.col("o_orderkey")).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_pid").orderBy("_h", "o_orderkey")
+    part = part.withColumn("_lcum", F.sum("weight_cents").over(w)).cache()
+    sums = part.groupBy("_pid").agg(F.sum("weight_cents").alias("_ps"))
+    sa, sb = sums.alias("sa"), sums.alias("sb")
+    offs = (
+        sa.join(F.broadcast(sb), F.col("sb._pid") < F.col("sa._pid"), "left")
+        .groupBy(F.col("sa._pid").alias("_pid"))
+        .agg(F.coalesce(F.sum("sb._ps"), F.lit(0)).alias("_off"))
+    )
+    tot = sums.agg(F.sum("_ps").alias("_w"))
+    cum = (
+        part.join(F.broadcast(offs), "_pid")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("cum_weight", F.col("_off") + F.col("_lcum"))
+        .withColumn("_step", F.expr(f"_w div {SYSSAMPLE_M}"))
+    )
+    n_points = F.expr(
+        "cum_weight div _step - (cum_weight - weight_cents) div _step"
+    )
+    return (
+        cum.withColumn("n_points", n_points.cast("long"))
+        .filter(F.col("n_points") >= 1)
+        .select("o_orderkey", "weight_cents", "cum_weight", "n_points")
+    )

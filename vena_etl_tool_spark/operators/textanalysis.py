@@ -3694,3 +3694,92 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ppm_per_token"),
         )
     )
+
+
+# Length-bucketed batching audit: B buckets by token-length rank. The
+# padding-waste identity (pad every doc in a batch to the batch max)
+# quantifies what bucketing saves vs one global bucket — the dynamic-
+# batching decision every training dataloader makes.
+PADDING_BUCKETS = 8
+
+
+@register(
+    "dataset_padding_waste",
+    tags=("llm", "packing", "dataset"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+), bucketed AS (
+  SELECT doc_id, n_tokens,
+         NTILE({PADDING_BUCKETS}) OVER (ORDER BY n_tokens, doc_id) AS bucket
+  FROM toks
+), per_bucket AS (
+  SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_docs,
+         CAST(MAX(n_tokens) AS BIGINT) AS max_len,
+         CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+  FROM bucketed GROUP BY bucket
+), global_row AS (
+  SELECT CAST(0 AS BIGINT) AS bucket, COUNT(*) AS n_docs,
+         CAST(MAX(n_tokens) AS BIGINT) AS max_len,
+         CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+  FROM toks
+), unioned AS (
+  SELECT * FROM per_bucket UNION ALL SELECT * FROM global_row
+)
+SELECT bucket, n_docs, max_len, sum_tokens,
+       max_len * n_docs AS padded_tokens,
+       max_len * n_docs - sum_tokens AS waste_tokens,
+       CAST((max_len * n_docs - sum_tokens) * 1000000
+            // (max_len * n_docs) AS BIGINT) AS waste_ppm
+FROM unioned
+""",
+)
+def dataset_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit: rank documents by token length
+    into PADDING_BUCKETS equal-count buckets (exact ANSI NTILE — the
+    dynamic-batching shard assignment), and report per bucket the
+    padding waste identity padded = max_len × n_docs vs sum of real
+    tokens; bucket 0 is the single-global-bucket baseline, so the output
+    itself quantifies the waste reduction length-bucketing buys (the
+    reason dataloaders length-sort before batching). All integers.
+
+    Scale: the rank bucketing is `_distributed_ntile` — one range
+    exchange + per-partition windows + partition-grain offsets, never a
+    single-partition sort (the orders_rfm_segments lesson); the audit
+    aggregates are map-side combinable to ≤ B+1 rows."""
+    from .analytics import _distributed_ntile
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    bucketed = _distributed_ntile(
+        toks, [F.col("n_tokens"), F.col("doc_id")], PADDING_BUCKETS, "bucket"
+    )
+    per_bucket = bucketed.groupBy(
+        F.col("bucket").cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("n_tokens").cast("long").alias("max_len"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+    )
+    global_row = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("n_tokens").cast("long").alias("max_len"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+    ).select(F.lit(0).cast("long").alias("bucket"), "n_docs", "max_len", "sum_tokens")
+    unioned = per_bucket.unionByName(global_row)
+    return unioned.select(
+        "bucket",
+        "n_docs",
+        "max_len",
+        "sum_tokens",
+        (F.col("max_len") * F.col("n_docs")).alias("padded_tokens"),
+        (F.col("max_len") * F.col("n_docs") - F.col("sum_tokens")).alias(
+            "waste_tokens"
+        ),
+        F.expr(
+            "CAST((max_len * n_docs - sum_tokens) * 1000000"
+            " div (max_len * n_docs) AS BIGINT)"
+        ).alias("waste_ppm"),
+    )

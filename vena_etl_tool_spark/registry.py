@@ -157,6 +157,14 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     # parses a real packed binary container, so it needs driver evidence.
     "multimodal_decode_features",
     "stream_timer_sessions",
+    # --- third r9 work session ---
+    "embedding_binary_quantize_recall",
+    "embedding_mrl_truncate_recall",
+    "profile_candidate_keys",
+    "profile_fd_violations",
+    "sample_weighted_systematic",
+    "dataset_padding_waste",
+    "join_asof_nearest",
 )
 
 
