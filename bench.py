@@ -187,6 +187,8 @@ HEADLINE = [
     "sample_weighted_systematic",
     "dataset_padding_waste",
     "join_asof_nearest",
+    "layout_overlap_depth",
+    "sim_graph_2hop_reach",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

@@ -462,3 +462,51 @@ def test_rfm_has_no_single_partition_window(spark, sf_dir):
     assert not unpartitioned, unpartitioned[:2]
     assert plan.count("rangepartitioning") >= 3
     spark.catalog.clearCache()
+
+
+def test_systematic_sampler_no_single_partition_window(spark, sf_dir):
+    """The PPS-systematic prefix sum must be the two-level topology, not
+    a global cumulative window: every Window node carries the _pid
+    partition key, the permutation is one range exchange, and the offset
+    /total sides come back as broadcasts."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "sample_weighted_systematic")
+    win_lines = [ln for ln in plan.splitlines() if re.search(r"\bWindow \[", ln)]
+    assert win_lines, "expected a per-partition cumulative-sum window"
+    assert not [ln for ln in win_lines if "windowspecdefinition(_pid#" not in ln]
+    assert "rangepartitioning" in plan
+    assert plan.count("BroadcastExchange") + plan.count("BroadcastQueryStage") >= 2
+    spark.catalog.clearCache()
+
+
+def test_asof_nearest_single_exchange_no_join(spark, sf_dir):
+    """join_asof_nearest must stay the union/two-frame rewrite: ONE
+    hash exchange on user_id feeding both window frames, and no join
+    operator anywhere (the two-ASOF-joins formulation would materialize
+    candidate pairs and pay two shuffles)."""
+    plan = plan_of(spark, sf_dir, "join_asof_nearest")
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in plan, bad
+    n_exchanges = sum(
+        1 for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "user_id" in ln
+    )
+    assert n_exchanges == 1, f"expected exactly one user_id exchange, saw {n_exchanges}"
+
+
+def test_recall_evals_broadcast_queries_not_corpus(spark, sf_dir):
+    """Both embedding recall evals must broadcast the N_QUERIES side —
+    never the corpus — and plan no cartesian product (the non-equi
+    self-pairing must ride the broadcast)."""
+    for name in ("embedding_binary_quantize_recall", "embedding_mrl_truncate_recall"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        # every corpus×queries pairing must ride a BuildRight broadcast
+        # of the query side (the right operand of each scoring join)
+        assert "BroadcastNestedLoopJoin BuildRight" in plan, name
+        assert "BroadcastNestedLoopJoin BuildLeft" not in plan, name
+        # (the final ≤TOP_K×N_QUERIES recall join may plan as SMJ
+        # pre-AQE — it is row-count-bounded, not corpus-sized)
+    spark.catalog.clearCache()

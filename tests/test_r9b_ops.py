@@ -191,3 +191,33 @@ def test_asof_nearest_planted_directions(spark):
     assert got[300].direction == "backward" and got[300].delta_us == 0
     assert got[400].direction is None and got[400].nearest_click_us is None
     assert got[500].direction is None and got[500].delta_us is None
+
+
+def test_overlap_depth_layout_contrast(spark):
+    from vena_etl_tool_spark.operators.layouts import (
+        ZM_SHARDS,
+        layout_overlap_depth,
+    )
+
+    rows = {r.layout: r for r in layout_overlap_depth(spark, SF).collect()}
+    # date-range shards are disjoint by construction -> depth exactly 1;
+    # every hash shard spans ~the whole date range -> all overlap at once
+    assert rows["clustered"].max_overlap_depth == 1
+    assert rows["hashed"].max_overlap_depth == rows["hashed"].n_shards == ZM_SHARDS
+
+
+def test_two_hop_reach_identities(spark):
+    from vena_etl_tool_spark.operators.similarity import (
+        KNN_GRAPH_K,
+        _mutual_graph_persisted,
+        sim_graph_2hop_reach,
+    )
+
+    rows = sim_graph_2hop_reach(spark, SF).collect()
+    n_edges = _mutual_graph_persisted(spark, SF).count()
+    assert rows and all(r.reach_2 == r.n_1hop + r.n_2hop for r in rows)
+    assert all(1 <= r.n_1hop <= KNN_GRAPH_K for r in rows)
+    # handshake: degrees sum to twice the undirected edge count
+    assert sum(r.n_1hop for r in rows) == 2 * n_edges
+    # strict 2-hop can never exceed the K-capped expansion bound
+    assert all(r.n_2hop <= r.n_1hop * (KNN_GRAPH_K - 0) for r in rows)

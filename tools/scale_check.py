@@ -278,6 +278,12 @@ QUERIES = (
     "sample_weighted_systematic",
     "dataset_padding_waste",
     "join_asof_nearest",
+    # r9 fourth session: overlap depth is one fact aggregate to shard
+    # grain then manifest-grain sweeps; 2-hop reach self-joins the
+    # K-capped persisted edge list (n·K² candidate bound, the
+    # link-prediction budget) and inherits the clone collapse.
+    "layout_overlap_depth",
+    "sim_graph_2hop_reach",
 )
 # Replica multiple for the scaled corpus. Default 10; override with
 # SPARK_GRAFT_REPLICAS (e.g. 100) for a two-decade probe on a focused

@@ -532,3 +532,125 @@ def layout_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_matching"),
     )
+
+
+_OVERLAP_DEPTH_ORACLE = f"""
+WITH rows_keyed AS (
+  SELECT ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT
+           % {ZM_SHARDS} AS hash_shard,
+         datediff('day', {ZM_EPOCH}, CAST(l_shipdate AS DATE)) AS ship_day
+  FROM lineitem
+), tagged AS (
+  SELECT 'clustered' AS layout, ship_day // 90 AS shard, ship_day
+  FROM rows_keyed
+  UNION ALL
+  SELECT 'hashed' AS layout, hash_shard AS shard, ship_day
+  FROM rows_keyed
+), zones AS (
+  SELECT layout, shard, MIN(ship_day) AS min_day, MAX(ship_day) AS max_day
+  FROM tagged GROUP BY layout, shard
+), bounds AS (
+  SELECT layout, min_day AS day, 1 AS delta FROM zones
+  UNION ALL
+  SELECT layout, max_day + 1 AS day, -1 AS delta FROM zones
+), day_grain AS (
+  SELECT layout, day, SUM(delta) AS d FROM bounds GROUP BY layout, day
+), depth AS (
+  SELECT layout, day,
+         CAST(SUM(d) OVER (PARTITION BY layout ORDER BY day
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS depth
+  FROM day_grain
+), mx AS (
+  SELECT layout, MAX(depth) AS max_overlap_depth FROM depth GROUP BY layout
+), ns AS (
+  SELECT layout, COUNT(*) AS n_shards FROM zones GROUP BY layout
+)
+SELECT d.layout, CAST(ns.n_shards AS BIGINT) AS n_shards,
+       mx.max_overlap_depth,
+       CAST(MIN(d.day) AS BIGINT) AS first_day_at_max
+FROM depth d
+JOIN mx ON mx.layout = d.layout AND d.depth = mx.max_overlap_depth
+JOIN ns ON ns.layout = d.layout
+GROUP BY d.layout, ns.n_shards, mx.max_overlap_depth
+"""
+
+
+@register(
+    "layout_overlap_depth",
+    tags=("layout", "clustering", "zonemap"),
+    oracle=_OVERLAP_DEPTH_ORACLE,
+)
+def layout_overlap_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-depth audit — the metric OPTIMIZE/re-clustering
+    decisions key on: for each layout's shard zone maps, the maximum
+    number of shards whose [min, max] ranges overlap any single sort-key
+    value (boundary sweep: +1 at min_day, −1 at max_day+1, running sum,
+    max). A perfectly clustered table has depth 1 (any point predicate
+    touches one shard); the hash layout's every shard spans the whole
+    range, so its depth equals the shard count — this op turns
+    layout_zonemap_prune's per-predicate verdict into the predicate-
+    independent structural number a table-maintenance service watches.
+
+    Plan shape: the shard zone maps are one shard-grain aggregate of the
+    fact scan (manifest-sized output); the sweep explodes 2 boundary
+    rows per SHARD (not per row), aggregates to day grain and runs one
+    window over the ~day-count-sized series per layout — everything
+    after the first aggregate is manifest-grain, so the audit costs one
+    fact scan regardless of table size."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr(
+            f"CAST(conv(substr(md5(CAST(l_orderkey AS STRING)), 1, 15), 16, 10)"
+            f" AS BIGINT) % {ZM_SHARDS}"
+        ).alias("hash_shard"),
+        F.expr(f"datediff(CAST(l_shipdate AS DATE), {ZM_EPOCH})").alias(
+            "ship_day"
+        ),
+    )
+    tagged = li.select(
+        F.lit("clustered").alias("layout"),
+        F.expr("ship_day div 90").alias("shard"),
+        "ship_day",
+    ).unionAll(
+        li.select(
+            F.lit("hashed").alias("layout"),
+            F.col("hash_shard").alias("shard"),
+            "ship_day",
+        )
+    )
+    zones = tagged.groupBy("layout", "shard").agg(
+        F.min("ship_day").alias("min_day"), F.max("ship_day").alias("max_day")
+    )
+    bounds = zones.select(
+        "layout",
+        F.explode(
+            F.array(
+                F.struct(F.col("min_day").alias("day"), F.lit(1).alias("delta")),
+                F.struct(
+                    (F.col("max_day") + 1).alias("day"), F.lit(-1).alias("delta")
+                ),
+            )
+        ).alias("b"),
+    ).select("layout", F.col("b.day").alias("day"), F.col("b.delta").alias("delta"))
+    day_grain = bounds.groupBy("layout", "day").agg(F.sum("delta").alias("d"))
+    w = (
+        Window.partitionBy("layout")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    depth = day_grain.withColumn("depth", F.sum("d").over(w).cast("long"))
+    mx = depth.groupBy("layout").agg(F.max("depth").alias("max_overlap_depth"))
+    ns = zones.groupBy("layout").agg(F.count(F.lit(1)).alias("n_shards"))
+    return (
+        depth.join(
+            F.broadcast(mx),
+            (depth["layout"] == mx["layout"])
+            & (F.col("depth") == F.col("max_overlap_depth")),
+        )
+        .drop(mx["layout"])
+        .join(F.broadcast(ns), "layout")
+        .groupBy("layout", "n_shards", "max_overlap_depth")
+        .agg(F.min("day").cast("long").alias("first_day_at_max"))
+        .select("layout", "n_shards", "max_overlap_depth", "first_day_at_max")
+    )

@@ -2631,3 +2631,79 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("max_dim_shift_micro"),
     )
+
+
+_TWO_HOP_ORACLE = f"""
+WITH {_KNN_GRAPH_CTES}, bidir AS (
+  SELECT vec_a AS src, vec_b AS dst FROM mutual
+  UNION ALL SELECT vec_b, vec_a FROM mutual
+), two AS (
+  SELECT DISTINCT e1.src AS src, e2.dst AS dst
+  FROM bidir e1 JOIN bidir e2 ON e2.src = e1.dst AND e2.dst <> e1.src
+), strict AS (
+  SELECT src, dst FROM two
+  EXCEPT
+  SELECT src, dst FROM bidir
+), n1 AS (
+  SELECT src, COUNT(*) AS n_1hop FROM bidir GROUP BY src
+), n2 AS (
+  SELECT src, COUNT(*) AS n_2hop FROM strict GROUP BY src
+)
+SELECT n1.src AS node, CAST(n1.n_1hop AS BIGINT) AS n_1hop,
+       CAST(COALESCE(n2.n_2hop, 0) AS BIGINT) AS n_2hop,
+       CAST(n1.n_1hop + COALESCE(n2.n_2hop, 0) AS BIGINT) AS reach_2
+FROM n1 LEFT JOIN n2 ON n2.src = n1.src
+"""
+
+
+@register(
+    "sim_graph_2hop_reach",
+    tags=("llm", "similarity", "graph"),
+    oracle=_TWO_HOP_ORACLE.format(
+        scores=_ivf_scores_duck(), pair_dot=_knn_pair_dot_duck()
+    ),
+)
+def sim_graph_2hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop neighborhood size over the mutual-kNN graph: per node the
+    degree (1-hop), the count of STRICT 2-hop neighbors (reachable in
+    exactly two edges, excluding self and direct neighbors — the
+    friends-of-friends candidate pool), and their sum. This is the
+    expansion statistic ANN-graph builders watch (a healthy navigable
+    graph grows reach ~K² per hop; clone-collapsed hubs show up as
+    reach saturation) and the candidate-generation budget for
+    graph-based retrieval.
+
+    Plan: consumes the persisted mutual-kNN edge artifact (≤ n·K/2
+    rows); the 2-hop expansion is ONE self-join of the K-capped
+    bidirectional edge list (≤ n·K² candidate rows — the
+    sim_link_prediction budget), a distinct, an anti-join against the
+    direct edges, and degree-grain aggregates. Nothing touches the
+    embeddings after the artifact exists."""
+    edges = _mutual_graph_persisted(spark, sf_dir).select("vec_a", "vec_b")
+    bidir = edges.select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    ).unionAll(
+        edges.select(F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"))
+    )
+    e2 = bidir.select(
+        F.col("src").alias("mid"), F.col("dst").alias("dst2")
+    )
+    two = (
+        bidir.join(e2, (F.col("dst") == F.col("mid")) & (F.col("dst2") != F.col("src")))
+        .select("src", F.col("dst2").alias("dst"))
+        .distinct()
+    )
+    strict = two.join(bidir, ["src", "dst"], "left_anti")
+    n1 = bidir.groupBy("src").agg(F.count(F.lit(1)).alias("n_1hop"))
+    n2 = strict.groupBy("src").agg(F.count(F.lit(1)).alias("n_2hop"))
+    return (
+        n1.join(n2, "src", "left")
+        .select(
+            F.col("src").alias("node"),
+            F.col("n_1hop").cast("long").alias("n_1hop"),
+            F.coalesce("n_2hop", F.lit(0)).cast("long").alias("n_2hop"),
+            (F.col("n_1hop") + F.coalesce("n_2hop", F.lit(0)))
+            .cast("long")
+            .alias("reach_2"),
+        )
+    )

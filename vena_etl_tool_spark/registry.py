@@ -165,6 +165,9 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     "sample_weighted_systematic",
     "dataset_padding_waste",
     "join_asof_nearest",
+    # --- fourth r9 work session (2 spare seats left deliberately) ---
+    "layout_overlap_depth",
+    "sim_graph_2hop_reach",
 )
 
 
