@@ -40,11 +40,6 @@ ROWS_ONLY_WHY = {
         "xxhash64/hash are Spark-proprietary hash functions with no DuckDB "
         "twin (md5/sha variants ARE oracle-checked in the sibling query)"
     ),
-    "multimodal_decode_features": (
-        "decode is a deterministic stub (no image libs in the container); "
-        "the Spark-side plumbing (schema, batching, mapInPandas signature) "
-        "is the tested surface"
-    ),
     "sim_ann_ivf_kmeans": (
         "pyspark.ml KMeans centroids depend on library-internal init/order; "
         "recall vs exact top-k is unit-tested, and the deterministic-fold "
