@@ -1114,9 +1114,12 @@ def profile_candidate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows",
             "n_distinct",
             (F.col("n_rows") - F.col("n_distinct")).alias("n_dup_rows"),
-            F.expr("CAST(n_distinct * 1000000 div n_rows AS BIGINT)").alias(
-                "uniqueness_ppm"
-            ),
+            # DECIMAL(38,0) ppm: int64 would ANSI-overflow past ~9.2e12
+            # distinct rows where DuckDB silently promotes to HUGEINT
+            F.expr(
+                "CAST(CAST(n_distinct AS DECIMAL(38,0)) * 1000000"
+                " div n_rows AS BIGINT)"
+            ).alias("uniqueness_ppm"),
             (F.col("n_distinct") == F.col("n_rows")).cast("int").alias("is_key"),
         )
         out = agg if out is None else out.unionByName(agg)

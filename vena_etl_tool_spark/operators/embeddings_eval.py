@@ -43,10 +43,13 @@ def _sig_half_spark(lo_bit: int) -> F.Column:
         F.when(F.col("embedding")[d] > 0.0, F.lit(1 << (d - lo_bit))).otherwise(0)
         for d in range(lo_bit, lo_bit + 32)
     ]
-    out = terms[0]
+    # accumulate in LONG from the first add: a 32-term int32 chain peaks
+    # at exactly INT_MAX (sum of bits 0..30 = 2^31−1) — safe today, but
+    # one more bit would ANSI-overflow, so don't ride the boundary
+    out = terms[0].cast("long")
     for t in terms[1:]:
         out = out + t
-    return out.cast("long")
+    return out
 
 
 def _sig_half_duck(lo_bit: int) -> str:

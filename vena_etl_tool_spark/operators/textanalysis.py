@@ -3778,8 +3778,11 @@ def dataset_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("max_len") * F.col("n_docs") - F.col("sum_tokens")).alias(
             "waste_tokens"
         ),
+        # ppm in DECIMAL(38,0): padded_tokens can reach ~1e17 at corpus
+        # scale, so the *1e6 product needs 128 bits where DuckDB silently
+        # promotes to HUGEINT (the events_hhi_concentration convention)
         F.expr(
-            "CAST((max_len * n_docs - sum_tokens) * 1000000"
-            " div (max_len * n_docs) AS BIGINT)"
+            "CAST(CAST((max_len * n_docs - sum_tokens) AS DECIMAL(38,0))"
+            " * 1000000 div (max_len * n_docs) AS BIGINT)"
         ).alias("waste_ppm"),
     )
