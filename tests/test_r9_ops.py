@@ -91,6 +91,10 @@ def test_multimodal_decode_roundtrip_planted(spark):
     # bytes, and the full printable-ASCII alphabet.
     from vena_etl_tool_spark.operators import multimodal as mm
 
+    # the documented container constants must match what the (mandatorily
+    # self-contained) worker closures pack: 4-byte magic + 2+2+1 dims
+    assert mm.VM_MAGIC == b"VM01" and mm.VM_HEADER_LEN == len(mm.VM_MAGIC) + 5
+
     texts = [
         "a",
         "x" * 639,

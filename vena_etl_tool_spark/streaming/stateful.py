@@ -493,7 +493,10 @@ def stream_timer_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     key — no global scan per batch; only each key's Arrow batches cross
     to Python. Emission is append-mode (each session exactly once)."""
     ev = events_stream(spark, sf_dir).select("user_id", "ts", "event_id")
-    ev = ev.withWatermark("ts", "10 minutes")
+    # watermark delay derives from the SAME constant the oracle's wm_ms
+    # predicate uses — a hardcoded "10 minutes" here would silently
+    # diverge the two engines if the constant ever changed
+    ev = ev.withWatermark("ts", f"{SESSION_WM_DELAY_MS // 1000} seconds")
     if has_tws_deps():
         with _state_store_provider(spark):
             out = ev.groupBy("user_id").transformWithStateInPandas(
