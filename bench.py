@@ -252,7 +252,15 @@ def canary_normalized_regressions(
     query common to this run and the previous round's detail file, compare
     canary-normalized times (query_sec / canary_sec — host-speed drift
     divides out) and report those >1.5x their prior-round number. Returns
-    None when the previous detail file is missing/unreadable."""
+    None when the previous detail file is missing/unreadable.
+
+    The flag is CONJUNCTIVE: both the normalized ratio AND the raw ratio
+    must exceed the threshold. The canary (one synthetic shuffle+agg)
+    swings ±30% with page-cache/JIT state, and dividing by a fast-canary
+    run inflates every unchanged query to ~1/factor — a measured failure
+    mode (a canary 0.343→0.228 swing flagged 24 unchanged queries at
+    ~1.6x while their raw times moved ≤1.1x). A real code regression
+    moves both numbers; a canary swing moves only one."""
     prev = _prev_round(ROUND)
     if prev is None:
         return None
@@ -273,9 +281,10 @@ def canary_normalized_regressions(
         pt = prev_q.get(name)
         if not pt:
             continue
-        ratio = (t / canary) / (pt / prev_canary)
-        if ratio > 1.5:
-            out[name] = round(ratio, 2)
+        norm_ratio = (t / canary) / (pt / prev_canary)
+        raw_ratio = t / pt
+        if norm_ratio > 1.5 and raw_ratio > 1.5:
+            out[name] = round(min(norm_ratio, raw_ratio), 2)
     return out
 
 
