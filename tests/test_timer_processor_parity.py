@@ -1,0 +1,213 @@
+"""Parity harness for the two stream_timer_sessions implementations.
+
+The transformWithState timer processor (make_session_timer_processor)
+cannot execute in this container (the TWS Python state client needs
+protobuf), so this suite drives BOTH implementations' pure logic through
+fake state/handle objects that mimic the engine contract, over planted
+AND randomized per-user event sequences, and asserts they emit identical
+session sets under the same simulated lifecycle:
+
+  1. one data batch per key (the availableNow single-batch posture),
+  2. then the no-data flush: every timer strictly below the final
+     watermark fires (the engine's eviction predicate).
+
+A divergence here is exactly the bug the env gate would otherwise hide
+until deployment.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+import pytest
+
+from vena_etl_tool_spark.streaming.stateful import (
+    SESSION_GAP_MS,
+    make_session_timeout_fn,
+    make_session_timer_processor,
+)
+
+
+class FakeGroupState:
+    """Mimics pyspark GroupState for the applyInPandasWithState path."""
+
+    def __init__(self):
+        self._val = None
+        self.timeout_ts = None
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._val is not None
+
+    @property
+    def get(self):
+        assert self._val is not None
+        return self._val
+
+    def update(self, v):
+        self._val = tuple(v)
+
+    def remove(self):
+        self._val = None
+        self.timeout_ts = None
+
+    def setTimeoutTimestamp(self, ts_ms):
+        self.timeout_ts = int(ts_ms)
+
+
+class FakeValueState:
+    def __init__(self):
+        self._val = None
+
+    def exists(self):
+        return self._val is not None
+
+    def get(self):
+        assert self._val is not None
+        return self._val
+
+    def update(self, v):
+        self._val = tuple(v)
+
+    def clear(self):
+        self._val = None
+
+
+class FakeHandle:
+    """Mimics StatefulProcessorHandle: one ValueState + a timer registry."""
+
+    def __init__(self):
+        self._state = FakeValueState()
+        self.timers: set[int] = set()
+
+    def getValueState(self, name, schema):
+        return self._state
+
+    def registerTimer(self, ts_ms):
+        self.timers.add(int(ts_ms))
+
+    def deleteTimer(self, ts_ms):
+        self.timers.discard(int(ts_ms))
+
+
+def _batch(user_id, ts_ms_list):
+    return pd.DataFrame(
+        {
+            "ts": pd.to_datetime(pd.Series(sorted(ts_ms_list)), unit="ms"),
+            "event_id": range(len(ts_ms_list)),
+            "user_id": user_id,
+        }
+    )
+
+
+def _run_fallback(user_id, ts_ms_list, wm_ms, n_batches=1):
+    fn = make_session_timeout_fn(SESSION_GAP_MS)
+    state = FakeGroupState()
+    out = []
+    for chunk in _chunks(sorted(ts_ms_list), n_batches):
+        out += list(fn((user_id,), iter([_batch(user_id, chunk)]), state))
+    # engine lifecycle: the flush batch times out iff timer < watermark
+    if state.exists and state.timeout_ts is not None and state.timeout_ts < wm_ms:
+        state.hasTimedOut = True
+        out += list(fn((user_id,), iter([]), state))
+    return {
+        tuple(r)
+        for pdf in out
+        if len(pdf)
+        for r in pdf[
+            ["user_id", "session_start_ms", "session_end_ms", "n_events", "closed_by"]
+        ].itertuples(index=False)
+    }
+
+
+def _chunks(seq, k):
+    if k <= 1 or len(seq) <= 1:
+        return [seq]
+    per = max(1, len(seq) // k)
+    return [c for c in (seq[i : i + per] for i in range(0, len(seq), per)) if c]
+
+
+def _run_tws(user_id, ts_ms_list, wm_ms, n_batches=1):
+    proc = make_session_timer_processor(SESSION_GAP_MS)
+    handle = FakeHandle()
+    proc.init(handle)
+    out = []
+    for chunk in _chunks(sorted(ts_ms_list), n_batches):
+        out += list(proc.handleInputRows((user_id,), iter([_batch(user_id, chunk)]), None))
+    for t in sorted(handle.timers):
+        if t < wm_ms:  # the engine fires timers strictly below the watermark
+            out += list(proc.handleExpiredTimer((user_id,), None, None))
+    return {
+        tuple(r)
+        for pdf in out
+        if len(pdf)
+        for r in pdf[
+            ["user_id", "session_start_ms", "session_end_ms", "n_events", "closed_by"]
+        ].itertuples(index=False)
+    }
+
+
+BASE = 1_700_000_000_000  # arbitrary epoch-ms anchor
+G = SESSION_GAP_MS
+
+
+@pytest.mark.parametrize(
+    "ts_offsets, wm_offset",
+    [
+        # single event, timer fires
+        ([0], 10 * G),
+        # single event, timer exactly AT the watermark -> must NOT fire
+        ([0], G),
+        # two sessions split by an in-batch gap; trailing timer fires
+        ([0, 100, 2 * G + 200, 2 * G + 300], 10 * G),
+        # gap of exactly G does not split
+        ([0, G], 10 * G),
+        # gap of G+1 splits
+        ([0, G + 1], 10 * G),
+        # trailing session open (watermark before its timer)
+        ([0, 100, 3 * G], 3 * G + 100),
+    ],
+)
+def test_planted_parity(ts_offsets, wm_offset):
+    ts = [BASE + o for o in ts_offsets]
+    wm = BASE + wm_offset
+    assert _run_fallback(7, ts, wm) == _run_tws(7, ts, wm)
+
+
+def test_randomized_parity():
+    rng = random.Random(20260816)
+    for trial in range(200):
+        n = rng.randint(1, 40)
+        # mix sub-gap jitter and super-gap jumps so sessions split often
+        ts, cur = [], BASE
+        for _ in range(n):
+            cur += rng.choice(
+                [rng.randint(0, G), rng.randint(G - 2, G + 2), rng.randint(G + 1, 4 * G)]
+            )
+            ts.append(cur)
+        wm = rng.choice([cur - G, cur, cur + G, cur + G + 1, cur + 10 * G])
+        # split delivery across 1-3 time-ordered micro-batches: exercises
+        # the carried-over open-session splice (extend vs close-then-open)
+        nb = rng.choice([1, 1, 2, 3])
+        a = _run_fallback(trial, ts, wm, n_batches=nb)
+        b = _run_tws(trial, ts, wm, n_batches=nb)
+        assert a == b, f"trial {trial}: fallback {a ^ b} diverged"
+        single = _run_fallback(trial, ts, wm, n_batches=1)
+        assert a == single, f"trial {trial}: batching changed the sessions"
+        # conservation: emitted events + open-state events == n
+        emitted = sum(r[3] for r in a)
+        assert emitted <= n
+
+
+def test_tws_timer_registry_holds_single_live_timer():
+    # every extension must delete the old timer before registering the
+    # new one — a leaked timer would double-emit a session at deploy
+    proc = make_session_timer_processor(SESSION_GAP_MS)
+    handle = FakeHandle()
+    proc.init(handle)
+    list(proc.handleInputRows((1,), iter([_batch(1, [BASE])]), None))
+    assert handle.timers == {BASE + G}
+    list(proc.handleInputRows((1,), iter([_batch(1, [BASE + 100])]), None))
+    assert handle.timers == {BASE + 100 + G}
