@@ -189,6 +189,7 @@ HEADLINE = [
     "join_asof_nearest",
     "layout_overlap_depth",
     "sim_graph_2hop_reach",
+    "events_ab_test_readout",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

@@ -221,3 +221,25 @@ def test_two_hop_reach_identities(spark):
     assert sum(r.n_1hop for r in rows) == 2 * n_edges
     # strict 2-hop can never exceed the K-capped expansion bound
     assert all(r.n_2hop <= r.n_1hop * (KNN_GRAPH_K - 0) for r in rows)
+
+
+def test_ab_readout_identities(spark):
+    from vena_etl_tool_spark.operators.analytics import events_ab_test_readout
+
+    rows = {r.variant: r for r in events_ab_test_readout(spark, SF).collect()}
+    assert set(rows) == {"A", "B", "B-A"}
+    a, b, d = rows["A"], rows["B"], rows["B-A"]
+    # the diff row is exactly B minus A, column for column
+    for c in ("n_users", "n_converted", "purchase_cents", "cvr_ppm",
+              "cents_per_user"):
+        assert getattr(d, c) == getattr(b, c) - getattr(a, c), c
+    # assignment is a partition of the user universe
+    n_users = (
+        spark.read.parquet(os.path.join(SF, "events.parquet"))
+        .select("user_id").distinct().count()
+    )
+    assert a.n_users + b.n_users == n_users
+    assert 0 <= a.n_converted <= a.n_users and 0 <= b.n_converted <= b.n_users
+    # assignment must be reproducible: hash, not RNG
+    again = {r.variant: r for r in events_ab_test_readout(spark, SF).collect()}
+    assert again["A"].n_users == a.n_users

@@ -284,6 +284,9 @@ QUERIES = (
     # link-prediction budget) and inherits the clone collapse.
     "layout_overlap_depth",
     "sim_graph_2hop_reach",
+    # r9 fifth session: assignment is a map-side md5 expression; the
+    # readout is one user-grain distinct aggregate + a 2-row rollup.
+    "events_ab_test_readout",
 )
 # Replica multiple for the scaled corpus. Default 10; override with
 # SPARK_GRAFT_REPLICAS (e.g. 100) for a two-decade probe on a focused

@@ -1416,3 +1416,124 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_monetary_cents"),
         F.sum("frequency").cast("long").alias("total_orders"),
     )
+
+
+@register(
+    "events_ab_test_readout",
+    tags=("events", "analytics", "experiment"),
+    oracle="""
+WITH assigned AS (
+  SELECT user_id,
+         CASE WHEN ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 12))::BIGINT % 2 = 0
+              THEN 'A' ELSE 'B' END AS variant
+  FROM events GROUP BY user_id
+), metrics AS (
+  SELECT a.variant,
+         COUNT(DISTINCT e.user_id) AS n_users,
+         COUNT(DISTINCT CASE WHEN e.event_type = 'purchase'
+                             THEN e.user_id END) AS n_converted,
+         CAST(COALESCE(SUM(CASE WHEN e.event_type = 'purchase'
+                   THEN CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   ELSE 0 END), 0) AS BIGINT) AS purchase_cents
+  FROM events e JOIN assigned a USING (user_id)
+  GROUP BY a.variant
+), rates AS (
+  SELECT variant, n_users, n_converted, purchase_cents,
+         CAST(n_converted * 1000000 // n_users AS BIGINT) AS cvr_ppm,
+         CAST(purchase_cents // n_users AS BIGINT) AS cents_per_user
+  FROM metrics
+)
+SELECT variant, CAST(n_users AS BIGINT) AS n_users,
+       CAST(n_converted AS BIGINT) AS n_converted,
+       purchase_cents, cvr_ppm, cents_per_user
+FROM rates
+UNION ALL
+SELECT 'B-A' AS variant,
+       b.n_users - a.n_users,
+       b.n_converted - a.n_converted,
+       b.purchase_cents - a.purchase_cents,
+       b.cvr_ppm - a.cvr_ppm,
+       b.cents_per_user - a.cents_per_user
+FROM (SELECT * FROM rates WHERE variant = 'A') a,
+     (SELECT * FROM rates WHERE variant = 'B') b
+""",
+)
+def events_ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with deterministic hash assignment — the
+    experimentation-analytics primitive: every user lands in a variant
+    via the first 48 bits of md5('ab:'||user_id) (content-addressed like
+    the sampling family — reproducible across engines, partitionings and
+    reruns, and uncorrelated with any behavioral column), then per
+    variant the exact user count, converter count (>=1 purchase),
+    purchase value in cents, conversion rate in ppm and value-per-user,
+    plus a 'B-A' difference row so the lift is itself hash-checked. The
+    sample-ratio-mismatch check is the n_users delta in that row.
+
+    Scale: assignment is a map-side expression on the fact scan; the
+    readout is one user-grain distinct aggregate then a 2-row rollup —
+    the same budget as any per-user metric. Nothing iterates; the
+    significance-test layer (a z on two binomials) is driver-side
+    arithmetic on this one output row at any data size."""
+    ev = load_table(spark, sf_dir, "events")
+    variant = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    assigned = ev.select(
+        "user_id",
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("val"),
+        variant.alias("variant"),
+    )
+    metrics = assigned.groupBy("variant").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count_distinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("n_converted"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    (F.col("val") * 100).cast("long"),
+                ).otherwise(F.lit(0))
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("purchase_cents"),
+    )
+    rates = metrics.select(
+        "variant",
+        "n_users",
+        "n_converted",
+        "purchase_cents",
+        F.expr("CAST(n_converted * 1000000 div n_users AS BIGINT)").alias(
+            "cvr_ppm"
+        ),
+        F.expr("CAST(purchase_cents div n_users AS BIGINT)").alias(
+            "cents_per_user"
+        ),
+    )
+    a = rates.filter(F.col("variant") == "A").alias("a")
+    b = rates.filter(F.col("variant") == "B").alias("b")
+    diff = a.crossJoin(b).select(
+        F.lit("B-A").alias("variant"),
+        (F.col("b.n_users") - F.col("a.n_users")).alias("n_users"),
+        (F.col("b.n_converted") - F.col("a.n_converted")).alias("n_converted"),
+        (F.col("b.purchase_cents") - F.col("a.purchase_cents")).alias(
+            "purchase_cents"
+        ),
+        (F.col("b.cvr_ppm") - F.col("a.cvr_ppm")).alias("cvr_ppm"),
+        (F.col("b.cents_per_user") - F.col("a.cents_per_user")).alias(
+            "cents_per_user"
+        ),
+    )
+    return rates.unionByName(diff)

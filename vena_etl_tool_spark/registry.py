@@ -165,9 +165,11 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     "sample_weighted_systematic",
     "dataset_padding_waste",
     "join_asof_nearest",
-    # --- fourth r9 work session (2 spare seats left deliberately) ---
+    # --- fourth r9 work session ---
     "layout_overlap_depth",
     "sim_graph_2hop_reach",
+    # --- fifth r9 work session (1 spare seat left deliberately) ---
+    "events_ab_test_readout",
 )
 
 
