@@ -190,6 +190,7 @@ HEADLINE = [
     "layout_overlap_depth",
     "sim_graph_2hop_reach",
     "events_ab_test_readout",
+    "sim_ann_graph_greedy",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

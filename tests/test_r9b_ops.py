@@ -243,3 +243,29 @@ def test_ab_readout_identities(spark):
     # assignment must be reproducible: hash, not RNG
     again = {r.variant: r for r in events_ab_test_readout(spark, SF).collect()}
     assert again["A"].n_users == a.n_users
+
+
+def test_graph_greedy_walk_identities(spark):
+    from vena_etl_tool_spark.operators.similarity import (
+        N_QUERIES,
+        _mutual_graph_persisted,
+        sim_ann_graph_greedy,
+    )
+
+    rows = sim_ann_graph_greedy(spark, SF).collect()
+    assert len(rows) == N_QUERIES
+    edges = _mutual_graph_persisted(spark, SF)
+    graph_nodes = {
+        v for r in edges.select("vec_a", "vec_b").collect() for v in (r.vec_a, r.vec_b)
+    }
+    entry = min(graph_nodes)
+    for r in rows:
+        assert r.entry_node == entry
+        # the walk can only land on graph nodes, never on the query itself
+        assert r.final_node in graph_nodes and r.final_node != r.query_id
+        assert r.truth_node in graph_nodes and r.truth_node != r.query_id
+        assert r.hit_top1 == int(r.final_node == r.truth_node)
+        assert -1.0 <= r.final_cosine <= 1.0
+    # greedy over a mutual-kNN graph must navigate better than chance:
+    # at least one query reaches its true best reachable node
+    assert sum(r.hit_top1 for r in rows) > 0

@@ -287,6 +287,10 @@ QUERIES = (
     # r9 fifth session: assignment is a map-side md5 expression; the
     # readout is one user-grain distinct aggregate + a 2-row rollup.
     "events_ab_test_readout",
+    # r9 sixth session: per-hop work is N_QUERIES x (K+1) candidate rows
+    # against the persisted edge artifact regardless of corpus size; only
+    # the truth side scans graph nodes (broadcast queries).
+    "sim_ann_graph_greedy",
 )
 # Replica multiple for the scaled corpus. Default 10; override with
 # SPARK_GRAFT_REPLICAS (e.g. 100) for a two-decade probe on a focused

@@ -2707,3 +2707,210 @@ def sim_graph_2hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("reach_2"),
         )
     )
+
+
+# Greedy graph-ANN search: bounded best-first hops over the mutual-kNN
+# graph from a deterministic entry point — the navigable-graph serving
+# primitive (HNSW's layer-0 search without the sequential build). Hop
+# count is a constant, so the oracle UNROLLS the walk (recursive CTEs
+# forbid the per-step argmax window).
+WALK_HOPS = 4
+
+
+def _walk_cos_duck(q: str, s: str) -> str:
+    dot = (
+        "(SELECT CAST(SUM(CAST(FLOOR(CAST(struct_extract(wp, 1) AS DOUBLE)"
+        " * CAST(struct_extract(wp, 2) AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12"
+        f" FROM UNNEST(list_zip({q}.embedding, {s}.embedding)) AS t(wp))"
+    )
+    return f"{dot} / (SQRT({q}.sq_norm) * SQRT({s}.sq_norm))"
+
+
+def _graph_walk_oracle() -> str:
+    hops = []
+    for h in range(1, WALK_HOPS + 1):
+        prev = f"walk{h - 1}"
+        hops.append(f"""
+, cand{h} AS (
+  SELECT w.query_id, c.dst AS cand FROM {prev} w JOIN bidir c ON c.src = w.cur
+  UNION ALL
+  SELECT query_id, cur AS cand FROM {prev}
+), walk{h} AS (
+  SELECT query_id, cand AS cur FROM (
+    SELECT t.query_id, t.cand,
+           ROW_NUMBER() OVER (
+             PARTITION BY t.query_id
+             ORDER BY {_walk_cos_duck("q", "s")} DESC, t.cand) AS rk
+    FROM cand{h} t
+    JOIN scored s ON s.vec_id = t.cand
+    JOIN qv q ON q.query_id = t.query_id
+    WHERE t.cand <> t.query_id
+  ) WHERE rk = 1
+)""")
+    return f"""
+WITH {_KNN_GRAPH_CTES}, bidir AS (
+  SELECT vec_a AS src, vec_b AS dst FROM mutual
+  UNION ALL SELECT vec_b, vec_a FROM mutual
+), entry AS (
+  SELECT MIN(src) AS node FROM bidir
+), qv AS (
+  SELECT vec_id AS query_id, embedding,
+         (SELECT CAST(SUM(CAST(FLOOR(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
+          FROM UNNEST(embedding) AS u(x)) AS sq_norm
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), walk0 AS (
+  SELECT q.query_id, e.node AS cur FROM qv q, entry e
+){''.join(hops)}
+, truth AS (
+  SELECT query_id, cand AS best_node FROM (
+    SELECT q.query_id, s.vec_id AS cand,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_walk_cos_duck("q", "s")} DESC, s.vec_id) AS rk
+    FROM qv q
+    JOIN scored s ON s.vec_id IN (SELECT src FROM bidir)
+    WHERE s.vec_id <> q.query_id
+  ) WHERE rk = 1
+)
+SELECT w.query_id,
+       (SELECT node FROM entry) AS entry_node,
+       w.cur AS final_node,
+       ROUND({_walk_cos_duck("q", "s")}, 6) AS final_cosine,
+       t.best_node AS truth_node,
+       CAST(w.cur = t.best_node AS INT) AS hit_top1
+FROM walk{WALK_HOPS} w
+JOIN qv q ON q.query_id = w.query_id
+JOIN scored s ON s.vec_id = w.cur
+JOIN truth t ON t.query_id = w.query_id
+"""
+
+
+@register(
+    "sim_ann_graph_greedy",
+    tags=("llm", "similarity", "graph", "ann"),
+    oracle=_graph_walk_oracle().format(
+        scores=_ivf_scores_duck(), pair_dot=_knn_pair_dot_duck()
+    ),
+)
+def sim_ann_graph_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy best-first ANN search over the mutual-kNN graph — the
+    serving primitive of navigable-graph indexes (HNSW's layer-0 walk,
+    minus the sequential build Spark can't do): from a deterministic
+    entry point (the minimum graph node id), take WALK_HOPS hops, each
+    moving to the best of {current node} ∪ neighbors by exact cosine to
+    the query (self excluded, ties to the smaller id). Staying put
+    dominates once a local optimum is reached, so the unrolled walk is
+    stable. The output scores navigability itself: final node + cosine
+    per query AND hit_top1 against the true best reachable graph node —
+    the number an index operator watches before trusting greedy search
+    (pairs with sim_graph_2hop_reach's expansion statistic).
+
+    Plan: WALK_HOPS static iterations, each a (queries × K+1)-row
+    candidate join against the persisted edge artifact plus one
+    window — per-hop work is N_QUERIES·(K+1) rows regardless of corpus
+    size; the truth side scans graph nodes once per query (broadcast
+    queries, never corpus × corpus). All ranking uses the repo's
+    scaled-integer dot fold, so the walk path is bit-identical in
+    DuckDB's unrolled-CTE twin."""
+    emb = with_sq_norm(spread_small(load_table(spark, sf_dir, "embeddings")))
+    edges = _mutual_graph_persisted(spark, sf_dir).select("vec_a", "vec_b")
+    bidir = edges.select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    ).unionAll(
+        edges.select(F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"))
+    )
+    entry = bidir.agg(F.min("src").alias("entry_node"))
+    qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("sq_norm").alias("q_sq"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("cand"),
+        F.col("embedding").alias("c_emb"),
+        F.col("sq_norm").alias("c_sq"),
+    )
+    cos = dot_exact(F.col("q_emb"), F.col("c_emb")) / (
+        F.sqrt("q_sq") * F.sqrt("c_sq")
+    )
+
+    def argmax(scored: DataFrame) -> DataFrame:
+        # per-query argmax as a struct-max aggregate: map-side combinable,
+        # deterministic (ties break to the SMALLER cand via the negated
+        # id), and no window shuffle of a 100-row frontier per hop
+        return (
+            scored.groupBy("query_id")
+            .agg(
+                F.max(
+                    F.struct(F.col("_cos"), (-F.col("cand")).alias("_nc"))
+                ).alias("_m")
+            )
+            .select("query_id", (-F.col("_m._nc")).alias("cand"))
+        )
+
+    def best(cand_df: DataFrame) -> DataFrame:
+        # hop frontier is N_QUERIES·(K+1) rows — broadcast IT against the
+        # partitioned corpus (at 100 TB the edge/embedding side is the
+        # big one)
+        scored = (
+            F.broadcast(cand_df.filter(F.col("cand") != F.col("query_id")))
+            .join(corpus, "cand")
+            .join(F.broadcast(qv), "query_id")
+            .withColumn("_cos", cos)
+        )
+        return argmax(scored)
+
+    walk = qv.select("query_id").crossJoin(F.broadcast(entry)).select(
+        "query_id", F.col("entry_node").alias("cur")
+    )
+    for _ in range(WALK_HOPS):
+        cand = walk.join(
+            bidir, walk["cur"] == bidir["src"]
+        ).select("query_id", F.col("dst").alias("cand")).unionAll(
+            walk.select("query_id", F.col("cur").alias("cand"))
+        )
+        # materialize the N_QUERIES-row frontier per hop (the iterative-
+        # loop convention from sim_semantic_clusters): without it each
+        # hop's broadcast subtree re-derives every earlier hop — measured
+        # as quadratic-in-hops job count for zero extra information
+        walk = (
+            best(cand)
+            .select("query_id", F.col("cand").alias("cur"))
+            .localCheckpoint()
+        )
+    # truth side: scan the node-filtered corpus ONCE against the
+    # broadcast queries (never a materialized queries × nodes product)
+    nodes = bidir.select(F.col("src").alias("cand")).distinct()
+    truth_scored = (
+        corpus.join(nodes, "cand")
+        .crossJoin(F.broadcast(qv))
+        .filter(F.col("cand") != F.col("query_id"))
+        .withColumn("_cos", cos)
+    )
+    truth = argmax(truth_scored).select(
+        "query_id", F.col("cand").alias("truth_node")
+    )
+    final = (
+        walk.select("query_id", F.col("cur").alias("cand"))
+        .join(corpus, "cand")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            F.col("cand").alias("final_node"),
+            F.round(cos, 6).alias("final_cosine"),
+        )
+    )
+    return (
+        final.crossJoin(F.broadcast(entry))
+        .join(truth, "query_id")
+        .select(
+            "query_id",
+            "entry_node",
+            "final_node",
+            "final_cosine",
+            "truth_node",
+            (F.col("final_node") == F.col("truth_node")).cast("int").alias(
+                "hit_top1"
+            ),
+        )
+    )

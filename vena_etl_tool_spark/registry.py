@@ -168,8 +168,11 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     # --- fourth r9 work session ---
     "layout_overlap_depth",
     "sim_graph_2hop_reach",
-    # --- fifth r9 work session (1 spare seat left deliberately) ---
+    # --- fifth r9 work session ---
     "events_ab_test_readout",
+    # --- sixth r9 work session: residue at the 15 cap — by construction
+    # the round's last operator (the r8 convention) ---
+    "sim_ann_graph_greedy",
 )
 
 
