@@ -49,13 +49,13 @@ def test_rotation_completes_oracle_backed_coverage():
         f"undeclared driver-coverage residue: "
         f"{sorted(set(residue) ^ set(registry.ROTATION_RESIDUE))}"
     )
-    # r9: the window froze at round start with the full r8 residue (15)
-    # seated plus the complete 35-query r4-evidence backlog — zero spare
-    # seats — so the residue list reopens EMPTY and accumulates only
-    # operators added during r9. Bound: after a green r9 run the r10
-    # window = residue + oldest-evidence (r5) re-validation picks; the
-    # r5 backlog is 45 queries, so cap r9 residue at 15 (15 + 35 of the
-    # 45 fit one window; the remaining 10 r5 picks roll to r11).
+    # r10: the window froze at round start with the full r9 residue (15)
+    # seated plus 35 single-green picks from the 45-query r5-evidence
+    # cohort — zero spare seats — so the residue list reopens EMPTY and
+    # accumulates only operators added during r10. Bound: after a green
+    # r10 run the r11 window = residue + the 10 deferred double-green r5
+    # picks + oldest r6-evidence picks (49 queries), so cap r10 residue
+    # at 15.
     assert len(registry.ROTATION_RESIDUE) <= 15
 
 

@@ -66,98 +66,39 @@ def _load_all() -> None:
 # records `no_oracle` as an error); never-checked > re-validation when
 # displacing; a query whose code or ORACLE changes re-enters the window.
 #
-# Round-9 window (frozen at round start; math re-verified against the
-# r8-refreshed docs/COVERAGE.md — the ROUND8_NOTES "49 seats / 1 spare"
-# line was a typo the r8 verdict flagged: residue is 15, not 14):
-#   (1) all 15 ROTATION_RESIDUE queries from r8 — every r8-added
+# Round-10 window (frozen at round start; math re-verified against the
+# r9-refreshed docs/COVERAGE.md — the ROUND9_NOTES "14 + 36" r10-plan
+# line was a typo the r9 verdict flagged: the r9 residue is 15, not 14):
+#   (1) all 15 ROTATION_RESIDUE queries from r9 — every r9-added
 #       oracle-backed operator takes its FIRST driver-green row here.
-#       Three of these (orders_rfm_segments, events_hhi_concentration,
-#       dedup_lsh_recall_audit) are ALSO this round's planned
-#       "changed ⇒ re-enter" targets (verdict #2/#3, ADVICE items) —
-#       they were already seated, so the changes displace nothing.
-#   (2) the complete 35-query r4-evidence backlog (alphabetical; from
-#       docs/COVERAGE.md newest-evidence histogram: 35×r4 + 45×r5 +
-#       49×r6 + 50×r7 + 50×r8 + 15×never = 244 oracle-backed) —
-#       oldest-evidence re-validation. 15 + 35 = 50: ZERO spare seats.
-#       Any r9 "changed ⇒ re-enter" for a query OUTSIDE this window
-#       must displace one of these r4 fillers (all unchanged r4-green;
-#       displacing one only defers a re-validation — re-seat it in
+#       Three of these (profile_candidate_keys, multimodal_decode_features,
+#       sample_weighted_systematic) are ALSO this round's planned
+#       "changed => re-enter" targets (r9 ADVICE items) — already
+#       seated, so the changes displace nothing.
+#   (2) 35 of the 45-query r5-evidence cohort (from docs/COVERAGE.md
+#       newest-evidence histogram after the 50/50-green r9 run:
+#       45xr5 + 49xr6 + 50xr7 + 50xr8 + 50xr9 + 15xnever = 259
+#       oracle-backed) — oldest-evidence re-validation. Pick rule:
+#       fewest historical driver-green rows first (the 35 singles),
+#       alphabetical tiebreak; the 10 deferred all hold TWO greens
+#       (multimodal_frame_sample, profile_column_stats,
+#       q10_returned_items, q5_local_supplier_volume, q7_nation_volume,
+#       skew_salted_join, stream_stateful_running_totals,
+#       string_functions, unpivot_melt, window_frames) and lead the
+#       r11 re-validation picks. 15 + 35 = 50: ZERO spare seats.
+#       Any r10 "changed => re-enter" for a query OUTSIDE this window
+#       must displace one of these r5 fillers (re-seat it in
 #       ROTATION_RESIDUE immediately, cap 15).
-# After a green r9 driver run: no oracle-backed query's newest driver
-# evidence predates r5, and the r10 window = the (then ≤15) r9 residue
-# + the oldest-evidence (r5) re-validation picks.
+# After a green r10 driver run: the only oracle-backed queries whose
+# newest driver evidence predates r6 are the 10 deferred double-green
+# r5 picks, and the r11 window = the (then <=15) r10 residue + those 10
+# + the oldest r6-evidence picks.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- (1) the full r8 ROTATION_RESIDUE (15), first driver rows ---
-    "sim_link_prediction",
-    "sim_kmeans_lloyd_step",
-    "retrieval_rrf_fusion",
-    "text_tfidf_cosine_pairs",
-    "dedup_lsh_recall_audit",
-    "text_bpe_fertility",
-    "dsir_importance_weights",
-    "events_activity_streaks",
-    "events_funnel_ttc",
-    "stream_late_data_audit",
-    "embedding_centroid_drift",
-    "events_hhi_concentration",
-    "orders_rfm_segments",
-    "profile_benford_audit",
-    "retrieval_rrf_fusion_ivf",
-    # --- (2) the complete 35-query r4-evidence backlog (alphabetical) ---
-    "events_path_mining",
-    "events_retention_cohorts",
-    "join_null_safe",
-    "join_range_bucketized",
-    "json_functions_extra",
-    "layout_bucketed_join",
-    "layout_compaction_plan",
-    "map_functions_extra",
-    "multimodal_audio_segments",
-    "pipeline_pretrain_flagship",
-    "q11_important_value",
-    "q12_late_shipments",
-    "q15_top_supplier",
-    "q16_part_supplier_diversity",
-    "q1_pricing_summary",
-    "q20_quantity_share_suppliers",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q8_market_share",
-    "q9_product_profit",
-    "scalar_functions_extra",
-    "sessionize_events",
-    "sim_ann_lsh",
-    "sort_within_partitions",
-    "source_python_datasource",
-    "source_python_stream",
-    "stream_curation_pipeline",
-    "stream_stream_left_outer",
-    "stream_transform_with_state",
-    "stream_tumbling_append",
-    "text_contamination_check",
-    "text_repetition_ratio",
-    "text_span_dedup",
-    "text_token_commonness",
-    "udtf_chunk_text",
-)
-
-# Oracle-backed queries added AFTER this round's window was frozen — they
-# rotate into the next round's window. Kept explicit so tests + ROUND notes
-# can audit that nothing silently escapes driver coverage. The r9 window
-# froze at round start with the complete 15-query r8 residue seated, so
-# this list reopens EMPTY; every oracle-backed operator ADDED during r9
-# must be appended here (enforced by tests/test_registry_order.py, cap 15)
-# and leads the r10 window together with the oldest-evidence (r5) picks.
-ROTATION_RESIDUE: tuple[str, ...] = (
-    # --- first r9 work session ---
+    # --- (1) the full r9 ROTATION_RESIDUE (15), first driver rows ---
     "dedup_lsh_recall_audit_stratum",
     "dedup_cluster_star_contract",
-    # --- second r9 work session ---
-    # rows-only → oracle-backed upgrade (verdict #6): the decode seam now
-    # parses a real packed binary container, so it needs driver evidence.
     "multimodal_decode_features",
     "stream_timer_sessions",
-    # --- third r9 work session ---
     "embedding_binary_quantize_recall",
     "embedding_mrl_truncate_recall",
     "profile_candidate_keys",
@@ -165,14 +106,57 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     "sample_weighted_systematic",
     "dataset_padding_waste",
     "join_asof_nearest",
-    # --- fourth r9 work session ---
     "layout_overlap_depth",
     "sim_graph_2hop_reach",
-    # --- fifth r9 work session ---
     "events_ab_test_readout",
-    # --- sixth r9 work session: residue at the 15 cap — by construction
-    # the round's last operator (the r8 convention) ---
     "sim_ann_graph_greedy",
+    # --- (2) 35 single-green r5-evidence picks (alphabetical) ---
+    "agg_cube",
+    "agg_distinct_counts",
+    "agg_grouping_sets",
+    "agg_percentiles_exact",
+    "agg_pivot",
+    "agg_rollup",
+    "agg_statistical",
+    "array_functions",
+    "corpus_bloom_prefilter",
+    "corpus_source_health",
+    "date_functions",
+    "dedup_exact",
+    "dedup_exact_hash",
+    "distinct_projection",
+    "drop_duplicates_subset",
+    "embedding_product_quantize",
+    "events_value_anomaly",
+    "global_aggregate",
+    "higher_order_functions",
+    "join_anti",
+    "join_cross",
+    "join_full_outer",
+    "join_interval_overlap",
+    "join_left_outer",
+    "join_range_bands",
+    "join_right_outer",
+    "join_semi",
+    "json_functions",
+    "market_share_by_year",
+    "math_functions",
+    "multimodal_binary_metadata",
+    "sim_ann_pq_adc",
+    "stream_append_restart_flush",
+    "text_lm_quality_buckets",
+    "udf_arrow_python",
+)
+
+# Oracle-backed queries added AFTER this round's window was frozen — they
+# rotate into the next round's window. Kept explicit so tests + ROUND notes
+# can audit that nothing silently escapes driver coverage. The r10 window
+# froze at round start with the complete 15-query r9 residue seated, so
+# this list reopens EMPTY; every oracle-backed operator ADDED during r10
+# must be appended here (enforced by tests/test_registry_order.py, cap 15)
+# and leads the r11 window together with the 10 deferred r5 picks +
+# oldest-evidence (r6) picks.
+ROTATION_RESIDUE: tuple[str, ...] = (
 )
 
 
