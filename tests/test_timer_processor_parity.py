@@ -211,3 +211,105 @@ def test_tws_timer_registry_holds_single_live_timer():
     assert handle.timers == {BASE + G}
     list(proc.handleInputRows((1,), iter([_batch(1, [BASE + 100])]), None))
     assert handle.timers == {BASE + 100 + G}
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r9 #5: mechanical drift pins between the deploy-gated TWS engine
+# and the applyInPandasWithState fallback that actually runs here.
+# ---------------------------------------------------------------------------
+
+
+def _normalized_core(src: str, *, start_anchor: str, end_anchor: str,
+                     renames: list[tuple[str, str]],
+                     drop_containing: tuple[str, ...] = ()) -> list[str]:
+    lines = src.splitlines()
+    first = next(i for i, ln in enumerate(lines) if start_anchor in ln)
+    # end anchor must be located AFTER the start line — both anchors also
+    # appear in the functions' docstrings
+    last = next(
+        i for i, ln in enumerate(lines) if i > first and end_anchor in ln
+    )
+    out = []
+    for ln in lines[first : last + 1]:
+        ln = ln.split("#", 1)[0].strip()
+        if not ln or any(tok in ln for tok in drop_containing):
+            continue
+        for a, b in renames:
+            ln = ln.replace(a, b)
+        out.append(ln)
+    return out
+
+
+def test_source_level_timer_arithmetic_is_identical():
+    """Drift pin (VERDICT r9 #5): the gaps-and-islands + open-session
+    splice arithmetic must be TOKEN-IDENTICAL between the fallback update
+    fn and the TWS processor, modulo the engine-API spellings normalized
+    here. An edit to one without the other fails this test mechanically —
+    the exact drift the protobuf env gate would otherwise hide until
+    deployment. (The TWS-only deleteTimer line is excluded; its
+    single-live-timer invariant has its own test above.)"""
+    import inspect
+
+    fb = inspect.getsource(make_session_timeout_fn)
+    tws = inspect.getsource(make_session_timer_processor)
+    fb_core = _normalized_core(
+        fb,
+        start_anchor="pd.concat(list(batches))",
+        end_anchor="setTimeoutTimestamp",
+        renames=[],
+    )
+    tws_core = _normalized_core(
+        tws,
+        start_anchor="pd.concat(list(rows))",
+        end_anchor="registerTimer",
+        renames=[
+            ("pd.concat(list(rows))", "pd.concat(list(batches))"),
+            ("self._open.exists()", "state.exists"),
+            ("self._open.get()", "state.get"),
+            ("self._open.update(", "state.update("),
+            (
+                "self._handle.registerTimer(int(o_last) + gap_ms)",
+                "state.setTimeoutTimestamp(int(o_last) + gap_ms)",
+            ),
+        ],
+        drop_containing=("deleteTimer",),
+    )
+    assert fb_core == tws_core
+
+
+def test_timer_flush_emission_shape_is_identical():
+    """Same pin for the flush path: the fallback's hasTimedOut branch and
+    the TWS handleExpiredTimer must emit the same single-row shape from
+    the same state triple, tagged 'timer'."""
+    import inspect
+
+    fb = inspect.getsource(make_session_timeout_fn)
+    tws = inspect.getsource(make_session_timer_processor)
+    emit = '[[user_id, start_ms, last_ms, n, "timer"]], columns=cols'
+    assert emit in fb and emit in tws
+
+
+def test_tws_engine_end_to_end_when_deps_appear(spark, sf_dir):
+    """CI marker (VERDICT r9 #5): the day protobuf lands in this
+    container, this test stops skipping and runs the REAL Spark-4
+    transformWithStateInPandas engine end-to-end over the fixture,
+    asserting it emits exactly the fallback engine's session set."""
+    from vena_etl_tool_spark.streaming import stateful as st
+
+    if not st.has_tws_deps():
+        pytest.skip("TWS python deps (protobuf) absent — fallback engine is the gated path")
+    tws_rows = {
+        tuple(r)
+        for r in st.stream_timer_sessions(spark, sf_dir).collect()
+    }
+    # force the fallback branch for the comparison run
+    orig = st.has_tws_deps
+    st.has_tws_deps = lambda: False
+    try:
+        fb_rows = {
+            tuple(r)
+            for r in st.stream_timer_sessions(spark, sf_dir).collect()
+        }
+    finally:
+        st.has_tws_deps = orig
+    assert tws_rows == fb_rows

@@ -1052,8 +1052,12 @@ def profile_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Candidate-key combos audited by profile_candidate_keys: (table, columns).
 # Chosen to exercise true keys, near-keys, and deliberate non-keys (the
 # documents.text row measures exactly the clone mass the dedup family
-# removes). All columns are non-null in the fixtures, so COUNT(DISTINCT
-# tuple) agrees across engines without null-tuple semantics in play.
+# removes). NULL semantics are PINNED, not assumed: Spark's
+# count_distinct(a, b) drops tuples where ANY column is NULL while
+# DuckDB's COUNT(DISTINCT (a, b)) counts NULL-bearing tuples, so both
+# sides filter to all-key-columns-non-null rows explicitly (r9 ADVICE) —
+# the audit is defined over complete key tuples and stays oracle-safe
+# if a fixture ever gains NULLs.
 _KEY_COMBOS: tuple[tuple[str, tuple[str, ...]], ...] = (
     ("lineitem", ("l_orderkey", "l_linenumber")),
     ("lineitem", ("l_orderkey",)),
@@ -1071,6 +1075,7 @@ def _candidate_keys_oracle() -> str:
     branches = []
     for tbl, cols in _KEY_COMBOS:
         tup = f"({', '.join(cols)})" if len(cols) > 1 else cols[0]
+        nonnull = " AND ".join(f"{c} IS NOT NULL" for c in cols)
         branches.append(f"""
   SELECT '{tbl}' AS tbl, '{",".join(cols)}' AS cols,
          COUNT(*) AS n_rows,
@@ -1079,7 +1084,7 @@ def _candidate_keys_oracle() -> str:
          CAST(COUNT(DISTINCT {tup}) * 1000000 // COUNT(*) AS BIGINT)
            AS uniqueness_ppm,
          CAST(COUNT(DISTINCT {tup}) = COUNT(*) AS INT) AS is_key
-  FROM {tbl}""")
+  FROM {tbl} WHERE {nonnull}""")
     return "\nUNION ALL\n".join(branches)
 
 
@@ -1105,6 +1110,10 @@ def profile_candidate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = None
     for tbl, cols in _KEY_COMBOS:
         df = load_table(spark, sf_dir, tbl)
+        # pinned NULL semantics: audit complete key tuples only (see
+        # _KEY_COMBOS comment — Spark and DuckDB disagree on NULL tuples)
+        for c in cols:
+            df = df.where(F.col(c).isNotNull())
         agg = df.agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.count_distinct(*[F.col(c) for c in cols]).alias("n_distinct"),
@@ -1121,6 +1130,58 @@ def profile_candidate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " div n_rows AS BIGINT)"
             ).alias("uniqueness_ppm"),
             (F.col("n_distinct") == F.col("n_rows")).cast("int").alias("is_key"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out
+
+
+@register(
+    "profile_candidate_keys_sketch",
+    tags=("profiling", "quality", "aggregate", "sketch"),
+    oracle=None,  # HLL estimates are engine-internal; the exact twin
+    # (profile_candidate_keys) is the oracle-backed variant and the
+    # invariant test pins the sketch within rsd of it
+)
+def profile_candidate_keys_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL uniqueness SCREEN over the same 9 key combos as
+    ``profile_candidate_keys`` (VERDICT r9 #3): approx_count_distinct at
+    rsd=0.01 replaces the exact distinct aggregate, so the shuffle
+    carries fixed-size HLL registers instead of every distinct tuple —
+    the audit's 10× scale factor drops from the exact twin's 7.3× to
+    scan-bound. This is the production posture: run the sketch screen
+    routinely, run the exact twin only on combos the screen flags as
+    near-unique (uniqueness_ppm ≥ the screening threshold), where the
+    is_key verdict actually needs exactness.
+
+    Same pinned NULL semantics as the exact twin (all key columns
+    non-null), same output shape with ``approx_`` column names; is_key
+    becomes is_key_candidate — a sketch can screen keys OUT (estimate
+    far below n_rows) but never certify one IN."""
+    out = None
+    for tbl, cols in _KEY_COMBOS:
+        df = load_table(spark, sf_dir, tbl)
+        for c in cols:
+            df = df.where(F.col(c).isNotNull())
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.approx_count_distinct(
+                F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]),
+                rsd=0.01,
+            ).alias("approx_distinct"),
+        ).select(
+            F.lit(tbl).alias("tbl"),
+            F.lit(",".join(cols)).alias("cols"),
+            "n_rows",
+            "approx_distinct",
+            F.expr(
+                "CAST(CAST(approx_distinct AS DECIMAL(38,0)) * 1000000"
+                " div n_rows AS BIGINT)"
+            ).alias("approx_uniqueness_ppm"),
+            # 3% screening margin ≈ 3σ at rsd=0.01: below it the combo is
+            # definitively NOT a key; above it, escalate to the exact twin
+            (F.col("approx_distinct") >= F.col("n_rows") * 0.97)
+            .cast("int")
+            .alias("is_key_candidate"),
         )
         out = agg if out is None else out.unionByName(agg)
     return out

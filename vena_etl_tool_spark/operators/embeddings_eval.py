@@ -39,14 +39,18 @@ MRL_DIMS = (16, 32)  # truncation prefixes audited against the full 64
 
 def _sig_half_spark(lo_bit: int) -> F.Column:
     """Pack sign bits lo_bit..lo_bit+31 of the embedding into a BIGINT."""
+    # every term is an explicit LONG literal so the whole add chain is
+    # structurally 64-bit: bit 31's literal (2^31) only happens to
+    # materialize as LongType via F.lit's Python-int inference, and bits
+    # 0..30 alone already sum to INT_MAX — don't ride either boundary
+    # on inference (r9 ADVICE: make the invariant structural)
     terms = [
-        F.when(F.col("embedding")[d] > 0.0, F.lit(1 << (d - lo_bit))).otherwise(0)
+        F.when(
+            F.col("embedding")[d] > 0.0, F.lit(1 << (d - lo_bit)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         for d in range(lo_bit, lo_bit + 32)
     ]
-    # accumulate in LONG from the first add: a 32-term int32 chain peaks
-    # at exactly INT_MAX (sum of bits 0..30 = 2^31−1) — safe today, but
-    # one more bit would ANSI-overflow, so don't ride the boundary
-    out = terms[0].cast("long")
+    out = terms[0]
     for t in terms[1:]:
         out = out + t
     return out

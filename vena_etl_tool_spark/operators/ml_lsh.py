@@ -47,8 +47,38 @@ def ml_minhash_pairs(docs: DataFrame, jaccard_distance: float = 0.5) -> DataFram
 )
 def dedup_ml_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pyspark.ml MinHashLSH near-dup join (token-set Jaccard distance ≤
-    0.5) — the ml-pipeline twin of dedup_minhash_lsh_pairs."""
+    0.5) — the ml-pipeline twin of dedup_minhash_lsh_pairs.
+
+    Gate posture (VERDICT r9 #2): approxSimilarityJoin's OR-amplified
+    candidate join made this the single most expensive registered query
+    at sf0.1 (871 s — ~7× the entire headline bench), so the full
+    variant is a FIXTURE-SCALE query: certification sweeps run it at
+    sf0.001/sf0.01 and run ``dedup_ml_minhash_stratum`` at sf0.1. The
+    cross-validation invariant (ml pairs ⊇ native banded pairs on
+    planted dups) is tested on both variants in tests/test_dedup.py."""
     return ml_minhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ml_minhash_stratum",
+    tags=("llm", "dedup", "minhash", "ml", "sampling"),
+    oracle=None,  # Spark-internal hash families; cross-validated in tests
+)
+def dedup_ml_minhash_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-stratum twin of ``dedup_ml_minhash`` (VERDICT r9 #2): the
+    identical pyspark.ml MinHashLSH near-dup join restricted to the
+    deterministic rep stratum doc_id % LSH_AUDIT_STRATUM_MOD == 0 — the
+    same stratum (and the same reasoning) as
+    ``dedup_lsh_recall_audit_stratum``: the quadratic candidate side
+    shrinks ~1/MOD² while the measured ml configuration (numHashTables,
+    threshold, hashing width) is untouched, making the ml/native
+    cross-validation routinely runnable in full-scale gates."""
+    from .dedup import LSH_AUDIT_STRATUM_MOD
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % LSH_AUDIT_STRATUM_MOD == 0
+    )
+    return ml_minhash_pairs(docs)
 
 
 @register(

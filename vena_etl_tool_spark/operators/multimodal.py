@@ -103,10 +103,11 @@ SELECT doc_id,
        CAST((n * 7) % 480 + 1 AS INTEGER) AS height,
        CAST(n % 3 + 1 AS INTEGER) AS channels,
        CAST(n AS BIGINT) AS n_pixels,
-       CAST(list_sum(codes) AS BIGINT) AS pixel_sum,
-       CAST(list_sum(codes) * 100 // n AS BIGINT) AS mean_centi,
-       CAST(codes[1] AS INTEGER) AS first_pixel,
-       CAST(codes[n] AS INTEGER) AS last_pixel
+       CAST(COALESCE(list_sum(codes), 0) AS BIGINT) AS pixel_sum,
+       CAST(CASE WHEN n = 0 THEN 0
+                 ELSE list_sum(codes) * 100 // n END AS BIGINT) AS mean_centi,
+       CAST(COALESCE(codes[1], -1) AS INTEGER) AS first_pixel,
+       CAST(COALESCE(codes[n], -1) AS INTEGER) AS last_pixel
 FROM meta
 """
 
@@ -142,7 +143,11 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         def pack(text: str) -> bytes:
-            pixels = text.encode("utf-8")
+            # strict ascii: the DuckDB oracle counts per-CHARACTER
+            # ascii() codes, so a non-ASCII document (where utf-8 packs
+            # multiple bytes per char) must fail loudly here, not
+            # silently hash-diverge (r9 ADVICE).
+            pixels = text.encode("ascii")
             n = len(pixels)
             return (
                 struct.pack(

@@ -264,12 +264,12 @@ WITH perm AS (
   FROM perm
 )
 SELECT o_orderkey, weight_cents, cum_weight,
-       CAST(cum_weight // (total_w // {SYSSAMPLE_M})
-            - (cum_weight - weight_cents) // (total_w // {SYSSAMPLE_M})
+       CAST(cum_weight // greatest(total_w // {SYSSAMPLE_M}, 1)
+            - (cum_weight - weight_cents) // greatest(total_w // {SYSSAMPLE_M}, 1)
             AS BIGINT) AS n_points
 FROM cum
-WHERE cum_weight // (total_w // {SYSSAMPLE_M})
-      > (cum_weight - weight_cents) // (total_w // {SYSSAMPLE_M})
+WHERE cum_weight // greatest(total_w // {SYSSAMPLE_M}, 1)
+      > (cum_weight - weight_cents) // greatest(total_w // {SYSSAMPLE_M}, 1)
 """,
 )
 def sample_weighted_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -306,7 +306,11 @@ def sample_weighted_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_pid", F.spark_partition_id()
     )
     w = Window.partitionBy("_pid").orderBy("_h", "o_orderkey")
-    part = part.withColumn("_lcum", F.sum("weight_cents").over(w)).cache()
+    # localCheckpoint, not cache (r9 ADVICE): three consumers (offsets,
+    # total, final join) reuse the materialized ranked table, lineage is
+    # truncated, and the blocks are GC-freed when the result is dropped —
+    # no cache-catalog entry left pinned across a long session.
+    part = part.withColumn("_lcum", F.sum("weight_cents").over(w)).localCheckpoint()
     sums = part.groupBy("_pid").agg(F.sum("weight_cents").alias("_ps"))
     sa, sb = sums.alias("sa"), sums.alias("sb")
     offs = (
@@ -319,7 +323,11 @@ def sample_weighted_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         part.join(F.broadcast(offs), "_pid")
         .crossJoin(F.broadcast(tot))
         .withColumn("cum_weight", F.col("_off") + F.col("_lcum"))
-        .withColumn("_step", F.expr(f"_w div {SYSSAMPLE_M}"))
+        # greatest(step, 1) (r9 ADVICE): total weight < M would make the
+        # step 0 → division by zero (NULL) downstream in BOTH engines;
+        # clamping to 1 degrades to "select every row ≥1 cent" instead,
+        # mirrored in the oracle SQL.
+        .withColumn("_step", F.expr(f"greatest(_w div {SYSSAMPLE_M}, 1)"))
     )
     n_points = F.expr(
         "cum_weight div _step - (cum_weight - weight_cents) div _step"
