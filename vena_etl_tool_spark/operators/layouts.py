@@ -654,3 +654,164 @@ def layout_overlap_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("day").cast("long").alias("first_day_at_max"))
         .select("layout", "n_shards", "max_overlap_depth", "first_day_at_max")
     )
+
+
+# ---------------------------------------------------------------------------
+# Copy-on-write MERGE sink (VERDICT r9 #7): merge_upsert_actions computes
+# the action set; this completes it into an actual table rewrite. No
+# Delta/Iceberg library exists in this environment, so the sink implements
+# the copy-on-write core those formats share: hash-partitioned parquet
+# target, affected-partition discovery from the update set, and a dynamic
+# partition overwrite that rewrites ONLY the touched directories — the
+# audit is then computed FROM THE REWRITTEN FILES, so a hash match proves
+# the end-to-end upsert (seed -> merge -> commit -> read-back) applied
+# exactly the oracle's MERGE semantics.
+# ---------------------------------------------------------------------------
+
+MERGE_PARTS = 16  # hash-partition count of the merge target layout
+
+
+def seed_merge_target(cust: DataFrame, path: str) -> None:
+    """Materialize the merge target: (key, bal_cents, action='seed')
+    hash-partitioned into pk = key % MERGE_PARTS directories."""
+    (
+        cust.select(
+            F.col("key"),
+            F.col("bal_cents"),
+            F.lit("seed").alias("action"),
+            (F.col("key") % MERGE_PARTS).alias("pk"),
+        )
+        .repartition("pk")
+        .write.mode("overwrite")
+        .partitionBy("pk")
+        .parquet(path)
+    )
+
+
+def cow_merge(spark: SparkSession, path: str, updates: DataFrame) -> list[int]:
+    """Copy-on-write MERGE of ``updates`` (key, new_cents) into the seeded
+    target at ``path``: WHEN MATCHED UPDATE bal, WHEN NOT MATCHED INSERT,
+    NOT MATCHED BY SOURCE KEEP (by never rewriting untouched partitions
+    at all). Returns the affected partition ids.
+
+    Scale shape: affected-pk discovery is a distinct-aggregate over the
+    update set only (config-grain result, <= MERGE_PARTS values — the
+    collect is bounded by layout config, not data); the target read is
+    partition-PRUNED to those directories; the rewrite is one shuffle of
+    affected-partition rows + the update set. Untouched directories keep
+    their files byte-identical — the property the unit test pins."""
+    upd = updates.select(
+        F.col("key").alias("u_key"),
+        F.col("new_cents"),
+        (F.col("key") % MERGE_PARTS).alias("pk"),
+    )
+    affected = sorted(
+        r.pk for r in upd.select("pk").distinct().collect()
+    )
+    target = spark.read.parquet(path).filter(F.col("pk").isin(affected))
+    merged = (
+        target.join(upd.drop("pk"), target["key"] == F.col("u_key"), "full_outer")
+        .select(
+            F.coalesce(target["key"], F.col("u_key")).alias("key"),
+            F.when(F.col("u_key").isNull(), F.col("bal_cents"))
+            .otherwise(F.col("new_cents"))
+            .alias("bal_cents"),
+            F.when(target["key"].isNull(), F.lit("insert"))
+            .when(F.col("u_key").isNull(), F.lit("keep"))
+            .otherwise(F.lit("update"))
+            .alias("action"),
+        )
+        .withColumn("pk", F.col("key") % MERGE_PARTS)
+        # break lineage from the files being overwritten (Spark refuses
+        # to overwrite a path its plan is still reading)
+        .localCheckpoint()
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        merged.repartition("pk").write.mode("overwrite").partitionBy("pk").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return affected
+
+
+@register(
+    "merge_cow_parquet",
+    tags=("join", "merge", "layout", "sink"),
+    oracle=f"""
+WITH upd AS (
+  SELECT o_custkey AS key,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS new_cents
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+  GROUP BY 1
+), tgt AS (
+  SELECT c_custkey AS key,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_cents
+  FROM customer
+), merged AS (
+  SELECT COALESCE(t.key, u.key) AS key,
+         CASE WHEN u.key IS NULL THEN t.bal_cents ELSE u.new_cents END AS bal,
+         CASE WHEN t.key IS NULL THEN 'insert'
+              WHEN u.key IS NULL THEN 'keep' ELSE 'update' END AS act
+  FROM tgt t FULL OUTER JOIN upd u ON t.key = u.key
+)
+SELECT CAST(key % {MERGE_PARTS} AS INT) AS pk,
+       CAST(COUNT(*) AS BIGINT) AS n_after,
+       CAST(SUM(bal) AS BIGINT) AS sum_bal_cents,
+       CAST(SUM(CASE WHEN act = 'update' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_update,
+       CAST(SUM(CASE WHEN act = 'insert' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_insert,
+       CAST(MAX(CASE WHEN act IN ('update', 'insert') THEN 1 ELSE 0 END)
+            AS INT) AS rewritten
+FROM merged
+GROUP BY 1
+""",
+)
+def merge_cow_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end MERGE a user could actually run (VERDICT r9 #7): seed a
+    hash-partitioned parquet target from customer balances (cents), MERGE
+    the late-window per-customer order totals into it copy-on-write
+    (rewriting only the partitions containing changed keys, via dynamic
+    partition overwrite), then audit the RESULT FILES: per partition, the
+    post-merge row count, exact balance sum, action counts, and whether
+    the partition was rewritten. The DuckDB oracle simulates the same
+    MERGE relationally, so a hash match proves the physical rewrite
+    committed exactly the logical merge — the before/after row-count
+    check the verdict asked for, per partition, from disk.
+
+    Untouched partitions keep action='seed' rows byte-identical on disk
+    (pinned by tests/test_r10_ops.py with planted inserts); their audit
+    rows still match the oracle because seed balances ARE the keep
+    balances and their update/insert counts are zero."""
+    tgt_dir = layout_dir(sf_dir, "merge_cow_target")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("bal_cents"),
+    )
+    seed_merge_target(cust, tgt_dir)
+    updates = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp_ntz"))
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("new_cents")
+        )
+    )
+    cow_merge(spark, tgt_dir, updates)
+    final = spark.read.parquet(tgt_dir)
+    return final.groupBy(F.col("pk").cast("int").alias("pk")).agg(
+        F.count(F.lit(1)).alias("n_after"),
+        F.sum("bal_cents").cast("long").alias("sum_bal_cents"),
+        F.sum((F.col("action") == "update").cast("int")).cast("long").alias("n_update"),
+        F.sum((F.col("action") == "insert").cast("int")).cast("long").alias("n_insert"),
+        F.max(F.col("action").isin("update", "insert").cast("int"))
+        .cast("int")
+        .alias("rewritten"),
+    )

@@ -157,6 +157,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # and leads the r11 window together with the 10 deferred r5 picks +
 # oldest-evidence (r6) picks.
 ROTATION_RESIDUE: tuple[str, ...] = (
+    # --- first r10 work session ---
+    "merge_cow_parquet",
 )
 
 
