@@ -37,8 +37,6 @@ def test_candidate_keys_null_semantics_pinned(spark):
     DuckDB counts them — the audit pins parity by filtering to complete
     key tuples on BOTH sides. Feed a frame WITH nulls through the same
     shape and check the convention holds."""
-    from vena_etl_tool_spark.operators import aggregates as ag
-
     df = spark.createDataFrame(
         [(1, "a"), (2, None), (None, "b"), (3, "a"), (3, "a")],
         "k int, v string",
@@ -117,3 +115,58 @@ def test_cow_merge_rewrites_only_affected_partitions(spark, tmp_path):
     assert rows[16].action == "keep"  # pk 0, not updated, partition rewritten
     assert rows[2].action == "seed"  # pk 2 untouched
     assert rows[2].bal_cents == 200
+
+
+def _serving_rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_stream_serving_batch_equivalence(spark, sf):
+    """VERDICT r9 #8 'done' criterion: the streamed serving output equals
+    the batch hybrid retrieval restricted to the requested query set, at
+    two SFs."""
+    from vena_etl_tool_spark.catalog import load_table
+    from vena_etl_tool_spark.operators.retrieval import (
+        SERVE_REQUEST_MAP,
+        retrieval_rrf_fusion_ivf,
+        stream_retrieval_serving,
+    )
+
+    req = dict(SERVE_REQUEST_MAP)
+    types = {
+        r.event_type
+        for r in load_table(spark, sf, "events").select("event_type").distinct().collect()
+    }
+    requested = {req[t] for t in types if t in req}
+    batch = retrieval_rrf_fusion_ivf(spark, sf).filter(
+        F.col("query_id").isin(sorted(requested))
+    )
+    assert _serving_rows(stream_retrieval_serving(spark, sf)) == _serving_rows(batch)
+
+
+def test_stream_serving_split_into_micro_batches(spark, sf_dir, tmp_path):
+    """Splitting the query log into single-file micro-batches must not
+    change the served set (first-serve idempotency across batches)."""
+    from vena_etl_tool_spark.operators.retrieval import (
+        serve_query_log,
+        stream_retrieval_serving,
+    )
+    from vena_etl_tool_spark.streaming.queries import events_stream
+
+    # split the event log into 4 files; stream them one file per batch
+    ev = events_stream(spark, sf_dir)
+    split_dir = str(tmp_path / "events_split")
+    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(4).write.parquet(
+        split_dir
+    )
+    split_stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(split_dir)
+    )
+    multi = serve_query_log(spark, sf_dir, split_stream)
+    single = stream_retrieval_serving(spark, sf_dir)
+    assert _serving_rows(multi) == _serving_rows(single)

@@ -520,3 +520,112 @@ def retrieval_rrf_fusion_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.withColumn("fused_rk", F.row_number().over(fw))
         .filter(F.col("fused_rk") <= RRF_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming serving twin (VERDICT r9 #8): the hybrid IVF retrieval above,
+# served through foreachBatch over the events stream — query-log replay.
+# The index (BM25 postings + IVF cells, fused) is built ONCE, offline;
+# each micro-batch of the event log maps its event types to query ids and
+# serves the not-yet-served ones from the built index. First-serve
+# idempotency makes the union across any batch split equal the batch
+# answer — the property the batch-equivalence test pins at 2 SFs.
+# ---------------------------------------------------------------------------
+
+# event_type -> query_id request map: which hybrid query an incoming
+# event replays. 'error' events request nothing (a log line, not a query).
+SERVE_REQUEST_MAP: tuple[tuple[str, str], ...] = (
+    ("click", "q_join"),
+    ("view", "q_window"),
+    ("purchase", "q_stream"),
+    ("signup", "q_cust"),
+)
+
+_SERVE_MAP_VALUES = ", ".join(f"('{e}', '{q}')" for e, q in SERVE_REQUEST_MAP)
+
+
+def _serving_oracle() -> str:
+    return f"""
+SELECT * FROM ({_rrf_ivf_oracle()})
+WHERE query_id IN (
+  SELECT m.query_id
+  FROM (SELECT DISTINCT event_type FROM events) e
+  JOIN (VALUES {_SERVE_MAP_VALUES}) AS m(event_type, query_id)
+    ON e.event_type = m.event_type)
+"""
+
+
+def serve_query_log(
+    spark: SparkSession, sf_dir: str, ev_stream: DataFrame
+) -> DataFrame:
+    """Core of ``stream_retrieval_serving``, stream injected so tests can
+    force a multi-file / multi-batch split. Builds the fused index once
+    (localCheckpoint — the offline index build), then serves each
+    micro-batch's newly requested query ids from it."""
+    import tempfile
+
+    from ..streaming.foreach_batch import run_foreach_batch
+
+    index = retrieval_rrf_fusion_ivf(spark, sf_dir).localCheckpoint()
+    req_dim = spark.createDataFrame(
+        list(SERVE_REQUEST_MAP), "event_type string, query_id string"
+    )
+    served: set[str] = set()
+    parts: list[DataFrame] = []
+
+    def serve_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # request-grain collect: ≤ |SERVE_REQUEST_MAP| rows by construction
+        requested = {
+            r.query_id
+            for r in batch_df.select("event_type")
+            .distinct()
+            .join(F.broadcast(req_dim), "event_type")
+            .select("query_id")
+            .collect()
+        }
+        fresh = sorted(requested - served)
+        if not fresh:
+            return
+        served.update(fresh)
+        parts.append(index.filter(F.col("query_id").isin(fresh)))
+
+    with tempfile.TemporaryDirectory(prefix="serve_ckpt_") as ckpt:
+        run_foreach_batch(
+            ev_stream.select("event_type"),
+            serve_batch,
+            ckpt,
+            "stream_retrieval_serving",
+        )
+    if not parts:
+        return index.limit(0)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
+    "stream_retrieval_serving",
+    tags=("llm", "streaming", "retrieval", "fusion", "ivf"),
+    oracle=_serving_oracle(),
+)
+def stream_retrieval_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN serving as a STREAM (VERDICT r9 #8): replay the event log as a
+    query log through foreachBatch; each micro-batch maps its event types
+    to hybrid query ids (SERVE_REQUEST_MAP) and serves the first-seen ones
+    from the offline-built fused BM25+IVF index — closing the loop between
+    the retrieval family and the streaming family. Output is exactly the
+    batch ``retrieval_rrf_fusion_ivf`` rows for the requested query set,
+    independent of how the log is split into batches (first-serve
+    idempotency; pinned by the 2-SF batch-equivalence test).
+
+    Scale shape: the index build is the batch operator's (cell-pruned
+    candidate join, posting-pruned BM25); per batch the ONLY work is a
+    request-grain distinct (≤ |request map| rows collected) and an
+    isin-filter over the checkpointed index — no per-event retrieval, no
+    corpus work on the hot path. A deployment swaps availableNow for a
+    continuous trigger and the accumulated-parts union for an append sink
+    keyed by query_id."""
+    from ..streaming.queries import events_stream
+
+    return serve_query_log(spark, sf_dir, events_stream(spark, sf_dir))

@@ -159,6 +159,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 ROTATION_RESIDUE: tuple[str, ...] = (
     # --- first r10 work session ---
     "merge_cow_parquet",
+    "stream_retrieval_serving",
 )
 
 
