@@ -191,6 +191,11 @@ HEADLINE = [
     "sim_graph_2hop_reach",
     "events_ab_test_readout",
     "sim_ann_graph_greedy",
+    # --- r10 additions (after the frozen r9 boundary) ---
+    "merge_cow_parquet",
+    "stream_retrieval_serving",
+    "sim_maxsim_late_interaction",
+    "sim_maxsim_plaid_rerank",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

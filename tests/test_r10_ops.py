@@ -170,3 +170,30 @@ def test_stream_serving_split_into_micro_batches(spark, sf_dir, tmp_path):
     multi = serve_query_log(spark, sf_dir, split_stream)
     single = stream_retrieval_serving(spark, sf_dir)
     assert _serving_rows(multi) == _serving_rows(single)
+
+
+def test_maxsim_invariants(spark, sf_dir):
+    """Late-interaction sanity: each of the 20 queries serves exactly
+    TOP_K ranked rows; MaxSim is bounded by the number of query
+    sub-vectors (each term is a cosine <= 1)."""
+    from vena_etl_tool_spark.operators.similarity import (
+        MAXSIM_SUBV,
+        TOP_K,
+        sim_maxsim_late_interaction,
+        sim_maxsim_plaid_rerank,
+    )
+
+    rows = sim_maxsim_late_interaction(spark, sf_dir).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+        assert r.maxsim <= MAXSIM_SUBV + 1e-9
+        assert 1 <= r.rk <= TOP_K
+    assert len(per_q) == 20
+    assert all(len(v) == TOP_K for v in per_q.values())
+
+    rec = sim_maxsim_plaid_rerank(spark, sf_dir).collect()
+    assert len(rec) == 20
+    for r in rec:
+        assert 0 <= r.hits <= TOP_K
+        assert r.recall_milli == r.hits * 1000 // TOP_K

@@ -2914,3 +2914,326 @@ def sim_ann_graph_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-vector late interaction (ColBERT's MaxSim, Khattab & Zaharia 2020):
+# a document is a BAG of vectors and relevance is sum over query vectors of
+# the max similarity against any document vector. The fixtures carry one
+# 64-dim embedding per doc, so the multi-vector representation slices it
+# into MAXSIM_SUBV contiguous 16-dim sub-vectors ("token vectors") — the
+# slicing is the fixture adaptation; the scoring topology (per-sub-vector
+# cosines -> per-query-vector max -> fixed-order sum -> top-k) is the real
+# late-interaction serving shape.
+# ---------------------------------------------------------------------------
+
+MAXSIM_SUBV = 4  # sub-vectors per embedding (64 dims -> 4 x 16)
+MAXSIM_DIM = 16
+
+
+def _maxsim_duck() -> str:
+    def dot(l: str, r: str) -> str:
+        return (
+            "(SELECT CAST(SUM(CAST(FLOOR(CAST(struct_extract(p, 1) AS DOUBLE)"
+            " * CAST(struct_extract(p, 2) AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12"
+            f" FROM UNNEST(list_zip({l}, {r})) AS t(p))"
+        )
+
+    subs = []
+    for s in range(MAXSIM_SUBV):
+        lo, hi = s * MAXSIM_DIM + 1, (s + 1) * MAXSIM_DIM
+        sv = f"embedding[{lo}:{hi}]"
+        subs.append(f"{sv} AS s{s}, SQRT({dot(sv, sv)}) AS n{s}")
+    maxes = []
+    for qi in range(MAXSIM_SUBV):
+        cos = [
+            f"({dot(f'q.s{qi}', f'c.s{cj}')} / (q.n{qi} * c.n{cj}))"
+            for cj in range(MAXSIM_SUBV)
+        ]
+        maxes.append("GREATEST(" + ", ".join(cos) + ")")
+    score = " + ".join(maxes)  # left-assoc, same order as the Spark expr
+    return f"""
+WITH subv AS (
+  SELECT vec_id, label, {", ".join(subs)} FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS doc_id, c.label AS doc_label,
+         {score} AS maxsim
+  FROM subv q JOIN subv c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+)
+SELECT query_id, doc_id, doc_label, ROUND(maxsim, 6) AS maxsim, rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY maxsim DESC, doc_id) AS rk
+  FROM scored
+) WHERE rk <= {TOP_K}
+"""
+
+
+@register(
+    "sim_maxsim_late_interaction",
+    tags=("llm", "similarity", "retrieval", "multivector", "topk"),
+    oracle=_maxsim_duck(),
+)
+def sim_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (MaxSim) top-k: score(q, d) = Σ_i max_j
+    cos(q_i, d_j) over the sub-vector bags, per-query top-TOP_K. Exact
+    scaled-integer sub-vector dots (the dot_exact convention), float
+    division/sqrt on bit-identical inputs, GREATEST for the per-query-
+    vector max and a FIXED left-associated sum so both engines add the
+    four maxes in the same order — the whole late-interaction pipeline
+    hash-checks end to end.
+
+    This is the brute-force serving BASELINE (like sim_cosine_topk for
+    single vectors): queries broadcast, corpus side scanned once,
+    MAXSIM_SUBV² = 16 sub-vector dots per candidate pair inside one
+    codegen stage, top-k per query by window. The scale path reuses the
+    ANN machinery unchanged — an IVF/LSH shortlist on the POOLED vector
+    feeds this exact scorer as the rerank stage (candidates ≪ corpus),
+    which is precisely how production ColBERT serves (PLAID's
+    centroid-prune + exact MaxSim rerank)."""
+    emb = spread_small(load_table(spark, sf_dir, "embeddings"))
+    sub = emb.select(
+        "vec_id",
+        "label",
+        *[
+            F.slice("embedding", s * MAXSIM_DIM + 1, MAXSIM_DIM).alias(f"s{s}")
+            for s in range(MAXSIM_SUBV)
+        ],
+    )
+    for s in range(MAXSIM_SUBV):
+        sub = sub.withColumn(
+            f"n{s}", F.sqrt(dot_exact(F.col(f"s{s}"), F.col(f"s{s}")))
+        )
+    q = sub.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        *[F.col(f"s{s}").alias(f"qs{s}") for s in range(MAXSIM_SUBV)],
+        *[F.col(f"n{s}").alias(f"qn{s}") for s in range(MAXSIM_SUBV)],
+    )
+    c = sub.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("label").alias("doc_label"),
+        *[F.col(f"s{s}").alias(f"cs{s}") for s in range(MAXSIM_SUBV)],
+        *[F.col(f"n{s}").alias(f"cn{s}") for s in range(MAXSIM_SUBV)],
+    )
+    pairs = c.join(F.broadcast(q), F.col("doc_id") != F.col("query_id"))
+    maxes = [
+        F.greatest(
+            *[
+                dot_exact(F.col(f"qs{qi}"), F.col(f"cs{cj}"))
+                / (F.col(f"qn{qi}") * F.col(f"cn{cj}"))
+                for cj in range(MAXSIM_SUBV)
+            ]
+        )
+        for qi in range(MAXSIM_SUBV)
+    ]
+    score = maxes[0]
+    for m in maxes[1:]:
+        score = score + m
+    scored = pairs.select(
+        "query_id", "doc_id", "doc_label", score.alias("maxsim_raw")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("maxsim_raw").desc(), "doc_id"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            "query_id",
+            "doc_id",
+            "doc_label",
+            F.round("maxsim_raw", 6).alias("maxsim"),
+            "rk",
+        )
+    )
+
+
+def _maxsim_plaid_duck() -> str:
+    def dot(l: str, r: str) -> str:
+        return (
+            "(SELECT CAST(SUM(CAST(FLOOR(CAST(struct_extract(p, 1) AS DOUBLE)"
+            " * CAST(struct_extract(p, 2) AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12"
+            f" FROM UNNEST(list_zip({l}, {r})) AS t(p))"
+        )
+
+    subs = []
+    for s in range(MAXSIM_SUBV):
+        lo, hi = s * MAXSIM_DIM + 1, (s + 1) * MAXSIM_DIM
+        sv = f"embedding[{lo}:{hi}]"
+        subs.append(f"{sv} AS s{s}, SQRT({dot(sv, sv)}) AS n{s}")
+    maxes = []
+    for qi in range(MAXSIM_SUBV):
+        cos = [
+            f"({dot(f'q.s{qi}', f'c.s{cj}')} / (q.n{qi} * c.n{cj}))"
+            for cj in range(MAXSIM_SUBV)
+        ]
+        maxes.append("GREATEST(" + ", ".join(cos) + ")")
+    score = " + ".join(maxes)
+    return f"""
+WITH scored AS (
+  SELECT vec_id, label, embedding,
+         {_ivf_scores_duck()} AS scores,
+         list_transform(generate_series(1, {IVF_CENTROIDS}),
+                        i -> {{'s': scores[i], 'cid': i - 1}}) AS score_structs
+  FROM embeddings
+), subv AS (
+  SELECT vec_id, {", ".join(subs)} FROM embeddings
+), assigned AS (
+  SELECT s.vec_id, v.s0, v.s1, v.s2, v.s3, v.n0, v.n1, v.n2, v.n3,
+         list_position(s.scores, list_min(s.scores)) - 1 AS cent
+  FROM scored s JOIN subv v ON v.vec_id = s.vec_id
+), probes AS (
+  SELECT vec_id AS query_id, cid AS cent
+  FROM (
+    SELECT vec_id, u.cid AS cid, u.s AS s,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY u.s, u.cid) AS prn
+    FROM scored, UNNEST(score_structs) AS t(u)
+    WHERE vec_id < {N_QUERIES}
+  ) WHERE prn <= {IVF_NPROBE}
+), served AS (
+  SELECT query_id, doc_id, rk FROM (
+    SELECT p.query_id, c.vec_id AS doc_id,
+           ROW_NUMBER() OVER (PARTITION BY p.query_id
+                              ORDER BY {score.replace("q.s", "q2.s").replace("q.n", "q2.n")} DESC, c.vec_id) AS rk
+    FROM probes p
+    JOIN subv q2 ON q2.vec_id = p.query_id
+    JOIN assigned c ON c.cent = p.cent AND c.vec_id <> p.query_id
+  ) WHERE rk <= {TOP_K}
+), truth AS (
+  SELECT query_id, doc_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {score} DESC, c.vec_id) AS rk
+    FROM subv q JOIN subv c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+  ) WHERE rk <= {TOP_K}
+)
+SELECT t.query_id,
+       CAST(COUNT(s.doc_id) AS BIGINT) AS hits,
+       CAST(COUNT(s.doc_id) * 1000 // {TOP_K} AS BIGINT) AS recall_milli
+FROM truth t
+LEFT JOIN served s ON s.query_id = t.query_id AND s.doc_id = t.doc_id
+GROUP BY t.query_id
+"""
+
+
+@register(
+    "sim_maxsim_plaid_rerank",
+    tags=("llm", "similarity", "retrieval", "multivector", "ivf", "eval"),
+    oracle=_maxsim_plaid_duck(),
+)
+def sim_maxsim_plaid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PLAID-style multi-vector serving (Santhanam et al. 2022): the IVF
+    index on the POOLED 64-dim vector produces each query's candidate
+    shortlist (NPROBE probed cells — the centroid-prune), and the exact
+    MaxSim scorer reranks only those candidates; output is the per-query
+    recall@k of the served top-k against the brute-force MaxSim truth —
+    the acceptance measurement an index owner runs before swapping the
+    brute-force scorer out. Every stage is deterministic (scaled-int
+    centroid scores, scaled-int sub-vector dots, fixed-order max/sum), so
+    the evaluation of the approximation hash-checks end to end.
+
+    Scale shape: corpus-side work is the map-only centroid argmin plus
+    the cell-keyed candidate join (~NPROBE/C of the corpus per query) —
+    the MAXSIM_SUBV² = 16 dots run only on candidates, never on the full
+    corpus; the truth side is the registered brute-force twin, which a
+    100 TB deployment replaces with a sampled-stratum audit (the
+    dedup_lsh_recall_audit_stratum pattern)."""
+    emb = spread_small(load_table(spark, sf_dir, "embeddings"))
+    sub = emb.select(
+        "vec_id",
+        F.expr(_ivf_scores_spark()).alias("scores"),
+        *[
+            F.slice("embedding", s * MAXSIM_DIM + 1, MAXSIM_DIM).alias(f"s{s}")
+            for s in range(MAXSIM_SUBV)
+        ],
+    )
+    for s in range(MAXSIM_SUBV):
+        sub = sub.withColumn(
+            f"n{s}", F.sqrt(dot_exact(F.col(f"s{s}"), F.col(f"s{s}")))
+        )
+
+    def maxsim(qp: str, cp: str):
+        maxes = [
+            F.greatest(
+                *[
+                    dot_exact(F.col(f"{qp}s{qi}"), F.col(f"{cp}s{cj}"))
+                    / (F.col(f"{qp}n{qi}") * F.col(f"{cp}n{cj}"))
+                    for cj in range(MAXSIM_SUBV)
+                ]
+            )
+            for qi in range(MAXSIM_SUBV)
+        ]
+        out = maxes[0]
+        for m in maxes[1:]:
+            out = out + m
+        return out
+
+    corpus = sub.select(
+        F.col("vec_id").alias("doc_id"),
+        (F.expr("array_position(scores, array_min(scores))") - 1)
+        .cast("int")
+        .alias("cent"),
+        *[F.col(f"s{s}").alias(f"cs{s}") for s in range(MAXSIM_SUBV)],
+        *[F.col(f"n{s}").alias(f"cn{s}") for s in range(MAXSIM_SUBV)],
+    )
+    queries = sub.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        *[F.col(f"s{s}").alias(f"qs{s}") for s in range(MAXSIM_SUBV)],
+        *[F.col(f"n{s}").alias(f"qn{s}") for s in range(MAXSIM_SUBV)],
+    )
+    prn_w = Window.partitionBy("query_id").orderBy("s", "p_cent")
+    probes = (
+        sub.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.posexplode("scores").alias("p_cent", "s"),
+        )
+        .withColumn("prn", F.row_number().over(prn_w))
+        .filter(F.col("prn") <= IVF_NPROBE)
+        .select("query_id", "p_cent")
+    )
+    shortlist = corpus.join(
+        F.broadcast(probes.join(queries, "query_id")),
+        (F.col("cent") == F.col("p_cent")) & (F.col("doc_id") != F.col("query_id")),
+    )
+    sw = Window.partitionBy("query_id").orderBy(
+        F.col("served_score").desc(), "doc_id"
+    )
+    served = (
+        shortlist.withColumn("served_score", maxsim("q", "c"))
+        .withColumn("rk", F.row_number().over(sw))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "doc_id")
+    )
+    truth_pairs = corpus.drop("cent").join(
+        F.broadcast(queries), F.col("doc_id") != F.col("query_id")
+    )
+    tw = Window.partitionBy("query_id").orderBy(
+        F.col("truth_score").desc(), "doc_id"
+    )
+    truth = (
+        truth_pairs.withColumn("truth_score", maxsim("q", "c"))
+        .withColumn("rk", F.row_number().over(tw))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", F.col("doc_id").alias("t_doc"))
+    )
+    served_r = served.select(
+        F.col("query_id").alias("s_query"), F.col("doc_id").alias("s_doc")
+    )
+    return (
+        truth.join(
+            served_r,
+            (F.col("query_id") == F.col("s_query"))
+            & (F.col("t_doc") == F.col("s_doc")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("s_doc").alias("hits"),
+            F.expr(f"CAST(count(s_doc) * 1000 div {TOP_K} AS BIGINT)").alias(
+                "recall_milli"
+            ),
+        )
+    )

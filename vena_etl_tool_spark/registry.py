@@ -160,6 +160,8 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     # --- first r10 work session ---
     "merge_cow_parquet",
     "stream_retrieval_serving",
+    "sim_maxsim_late_interaction",
+    "sim_maxsim_plaid_rerank",
 )
 
 
