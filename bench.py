@@ -196,6 +196,7 @@ HEADLINE = [
     "stream_retrieval_serving",
     "sim_maxsim_late_interaction",
     "sim_maxsim_plaid_rerank",
+    "merge_delete_vectors",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

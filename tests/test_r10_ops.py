@@ -197,3 +197,81 @@ def test_maxsim_invariants(spark, sf_dir):
     for r in rec:
         assert 0 <= r.hits <= TOP_K
         assert r.recall_milli == r.hits * 1000 // TOP_K
+
+
+def test_delete_vectors_file_level_policy(spark, tmp_path):
+    """DV policy pin: partitions under the compaction threshold keep their
+    data files byte-identical and serve deletes from the sidecar;
+    partitions past it are rewritten and leave no DV residue; erased keys
+    never reach the read path either way."""
+    import os
+
+    from vena_etl_tool_spark.operators.layouts import (
+        MERGE_PARTS,
+        apply_deletes_dv,
+        seed_merge_target,
+    )
+
+    path = str(tmp_path / "t")
+    # 10 rows in pk 0 (keys 0,16,..,144) and 10 in pk 1 (keys 1,17,..,145)
+    rows = [(k, k) for k in range(0, 160, 16)] + [(k, k) for k in range(1, 160, 16)]
+    seed_merge_target(spark.createDataFrame(rows, "key long, bal_cents long"), path)
+
+    def sig(pk):
+        d = os.path.join(path, f"pk={pk}")
+        return sorted(
+            (f, os.path.getsize(os.path.join(d, f)), os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    before = {pk: sig(pk) for pk in (0, 1)}
+    # delete 2/10 of pk 0 (200000 ppm > threshold -> compact) and 0 of pk 1;
+    # plus 1/10 of pk 1? no: delete exactly one key of pk 1 (100000 ppm >
+    # 85000 too). Use NO pk-1 deletes -> pk 1 untouched, no DV rows.
+    deletes = spark.createDataFrame([(0,), (32,)], "key long")
+    compact, dv_path = apply_deletes_dv(spark, path, deletes)
+    assert compact == [0]
+    after = {pk: sig(pk) for pk in (0, 1)}
+    assert before[1] == after[1]  # untouched partition byte-identical
+    assert before[0] != after[0]  # compacted partition rewritten
+    assert spark.read.parquet(dv_path).count() == 0  # compacted -> DV cleared
+
+    live = {r.key for r in spark.read.parquet(path).collect()}
+    assert 0 not in live and 32 not in live
+    assert len(live) == 18
+
+
+def test_delete_vectors_sidecar_path(spark, tmp_path):
+    """Below threshold: data files untouched, deletes served purely from
+    the sidecar anti-join."""
+    import os
+
+    from vena_etl_tool_spark.operators.layouts import (
+        apply_deletes_dv,
+        seed_merge_target,
+    )
+
+    path = str(tmp_path / "t2")
+    rows = [(k, k) for k in range(0, 1600, 16)]  # 100 rows, all pk 0
+    seed_merge_target(spark.createDataFrame(rows, "key long, bal_cents long"), path)
+    d = os.path.join(path, "pk=0")
+    before = sorted(os.listdir(d))
+    deletes = spark.createDataFrame([(0,), (16,)], "key long")  # 2% < 8.5%
+    compact, dv_path = apply_deletes_dv(spark, path, deletes)
+    assert compact == []
+    assert sorted(os.listdir(d)) == before  # no rewrite
+    dv = {r.d_key for r in spark.read.parquet(dv_path).collect()}
+    assert dv == {0, 16}
+    from pyspark.sql import functions as FF
+
+    live = (
+        spark.read.parquet(path)
+        .join(
+            FF.broadcast(spark.read.parquet(dv_path).select("d_key")),
+            FF.col("key") == FF.col("d_key"),
+            "left_anti",
+        )
+        .count()
+    )
+    assert live == 98

@@ -815,3 +815,179 @@ def merge_cow_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("rewritten"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deletion vectors — the DELETE-side complement of the copy-on-write MERGE
+# above, the mechanism Delta/Iceberg v2 use to avoid rewriting a partition
+# for every erasure: deleted keys land in a small sidecar ("deletion
+# vector"); readers anti-join it; a partition is physically rewritten only
+# once its deleted fraction crosses a threshold, at which point its DV
+# entries are dropped. Here the sidecar is a keyed parquet table (at 100 TB
+# a roaring bitmap per file; the join shape is identical) and the erasure
+# predicate is the GDPR-ish one: delete every order of a customer in bad
+# standing (negative account balance).
+# ---------------------------------------------------------------------------
+
+DV_COMPACT_PPM = 85_000  # rewrite a partition once >8.5% of its rows are dead
+
+
+def apply_deletes_dv(
+    spark: SparkSession, path: str, deletes: DataFrame
+) -> tuple[list[int], str]:
+    """Apply ``deletes`` (key) to the seeded target at ``path``: write the
+    deletion-vector sidecar for lightly-deleted partitions, physically
+    compact (rewrite minus dead rows, dynamic partition overwrite) the
+    partitions whose dead fraction exceeds DV_COMPACT_PPM, and clear their
+    DV entries. Returns (compacted pks, dv sidecar path).
+
+    Scale shape: the dead-fraction audit is one aggregate of the (small)
+    delete set joined to per-partition counts; the compaction rewrite
+    touches ONLY the partitions past threshold; every other partition's
+    erasure costs one sidecar row per key — no data files touched."""
+    dv_path = path.rstrip("/") + "_dv"
+    dead = deletes.select(
+        F.col("key").alias("d_key"), (F.col("key") % MERGE_PARTS).alias("pk")
+    )
+    part_counts = (
+        spark.read.parquet(path).groupBy("pk").agg(F.count(F.lit(1)).alias("n"))
+    )
+    dead_counts = dead.groupBy("pk").agg(F.count(F.lit(1)).alias("n_dead"))
+    frac = part_counts.join(dead_counts, "pk", "left").select(
+        "pk",
+        F.expr(
+            "CAST(coalesce(n_dead, 0) * 1000000 div n AS BIGINT)"
+        ).alias("dead_ppm"),
+    )
+    compact = sorted(
+        r.pk for r in frac.filter(F.col("dead_ppm") > DV_COMPACT_PPM).collect()
+    )
+    # sidecar: deleted keys of NON-compacted partitions only
+    dead.filter(~F.col("pk").isin(compact)).select("d_key", "pk").write.mode(
+        "overwrite"
+    ).parquet(dv_path)
+    if compact:
+        live = (
+            spark.read.parquet(path)
+            .filter(F.col("pk").isin(compact))
+            .join(
+                F.broadcast(dead.filter(F.col("pk").isin(compact)).select("d_key")),
+                F.col("key") == F.col("d_key"),
+                "left_anti",
+            )
+            .localCheckpoint()
+        )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        try:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            live.repartition("pk").write.mode("overwrite").partitionBy("pk").parquet(
+                path
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return compact, dv_path
+
+
+@register(
+    "merge_delete_vectors",
+    tags=("join", "merge", "layout", "sink", "privacy"),
+    oracle=f"""
+WITH tgt AS (
+  SELECT o_orderkey AS key,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS val_cents,
+         o_orderkey % {MERGE_PARTS} AS pk
+  FROM orders
+), del AS (
+  SELECT o.o_orderkey AS key, o.o_orderkey % {MERGE_PARTS} AS pk
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_acctbal < 0
+), frac AS (
+  SELECT t.pk,
+         COUNT(*) AS n,
+         CAST(SUM(CASE WHEN d.key IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dead,
+         CAST(SUM(CASE WHEN d.key IS NOT NULL THEN 1 ELSE 0 END)
+              * 1000000 // COUNT(*) AS BIGINT) AS dead_ppm
+  FROM tgt t LEFT JOIN del d ON d.key = t.key
+  GROUP BY t.pk
+)
+SELECT CAST(f.pk AS INT) AS pk,
+       CAST(f.n - f.n_dead AS BIGINT) AS n_live,
+       CAST(f.n_dead AS BIGINT) AS n_deleted,
+       CAST(CASE WHEN f.dead_ppm > {DV_COMPACT_PPM}
+                 THEN 0 ELSE f.n_dead END AS BIGINT) AS dv_residual,
+       CAST(f.dead_ppm > {DV_COMPACT_PPM} AS INT) AS compacted,
+       (SELECT CAST(SUM(val_cents) AS BIGINT) FROM tgt t2
+        LEFT JOIN del d2 ON d2.key = t2.key
+        WHERE t2.pk = f.pk AND d2.key IS NULL) AS sum_live_cents
+FROM frac f
+""",
+)
+def merge_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector erasure, end to end and audited FROM DISK: seed a
+    hash-partitioned parquet target from orders (exact cents), delete
+    every order belonging to a negative-balance customer, route
+    lightly-deleted partitions through the DV sidecar (no data files
+    touched) and physically compact only the partitions past
+    DV_COMPACT_PPM, then audit the result by re-reading the files: the
+    read path is scan ⊳ anti-join(sidecar); per partition the audit
+    reports live rows, total deletions, residual DV size, whether it was
+    compacted, and the exact live balance sum. The DuckDB oracle
+    simulates the same policy relationally — a hash match proves the
+    sidecar + selective-rewrite commit serves exactly DELETE semantics.
+
+    This is the erasure shape that survives 100 TB: a right-to-be-
+    forgotten request costs one sidecar row (not a partition rewrite),
+    reads pay one broadcast anti-join against a key set ≪ corpus, and
+    rewrite I/O is deferred until a partition is genuinely worth
+    compacting."""
+    tgt_dir = layout_dir(sf_dir, "delete_dv_target")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("bal_cents"),
+        "o_custkey",
+    )
+    seed_merge_target(orders.select("key", "bal_cents"), tgt_dir)
+    bad_cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select("c_custkey")
+    )
+    deletes = orders.join(
+        F.broadcast(bad_cust), orders["o_custkey"] == F.col("c_custkey")
+    ).select("key")
+    n_dead_by_pk = deletes.select(
+        (F.col("key") % MERGE_PARTS).alias("pk")
+    ).groupBy("pk").agg(F.count(F.lit(1)).alias("n_deleted"))
+    compact, dv_path = apply_deletes_dv(spark, tgt_dir, deletes)
+    dv = spark.read.parquet(dv_path).select("d_key")
+    live = spark.read.parquet(tgt_dir).join(
+        F.broadcast(dv), F.col("key") == F.col("d_key"), "left_anti"
+    )
+    audit = live.groupBy(F.col("pk").cast("int").alias("pk")).agg(
+        F.count(F.lit(1)).alias("n_live"),
+        F.sum("bal_cents").cast("long").alias("sum_live_cents"),
+    )
+    dv_residual = (
+        spark.read.parquet(dv_path)
+        .groupBy(F.col("pk").cast("int").alias("pk"))
+        .agg(F.count(F.lit(1)).alias("dv_residual"))
+    )
+    return (
+        audit.join(
+            F.broadcast(n_dead_by_pk.select(F.col("pk").cast("int").alias("pk"), "n_deleted")),
+            "pk",
+            "left",
+        )
+        .join(F.broadcast(dv_residual), "pk", "left")
+        .select(
+            "pk",
+            "n_live",
+            F.coalesce("n_deleted", F.lit(0)).cast("long").alias("n_deleted"),
+            F.coalesce("dv_residual", F.lit(0)).cast("long").alias("dv_residual"),
+            F.col("pk").isin(compact).cast("int").alias("compacted"),
+            "sum_live_cents",
+        )
+    )

@@ -162,6 +162,7 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     "stream_retrieval_serving",
     "sim_maxsim_late_interaction",
     "sim_maxsim_plaid_rerank",
+    "merge_delete_vectors",
 )
 
 
