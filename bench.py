@@ -197,6 +197,8 @@ HEADLINE = [
     "sim_maxsim_late_interaction",
     "sim_maxsim_plaid_rerank",
     "merge_delete_vectors",
+    "privacy_k_anonymity",
+    "privacy_k_generalize",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

@@ -275,3 +275,29 @@ def test_delete_vectors_sidecar_path(spark, tmp_path):
         .count()
     )
     assert live == 98
+
+
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_k_anonymity_guarantee_and_conservation(spark, sf):
+    """The generalization ladder's defining invariants: every published
+    level's minimum group size is >= K_ANON, every customer row lands in
+    exactly one level, and the audit's band masses partition the table."""
+    from vena_etl_tool_spark.catalog import load_table
+    from vena_etl_tool_spark.operators.privacy import (
+        K_ANON,
+        privacy_k_anonymity,
+        privacy_k_generalize,
+    )
+
+    n_cust = load_table(spark, sf, "customer").count()
+    levels = {r.level: r for r in privacy_k_generalize(spark, sf).collect()}
+    assert sum(r.n_rows for r in levels.values()) == n_cust
+    for lvl, r in levels.items():
+        if lvl < 3:
+            assert r.min_k_published >= K_ANON, (lvl, r)
+    bands = privacy_k_anonymity(spark, sf).collect()
+    assert sum(r.n_rows for r in bands) == n_cust
+    for r in bands:
+        assert (r.violates_k == 1) == (r.k_band in ("1", f"2-{K_ANON - 1}"))

@@ -19,6 +19,7 @@ Module map (SURVEY.md §2 Part B):
 - textanalysis   §B.11 lang-id, quality scoring, tokens, fingerprinting
 - multimodal     §B.11 binary-column plumbing (decode stubbed per mandate)
 - pysource       §B.1 custom Python DataSource connector seam
+- privacy        §B.11 k-anonymity audit + generalization ladder (r10)
 """
 
 from . import (  # noqa: F401
@@ -32,6 +33,7 @@ from . import (  # noqa: F401
     ml_lsh,
     multimodal,
     pricing,
+    privacy,
     projection,
     pysource,
     retrieval,

@@ -1,0 +1,190 @@
+"""Privacy / anonymization operators (r10): k-anonymity auditing and
+enforcement over quasi-identifier combinations.
+
+Reference parity note: the reference tool (a Node.js upload client,
+/root/reference/src/) has no privacy surface; this module extends the
+SURVEY.md §2 B.11 LLM-pipeline family with the release-gating audits a
+training-data pipeline runs before publishing derived tables: k-anonymity
+(Sweeney 2002) measured exactly, and the standard local-generalization
+ladder that coarsens or suppresses quasi-identifier groups until every
+published row is k-anonymous.
+
+Everything is integer/count arithmetic, so both operators hash-check
+against DuckDB end to end — the audit of an anonymization policy is
+itself under the differential gate.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from ..registry import register
+
+K_ANON = 5  # the k in k-anonymity: publishable group size threshold
+ACCTBAL_BUCKET = 1000  # quasi-identifier coarsening width (currency units)
+
+# Quasi-identifier ladder, most specific first. Level 0 is the full QI
+# tuple; each later level drops the most identifying column; level 2 is
+# the last generalization before suppression.
+_QI_LEVELS: tuple[tuple[str, ...], ...] = (
+    ("c_nationkey", "c_mktsegment", "bal_bucket"),
+    ("c_nationkey", "c_mktsegment"),
+    ("c_mktsegment",),
+)
+
+
+def _with_bucket(df: DataFrame) -> DataFrame:
+    # floor division keeps negatives in their own buckets (-1 for
+    # [-1000, 0)), matching SQL's floor(x / w) on both engines
+    return df.withColumn(
+        "bal_bucket",
+        F.floor(F.col("c_acctbal").cast("decimal(18,2)") / ACCTBAL_BUCKET).cast(
+            "long"
+        ),
+    )
+
+
+_K_BANDS_SQL = f"""
+CASE WHEN k = 1 THEN '1'
+     WHEN k < {K_ANON} THEN '2-{K_ANON - 1}'
+     WHEN k < 20 THEN '{K_ANON}-19'
+     ELSE '20+' END
+"""
+
+
+@register(
+    "privacy_k_anonymity",
+    tags=("privacy", "profiling", "aggregate"),
+    oracle=f"""
+WITH qi AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(CAST(c_acctbal AS DECIMAL(18,2)) / {ACCTBAL_BUCKET})
+              AS BIGINT) AS bal_bucket
+  FROM customer
+), groups AS (
+  SELECT c_nationkey, c_mktsegment, bal_bucket, COUNT(*) AS k
+  FROM qi GROUP BY 1, 2, 3
+)
+SELECT {_K_BANDS_SQL} AS k_band,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(k) AS BIGINT) AS n_rows,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k,
+       CAST({_K_BANDS_SQL} IN ('1', '2-{K_ANON - 1}') AS INT) AS violates_k
+FROM groups
+GROUP BY 1
+""",
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the customer quasi-identifier tuple
+    (nation, market segment, account-balance bucket): group sizes k
+    binned into re-identification risk bands — singletons (k=1, directly
+    re-identifiable), sub-threshold (k < K_ANON), and publishable bands —
+    with group counts, row mass, and min/max k per band. The measurement
+    a privacy review runs before releasing a derived table; the row mass
+    in violating bands is exactly the suppression cost of the naive
+    "drop violating groups" policy.
+
+    Scale: one hash aggregate at QI grain (map-side combined) + one
+    band-grain re-aggregate. QI cardinality ≪ rows by construction (it
+    is the whole point of the audit), so the second stage is config-
+    sized. Survives any row count."""
+    qi = _with_bucket(load_table(spark, sf_dir, "customer"))
+    groups = qi.groupBy("c_nationkey", "c_mktsegment", "bal_bucket").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    band = F.expr(_K_BANDS_SQL)
+    return groups.groupBy(band.alias("k_band")).agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("k").cast("long").alias("n_rows"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+        F.max(band.isin("1", f"2-{K_ANON - 1}").cast("int")).alias("violates_k"),
+    )
+
+
+@register(
+    "privacy_k_generalize",
+    tags=("privacy", "profiling", "aggregate"),
+    oracle=f"""
+WITH qi AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment,
+         CAST(floor(CAST(c_acctbal AS DECIMAL(18,2)) / {ACCTBAL_BUCKET})
+              AS BIGINT) AS bal_bucket
+  FROM customer
+), l0 AS (
+  SELECT qi.*, COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment,
+                              bal_bucket) AS k0
+  FROM qi
+), l1 AS (
+  SELECT l0.*, COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS k1
+  FROM l0 WHERE k0 < {K_ANON}
+), l2 AS (
+  SELECT l1.*, COUNT(*) OVER (PARTITION BY c_mktsegment) AS k2
+  FROM l1 WHERE k1 < {K_ANON}
+), leveled AS (
+  SELECT 0 AS level, c_custkey, k0 AS k FROM l0 WHERE k0 >= {K_ANON}
+  UNION ALL
+  SELECT 1, c_custkey, k1 FROM l1 WHERE k1 >= {K_ANON}
+  UNION ALL
+  SELECT 2, c_custkey, k2 FROM l2 WHERE k2 >= {K_ANON}
+  UNION ALL
+  SELECT 3, c_custkey, NULL FROM l2 WHERE k2 < {K_ANON}
+)
+SELECT CAST(level AS INT) AS level,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COALESCE(MIN(k), 0) AS BIGINT) AS min_k_published
+FROM leveled GROUP BY 1
+""",
+)
+def privacy_k_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-generalization enforcement of k-anonymity: rows publish at
+    the MOST SPECIFIC quasi-identifier level whose group already holds
+    ≥ K_ANON members — level 0 = (nation, segment, balance bucket),
+    level 1 drops the bucket, level 2 keeps only the segment, level 3 =
+    suppressed (even the segment group of the survivors is too small).
+    Output per level: published rows and the minimum published group
+    size — which the invariant test pins at ≥ K_ANON for levels 0-2,
+    the definition of the guarantee.
+
+    Note the subtlety the ladder preserves (and the oracle mirrors):
+    the level-1 k counts only rows that FAILED level 0 — the standard
+    local-recoding semantics where already-published rows don't
+    re-enter coarser groups.
+
+    Scale: three window counts over progressively coarser keys, each a
+    single hash exchange at that key's grain, applied to a shrinking
+    remainder (only sub-threshold rows descend the ladder). No
+    cross-row data movement beyond the QI-grain exchanges."""
+    qi = _with_bucket(load_table(spark, sf_dir, "customer")).select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "bal_bucket"
+    )
+    from pyspark.sql import Window
+
+    w0 = Window.partitionBy("c_nationkey", "c_mktsegment", "bal_bucket")
+    w1 = Window.partitionBy("c_nationkey", "c_mktsegment")
+    w2 = Window.partitionBy("c_mktsegment")
+    l0 = qi.withColumn("k0", F.count(F.lit(1)).over(w0))
+    pub0 = l0.filter(F.col("k0") >= K_ANON).select(
+        F.lit(0).alias("level"), "c_custkey", F.col("k0").alias("k")
+    )
+    r0 = l0.filter(F.col("k0") < K_ANON)
+    l1 = r0.withColumn("k1", F.count(F.lit(1)).over(w1))
+    pub1 = l1.filter(F.col("k1") >= K_ANON).select(
+        F.lit(1).alias("level"), "c_custkey", F.col("k1").alias("k")
+    )
+    r1 = l1.filter(F.col("k1") < K_ANON)
+    l2 = r1.withColumn("k2", F.count(F.lit(1)).over(w2))
+    pub2 = l2.filter(F.col("k2") >= K_ANON).select(
+        F.lit(2).alias("level"), "c_custkey", F.col("k2").alias("k")
+    )
+    supp = l2.filter(F.col("k2") < K_ANON).select(
+        F.lit(3).alias("level"), "c_custkey", F.lit(None).cast("long").alias("k")
+    )
+    leveled = pub0.unionByName(pub1).unionByName(pub2).unionByName(supp)
+    return leveled.groupBy(F.col("level").cast("int").alias("level")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(F.min("k"), F.lit(0)).cast("long").alias("min_k_published"),
+    )

@@ -163,6 +163,8 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     "sim_maxsim_late_interaction",
     "sim_maxsim_plaid_rerank",
     "merge_delete_vectors",
+    "privacy_k_anonymity",
+    "privacy_k_generalize",
 )
 
 
