@@ -199,6 +199,7 @@ HEADLINE = [
     "merge_delete_vectors",
     "privacy_k_anonymity",
     "privacy_k_generalize",
+    "dedup_prefix_filter_join",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

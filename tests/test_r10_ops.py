@@ -301,3 +301,31 @@ def test_k_anonymity_guarantee_and_conservation(spark, sf):
     assert sum(r.n_rows for r in bands) == n_cust
     for r in bands:
         assert (r.violates_k == 1) == (r.k_band in ("1", f"2-{K_ANON - 1}"))
+
+
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_prefix_filter_completeness(spark, sf):
+    """The prefix-filtering theorem, empirically: the prefix join's output
+    equals the FULL blocked Jaccard join thresholded at t — no qualifying
+    pair escapes the prefix index, no sub-threshold pair survives the
+    verify."""
+    from vena_etl_tool_spark.operators.dedup import (
+        PPJOIN_T_MILLI,
+        dedup_ngram_jaccard,
+        dedup_prefix_filter_join,
+    )
+
+    t = PPJOIN_T_MILLI / 1000.0
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_ngram_jaccard(spark, sf).collect()
+        if r.jaccard >= t
+    }
+    pref = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_prefix_filter_join(spark, sf).collect()
+    }
+    assert pref == full
+    assert pref, "fixture must contain at least one >=t pair"

@@ -2484,3 +2484,140 @@ def dedup_lsh_recall_audit_stratum(spark: SparkSession, sf_dir: str) -> DataFram
     RNG), so the stratum's counts hash-match DuckDB like the full
     audit's."""
     return _lsh_recall_audit_df(spark, sf_dir, stratum_mod=LSH_AUDIT_STRATUM_MOD)
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtering set-similarity join (PPJoin family: Chaudhuri, Ganti &
+# Kaushik 2006; Xiao et al. 2008) — the OTHER classic sub-quadratic
+# similarity-join technique next to MinHash-LSH banding, and unlike LSH it
+# is EXACT: under a global token order, two sets with Jaccard >= t must
+# share a token within their (|d| - ceil(t*|d|) + 1)-length rarest-first
+# prefixes, so indexing only prefixes loses no qualifying pair. Candidates
+# are verified with the exact Jaccard, so output = all pairs >= t over the
+# df-capped shingle sets.
+# ---------------------------------------------------------------------------
+
+PPJOIN_T_MILLI = 500  # Jaccard threshold 0.5, the family convention
+
+
+@register(
+    "dedup_prefix_filter_join",
+    tags=("llm", "dedup", "jaccard", "prefix-filter"),
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), sh_all AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, len(words) - 1),
+                   i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+  )) AS sh
+  FROM w WHERE len(words) >= 3
+), sh AS (
+  SELECT doc_id, sh FROM sh_all
+  WHERE sh IN (SELECT sh FROM sh_all GROUP BY sh HAVING COUNT(*) <= {SHINGLE_DF_CAP})
+), dfreq AS (
+  SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh
+), ranked AS (
+  SELECT s.doc_id, s.sh,
+         ROW_NUMBER() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.sh) AS pos,
+         COUNT(*) OVER (PARTITION BY s.doc_id) AS n
+  FROM sh s JOIN dfreq d ON d.sh = s.sh
+), prefix AS (
+  SELECT doc_id, sh, n FROM ranked
+  WHERE pos <= n - (n * {PPJOIN_T_MILLI} + 999) // 1000 + 1
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.n AS na, b.n AS nb
+  FROM prefix a JOIN prefix b
+    ON a.sh = b.sh AND a.doc_id < b.doc_id
+  WHERE greatest(a.n, b.n) * {PPJOIN_T_MILLI} <= least(a.n, b.n) * 1000
+), verified AS (
+  SELECT c.doc_a, c.doc_b, c.na, c.nb, COUNT(*) AS inter
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b AND y.sh = x.sh
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+       ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+FROM verified
+WHERE inter * 1000 >= (na + nb - inter) * {PPJOIN_T_MILLI}
+""",
+)
+def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT similarity self-join via prefix filtering: order each
+    document's (df-capped) shingles rarest-first under a global total
+    order (df, shingle), index only the first |d| - ceil(t·|d|) + 1 of
+    them, generate candidates from prefix-token collisions guarded by the
+    length filter (t·max ≤ min), and verify candidates with the exact
+    Jaccard — by the prefix-filtering theorem no pair ≥ t can be missed,
+    so the output equals the full blocked Jaccard join thresholded at t
+    (pinned against dedup_ngram_jaccard in tests).
+
+    Scale shape vs the LSH banding twin: same inverted-index equi-join
+    topology, but the index holds only PREFIX tokens — for t = 0.5 about
+    half of each posting list, and the rarest half at that, so bucket
+    sizes shrink where it matters (rare tokens have short lists by
+    definition; the rarest-first order is exactly the hot-bucket defense
+    LSH needs a cap for). Costs: one df aggregate, one per-doc window at
+    doc grain, the prefix self-join, and a verify join over candidates
+    only. Exact where LSH is probabilistic — the trade is the verify
+    join's intersection count vs signature comparison."""
+    sh = _capped_shingle_postings(spark, sf_dir)
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    w_doc = Window.partitionBy("doc_id").orderBy("df", "sh")
+    ranked = (
+        sh.join(dfreq, "sh")
+        .withColumn("pos", F.row_number().over(w_doc))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    )
+    prefix = ranked.filter(
+        F.col("pos")
+        <= F.col("n") - F.expr(f"(n * {PPJOIN_T_MILLI} + 999) div 1000") + 1
+    ).select("doc_id", "sh", "n")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.greatest(F.col("a.n"), F.col("b.n")) * PPJOIN_T_MILLI
+                <= F.least(F.col("a.n"), F.col("b.n")) * 1000
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .distinct()
+    )
+    x = sh.select(F.col("doc_id").alias("x_doc"), F.col("sh").alias("shx"))
+    y = sh.select(F.col("doc_id").alias("y_doc"), F.col("sh").alias("shy"))
+    verified = (
+        cand.join(x, F.col("doc_a") == F.col("x_doc"))
+        .join(
+            y,
+            (F.col("doc_b") == F.col("y_doc")) & (F.col("shx") == F.col("shy")),
+        )
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        verified.filter(
+            F.col("inter") * 1000
+            >= (F.col("na") + F.col("nb") - F.col("inter")) * PPJOIN_T_MILLI
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("inter").cast("long").alias("inter"),
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -165,6 +165,7 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     "merge_delete_vectors",
     "privacy_k_anonymity",
     "privacy_k_generalize",
+    "dedup_prefix_filter_join",
 )
 
 
