@@ -200,6 +200,7 @@ HEADLINE = [
     "privacy_k_anonymity",
     "privacy_k_generalize",
     "dedup_prefix_filter_join",
+    "retrieval_system_agreement",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

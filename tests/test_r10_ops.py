@@ -329,3 +329,22 @@ def test_prefix_filter_completeness(spark, sf):
     }
     assert pref == full
     assert pref, "fixture must contain at least one >=t pair"
+
+
+def test_ranker_agreement_tau_identities(spark, sf_dir):
+    """Kendall-count identities: concordant + discordant == C(n_overlap, 2)
+    (distinct ranks, no ties), tau bounded in [-1000, 1000], and the
+    floor-divided milli value reproduces from the counts."""
+    from vena_etl_tool_spark.operators.retrieval import retrieval_system_agreement
+
+    rows = retrieval_system_agreement(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.concordant + r.discordant == r.n_overlap * (r.n_overlap - 1) // 2
+        assert -1000 <= r.tau_milli <= 1000
+        tot = r.concordant + r.discordant
+        if tot:
+            mag = abs(r.concordant - r.discordant) * 1000 // tot
+            expect = mag if r.concordant >= r.discordant else -mag
+            assert r.tau_milli == expect
+        assert r.top1_same in (0, 1)

@@ -629,3 +629,181 @@ def stream_retrieval_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.queries import events_stream
 
     return serve_query_log(spark, sf_dir, events_stream(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Ranker-agreement evaluation: before trusting a fusion of two retrieval
+# systems, measure how much they actually agree — overlap of their top
+# lists, exact Kendall concordant/discordant pair counts on the common
+# docs, and whether they crown the same top-1. Pure integer counting, so
+# the IR evaluation itself sits under the differential gate.
+# ---------------------------------------------------------------------------
+
+_AGREEMENT_ORACLE = f"""
+WITH {_BM25_CTES}, lex AS (
+  SELECT query_id, doc_id, rk FROM ranked WHERE rk <= {RRF_DEPTH}
+), qmap(query_id, qvec) AS (
+  VALUES {_QMAP_VALUES}
+), norms AS (
+  SELECT vec_id, embedding,
+         (SELECT CAST(SUM(CAST(FLOOR(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
+          FROM UNNEST(embedding) AS u(x)) AS sq_norm
+  FROM embeddings
+), dense_scored AS (
+  SELECT m.query_id, c.vec_id AS doc_id,
+         (SELECT CAST(SUM(CAST(FLOOR(CAST(struct_extract(p, 1) AS DOUBLE) * CAST(struct_extract(p, 2) AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
+          FROM UNNEST(list_zip(q.embedding, c.embedding)) AS t(p))
+         / (SQRT(q.sq_norm) * SQRT(c.sq_norm)) AS cosine
+  FROM qmap m
+  JOIN norms q ON q.vec_id = m.qvec
+  JOIN norms c ON c.vec_id <> m.qvec
+), dense AS (
+  SELECT query_id, doc_id, rk FROM (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, doc_id) AS rk
+    FROM dense_scored
+  ) WHERE rk <= {RRF_DEPTH}
+), common AS (
+  SELECT l.query_id, l.doc_id, l.rk AS l_rk, d.rk AS d_rk
+  FROM lex l JOIN dense d ON d.query_id = l.query_id AND d.doc_id = l.doc_id
+), pair_counts AS (
+  SELECT a.query_id,
+         SUM(CASE WHEN (a.l_rk - b.l_rk) * (a.d_rk - b.d_rk) > 0
+                  THEN 1 ELSE 0 END) AS concordant,
+         SUM(CASE WHEN (a.l_rk - b.l_rk) * (a.d_rk - b.d_rk) < 0
+                  THEN 1 ELSE 0 END) AS discordant
+  FROM common a JOIN common b
+    ON b.query_id = a.query_id AND a.doc_id < b.doc_id
+  GROUP BY a.query_id
+), tops AS (
+  SELECT l.query_id,
+         CAST(MIN(l.doc_id) FILTER (WHERE l.rk = 1)
+              = MIN(d.doc_id) FILTER (WHERE d.rk = 1) AS INT) AS top1_same
+  FROM lex l JOIN dense d ON d.query_id = l.query_id
+  GROUP BY l.query_id
+), overlap AS (
+  SELECT query_id, COUNT(*) AS n_overlap FROM common GROUP BY query_id
+)
+SELECT o.query_id,
+       CAST(o.n_overlap AS BIGINT) AS n_overlap,
+       CAST(COALESCE(p.concordant, 0) AS BIGINT) AS concordant,
+       CAST(COALESCE(p.discordant, 0) AS BIGINT) AS discordant,
+       CAST(CASE WHEN COALESCE(p.concordant, 0) + COALESCE(p.discordant, 0) = 0
+                 THEN 0
+                 WHEN p.concordant >= p.discordant
+                 THEN (p.concordant - p.discordant) * 1000
+                      // (p.concordant + p.discordant)
+                 ELSE -((p.discordant - p.concordant) * 1000
+                        // (p.concordant + p.discordant)) END AS BIGINT)
+         AS tau_milli,
+       t.top1_same
+FROM overlap o
+LEFT JOIN pair_counts p ON p.query_id = o.query_id
+JOIN tops t ON t.query_id = o.query_id
+"""
+
+
+@register(
+    "retrieval_system_agreement",
+    tags=("llm", "text", "retrieval", "eval"),
+    oracle=_AGREEMENT_ORACLE,
+)
+def retrieval_system_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-vs-dense ranker agreement, per hybrid query: how many docs
+    the two top-{RRF_DEPTH} lists share, the exact Kendall
+    concordant/discordant pair counts over the shared docs (ranks are
+    distinct, no tie handling needed), the floor-divided tau in milli
+    units, and whether the two systems crown the same top-1. Low overlap
+    + low tau is the empirical justification for rank-based fusion (RRF)
+    over score mixing — this op turns that justification into a
+    measured, hash-checked number next to the fusion operator itself.
+
+    Scale: both ranker lists are the registered operators' own top-k
+    shapes (corpus-scan-bounded); everything after is list-sized —
+    intersection join, ≤ C(k,2) pair rows per query, four tiny
+    aggregates. The evaluation adds nothing corpus-scale."""
+    lex = text_bm25_search(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rk").alias("l_rk")
+    )
+    emb = with_sq_norm(spread_small(load_table(spark, sf_dir, "embeddings")))
+    qmap = spark.createDataFrame(list(RRF_QMAP), ["query_id", "qvec"])
+    qvecs = qmap.join(
+        emb.select(
+            F.col("vec_id").alias("qvec"),
+            F.col("embedding").alias("q_emb"),
+            F.col("sq_norm").alias("q_sq"),
+        ),
+        "qvec",
+    )
+    dw = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "doc_id")
+    dense = (
+        emb.join(F.broadcast(qvecs), emb["vec_id"] != qvecs["qvec"])
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            (
+                dot_exact(F.col("q_emb"), F.col("embedding"))
+                / (F.sqrt("q_sq") * F.sqrt("sq_norm"))
+            ).alias("cosine"),
+        )
+        .withColumn("d_rk", F.row_number().over(dw))
+        .filter(F.col("d_rk") <= RRF_DEPTH)
+        .select("query_id", "doc_id", "d_rk")
+    )
+    common = lex.join(dense, ["query_id", "doc_id"]).select(
+        "query_id", "doc_id", "l_rk", "d_rk"
+    )
+    ca = common.select(
+        "query_id",
+        F.col("doc_id").alias("da"),
+        F.col("l_rk").alias("la"),
+        F.col("d_rk").alias("dda"),
+    )
+    cb = common.select(
+        F.col("query_id").alias("qb"),
+        F.col("doc_id").alias("db"),
+        F.col("l_rk").alias("lb"),
+        F.col("d_rk").alias("ddb"),
+    )
+    sgn = (F.col("la") - F.col("lb")) * (F.col("dda") - F.col("ddb"))
+    pair_counts = (
+        ca.join(cb, (F.col("query_id") == F.col("qb")) & (F.col("da") < F.col("db")))
+        .groupBy("query_id")
+        .agg(
+            F.sum((sgn > 0).cast("int")).alias("concordant"),
+            F.sum((sgn < 0).cast("int")).alias("discordant"),
+        )
+    )
+    l1 = lex.filter(F.col("l_rk") == 1).select(
+        "query_id", F.col("doc_id").alias("l_top")
+    )
+    d1 = dense.filter(F.col("d_rk") == 1).select(
+        "query_id", F.col("doc_id").alias("d_top")
+    )
+    tops = l1.join(d1, "query_id").select(
+        "query_id", (F.col("l_top") == F.col("d_top")).cast("int").alias("top1_same")
+    )
+    overlap = common.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_overlap"))
+    return (
+        overlap.join(pair_counts, "query_id", "left")
+        .join(tops, "query_id")
+        .select(
+            "query_id",
+            F.col("n_overlap").cast("long").alias("n_overlap"),
+            F.coalesce("concordant", F.lit(0)).cast("long").alias("concordant"),
+            F.coalesce("discordant", F.lit(0)).cast("long").alias("discordant"),
+            # tau can be negative, and DuckDB's // FLOORS while Spark's
+            # div TRUNCATES — divide the non-negative magnitude and apply
+            # the sign outside, identically on both engines
+            F.expr(
+                "CAST(CASE WHEN coalesce(concordant, 0) + coalesce(discordant, 0) = 0"
+                " THEN 0 WHEN concordant >= discordant"
+                " THEN (concordant - discordant) * 1000"
+                " div (concordant + discordant)"
+                " ELSE -((discordant - concordant) * 1000"
+                " div (concordant + discordant)) END AS BIGINT)"
+            ).alias("tau_milli"),
+            "top1_same",
+        )
+    )

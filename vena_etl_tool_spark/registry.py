@@ -166,6 +166,7 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     "privacy_k_anonymity",
     "privacy_k_generalize",
     "dedup_prefix_filter_join",
+    "retrieval_system_agreement",
 )
 
 
