@@ -201,6 +201,7 @@ HEADLINE = [
     "privacy_k_generalize",
     "dedup_prefix_filter_join",
     "retrieval_system_agreement",
+    "stream_cdc_apply",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

@@ -348,3 +348,30 @@ def test_ranker_agreement_tau_identities(spark, sf_dir):
             expect = mag if r.concordant >= r.discordant else -mag
             assert r.tau_milli == expect
         assert r.top1_same in (0, 1)
+
+
+def test_cdc_apply_split_invariance(spark, sf_dir, tmp_path):
+    """LWW merge over sequence-ordered deltas is associative: applying
+    the CDC log in 4 single-file micro-batches must equal the single-
+    batch apply AND the batch one-shot collapse."""
+    from vena_etl_tool_spark.streaming.queries import (
+        cdc_apply_stream,
+        events_stream,
+        stream_cdc_apply,
+    )
+
+    single = {tuple(r) for r in stream_cdc_apply(spark, sf_dir).collect()}
+    ev = events_stream(spark, sf_dir)
+    split_dir = str(tmp_path / "ev_split")
+    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(4).write.parquet(
+        split_dir
+    )
+    split_stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(split_dir)
+    )
+    multi = {tuple(r) for r in cdc_apply_stream(spark, split_stream).collect()}
+    assert multi == single
+    ops = {r[0] for r in single}
+    assert ops <= {"insert", "update", "delete"}

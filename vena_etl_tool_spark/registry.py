@@ -167,6 +167,7 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     "privacy_k_generalize",
     "dedup_prefix_filter_join",
     "retrieval_system_agreement",
+    "stream_cdc_apply",
 )
 
 

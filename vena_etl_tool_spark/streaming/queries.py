@@ -1059,3 +1059,112 @@ def stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_dropped_late",
         "n_open_state",
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC apply (r10): collapse a change-data-capture log to its final table
+# state with last-writer-wins semantics, incrementally — the streaming
+# complement of the batch MERGE sink (operators/layouts.py merge_cow_*).
+# The event log plays the CDC stream: signup = INSERT, click/view/purchase
+# = UPDATE, error = DELETE; sequence order is (ts, event_id). Each
+# micro-batch collapses to its per-key latest change and merges into the
+# carried state by LWW; after the last batch, DELETE-final keys drop out.
+# ---------------------------------------------------------------------------
+
+_CDC_OP = """
+CASE event_type WHEN 'error' THEN 'delete'
+                WHEN 'signup' THEN 'insert'
+                ELSE 'update' END
+"""
+
+
+def cdc_apply_stream(
+    spark: SparkSession, ev_stream: DataFrame
+) -> DataFrame:
+    """Core of ``stream_cdc_apply``, stream injected so tests can force a
+    multi-batch split. Returns the final per-op audit of the materialized
+    state."""
+    import tempfile
+
+    from .foreach_batch import run_foreach_batch
+
+    state: list[DataFrame] = []  # single-element carried state table
+
+    def lww(df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        delta = lww(
+            batch_df.select(
+                "user_id", "ts", "event_id", F.expr(_CDC_OP).alias("op")
+            )
+        )
+        merged = delta if not state else lww(state[0].unionByName(delta))
+        # localCheckpoint: state lineage must not grow with batch count
+        state[:] = [merged.localCheckpoint()]
+
+    with tempfile.TemporaryDirectory(prefix="cdc_ckpt_") as ckpt:
+        run_foreach_batch(
+            ev_stream.select("user_id", "ts", "event_id", "event_type"),
+            apply_batch,
+            ckpt,
+            "stream_cdc_apply",
+        )
+    if not state:
+        return spark.createDataFrame([], "final_op string, n_keys long, sum_key long")
+    return (
+        state[0]
+        .groupBy(F.col("op").alias("final_op"))
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("user_id").cast("long").alias("sum_key"),
+        )
+    )
+
+
+@register(
+    "stream_cdc_apply",
+    tags=("streaming", "merge", "cdc", "pipeline"),
+    oracle=f"""
+WITH latest AS (
+  SELECT user_id, {_CDC_OP} AS final_op
+  FROM (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+)
+SELECT final_op, CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(user_id) AS BIGINT) AS sum_key
+FROM latest GROUP BY final_op
+""",
+)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CDC materialization: the event log consumed as a
+    change stream (signup→INSERT, engagement→UPDATE, error→DELETE,
+    sequenced by (ts, event_id)), each micro-batch collapsed to per-key
+    latest changes and merged into the carried state table by
+    last-writer-wins; output audits the final state per terminal op (key
+    counts + key-sum checksum). The result is independent of how the log
+    splits into batches — LWW merge is associative over sequence-ordered
+    deltas — which the multi-batch split test pins, and the DuckDB
+    oracle is the one-shot batch collapse of the same log.
+
+    Scale shape: per batch, one key-grain window on the DELTA (batch-
+    sized) and one on state ∪ delta — deployed, the state side lives in
+    a keyed store (the merge_cow_parquet layout) so the merge is the
+    partition-pruned COW rewrite, and only touched partitions re-sort;
+    state lineage is localCheckpoint-truncated per batch here for the
+    same reason. DELETE-final keys stay as tombstones in the audit
+    (their mass is the deletion-vector input), not silently dropped."""
+    return cdc_apply_stream(spark, events_stream(spark, sf_dir))
