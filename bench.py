@@ -202,6 +202,7 @@ HEADLINE = [
     "dedup_prefix_filter_join",
     "retrieval_system_agreement",
     "stream_cdc_apply",
+    "layout_compaction_apply",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

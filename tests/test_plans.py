@@ -467,16 +467,24 @@ def test_rfm_has_no_single_partition_window(spark, sf_dir):
 def test_systematic_sampler_no_single_partition_window(spark, sf_dir):
     """The PPS-systematic prefix sum must be the two-level topology, not
     a global cumulative window: every Window node carries the _pid
-    partition key, the permutation is one range exchange, and the offset
-    /total sides come back as broadcasts."""
+    partition key and the permutation is one range exchange. The ranked
+    frame is localCheckpointed inside the operator (r9 ADVICE — no
+    pinned cache entry), which hides its plan from the final query, so
+    the pin inspects the factored pre-checkpoint builder plus the
+    consumer plan's broadcasts."""
     import re
 
-    plan = plan_of(spark, sf_dir, "sample_weighted_systematic")
-    win_lines = [ln for ln in plan.splitlines() if re.search(r"\bWindow \[", ln)]
+    from vena_etl_tool_spark.operators.projection import _syssample_ranked
+
+    twin = _syssample_ranked(spark, sf_dir, checkpoint=False)
+    tplan = twin._jdf.queryExecution().executedPlan().toString()
+    win_lines = [ln for ln in tplan.splitlines() if re.search(r"\bWindow \[", ln)]
     assert win_lines, "expected a per-partition cumulative-sum window"
     assert not [ln for ln in win_lines if "windowspecdefinition(_pid#" not in ln]
-    assert "rangepartitioning" in plan
-    assert plan.count("BroadcastExchange") + plan.count("BroadcastQueryStage") >= 2
+    assert "rangepartitioning" in tplan
+    # consumer side: offsets + total must come back as broadcasts
+    plan2 = plan_of(spark, sf_dir, "sample_weighted_systematic")
+    assert plan2.count("BroadcastExchange") + plan2.count("BroadcastQueryStage") >= 2
     spark.catalog.clearCache()
 
 

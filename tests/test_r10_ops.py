@@ -375,3 +375,23 @@ def test_cdc_apply_split_invariance(spark, sf_dir, tmp_path):
     assert multi == single
     ops = {r[0] for r in single}
     assert ops <= {"insert", "update", "delete"}
+
+
+def test_compaction_apply_reduces_files(spark, sf_dir):
+    """The physical claim behind the audit: after compaction every source
+    directory holds ceil(n/400) files (vs ceil(n/50) fragmented), and row
+    counts are conserved."""
+    import math
+
+    from vena_etl_tool_spark.operators.layouts import (
+        COMPACT_APPLY_ROWS,
+        COMPACT_FRAG_ROWS,
+        layout_compaction_apply,
+    )
+
+    rows = layout_compaction_apply(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_files_before == math.ceil(r.n_rows / COMPACT_FRAG_ROWS)
+        assert r.n_files_after == math.ceil(r.n_rows / COMPACT_APPLY_ROWS)
+        assert r.n_files_after <= r.n_files_before

@@ -36,6 +36,17 @@ ROWS_ONLY_WHY = {
         "reproduce; cross-validated in tests against the oracle-exact "
         "hand-rolled minhash pipeline"
     ),
+    "dedup_ml_minhash_stratum": (
+        "same pyspark.ml-internal hash seeds as dedup_ml_minhash; the "
+        "stratum twin exists so the ml/native cross-validation runs in "
+        "full-scale gates (VERDICT r9 #2) — stratum==full-restricted is "
+        "pinned in tests/test_dedup.py"
+    ),
+    "profile_candidate_keys_sketch": (
+        "HLL estimates are engine-internal (Spark vs DuckDB registers "
+        "differ); the exact twin profile_candidate_keys is oracle-backed "
+        "and the sketch is pinned within rsd of it in tests/test_r10_ops.py"
+    ),
     "hash_functions_extra": (
         "xxhash64/hash are Spark-proprietary hash functions with no DuckDB "
         "twin (md5/sha variants ARE oracle-checked in the sibling query)"

@@ -291,6 +291,42 @@ QUERIES = (
     # against the persisted edge artifact regardless of corpus size; only
     # the truth side scans graph nodes (broadcast queries).
     "sim_ann_graph_greedy",
+    # r10 first session: the COW merge pays one seed write + the
+    # affected-partition rewrite (update keys span all 16 pks here, so
+    # expect ~linear in the fact); deletion vectors pay the seed write +
+    # a broadcast anti-join + rewrite of only the past-threshold
+    # partitions; the serving twin's per-batch work is a request-grain
+    # distinct + an isin-filter over the checkpointed index (index build
+    # dominates); CDC apply is one key-grain window per batch (single
+    # batch here -> one fact window).
+    "merge_cow_parquet",
+    "merge_delete_vectors",
+    "stream_retrieval_serving",
+    "stream_cdc_apply",
+    # r10 MaxSim pair: the brute-force baseline is broadcast-queries x
+    # corpus with 16 sub-vector dots per pair (expect the sim_cosine_topk
+    # linear signature, heavier constant); the PLAID twin prunes to
+    # ~NPROBE/C of the corpus before paying those dots — its own truth
+    # side is the baseline scan (audit-shaped, like the recall evals).
+    "sim_maxsim_late_interaction",
+    "sim_maxsim_plaid_rerank",
+    # r10 privacy: both are QI-grain hash aggregates / windows (QI
+    # cardinality ≪ rows by definition); the ladder's later levels see
+    # only sub-threshold remainders. Customer is replica-fixed, so these
+    # rows measure the fixed-dim regime (expect ~1x).
+    "privacy_k_anonymity",
+    "privacy_k_generalize",
+    # r10 prefix-filter join: candidates come from RAREST-token prefix
+    # collisions (short posting lists by construction); the verify join
+    # runs on candidates only. Same budget class as the ngram-jaccard
+    # blocking it must equal.
+    "dedup_prefix_filter_join",
+    # r10 ranker agreement: two list-producing scans (BM25 posting build
+    # + broadcast dense scan), then list-sized pair math.
+    "retrieval_system_agreement",
+    # r10 compaction apply: two source-keyed shuffle writes + two
+    # listing-grain audits — pure write-bound, expect ~linear.
+    "layout_compaction_apply",
 )
 # Replica multiple for the scaled corpus. Default 10; override with
 # SPARK_GRAFT_REPLICAS (e.g. 100) for a two-decade probe on a focused

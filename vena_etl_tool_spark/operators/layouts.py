@@ -991,3 +991,109 @@ def merge_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_live_cents",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Compaction EXECUTION (r10): layout_compaction_plan above plans the bins;
+# this operator performs a real small-file compaction and audits the
+# result from the actual file listings. Both the fragmented "before" state
+# and the compacted "after" state are written with deterministic
+# rows-per-file caps, so the physical file counts are exactly predictable
+# (ceil division) and the whole physical operation hash-checks.
+# ---------------------------------------------------------------------------
+
+COMPACT_FRAG_ROWS = 50  # rows per file in the fragmented seed layout
+COMPACT_APPLY_ROWS = 400  # rows per file after compaction
+
+
+def _files_per_source(spark: SparkSession, path: str) -> DataFrame:
+    """(source, n_files, n_rows) from the ACTUAL files on disk, computed
+    distributively via input_file_name()."""
+    return (
+        spark.read.parquet(path)
+        .select("source", F.input_file_name().alias("_f"))
+        .groupBy("source")
+        .agg(
+            F.count_distinct("_f").alias("n_files"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "layout_compaction_apply",
+    tags=("layout", "compaction", "maintenance", "sink"),
+    oracle=f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST((COUNT(*) + {COMPACT_FRAG_ROWS} - 1) // {COMPACT_FRAG_ROWS}
+            AS BIGINT) AS n_files_before,
+       CAST((COUNT(*) + {COMPACT_APPLY_ROWS} - 1) // {COMPACT_APPLY_ROWS}
+            AS BIGINT) AS n_files_after,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY source
+""",
+)
+def layout_compaction_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute a small-file compaction and prove it from disk: seed a
+    hive-partitioned documents layout fragmented at {COMPACT_FRAG_ROWS}
+    rows/file (the streaming-ingest pathology the maintenance job
+    exists for), rewrite each source directory at {COMPACT_APPLY_ROWS}
+    rows/file, and audit BOTH physical states via input_file_name() on
+    the real listings — row counts and a content checksum (sum_chars)
+    prove no data moved wrong, and the before/after file counts match
+    the oracle's ceil arithmetic exactly because each source's rows hash
+    to one writer task whose per-directory writer rolls at
+    maxRecordsPerFile. ~{COMPACT_FRAG_ROWS}x fewer file opens for every
+    later scan of the table.
+
+    Scale shape: both writes are one shuffle on the directory key; the
+    audits are scan + per-source aggregates. A 100 TB deployment bounds
+    writer-task memory by also range-splitting giant sources (the
+    layout_compaction_plan bins), which composes with this writer
+    unchanged."""
+    frag_dir = layout_dir(sf_dir, "compact_frag")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    (
+        docs.repartition("source")
+        .sortWithinPartitions("source", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("source")
+        .option("maxRecordsPerFile", COMPACT_FRAG_ROWS)
+        .parquet(frag_dir)
+    )
+    before = _files_per_source(spark, frag_dir).select(
+        "source",
+        F.col("n_files").alias("n_files_before"),
+        F.col("n_rows").alias("rows_before"),
+    )
+    compact_dir = layout_dir(sf_dir, "compact_applied")
+    (
+        spark.read.parquet(frag_dir)
+        .repartition("source")
+        .sortWithinPartitions("source", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("source")
+        .option("maxRecordsPerFile", COMPACT_APPLY_ROWS)
+        .parquet(compact_dir)
+    )
+    after = (
+        spark.read.parquet(compact_dir)
+        .select("source", F.input_file_name().alias("_f"), "n_chars")
+        .groupBy("source")
+        .agg(
+            F.count_distinct("_f").alias("n_files_after"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+    return before.join(after, "source").select(
+        "source",
+        "n_rows",
+        F.col("n_files_before").cast("long").alias("n_files_before"),
+        F.col("n_files_after").cast("long").alias("n_files_after"),
+        "sum_chars",
+    )

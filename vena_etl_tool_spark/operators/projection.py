@@ -246,6 +246,40 @@ def sample_weighted_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
 SYSSAMPLE_M = 200
 
 
+def _syssample_ranked(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = True
+) -> DataFrame:
+    """Ranked frame of the PPS-systematic sampler: range exchange on the
+    md5 permutation key, partition-id-scoped cumulative window. The
+    ``checkpoint`` flag exists for tests/test_plans.py, which pins the
+    two-level prefix-sum topology on the pre-checkpoint plan (the
+    checkpoint hides the window from the final query's plan)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    # cents exactly: decimal(18,2) * 100 stays integral (double *100 can
+    # land on x.9999…; the decimal cast is the money convention)
+    perm = orders.select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("weight_cents"),
+        F.md5(
+            F.concat(F.lit("syssample:"), F.col("o_orderkey").cast("string"))
+        ).alias("_h"),
+    )
+    part = perm.repartitionByRange(F.col("_h"), F.col("o_orderkey")).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_pid").orderBy("_h", "o_orderkey")
+    ranked = part.withColumn("_lcum", F.sum("weight_cents").over(w))
+    # localCheckpoint, not cache (r9 ADVICE): three consumers (offsets,
+    # total, final join) reuse the materialized ranked table, lineage is
+    # truncated, and the blocks are GC-freed when the result is dropped —
+    # no cache-catalog entry left pinned across a long session.
+    return ranked.localCheckpoint() if checkpoint else ranked
+
+
 @register(
     "sample_weighted_systematic",
     tags=("llm", "sampling", "projection"),
@@ -288,29 +322,7 @@ def sample_weighted_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition offsets via a triangular join over the partition-count-
     grain sums (bounded by config, not data) broadcast back. One range
     exchange of the fact table total; survives any blow-up of orders."""
-    from pyspark.sql import Window
-
-    orders = load_table(spark, sf_dir, "orders")
-    # cents exactly: decimal(18,2) * 100 stays integral (double *100 can
-    # land on x.9999…; the decimal cast is the money convention)
-    perm = orders.select(
-        "o_orderkey",
-        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
-        .cast("long")
-        .alias("weight_cents"),
-        F.md5(
-            F.concat(F.lit("syssample:"), F.col("o_orderkey").cast("string"))
-        ).alias("_h"),
-    )
-    part = perm.repartitionByRange(F.col("_h"), F.col("o_orderkey")).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    w = Window.partitionBy("_pid").orderBy("_h", "o_orderkey")
-    # localCheckpoint, not cache (r9 ADVICE): three consumers (offsets,
-    # total, final join) reuse the materialized ranked table, lineage is
-    # truncated, and the blocks are GC-freed when the result is dropped —
-    # no cache-catalog entry left pinned across a long session.
-    part = part.withColumn("_lcum", F.sum("weight_cents").over(w)).localCheckpoint()
+    part = _syssample_ranked(spark, sf_dir)
     sums = part.groupBy("_pid").agg(F.sum("weight_cents").alias("_ps"))
     sa, sb = sums.alias("sa"), sums.alias("sb")
     offs = (

@@ -168,6 +168,7 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     "dedup_prefix_filter_join",
     "retrieval_system_agreement",
     "stream_cdc_apply",
+    "layout_compaction_apply",
 )
 
 
