@@ -203,6 +203,9 @@ HEADLINE = [
     "retrieval_system_agreement",
     "stream_cdc_apply",
     "layout_compaction_apply",
+    "privacy_l_diversity",
+    "text_zipf_buckets",
+    "sim_graph_kcore_peel",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

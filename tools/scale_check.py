@@ -327,6 +327,13 @@ QUERIES = (
     # r10 compaction apply: two source-keyed shuffle writes + two
     # listing-grain audits — pure write-bound, expect ~linear.
     "layout_compaction_apply",
+    # r10 second session: l-diversity is QI-grain (fixed-dim customer,
+    # expect ~1x); Zipf bands are the wordfreq vocabulary budget into
+    # <= 21 rows; k-core peels the persisted K-capped edge list (clone
+    # collapse inherited) with monotonically shrinking rounds.
+    "privacy_l_diversity",
+    "text_zipf_buckets",
+    "sim_graph_kcore_peel",
 )
 # Replica multiple for the scaled corpus. Default 10; override with
 # SPARK_GRAFT_REPLICAS (e.g. 100) for a two-decade probe on a focused

@@ -188,3 +188,72 @@ def privacy_k_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.coalesce(F.min("k"), F.lit(0)).cast("long").alias("min_k_published"),
     )
+
+
+L_DIVERSITY = 3  # distinct-sensitive-values threshold per published group
+
+
+@register(
+    "privacy_l_diversity",
+    tags=("privacy", "profiling", "aggregate"),
+    oracle=f"""
+WITH qi AS (
+  SELECT c_nationkey,
+         CAST(floor(CAST(c_acctbal AS DECIMAL(18,2)) / {ACCTBAL_BUCKET})
+              AS BIGINT) AS bal_bucket,
+         c_mktsegment AS sensitive
+  FROM customer
+), groups AS (
+  SELECT c_nationkey, bal_bucket,
+         SUM(cnt) AS k,
+         COUNT(*) AS l,
+         CAST(MAX(cnt) AS BIGINT) AS majority_n
+  FROM (
+    SELECT c_nationkey, bal_bucket, sensitive, COUNT(*) AS cnt
+    FROM qi GROUP BY 1, 2, 3
+  ) GROUP BY 1, 2
+)
+SELECT CAST(l AS BIGINT) AS l_distinct,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(k) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN majority_n * 1000 > k * 900 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_skewed_groups,
+       CAST(l < {L_DIVERSITY} AS INT) AS violates_l
+FROM groups
+GROUP BY l
+""",
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — the attack
+    k-anonymity misses: a group can hold k ≥ K rows yet leak the
+    sensitive attribute when all members SHARE its value (homogeneity
+    attack). Over the (nation, balance-bucket) quasi-identifier with
+    market segment as the sensitive attribute: per distinct-sensitive
+    count l, the group count, row mass, how many groups are
+    90%-majority-skewed (the probabilistic-inference risk even when
+    l ≥ threshold), and the violates_l verdict. Published tables need
+    BOTH audits green; this one composes with privacy_k_generalize's
+    ladder unchanged (coarsen until l ≥ L too).
+
+    Scale: one (QI, sensitive)-grain aggregate, one QI-grain
+    re-aggregate, one l-grain rollup — each map-side combinable, each
+    strictly coarser. Survives any row count."""
+    qi = _with_bucket(load_table(spark, sf_dir, "customer")).select(
+        "c_nationkey", "bal_bucket", F.col("c_mktsegment").alias("sensitive")
+    )
+    cell = qi.groupBy("c_nationkey", "bal_bucket", "sensitive").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    groups = cell.groupBy("c_nationkey", "bal_bucket").agg(
+        F.sum("cnt").alias("k"),
+        F.count(F.lit(1)).alias("l"),
+        F.max("cnt").cast("long").alias("majority_n"),
+    )
+    return groups.groupBy(F.col("l").cast("long").alias("l_distinct")).agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("k").cast("long").alias("n_rows"),
+        F.sum((F.col("majority_n") * 1000 > F.col("k") * 900).cast("int"))
+        .cast("long")
+        .alias("n_skewed_groups"),
+        F.max((F.col("l") < L_DIVERSITY).cast("int")).alias("violates_l"),
+    )

@@ -3237,3 +3237,105 @@ def sim_maxsim_plaid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded k-core peeling (r10): the density-layer decomposition graph
+# curators run on the kNN graph — nodes below degree K peel off, degrees
+# recompute, repeat. Full k-core iterates to a fixpoint; this audit runs
+# KCORE_ROUNDS fixed rounds (each round is one degree aggregate + two
+# semi-joins) and reports the shrinking (nodes, edges) trajectory, which
+# is the convergence evidence an operator actually reads. Fixed round
+# count keeps the op oracle-expressible as unrolled CTEs (DuckDB's
+# recursive CTEs cannot carry the per-round degree aggregate).
+# ---------------------------------------------------------------------------
+
+KCORE_K = 3
+KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    parts = []
+    prev = "bidir"
+    for r in range(1, KCORE_ROUNDS + 1):
+        parts.append(f"""
+, deg{r} AS (
+  SELECT src, COUNT(*) AS d FROM {prev} GROUP BY src
+), surv{r} AS (
+  SELECT src FROM deg{r} WHERE d >= {KCORE_K}
+), e{r} AS (
+  SELECT b.src, b.dst FROM {prev} b
+  JOIN surv{r} s1 ON s1.src = b.src
+  JOIN surv{r} s2 ON s2.src = b.dst
+)""")
+        prev = f"e{r}"
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, (SELECT COUNT(*) FROM surv{r}) AS n_nodes,"
+        f" (SELECT COUNT(*) // 2 FROM e{r}) AS n_edges"
+        for r in range(1, KCORE_ROUNDS + 1)
+    )
+    return (
+        f"WITH {{ctes}}, bidir AS (\n"
+        "  SELECT vec_a AS src, vec_b AS dst FROM mutual\n"
+        "  UNION ALL SELECT vec_b, vec_a FROM mutual\n"
+        ")" + "".join(parts) + "\n"
+        f"SELECT CAST(round AS INT) AS round, CAST(n_nodes AS BIGINT) AS n_nodes,"
+        f" CAST(n_edges AS BIGINT) AS n_edges FROM (\n{selects}\n)"
+    )
+
+
+@register(
+    "sim_graph_kcore_peel",
+    tags=("llm", "similarity", "graph"),
+    # one replace + ONE format pass: the CTE template's {{'src'...}}
+    # struct doubles must collapse exactly once (the _TWO_HOP_ORACLE
+    # convention)
+    oracle=_kcore_oracle()
+    .replace("{ctes}", _KNN_GRAPH_CTES)
+    .format(scores=_ivf_scores_duck(), pair_dot=_knn_pair_dot_duck()),
+)
+def sim_graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-round {KCORE_K}-core peeling trajectory over the mutual-kNN
+    graph: each round drops nodes of degree < {KCORE_K} and the edges
+    touching them, then reports the surviving (nodes, edges) — the
+    density-layer curve that tells a graph-index owner whether the
+    navigable core is collapsing (fast shrink = sparse fringe dominates)
+    or stable (plateau = a genuine dense core). Fixed {KCORE_ROUNDS}
+    rounds, hash-checked against the unrolled DuckDB twin.
+
+    Plan: consumes the persisted edge artifact; each round is one
+    src-grain degree aggregate + two semi-join filters on the shrinking
+    edge list, localCheckpoint-truncated so lineage stays one round deep
+    (the star-contract convention). Work is monotonically decreasing per
+    round; nothing touches the embeddings after the artifact exists."""
+    edges = _mutual_graph_persisted(spark, sf_dir).select("vec_a", "vec_b")
+    bidir = edges.select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    ).unionAll(
+        edges.select(F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"))
+    )
+    out = None
+    cur = bidir
+    for r in range(1, KCORE_ROUNDS + 1):
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        surv = deg.filter(F.col("d") >= KCORE_K).select("src")
+        s1 = surv.select(F.col("src").alias("_s1"))
+        s2 = surv.select(F.col("src").alias("_s2"))
+        nxt = (
+            cur.join(s1, F.col("src") == F.col("_s1"))
+            .join(s2, F.col("dst") == F.col("_s2"))
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+        stats = (
+            surv.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+            .crossJoin(
+                nxt.agg(
+                    (F.count(F.lit(1)) / 2).cast("long").alias("n_edges")
+                )
+            )
+            .select(F.lit(r).cast("int").alias("round"), "n_nodes", "n_edges")
+        )
+        out = stats if out is None else out.unionByName(stats)
+        cur = nxt
+    return out

@@ -3786,3 +3786,92 @@ def dataset_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 div (max_len * n_docs) AS BIGINT)"
         ).alias("waste_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf frequency-band audit (r10): the rank-frequency sanity check every
+# corpus report carries. Exact power-of-two frequency bands (an explicit
+# integer CASE ladder, identical text on both engines — no float log2
+# whose libm rounding could diverge at band edges) over the term
+# frequency table: per band, vocabulary mass, occurrence mass and its ppm
+# share. A Zipf-ish corpus shows geometrically decaying vocabulary per
+# band with roughly flat occurrence mass; a clone-heavy or templated
+# corpus shows up immediately as a bulge in the high bands.
+# ---------------------------------------------------------------------------
+
+ZIPF_MAX_BAND = 20  # frequencies >= 2^20 all land in the top band
+
+
+def _zipf_band_case(var: str) -> str:
+    branches = "".join(
+        f" WHEN {var} < {1 << (b + 1)} THEN {b}" for b in range(ZIPF_MAX_BAND)
+    )
+    return f"CASE{branches} ELSE {ZIPF_MAX_BAND} END"
+
+
+@register(
+    "text_zipf_buckets",
+    tags=("llm", "text", "profiling", "aggregate"),
+    oracle=f"""
+WITH tf AS (
+  SELECT t.term, COUNT(*) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents) t
+  WHERE t.term <> ''
+  GROUP BY t.term
+), banded AS (
+  SELECT {_zipf_band_case("freq")} AS band, freq FROM tf
+), tot AS (
+  SELECT SUM(freq) AS total_occ FROM tf
+)
+SELECT CAST(band AS INT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(SUM(freq) AS BIGINT) AS occurrences,
+       CAST(MIN(freq) AS BIGINT) AS min_freq,
+       CAST(MAX(freq) AS BIGINT) AS max_freq,
+       CAST(SUM(freq) * 1000000 // (SELECT total_occ FROM tot) AS BIGINT)
+         AS occ_share_ppm
+FROM banded
+GROUP BY band
+""",
+)
+def text_zipf_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-of-frequencies corpus audit in exact power-of-two bands:
+    band b holds terms with 2^b <= freq < 2^(b+1) (ELSE-capped at
+    2^{ZIPF_MAX_BAND}); per band the vocabulary count, occurrence mass,
+    band frequency range, and the milli-grain occurrence share. The
+    banding is an explicit integer CASE ladder mirrored verbatim in the
+    oracle — no float log2 at band boundaries.
+
+    Scale: one explode -> term-grain combinable aggregate (the
+    text_wordfreq_topk budget), one vocabulary-grain band aggregate into
+    <= {ZIPF_MAX_BAND}+1 rows, and a 1-row broadcast total. The corpus
+    scan grows; the output never does."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    tot = tf.agg(F.sum("freq").alias("total_occ"))
+    banded = tf.select(F.expr(_zipf_band_case("freq")).alias("band"), "freq")
+    return (
+        banded.groupBy(F.col("band").cast("int").alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("freq").cast("long").alias("occurrences"),
+            F.min("freq").cast("long").alias("min_freq"),
+            F.max("freq").cast("long").alias("max_freq"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "band",
+            "n_terms",
+            "occurrences",
+            "min_freq",
+            "max_freq",
+            F.expr("CAST(occurrences * 1000000 div total_occ AS BIGINT)").alias(
+                "occ_share_ppm"
+            ),
+        )
+    )

@@ -169,6 +169,10 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     "retrieval_system_agreement",
     "stream_cdc_apply",
     "layout_compaction_apply",
+    # --- second r10 work session ---
+    "privacy_l_diversity",
+    "text_zipf_buckets",
+    "sim_graph_kcore_peel",
 )
 
 
