@@ -206,6 +206,7 @@ HEADLINE = [
     "privacy_l_diversity",
     "text_zipf_buckets",
     "sim_graph_kcore_peel",
+    "stream_merge_cow_sink",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

@@ -444,3 +444,64 @@ def test_kcore_peel_monotone(spark, sf_dir):
     for a, b in zip(rows, rows[1:]):
         assert b.n_nodes <= a.n_nodes
         assert b.n_edges <= a.n_edges
+
+
+def test_stream_merge_cow_split_and_replay_invariance(spark, sf_dir, tmp_path):
+    """The sequence guard's two defining properties: (1) applying the CDC
+    log in 4 time-SHUFFLED micro-batches produces the same committed
+    table as the single batch (an out-of-order older update can never
+    overwrite, a delete can never be resurrected); (2) replaying the
+    whole log AGAIN over the committed table is a no-op."""
+    from vena_etl_tool_spark.operators.layouts import layout_dir
+    from vena_etl_tool_spark.streaming.queries import (
+        events_stream,
+        merge_stream_into_cow,
+        seed_stream_merge_target,
+        stream_merge_cow_sink,
+    )
+
+    single = {tuple(r) for r in stream_merge_cow_sink(spark, sf_dir).collect()}
+
+    path = str(tmp_path / "t")
+    seed_stream_merge_target(spark, sf_dir, path)
+    ev = events_stream(spark, sf_dir)
+    split_dir = str(tmp_path / "ev_split")
+    # repartition(4) shuffles rows across files with NO time ordering
+    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(4).write.parquet(
+        split_dir
+    )
+    split_stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(split_dir)
+    )
+    merge_stream_into_cow(spark, split_stream, path)
+
+    def audit(p):
+        import pyspark.sql.functions as FF
+
+        return {
+            tuple(r)
+            for r in spark.read.parquet(p)
+            .groupBy(FF.col("pk").cast("int").alias("pk"))
+            .agg(
+                FF.count(FF.lit(1)).alias("n_rows"),
+                FF.sum((FF.col("action") == "tomb").cast("int"))
+                .cast("long")
+                .alias("n_tomb"),
+                FF.sum((FF.col("action") == "update").cast("int"))
+                .cast("long")
+                .alias("n_update"),
+                FF.sum(
+                    FF.when(FF.col("action") != "tomb", FF.col("bal_cents")).otherwise(0)
+                )
+                .cast("long")
+                .alias("sum_live_cents"),
+            )
+            .collect()
+        }
+
+    assert audit(path) == single
+    # replay idempotency: nothing is newer the second time
+    merge_stream_into_cow(spark, events_stream(spark, sf_dir), path)
+    assert audit(path) == single

@@ -334,6 +334,12 @@ QUERIES = (
     "privacy_l_diversity",
     "text_zipf_buckets",
     "sim_graph_kcore_peel",
+    # r10 capstone: per batch one key-grain window + a partition-pruned
+    # COW rewrite of affected directories (single batch here, so the
+    # row is seed write + one merge pass — write-bound ~linear in the
+    # replica's 10x events/customers... customers are replica-FIXED, so
+    # the seed is constant and the merge delta grows with events).
+    "stream_merge_cow_sink",
 )
 # Replica multiple for the scaled corpus. Default 10; override with
 # SPARK_GRAFT_REPLICAS (e.g. 100) for a two-decade probe on a focused

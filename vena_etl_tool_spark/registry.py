@@ -173,6 +173,7 @@ ROTATION_RESIDUE: tuple[str, ...] = (
     "privacy_l_diversity",
     "text_zipf_buckets",
     "sim_graph_kcore_peel",
+    "stream_merge_cow_sink",
 )
 
 

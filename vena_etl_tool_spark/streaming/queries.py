@@ -1168,3 +1168,211 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     same reason. DELETE-final keys stay as tombstones in the audit
     (their mass is the deletion-vector input), not silently dropped."""
     return cdc_apply_stream(spark, events_stream(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Streaming MERGE into a partitioned parquet table (r10 capstone): the
+# CDC-apply semantics above committed into the copy-on-write layout of
+# operators/layouts.py — the "streaming upsert into a lakehouse table"
+# pattern. Every target row carries its last-applied sequence
+# (seq_ms, seq_id); a micro-batch's per-key latest change applies ONLY
+# when its sequence is newer, and deletes write TOMBSTONE rows (kept,
+# excluded from the live audit) so an out-of-order earlier update can
+# never resurrect a deleted key. Batch-split invariance therefore holds
+# even when batches arrive out of time order — pinned in tests.
+# ---------------------------------------------------------------------------
+
+
+def merge_stream_into_cow(
+    spark: SparkSession, ev_stream: DataFrame, path: str
+) -> None:
+    """foreachBatch core of ``stream_merge_cow_sink``: sequence-guarded
+    LWW upsert of each micro-batch into the seeded target at ``path``."""
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from ..operators.layouts import MERGE_PARTS
+    from .foreach_batch import run_foreach_batch
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        w = W.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        delta = (
+            batch_df.select(
+                "user_id",
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("d_seq_ms"),
+                F.col("event_id").alias("d_seq_id"),
+                F.expr(_CDC_OP).alias("op"),
+                (F.coalesce(F.col("value"), F.lit(0.0)).cast("decimal(18,2)") * 100)
+                .cast("long")
+                .alias("d_cents"),
+                "ts",
+                "event_id",
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                F.col("user_id").alias("d_key"),
+                "d_seq_ms",
+                "d_seq_id",
+                "op",
+                "d_cents",
+                (F.col("user_id") % MERGE_PARTS).alias("pk"),
+            )
+        )
+        affected = sorted(r.pk for r in delta.select("pk").distinct().collect())
+        if not affected:
+            return
+        target = spark.read.parquet(path).filter(F.col("pk").isin(affected))
+        newer = (F.col("d_seq_ms") > F.col("seq_ms")) | (
+            (F.col("d_seq_ms") == F.col("seq_ms"))
+            & (F.col("d_seq_id") > F.col("seq_id"))
+        )
+        take_delta = F.col("key").isNull() | newer
+        merged = (
+            target.join(delta.drop("pk"), F.col("key") == F.col("d_key"), "full_outer")
+            .select(
+                F.coalesce("key", "d_key").alias("key"),
+                F.when(
+                    F.col("d_key").isNotNull() & take_delta,
+                    F.when(F.col("op") == "delete", F.lit(0)).otherwise(
+                        F.col("d_cents")
+                    ),
+                )
+                .otherwise(F.col("bal_cents"))
+                .alias("bal_cents"),
+                F.when(
+                    F.col("d_key").isNotNull() & take_delta,
+                    F.when(F.col("op") == "delete", F.lit("tomb"))
+                    .when(F.col("key").isNull(), F.lit("insert"))
+                    .otherwise(F.lit("update")),
+                )
+                .otherwise(F.coalesce("action", F.lit("seed")))
+                .alias("action"),
+                F.when(F.col("d_key").isNotNull() & take_delta, F.col("d_seq_ms"))
+                .otherwise(F.coalesce("seq_ms", F.lit(-1)))
+                .alias("seq_ms"),
+                F.when(F.col("d_key").isNotNull() & take_delta, F.col("d_seq_id"))
+                .otherwise(F.coalesce("seq_id", F.lit(-1)))
+                .alias("seq_id"),
+            )
+            .withColumn("pk", F.col("key") % MERGE_PARTS)
+            .localCheckpoint()
+        )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        try:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            merged.repartition("pk").write.mode("overwrite").partitionBy(
+                "pk"
+            ).parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    with tempfile.TemporaryDirectory(prefix="smc_ckpt_") as ckpt:
+        run_foreach_batch(
+            ev_stream.select("user_id", "ts", "event_id", "event_type", "value"),
+            apply_batch,
+            ckpt,
+            "stream_merge_cow_sink",
+        )
+
+
+def seed_stream_merge_target(spark: SparkSession, sf_dir: str, path: str) -> None:
+    from ..catalog import load_table
+    from ..operators.layouts import MERGE_PARTS
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("bal_cents"),
+        F.lit("seed").alias("action"),
+        F.lit(-1).cast("long").alias("seq_ms"),
+        F.lit(-1).cast("long").alias("seq_id"),
+        (F.col("c_custkey") % MERGE_PARTS).alias("pk"),
+    )
+    cust.repartition("pk").write.mode("overwrite").partitionBy("pk").parquet(path)
+
+
+@register(
+    "stream_merge_cow_sink",
+    tags=("streaming", "merge", "cdc", "layout", "sink"),
+    oracle=f"""
+WITH seed AS (
+  SELECT c_custkey AS key,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM customer
+), lww AS (
+  SELECT user_id, {_CDC_OP} AS op,
+         CAST(COALESCE(CAST(value AS DECIMAL(18,2)), 0) * 100 AS BIGINT)
+           AS cents
+  FROM (
+    SELECT user_id, event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+), merged AS (
+  SELECT s.key,
+         CASE WHEN l.op = 'delete' THEN 'tomb'
+              WHEN l.user_id IS NOT NULL THEN 'update'
+              ELSE 'seed' END AS action,
+         CASE WHEN l.op = 'delete' THEN 0
+              WHEN l.user_id IS NOT NULL THEN l.cents
+              ELSE s.cents END AS cents
+  FROM seed s LEFT JOIN lww l ON l.user_id = s.key
+)
+SELECT CAST(key % 16 AS INT) AS pk,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN action = 'tomb' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tomb,
+       CAST(SUM(CASE WHEN action = 'update' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_update,
+       CAST(SUM(CASE WHEN action <> 'tomb' THEN cents ELSE 0 END) AS BIGINT)
+         AS sum_live_cents
+FROM merged
+GROUP BY 1
+""",
+)
+def stream_merge_cow_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE into a partitioned parquet table — the lakehouse
+    upsert pattern end to end: seed the account registry from customer
+    balances (exact cents), consume the event log as a CDC stream
+    (signup→INSERT, engagement→UPDATE with the event's value,
+    error→DELETE), and commit each micro-batch's per-key latest change
+    into the copy-on-write target with a SEQUENCE GUARD: a change
+    applies only when its (event-time ms, event id) is newer than the
+    row's last-applied sequence, and deletes write tombstone rows so an
+    out-of-order earlier update can never resurrect a deleted key —
+    batch-split invariance holds even for time-shuffled batches (pinned
+    in tests with a 4-way split). The audit re-reads the committed
+    files: per partition, row count, tombstone mass, update count, and
+    the exact live balance sum; the DuckDB oracle is the one-shot LWW
+    merge of the same log over the same seed.
+
+    Scale shape: per batch — one key-grain window on the batch, one
+    partition-pruned read of affected directories, one COW rewrite of
+    exactly those directories. Keys outside the batch never move;
+    sequence state lives IN the table (no separate state store), which
+    is what makes the sink restart- and replay-idempotent (applying a
+    batch twice is a no-op: nothing is newer the second time)."""
+    from ..operators.layouts import layout_dir
+
+    path = layout_dir(sf_dir, "stream_merge_target")
+    seed_stream_merge_target(spark, sf_dir, path)
+    merge_stream_into_cow(spark, events_stream(spark, sf_dir), path)
+    final = spark.read.parquet(path)
+    return final.groupBy(F.col("pk").cast("int").alias("pk")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("action") == "tomb").cast("int")).cast("long").alias("n_tomb"),
+        F.sum((F.col("action") == "update").cast("int"))
+        .cast("long")
+        .alias("n_update"),
+        F.sum(
+            F.when(F.col("action") != "tomb", F.col("bal_cents")).otherwise(0)
+        )
+        .cast("long")
+        .alias("sum_live_cents"),
+    )
