@@ -518,3 +518,61 @@ def test_recall_evals_broadcast_queries_not_corpus(spark, sf_dir):
         # (the final ≤TOP_K×N_QUERIES recall join may plan as SMJ
         # pre-AQE — it is row-count-bounded, not corpus-sized)
     spark.catalog.clearCache()
+
+
+def test_privacy_audits_are_pure_hash_aggregates(spark, sf_dir):
+    """privacy_k_anonymity must stay two hash aggregates (QI grain, then
+    band grain) — no join, no window, no sort anywhere; the l-diversity
+    audit likewise (three nested aggregate grains)."""
+    for name in ("privacy_k_anonymity", "privacy_l_diversity"):
+        plan = plan_of(spark, sf_dir, name)
+        for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                    "BroadcastNestedLoopJoin", "Window "):
+            assert bad not in plan, (name, bad)
+
+
+def test_k_generalize_windows_are_qi_partitioned(spark, sf_dir):
+    """Every ladder window must carry a QI partition key — an
+    unpartitioned COUNT() OVER () would serialize the table."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "privacy_k_generalize")
+    win_lines = [ln for ln in plan.splitlines() if re.search(r"\bWindow \[", ln)]
+    assert win_lines
+    for ln in win_lines:
+        assert "windowspecdefinition(c_" in ln or "windowspecdefinition(bal_bucket" in ln, ln
+
+
+def test_prefix_filter_join_no_cross_product(spark, sf_dir):
+    """The PPJoin pipeline must never degenerate to a cross product or a
+    nested-loop join: candidates come from the prefix-token equi-join,
+    and every window is doc_id-partitioned."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "dedup_prefix_filter_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    win_lines = [ln for ln in plan.splitlines() if re.search(r"\bWindow \[", ln)]
+    assert win_lines
+    assert not [ln for ln in win_lines if "windowspecdefinition(doc_id" not in ln]
+
+
+def test_maxsim_plaid_candidate_join_is_cell_keyed(spark, sf_dir):
+    """The PLAID rerank's corpus-side work must be the cell-keyed
+    candidate join: at most ONE nested-loop join in the whole plan (the
+    broadcast-queries truth scan, tiny side by construction) and no
+    cartesian product; the serving shortlist join carries the cent key."""
+    plan = plan_of(spark, sf_dir, "sim_maxsim_plaid_rerank")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "cent" in plan and "p_cent" in plan
+
+
+def test_delete_vectors_reads_are_broadcast_anti(spark, sf_dir):
+    """Deletion-vector reads must stay broadcast anti-joins on the key —
+    no sort-merge join (the sidecar is small by construction) and no
+    cross product."""
+    plan = plan_of(spark, sf_dir, "merge_delete_vectors")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
