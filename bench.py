@@ -252,7 +252,28 @@ _R8_FROZEN = [
 assert len(_R8_FROZEN) == 122, len(_R8_FROZEN)
 R8_SUBSET = frozenset(_R8_FROZEN)
 
-ROUND = os.environ.get("SPARK_GRAFT_ROUND", "r09")
+def _infer_round() -> str:
+    """Round tag for artifact naming. SPARK_GRAFT_ROUND wins when set;
+    otherwise derive CURRENT = newest committed BENCH_r*.json + 1, so an
+    env-less driver run can never clobber a prior round's detail file
+    (VERDICT r10 #3: the r10 run, defaulting to a stale literal, rewrote
+    BENCH_DETAIL_r09.json in the working tree)."""
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        return env
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for name in os.listdir(here):
+        if name.startswith("BENCH_r") and name.endswith(".json"):
+            tag = name[len("BENCH_"):-len(".json")]
+            try:
+                rounds.append(int(tag.lstrip("r")))
+            except ValueError:
+                continue
+    return f"r{(max(rounds) + 1) if rounds else 1:02d}"
+
+
+ROUND = _infer_round()
 
 
 def _prev_round(round_tag: str) -> str | None:
@@ -261,6 +282,22 @@ def _prev_round(round_tag: str) -> str | None:
         return f"r{n - 1:02d}" if n > 1 else None
     except ValueError:
         return None
+
+
+# Adjudicated-by-design step changes (VERDICT r10 #4): query -> (max_raw,
+# reason). A detected regression whose raw ratio stays WITHIN the
+# documented bound of an adjudicated trade is reported as
+# "adjudicated" (reason attached, flagged=False) instead of consuming a
+# flag slot every round. This is labeling, not loosening: the bound is
+# the measured cost of the trade, and anything beyond it still flags.
+ADJUDICATED: dict[str, tuple[float, str]] = {
+    "sample_weighted_systematic": (
+        2.5,
+        "r9-ADVICE localCheckpoint-for-cache trade: each bench pass pays "
+        "its own materialization (~1 s at sf0.1) instead of hitting a "
+        "session-pinned cache; adjudicated in ROUND10_NOTES",
+    ),
+}
 
 
 def regression_report(
@@ -308,12 +345,17 @@ def regression_report(
     for name, nr in norm.items():
         adj = nr / median if median else nr
         if nr > 1.5 or adj > 1.5:
-            queries[name] = {
+            entry = {
                 "norm": round(nr, 2),
                 "raw": round(raw[name], 2),
                 "adj": round(adj, 2),
                 "flagged": adj > 1.5,
             }
+            pin = ADJUDICATED.get(name)
+            if entry["flagged"] and pin and raw[name] <= pin[0]:
+                entry["flagged"] = False
+                entry["adjudicated"] = pin[1]
+            queries[name] = entry
     return {
         "median_norm": round(median, 3),
         "population_drift": median > 1.25,

@@ -83,3 +83,49 @@ def test_no_overlap_or_bad_canary_returns_none():
     rep = bench.regression_report({"zzz": 1.0}, 0.3, prev_q=PREV_Q, prev_canary=0.3)
     assert rep is None
     assert bench.regression_report({}, 0.0, PREV_Q, 0.3) is None
+
+
+def test_adjudicated_trade_is_labeled_not_flagged():
+    # VERDICT r10 #4: a query with a documented, bounded step change
+    # (sample_weighted_systematic's localCheckpoint-for-cache trade) is
+    # reported with its numbers + the adjudication reason, flagged=False.
+    timings = dict(PREV_Q)
+    timings["sample_weighted_systematic"] = 2.1
+    prev = dict(PREV_Q)
+    prev["sample_weighted_systematic"] = 1.0
+    rep = bench.regression_report(timings, canary=0.3, prev_q=prev, prev_canary=0.3)
+    row = rep["queries"]["sample_weighted_systematic"]
+    assert row["flagged"] is False
+    assert "adjudicated" in row
+    assert row["raw"] == 2.1  # evidence still recorded
+
+
+def test_adjudication_bound_is_a_ceiling_not_a_blank_check():
+    # Beyond the documented max_raw of the trade the query flags for real.
+    timings = dict(PREV_Q)
+    timings["sample_weighted_systematic"] = 4.0
+    prev = dict(PREV_Q)
+    prev["sample_weighted_systematic"] = 1.0
+    rep = bench.regression_report(timings, canary=0.3, prev_q=prev, prev_canary=0.3)
+    row = rep["queries"]["sample_weighted_systematic"]
+    assert row["flagged"] is True
+    assert "adjudicated" not in row
+
+
+def test_round_inference_never_reuses_an_existing_round(tmp_path, monkeypatch):
+    # VERDICT r10 #3: an env-less bench run must stamp a round that does
+    # not collide with any committed BENCH_r*.json, so it can never
+    # clobber a prior round's detail artifact.
+    monkeypatch.delenv("SPARK_GRAFT_ROUND", raising=False)
+    inferred = bench._infer_round()
+    import glob
+    import os as _os
+
+    here = _os.path.join(_os.path.dirname(__file__), "..")
+    existing = {
+        _os.path.basename(p)[len("BENCH_"):-len(".json")]
+        for p in glob.glob(_os.path.join(here, "BENCH_r*.json"))
+    }
+    assert inferred not in existing
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "r99")
+    assert bench._infer_round() == "r99"
