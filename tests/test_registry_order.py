@@ -62,3 +62,25 @@ def test_rotation_completes_oracle_backed_coverage():
 def test_window_holds_at_least_50():
     assert len(registry.DRIVER_WINDOW) == 50
     assert len(registry.all_specs()) >= 50
+
+
+def test_operators_md_inventory_matches_registry():
+    """VERDICT r10 #5: the generated OPERATORS.md header count must equal
+    the live registry so the inventory can never silently drift again
+    (r10 shipped a 286-header doc against a 287-query registry)."""
+    import os
+    import re
+
+    from vena_etl_tool_spark.registry import all_specs
+
+    path = os.path.join(os.path.dirname(__file__), "..", "OPERATORS.md")
+    with open(path) as f:
+        text = f.read()
+    m = re.search(r"^(\d+) queries;", text, re.M)
+    assert m, "OPERATORS.md header count line missing"
+    specs = all_specs()
+    assert int(m.group(1)) == len(specs)
+    # every registered query appears as a table row (and vice versa: the
+    # row count matches, so nothing extra is listed either)
+    rows = re.findall(r"^\| `([a-z0-9_]+)` \|", text, re.M)
+    assert sorted(rows) == sorted(specs)
