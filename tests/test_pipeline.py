@@ -175,3 +175,133 @@ def test_cli_end_to_end(tmp_path, csv_fixture, capsys):
     job_id = uploads[-1]["jobId"]
     assert cli.main(["status", job_id, "--log-dir", str(tmp_path / "logs")]) == 1  # new registry → unknown
     assert cli.main(["nonexistent.csv"]) == 1  # default-to-upload path: missing file
+
+
+# --- multipart upload fidelity (VERDICT r10 #6) -----------------------------
+
+
+def test_encode_multipart_body_shape():
+    """The body must be exactly the reference's FormData shape
+    (templates.js:140-144): one part, field `file`, the caller's
+    filename, Content-Type text/csv, CRLF framing, closing boundary."""
+    from vena_etl_tool_spark.pipeline.http_sink import encode_multipart
+
+    payload = b"l_orderkey,l_partkey\n1,2\n"
+    body, ctype = encode_multipart(payload, "lineitem.csv")
+    assert ctype.startswith("multipart/form-data; boundary=")
+    boundary = ctype.split("boundary=", 1)[1]
+    assert body.startswith(f"--{boundary}\r\n".encode())
+    head, _, rest = body.partition(b"\r\n\r\n")
+    assert b'Content-Disposition: form-data; name="file"; filename="lineitem.csv"' in head
+    assert b"Content-Type: text/csv" in head
+    assert rest == payload + f"\r\n--{boundary}--\r\n".encode()
+    # deterministic: same payload -> same body (safe idempotent retries)
+    assert encode_multipart(payload, "lineitem.csv") == (body, ctype)
+    # boundary never collides with the payload
+    body2, ctype2 = encode_multipart(body, "nested.csv")
+    assert ctype2.split("boundary=", 1)[1].encode() not in body
+
+
+def test_upload_file_multipart_retries_then_posts():
+    from vena_etl_tool_spark.pipeline.http_sink import upload_file_multipart
+
+    calls = []
+
+    def flaky(url, body, headers):
+        calls.append((url, body, headers))
+        return 500 if len(calls) == 1 else 200
+
+    status = upload_file_multipart(
+        "http://x/api/public/v1/etl/templates/t1/startWithFile",
+        b"a,b\n1,2\n",
+        "f.csv",
+        {"authorization": "Basic zz"},
+        transport=flaky,
+        sleep=lambda s: None,
+    )
+    assert status == 200 and len(calls) == 2
+    url, body, headers = calls[-1]
+    assert headers["content-type"].startswith("multipart/form-data; boundary=")
+    assert headers["authorization"] == "Basic zz"
+    assert b'name="file"' in body and b"a,b\n1,2\n" in body
+
+
+# --- dotenv-parity env config (VERDICT r10 #7) ------------------------------
+
+
+def test_parse_env_file_semantics(tmp_path):
+    from vena_etl_tool_spark.pipeline.envconfig import load_config, parse_env_file
+
+    text = (
+        "# comment\n"
+        "VENA_USERNAME=alice\n"
+        "export VENA_PASSWORD='s3cret#not-a-comment'\n"
+        'VENA_API_URL="http://etl.test"\n'
+        "VENA_TEMPLATE_ID=t42 # trailing comment\n"
+        "MALFORMED LINE\n"
+    )
+    parsed = parse_env_file(text)
+    assert parsed == {
+        "VENA_USERNAME": "alice",
+        "VENA_PASSWORD": "s3cret#not-a-comment",
+        "VENA_API_URL": "http://etl.test",
+        "VENA_TEMPLATE_ID": "t42",
+    }
+    envfile = tmp_path / ".env"
+    envfile.write_text(text)
+    # process environment WINS over the file (npm dotenv default)
+    cfg = load_config(str(envfile), environ={"VENA_USERNAME": "bob"})
+    assert cfg.username == "bob" and cfg.password == "s3cret#not-a-comment"
+    assert cfg.api_url == "http://etl.test" and cfg.template_id == "t42"
+
+
+def test_validate_config_fails_fast_like_reference():
+    from vena_etl_tool_spark.pipeline.envconfig import (
+        ConfigError,
+        EnvConfig,
+        validate_config,
+    )
+
+    with pytest.raises(ConfigError, match="VENA_USERNAME and VENA_PASSWORD"):
+        validate_config(EnvConfig(api_url="http://etl.test", username="u"))
+    validate_config(EnvConfig(username="u", password="p"))  # no raise
+
+
+def test_cmd_upload_env_config_paths(tmp_path, spark, csv_fixture, capsys):
+    """cmd_upload mirrors validateConfig semantics (config.js:28-34):
+    an HTTP target without credentials exits 1 BEFORE any work; with
+    credentials it posts the raw CSV as multipart to the template's
+    startWithFile endpoint, template id from VENA_TEMPLATE_ID."""
+    from vena_etl_tool_spark.pipeline.cli import build_services, cmd_upload
+    from vena_etl_tool_spark.pipeline.envconfig import EnvConfig
+
+    _, audit, jobs, specs = build_services(str(tmp_path / "logs"))
+
+    bad = EnvConfig(api_url="http://etl.test")
+    rc = cmd_upload([csv_fixture], spark, audit, jobs, specs, env_cfg=bad)
+    assert rc == 1
+    assert "credentials not found" in capsys.readouterr().out.lower()
+
+    calls = []
+    good = EnvConfig(
+        api_url="http://etl.test",
+        template_id="lineitem-csv",
+        username="u",
+        password="p",
+    )
+    rc = cmd_upload(
+        [csv_fixture],
+        spark,
+        audit,
+        jobs,
+        specs,
+        env_cfg=good,
+        transport=lambda u, b, h: calls.append((u, b, h)) or 200,
+    )
+    assert rc == 0 and len(calls) == 1
+    url, body, headers = calls[0]
+    assert url == "http://etl.test/api/public/v1/etl/templates/lineitem-csv/startWithFile"
+    assert headers["content-type"].startswith("multipart/form-data")
+    assert headers["authorization"].startswith("Basic ")
+    with open(csv_fixture, "rb") as f:
+        assert f.read() in body

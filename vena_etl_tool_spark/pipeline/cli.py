@@ -17,6 +17,8 @@ import time
 
 from ..session import get_spark
 from .audit import AuditLog
+from .envconfig import ConfigError, EnvConfig, load_config, validate_config
+from .http_sink import basic_auth_headers, upload_file_multipart
 from .ingest import ingest_csv, validate_csv_file, write_table
 from .jobs import JobRegistry
 from .spec import SpecError, default_registry
@@ -40,10 +42,29 @@ def build_services(log_dir: str = "logs"):
     return spark, audit, JobRegistry(spark, audit), default_registry()
 
 
-def cmd_upload(args: list[str], spark, audit: AuditLog, jobs: JobRegistry, specs) -> int:
+def cmd_upload(
+    args: list[str],
+    spark,
+    audit: AuditLog,
+    jobs: JobRegistry,
+    specs,
+    env_cfg: EnvConfig | None = None,
+    transport=None,
+) -> int:
     if not args:
         print("❌ Usage: upload <file.csv> [spec-id]")
         return 1
+    cfg = env_cfg if env_cfg is not None else load_config()
+    if cfg.api_url:
+        # HTTP upload target configured → credentials are REQUIRED before
+        # any work starts (reference: validateConfig hard-exits,
+        # config.js:28-34 / import.js:79).
+        try:
+            validate_config(cfg)
+        except ConfigError as e:
+            print(f"❌ {e}")
+            audit.log_error({"operation": "upload", "error": str(e)})
+            return 1
     path = args[0]
     v = validate_csv_file(path)
     if not v.success:
@@ -52,7 +73,10 @@ def cmd_upload(args: list[str], spark, audit: AuditLog, jobs: JobRegistry, specs
         return 1
     if v.warning:
         print(f"⚠️  {v.warning}")
-    spec_id = args[1] if len(args) > 1 else "lineitem-csv"
+    # spec precedence: explicit arg > VENA_TEMPLATE_ID > default
+    # (reference: import.js uses config.api.defaultTemplateId when the
+    # CLI doesn't name one)
+    spec_id = args[1] if len(args) > 1 else (cfg.template_id or "lineitem-csv")
     try:
         spec = specs.get(spec_id)
     except SpecError as e:
@@ -65,6 +89,21 @@ def cmd_upload(args: list[str], spark, audit: AuditLog, jobs: JobRegistry, specs
         lambda: write_table(result.good, target), description=f"upload {v.file_name}"
     )
     jobs.wait(handle.job_id)
+    if cfg.api_url:
+        # Reference wire format: POST the raw CSV as multipart/form-data
+        # field `file` with contentType text/csv to the template's
+        # startWithFile endpoint (templates.js:133-160), basic auth,
+        # retry/backoff inside upload_file_multipart.
+        with open(path, "rb") as f:
+            payload = f.read()
+        extra = {"transport": transport} if transport is not None else {}
+        upload_file_multipart(
+            f"{cfg.api_url}/api/public/v1/etl/templates/{spec_id}/startWithFile",
+            payload,
+            v.file_name,
+            basic_auth_headers(cfg.username, cfg.password),
+            **extra,
+        )
     duration = time.time() - started
     audit.log_upload(
         {

@@ -76,6 +76,61 @@ def post_with_retry(
             attempt += 1
 
 
+def encode_multipart(
+    payload: bytes,
+    filename: str,
+    field: str = "file",
+    content_type: str = "text/csv",
+    boundary: str | None = None,
+) -> tuple[bytes, str]:
+    """Encode ONE file as a multipart/form-data body, the reference's
+    upload wire format (/root/reference/src/api/templates.js:140-144:
+    `form.append('file', csvContent, {filename, contentType: 'text/csv'})`).
+    Returns ``(body, content_type_header)`` where the header carries the
+    boundary. The boundary is derived deterministically from the payload
+    hash (no RNG — reproducible bodies make idempotent retries and tests
+    exact), with a guard against the astronomically-unlikely collision."""
+    import hashlib
+
+    if boundary is None:
+        boundary = "----sparkform" + hashlib.sha256(payload).hexdigest()[:24]
+    if boundary.encode("ascii") in payload:
+        boundary = boundary + "x"
+    head = (
+        f"--{boundary}\r\n"
+        f'Content-Disposition: form-data; name="{field}"; filename="{filename}"\r\n'
+        f"Content-Type: {content_type}\r\n\r\n"
+    ).encode("ascii")
+    tail = f"\r\n--{boundary}--\r\n".encode("ascii")
+    return head + payload + tail, f"multipart/form-data; boundary={boundary}"
+
+
+def upload_file_multipart(
+    url: str,
+    payload: bytes,
+    filename: str,
+    headers: dict,
+    transport: Transport = _default_transport,
+    retries: int = DEFAULT_RETRIES,
+    backoff_s: float = DEFAULT_BACKOFF_S,
+    sleep: Callable[[float], None] = time.sleep,
+) -> int:
+    """Single-file multipart upload with the reference's retry loop
+    (templates.js:133-163: build FormData → POST → fetchWithRetry). Used
+    by the CLI upload path when an HTTP endpoint is configured; the bulk
+    DataFrame sink stays ``write_http`` (per-partition, executor-side)."""
+    body, ctype = encode_multipart(payload, filename)
+    return post_with_retry(
+        url,
+        body,
+        {**headers, "content-type": ctype},
+        transport=transport,
+        retries=retries,
+        backoff_s=backoff_s,
+        sleep=sleep,
+    )
+
+
 @dataclass
 class HttpSinkConfig:
     url: str
