@@ -252,6 +252,12 @@ _R8_FROZEN = [
 assert len(_R8_FROZEN) == 122, len(_R8_FROZEN)
 R8_SUBSET = frozenset(_R8_FROZEN)
 
+# Queries benchmarked OUTSIDE the headline sweep by cost policy (VERDICT
+# r10 #8): the pyspark.ml approxSimilarityJoin cross-validation twin is a
+# fixture-scale correctness gate, not a production path — it is timed
+# once per bench run and recorded under side_queries_sec.
+SIDE_QUERIES = ["dedup_ml_minhash_stratum"]
+
 def _infer_round() -> str:
     """Round tag for artifact naming. SPARK_GRAFT_ROUND wins when set;
     otherwise derive CURRENT = newest committed BENCH_r*.json + 1, so an
@@ -459,6 +465,25 @@ def main() -> int:
 
     canary = run_canary(spark)
 
+    # Fixture-scale side measurements (VERDICT r10 #8): queries excluded
+    # from HEADLINE by cost policy still get a per-round sf0.1 perf row,
+    # timed ONCE (not 3 passes) and recorded separately so they never
+    # distort the headline metric or the cross-round subset totals —
+    # dedup_ml_minhash_stratum alone costs more at sf0.1 than the entire
+    # 152-query headline sweep (186 s vs ~172 s, r11 probe). Opt out with
+    # SPARK_GRAFT_SIDE=0 for quick local iterations.
+    side_timings: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_SIDE", "1") != "0":
+        for name in SIDE_QUERIES:
+            start = time.perf_counter()
+            try:
+                materialize(specs[name].fn(spark, sf_dir))
+            except Exception as exc:
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                print(f"BENCH FAIL {name}: {errors[name]}", file=sys.stderr)
+                continue
+            side_timings[name] = round(time.perf_counter() - start, 3)
+
     total = round(sum(timings.values()), 3)
     slowest = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:10]
@@ -494,6 +519,7 @@ def main() -> int:
         "artifact_policy": "steady_state",
         "loadavg": [round(load_before, 2), round(os.getloadavg()[0], 2)],
         "top10_slowest": slowest,
+        "side_queries_sec": side_timings,
         "detail_file": f"BENCH_DETAIL_{ROUND}.json",
     }
     detail = dict(line)
