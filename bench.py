@@ -207,6 +207,8 @@ HEADLINE = [
     "text_zipf_buckets",
     "sim_graph_kcore_peel",
     "stream_merge_cow_sink",
+    # --- r11 additions (after the frozen r10 boundary) ---
+    "privacy_t_closeness",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

@@ -257,3 +257,137 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_skewed_groups"),
         F.max((F.col("l") < L_DIVERSITY).cast("int")).alias("violates_l"),
     )
+
+
+T_CLOSENESS_MILLI = 200  # t = 0.2: max EMD between group and global sensitive dist
+
+
+@register(
+    "privacy_t_closeness",
+    tags=("privacy", "profiling", "aggregate", "window"),
+    oracle=f"""
+WITH qi AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(CAST(c_acctbal AS DECIMAL(18,2)) / {ACCTBAL_BUCKET})
+              AS BIGINT) AS sens
+  FROM customer
+), dom AS (
+  SELECT sens, ROW_NUMBER() OVER (ORDER BY sens) AS pos,
+         COUNT(*) OVER () AS m
+  FROM (SELECT DISTINCT sens FROM qi)
+), gdist AS (
+  SELECT sens, COUNT(*) AS g_cnt FROM qi GROUP BY 1
+), tot AS (SELECT COUNT(*) AS n FROM qi),
+grp AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS k
+  FROM qi GROUP BY 1, 2
+), cell AS (
+  SELECT c_nationkey, c_mktsegment, sens, COUNT(*) AS cnt
+  FROM qi GROUP BY 1, 2, 3
+), grid AS (
+  SELECT grp.c_nationkey, grp.c_mktsegment, grp.k, dom.sens, dom.pos, dom.m,
+         gdist.g_cnt, tot.n, COALESCE(cell.cnt, 0) AS cnt
+  FROM grp CROSS JOIN dom
+  JOIN gdist ON gdist.sens = dom.sens
+  CROSS JOIN tot
+  LEFT JOIN cell ON cell.c_nationkey = grp.c_nationkey
+                AND cell.c_mktsegment = grp.c_mktsegment
+                AND cell.sens = dom.sens
+), cums AS (
+  SELECT c_nationkey, c_mktsegment, k, m, n,
+         ABS(SUM(cnt * n - g_cnt * k)
+             OVER (PARTITION BY c_nationkey, c_mktsegment
+                   ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS d
+  FROM grid
+)
+SELECT c_nationkey, c_mktsegment,
+       CAST(k AS BIGINT) AS k,
+       CAST(CASE WHEN m <= 1 THEN 0
+                 ELSE SUM(d) * 1000 // (k * n * (m - 1)) END AS BIGINT)
+         AS emd_milli,
+       CAST(CASE WHEN m <= 1 THEN 0
+                 ELSE SUM(d) * 1000 // (k * n * (m - 1)) END
+            > {T_CLOSENESS_MILLI} AS INT) AS violates_t
+FROM cums
+GROUP BY c_nationkey, c_mktsegment, k, m, n
+""",
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the attack
+    l-diversity misses: a group can hold l distinct sensitive values yet
+    leak information when its DISTRIBUTION over them diverges from the
+    table-wide one (skewness attack). Sensitive attribute = the ordered
+    account-balance bucket; per (nation, segment) quasi-identifier
+    group, the exact Earth Mover's Distance to the global distribution
+    under the standard ordered-domain ground distance:
+    EMD = sum_i |cumP_i - cumQ_i| / (m-1).
+
+    Everything stays INTEGER: per ordered bucket the scaled cumulative
+    difference cum(cnt_g * N - cnt_global * k) is exact, so
+    emd_milli = floor(1000 * sum|cum| / (k * N * (m-1))) hash-matches
+    the oracle with no float drift. violates_t flags EMD > t = 0.2.
+
+    Scale: two hash aggregates (QI-grain, (QI, sensitive)-grain), a
+    broadcast of the sensitive DOMAIN (m buckets — tiny by definition:
+    it is the published attribute's codomain), one window cumsum at
+    QI-grain partitioning. The grid is |QI groups| x m, both audit-sized;
+    nothing row-scale shuffles twice."""
+    from pyspark.sql import Window
+
+    qi = _with_bucket(load_table(spark, sf_dir, "customer")).select(
+        "c_nationkey", "c_mktsegment", F.col("bal_bucket").alias("sens")
+    )
+    dom = (
+        qi.select("sens")
+        .distinct()
+        .withColumn("pos", F.row_number().over(Window.orderBy("sens")))
+        .withColumn("m", F.count(F.lit(1)).over(Window.partitionBy()))
+    )
+    glob = qi.groupBy("sens").agg(F.count(F.lit(1)).alias("g_cnt"))
+    n_total = qi.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    grp = qi.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    cell = qi.groupBy("c_nationkey", "c_mktsegment", "sens").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    grid = (
+        grp.crossJoin(F.broadcast(dom.join(glob, "sens")))
+        .crossJoin(F.broadcast(n_total))
+        .join(cell, ["c_nationkey", "c_mktsegment", "sens"], "left")
+        .withColumn("cnt", F.coalesce("cnt", F.lit(0)))
+    )
+    wc = (
+        Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cums = grid.withColumn(
+        "d",
+        F.abs(F.sum(F.col("cnt") * F.col("n") - F.col("g_cnt") * F.col("k")).over(wc)),
+    )
+    emd = F.when(F.col("m") <= 1, F.lit(0)).otherwise(
+        F.expr("sum(d) * 1000 div (k * n * (m - 1))")
+    )
+    return (
+        cums.groupBy("c_nationkey", "c_mktsegment", "k", "m", "n")
+        .agg(F.sum("d").alias("sum_d"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.col("k").cast("long").alias("k"),
+            F.when(F.col("m") <= 1, F.lit(0))
+            .otherwise(F.expr("sum_d * 1000 div (k * n * (m - 1))"))
+            .cast("long")
+            .alias("emd_milli"),
+            (
+                F.when(F.col("m") <= 1, F.lit(0)).otherwise(
+                    F.expr("sum_d * 1000 div (k * n * (m - 1))")
+                )
+                > T_CLOSENESS_MILLI
+            )
+            .cast("int")
+            .alias("violates_t"),
+        )
+    )
