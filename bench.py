@@ -209,6 +209,7 @@ HEADLINE = [
     "stream_merge_cow_sink",
     # --- r11 additions (after the frozen r10 boundary) ---
     "privacy_t_closeness",
+    "events_cuped_adjust",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

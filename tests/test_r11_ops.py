@@ -26,3 +26,64 @@ def test_t_closeness_emd_bounds_and_bands(spark, sf_dir):
         assert r.violates_t == int(r.emd_milli > T_CLOSENESS_MILLI)
     # discriminating power at the gate SF: not all groups are identical
     assert len({r.emd_milli for r in rows}) > 1
+
+
+def test_cuped_reproduces_from_pure_python(spark, sf_dir):
+    """Recompute theta and the adjusted means with exact python ints from
+    the same parquet (a third engine) and require equality with the
+    operator's rows — plus the CUPED invariant that adjustment preserves
+    each variant's user count and raw totals."""
+    import duckdb
+
+    from vena_etl_tool_spark.operators.analytics import events_cuped_adjust
+
+    rows = {r.variant: r for r in events_cuped_adjust(spark, sf_dir).collect()}
+    assert set(rows) == {"A", "B", "B-A"}
+
+    con = duckdb.connect()
+    per_user = con.execute(
+        f"""
+        WITH b AS (SELECT (CAST(floor(epoch(MIN(ts))) AS BIGINT)
+                           + CAST(floor(epoch(MAX(ts))) AS BIGINT)) // 2 AS mid_s
+                   FROM '{sf_dir}/events.parquet')
+        SELECT user_id,
+               COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                    AND CAST(floor(epoch(ts)) AS BIGINT) <= b.mid_s
+                    THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END), 0),
+               COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                    AND CAST(floor(epoch(ts)) AS BIGINT) > b.mid_s
+                    THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END), 0)
+        FROM '{sf_dir}/events.parquet' CROSS JOIN b
+        GROUP BY user_id, b.mid_s
+        """
+    ).fetchall()
+
+    def sdiv(num: int, den: int) -> int:
+        if den == 0:
+            return 0
+        mag = abs(num) // den
+        return mag if num >= 0 else -mag
+
+    import hashlib
+
+    def var_of(uid: int) -> str:
+        h = int(hashlib.md5(f"ab:{uid}".encode()).hexdigest()[:12], 16)
+        return "A" if h % 2 == 0 else "B"
+
+    n = len(per_user)
+    sx = sum(x for _, x, _ in per_user)
+    sy = sum(y for _, _, y in per_user)
+    sxx = sum(x * x for _, x, _ in per_user)
+    sxy = sum(x * y for _, x, y in per_user)
+    num, den = n * sxy - sx * sy, n * sxx - sx * sx
+    assert rows["A"].theta_milli == sdiv(num * 1000, den)
+    for v in ("A", "B"):
+        grp = [(x, y) for uid, x, y in per_user if var_of(uid) == v]
+        n_v, sx_v, sy_v = len(grp), sum(x for x, _ in grp), sum(y for _, y in grp)
+        r = rows[v]
+        assert (r.n_users, r.x_cents, r.y_cents) == (n_v, sx_v, sy_v)
+        assert r.y_per_user_cents == sy_v // n_v
+        if den:
+            adj_num = den * n * sy_v - num * (n * sx_v - n_v * sx)
+            assert r.yadj_per_user_cents == sdiv(adj_num, n_v * n * den)
+    assert rows["B-A"].n_users == rows["B"].n_users - rows["A"].n_users

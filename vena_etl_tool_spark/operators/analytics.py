@@ -1537,3 +1537,190 @@ def events_ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return rates.unionByName(diff)
+
+
+# Sign-safe integral division shared by the CUPED readout: DuckDB's //
+# FLOORS while Spark's div TRUNCATES, so divide magnitudes and re-apply
+# the sign — identical on both engines (the tau_milli convention).
+_SIGNSAFE_DIV = (
+    "CASE WHEN ({den}) = 0 THEN {fallback} "
+    "WHEN ({num}) >= 0 THEN CAST(abs({num}) {divop} ({den}) AS BIGINT) "
+    "ELSE -CAST(abs({num}) {divop} ({den}) AS BIGINT) END"
+)
+
+
+def _cuped_outputs(divop: str, dec: str) -> str:
+    """The shared variant-row arithmetic (Spark `div` / DuckDB `//`):
+    theta = (N*Sxy - Sx*Sy) / (N*Sxx - Sx^2) from the pooled per-user
+    sums, adjusted mean = (den*N*Sy_v - num*(N*Sx_v - n_v*Sx)) /
+    (n_v*N*den) — all products exact integers, division sign-safe."""
+    num = f"(CAST(n AS {dec}) * sxy - sx * sy)"
+    den = f"(CAST(n AS {dec}) * sxx - sx * sx)"
+    theta = _SIGNSAFE_DIV.format(
+        num=f"{num} * 1000", den=den, divop=divop, fallback="CAST(0 AS BIGINT)"
+    )
+    raw_mean = f"CAST(sy_v {divop} n_v AS BIGINT)"
+    adj_num = (
+        f"({den} * CAST(n AS {dec}) * sy_v"
+        f" - {num} * (CAST(n AS {dec}) * sx_v - CAST(n_v AS {dec}) * sx))"
+    )
+    adj_den = f"(CAST(n_v AS {dec}) * CAST(n AS {dec}) * {den})"
+    adj_mean = _SIGNSAFE_DIV.format(
+        num=adj_num, den=adj_den, divop=divop, fallback=raw_mean
+    )
+    return (
+        f"CAST(n_v AS BIGINT) AS n_users, "
+        f"CAST(sx_v AS BIGINT) AS x_cents, "
+        f"CAST(sy_v AS BIGINT) AS y_cents, "
+        f"{raw_mean} AS y_per_user_cents, "
+        f"{adj_mean} AS yadj_per_user_cents, "
+        f"{theta} AS theta_milli"
+    )
+
+
+@register(
+    "events_cuped_adjust",
+    tags=("events", "analytics", "experiment", "cuped"),
+    oracle=f"""
+WITH bounds AS (
+  SELECT (CAST(floor(epoch(MIN(ts))) AS BIGINT)
+          + CAST(floor(epoch(MAX(ts))) AS BIGINT)) // 2 AS mid_s
+  FROM events
+), per_user AS (
+  SELECT e.user_id,
+         CASE WHEN ('0x' || substr(md5('ab:' || CAST(e.user_id AS VARCHAR)), 1, 12))::BIGINT % 2 = 0
+              THEN 'A' ELSE 'B' END AS variant,
+         CAST(COALESCE(SUM(CASE WHEN e.event_type = 'purchase'
+                   AND CAST(floor(epoch(e.ts)) AS BIGINT) <= b.mid_s
+                   THEN CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   ELSE 0 END), 0) AS HUGEINT) AS x,
+         CAST(COALESCE(SUM(CASE WHEN e.event_type = 'purchase'
+                   AND CAST(floor(epoch(e.ts)) AS BIGINT) > b.mid_s
+                   THEN CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   ELSE 0 END), 0) AS HUGEINT) AS y
+  FROM events e CROSS JOIN bounds b
+  GROUP BY e.user_id, b.mid_s
+), pooled AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  FROM per_user
+), by_variant AS (
+  SELECT variant, CAST(COUNT(*) AS HUGEINT) AS n_v,
+         SUM(x) AS sx_v, SUM(y) AS sy_v
+  FROM per_user GROUP BY variant
+), rows_out AS (
+  SELECT variant, {_cuped_outputs("//", "HUGEINT")}
+  FROM by_variant CROSS JOIN pooled
+)
+SELECT * FROM rows_out
+UNION ALL
+SELECT 'B-A', b.n_users - a.n_users, b.x_cents - a.x_cents,
+       b.y_cents - a.y_cents,
+       b.y_per_user_cents - a.y_per_user_cents,
+       b.yadj_per_user_cents - a.yadj_per_user_cents,
+       b.theta_milli - a.theta_milli
+FROM (SELECT * FROM rows_out WHERE variant = 'A') a,
+     (SELECT * FROM rows_out WHERE variant = 'B') b
+""",
+)
+def events_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng, Xu, Kohavi &
+    Walker, WSDM 2013) — the production companion to
+    ``events_ab_test_readout``: the event log splits at the midpoint of
+    its time range into a PRE-period (covariate X = per-user purchase
+    cents before the split) and the experiment period (metric Y after
+    it); theta = cov(X,Y)/var(X) is fit on the POOLED population (the
+    unbiasedness requirement — the covariate predates assignment), and
+    each variant reports its raw and adjusted per-user means plus the
+    'B-A' lift row, so the variance-reduced lift itself hash-checks.
+
+    Exactness: every moment (Sx, Sy, Sxx, Sxy) is an integer in cents;
+    theta and the adjusted means are emitted as sign-safe integral
+    ratios (magnitude division + explicit sign — DuckDB floors, Spark
+    truncates), so there is NO float anywhere. 128-bit intermediates
+    (decimal(38,0) / HUGEINT) hold to ~1e38 — ample at gate SFs; a
+    deployment at much larger N rescales cents → dollars for 1e4 more
+    headroom, or accepts double precision for theta.
+
+    Scale: one user-grain aggregate over the fact scan (map-side
+    combined), one 2-row variant aggregate, one 1-row pooled aggregate
+    broadcast back — the same budget as the plain readout plus a single
+    pass of second moments. Nothing iterates."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch_s = F.col("ts").cast("timestamp").cast("long")
+    bounds = ev.agg(
+        ((F.min(epoch_s) + F.max(epoch_s)) / 2).cast("long").alias("mid_s")
+    )
+    variant = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    is_purchase = F.col("event_type") == "purchase"
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id", variant.alias("variant"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(is_purchase & (epoch_s <= F.col("mid_s")), cents).otherwise(
+                        F.lit(0)
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("decimal(38,0)")
+            .alias("x"),
+            F.coalesce(
+                F.sum(
+                    F.when(is_purchase & (epoch_s > F.col("mid_s")), cents).otherwise(
+                        F.lit(0)
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("decimal(38,0)")
+            .alias("y"),
+        )
+    )
+    pooled = per_user.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    by_variant = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_v"),
+        F.sum("x").alias("sx_v"),
+        F.sum("y").alias("sy_v"),
+    )
+    rows_out = by_variant.crossJoin(F.broadcast(pooled)).selectExpr(
+        "variant", *_cuped_outputs("div", "DECIMAL(38,0)").split(", ")
+    )
+    a = rows_out.filter(F.col("variant") == "A").alias("a")
+    b = rows_out.filter(F.col("variant") == "B").alias("b")
+    diff = a.crossJoin(b).select(
+        F.lit("B-A").alias("variant"),
+        *[
+            (F.col(f"b.{c}") - F.col(f"a.{c}")).alias(c)
+            for c in (
+                "n_users",
+                "x_cents",
+                "y_cents",
+                "y_per_user_cents",
+                "yadj_per_user_cents",
+                "theta_milli",
+            )
+        ],
+    )
+    return rows_out.unionByName(diff)
