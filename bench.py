@@ -210,6 +210,7 @@ HEADLINE = [
     # --- r11 additions (after the frozen r10 boundary) ---
     "privacy_t_closeness",
     "events_cuped_adjust",
+    "profile_feature_drift",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

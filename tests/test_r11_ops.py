@@ -87,3 +87,31 @@ def test_cuped_reproduces_from_pure_python(spark, sf_dir):
             adj_num = den * n * sy_v - num * (n * sx_v - n_v * sx)
             assert r.yadj_per_user_cents == sdiv(adj_num, n_v * n * den)
     assert rows["B-A"].n_users == rows["B"].n_users - rows["A"].n_users
+
+
+def test_feature_drift_tvd_invariants(spark, sf_dir):
+    """TVD bounds [0,1000] and constancy per feature; shares sum to ~1e6
+    per feature-period (floor-division remainder < bucket count); both
+    features present; recomputing TVD from the emitted cell counts in
+    exact python matches the emitted value."""
+    from vena_etl_tool_spark.operators.analytics import profile_feature_drift
+
+    rows = profile_feature_drift(spark, sf_dir).collect()
+    feats = {r.feature for r in rows}
+    assert feats == {"totalprice_bucket", "orderpriority"}
+    for feat in feats:
+        cells = [r for r in rows if r.feature == feat]
+        tvds = {r.feature_tvd_milli for r in cells}
+        assert len(tvds) == 1
+        tvd = tvds.pop()
+        assert 0 <= tvd <= 1000
+        ref_n = sum(r.ref_cnt for r in cells)
+        cur_n = sum(r.cur_cnt for r in cells)
+        assert ref_n > 0 and cur_n > 0
+        assert 1_000_000 - len(cells) <= sum(r.ref_ppm for r in cells) <= 1_000_000
+        expect = (
+            sum(abs(r.ref_cnt * cur_n - r.cur_cnt * ref_n) for r in cells)
+            * 1000
+            // (2 * ref_n * cur_n)
+        )
+        assert tvd == expect

@@ -1724,3 +1724,125 @@ def events_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return rows_out.unionByName(diff)
+
+
+PRICE_DRIFT_BUCKET_CENTS = 2_000_000  # $20k-wide totalprice drift buckets
+
+
+@register(
+    "profile_feature_drift",
+    tags=("profiling", "drift", "aggregate", "window"),
+    oracle=f"""
+WITH bounds AS (
+  SELECT (CAST(CAST(MIN(o_orderdate) AS DATE) - DATE '1970-01-01' AS BIGINT)
+          + CAST(CAST(MAX(o_orderdate) AS DATE) - DATE '1970-01-01' AS BIGINT)) // 2 AS mid_day
+  FROM orders
+), tagged AS (
+  SELECT CASE WHEN CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) <= b.mid_day
+              THEN 1 ELSE 0 END AS is_ref,
+         CAST(floor(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+              / {PRICE_DRIFT_BUCKET_CENTS}) AS BIGINT) AS price_bucket,
+         o_orderpriority
+  FROM orders o CROSS JOIN bounds b
+), unpivoted AS (
+  SELECT 'totalprice_bucket' AS feature,
+         CAST(price_bucket AS VARCHAR) AS bucket, is_ref
+  FROM tagged
+  UNION ALL
+  SELECT 'orderpriority', o_orderpriority, is_ref FROM tagged
+), cells AS (
+  SELECT feature, bucket,
+         SUM(is_ref) AS ref_cnt, SUM(1 - is_ref) AS cur_cnt
+  FROM unpivoted GROUP BY 1, 2
+), totals AS (
+  SELECT feature, bucket, ref_cnt, cur_cnt,
+         SUM(ref_cnt) OVER (PARTITION BY feature) AS ref_n,
+         SUM(cur_cnt) OVER (PARTITION BY feature) AS cur_n
+  FROM cells
+)
+SELECT feature, bucket,
+       CAST(ref_cnt AS BIGINT) AS ref_cnt,
+       CAST(cur_cnt AS BIGINT) AS cur_cnt,
+       CAST(ref_cnt * 1000000 // ref_n AS BIGINT) AS ref_ppm,
+       CAST(cur_cnt * 1000000 // cur_n AS BIGINT) AS cur_ppm,
+       CAST(SUM(ABS(ref_cnt * cur_n - cur_cnt * ref_n))
+              OVER (PARTITION BY feature) * 1000
+            // (2 * ref_n * cur_n) AS BIGINT) AS feature_tvd_milli
+FROM totals
+""",
+)
+def profile_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-drift audit between the reference period (first half of
+    the order-date range) and the current period (second half), per
+    feature: a $20k-bucketed totalprice histogram and the categorical
+    order-priority distribution, each cell carrying both periods' counts
+    and shares (ppm) plus the feature-level TOTAL VARIATION DISTANCE in
+    milli units — the retrain/alert trigger an ML-ops pipeline watches.
+
+    TVD over exact integer cross-products (sum|ref_cnt*cur_n -
+    cur_cnt*ref_n| / (2*ref_n*cur_n)) instead of the PSI's
+    sum((p-q)*ln(p/q)) BY DESIGN: ln is transcendental and libm results
+    are not bit-reproducible across engines, so PSI cannot sit under a
+    hash gate; TVD is a pure rational with the same monotone "how much
+    mass moved" reading (PSI alarms translate to TVD alarms by
+    calibration, e.g. the classic PSI 0.2 ~ TVD ~0.1 on near-uniform
+    shifts).
+
+    Scale: one fact scan -> one (feature, bucket)-grain hash aggregate
+    (map-side combined; the unpivot doubles rows, not shuffles), then a
+    window at FEATURE grain over bucket-count-sized data. Bucket
+    cardinality is audit-bounded by construction; nothing row-scale
+    moves twice."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.col("o_orderdate").cast("date")
+    epoch_day = F.datediff(day, F.lit("1970-01-01").cast("date")).cast("long")
+    bounds = orders.agg(
+        ((F.min(epoch_day) + F.max(epoch_day)) / 2).cast("long").alias("mid_day")
+    )
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    tagged = orders.crossJoin(F.broadcast(bounds)).select(
+        F.when(epoch_day <= F.col("mid_day"), 1).otherwise(0).alias("is_ref"),
+        F.floor(cents / PRICE_DRIFT_BUCKET_CENTS)
+        .cast("long")
+        .alias("price_bucket"),
+        "o_orderpriority",
+    )
+    unpivoted = tagged.select(
+        F.lit("totalprice_bucket").alias("feature"),
+        F.col("price_bucket").cast("string").alias("bucket"),
+        "is_ref",
+    ).unionByName(
+        tagged.select(
+            F.lit("orderpriority").alias("feature"),
+            F.col("o_orderpriority").alias("bucket"),
+            "is_ref",
+        )
+    )
+    cells = unpivoted.groupBy("feature", "bucket").agg(
+        F.sum("is_ref").alias("ref_cnt"),
+        F.sum(F.lit(1) - F.col("is_ref")).alias("cur_cnt"),
+    )
+    wf = Window.partitionBy("feature")
+    totals = cells.select(
+        "feature",
+        "bucket",
+        "ref_cnt",
+        "cur_cnt",
+        F.sum("ref_cnt").over(wf).alias("ref_n"),
+        F.sum("cur_cnt").over(wf).alias("cur_n"),
+    )
+    return totals.select(
+        "feature",
+        "bucket",
+        F.col("ref_cnt").cast("long").alias("ref_cnt"),
+        F.col("cur_cnt").cast("long").alias("cur_cnt"),
+        F.expr("CAST(ref_cnt * 1000000 div ref_n AS BIGINT)").alias("ref_ppm"),
+        F.expr("CAST(cur_cnt * 1000000 div cur_n AS BIGINT)").alias("cur_ppm"),
+        F.expr(
+            "CAST(SUM(ABS(ref_cnt * cur_n - cur_cnt * ref_n))"
+            " OVER (PARTITION BY feature) * 1000"
+            " div (2 * ref_n * cur_n) AS BIGINT)"
+        ).alias("feature_tvd_milli"),
+    )
