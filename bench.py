@@ -211,6 +211,7 @@ HEADLINE = [
     "privacy_t_closeness",
     "events_cuped_adjust",
     "profile_feature_drift",
+    "dataset_repeat_factor_mix",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

@@ -115,3 +115,33 @@ def test_feature_drift_tvd_invariants(spark, sf_dir):
             // (2 * ref_n * cur_n)
         )
         assert tvd == expect
+
+
+def test_repeat_factor_waterfill_theorem(spark, sf_dir):
+    """Water-filling optimality + exactness: sum(alloc) == min(budget,
+    sum(cap)); every capped domain's cap <= every uncapped domain's
+    allocation (the waterline property); no alloc exceeds its cap; and
+    epochs never exceed the configured max."""
+    from vena_etl_tool_spark.operators.textanalysis import (
+        REPEAT_MAX_EPOCHS,
+        dataset_repeat_factor_mix,
+    )
+
+    rows = dataset_repeat_factor_mix(spark, sf_dir).collect()
+    assert rows
+    total_t = sum(r.n_tokens for r in rows)
+    budget = total_t * 3 // 2
+    sum_cap = sum(r.cap_tokens for r in rows)
+    assert sum(r.alloc_tokens for r in rows) == min(budget, sum_cap)
+    for r in rows:
+        assert r.alloc_tokens <= r.cap_tokens
+        assert r.cap_tokens == r.n_tokens * REPEAT_MAX_EPOCHS
+        assert r.epochs_milli <= REPEAT_MAX_EPOCHS * 1000
+        assert r.capped == int(r.alloc_tokens == r.cap_tokens)
+    capped_caps = [r.cap_tokens for r in rows if r.capped]
+    uncapped_allocs = [r.alloc_tokens for r in rows if not r.capped]
+    if capped_caps and uncapped_allocs:
+        # waterline: binding caps sit below what free domains receive
+        assert max(capped_caps) <= min(uncapped_allocs) + 1
+    # the fixture is data-constrained by construction: both regimes occur
+    assert capped_caps and uncapped_allocs

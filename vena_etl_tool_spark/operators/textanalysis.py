@@ -3875,3 +3875,170 @@ def text_zipf_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+REPEAT_MAX_EPOCHS = 2  # data-constrained cap: no domain repeats more than 2x
+# token budget = 1.5x the corpus (3/2, kept integral) — the data-constrained
+# regime where low-resource domains hit the epoch cap and the waterline
+# spills the remainder into the high-resource ones
+
+
+@register(
+    "dataset_repeat_factor_mix",
+    tags=("llm", "sampling", "aggregate", "window"),
+    oracle=f"""
+WITH per_lang AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS t
+  FROM documents GROUP BY lang
+), cfg AS (
+  SELECT CAST(SUM(t) * 3 // 2 AS BIGINT) AS b,
+         CAST(COUNT(*) AS BIGINT) AS d,
+         CAST(SUM(t * {REPEAT_MAX_EPOCHS}) AS BIGINT) AS sum_cap
+  FROM per_lang
+), ranked AS (
+  SELECT lang, n_docs, t, t * {REPEAT_MAX_EPOCHS} AS cap,
+         ROW_NUMBER() OVER (ORDER BY t * {REPEAT_MAX_EPOCHS}, lang) AS idx,
+         SUM(t * {REPEAT_MAX_EPOCHS})
+           OVER (ORDER BY t * {REPEAT_MAX_EPOCHS}, lang
+                 ROWS UNBOUNDED PRECEDING) AS pfx,
+         LEAD(t * {REPEAT_MAX_EPOCHS})
+           OVER (ORDER BY t * {REPEAT_MAX_EPOCHS}, lang) AS next_cap
+  FROM per_lang
+), cand AS (
+  SELECT r.idx AS i, c.b - r.pfx AS lam_num, c.d - r.idx AS lam_den,
+         r.cap, r.next_cap, c.sum_cap, c.b
+  FROM ranked r CROSS JOIN cfg c
+  UNION ALL
+  SELECT 0, c.b, c.d, NULL, (SELECT MIN(cap) FROM ranked), c.sum_cap, c.b
+  FROM cfg c
+), chosen AS (
+  SELECT i, lam_num, lam_den FROM cand
+  WHERE sum_cap > b AND lam_den > 0
+    AND (i = 0 OR cap * lam_den <= lam_num)
+    AND next_cap IS NOT NULL AND next_cap * lam_den > lam_num
+), final AS (
+  SELECT r.lang, r.n_docs, r.t, r.cap,
+         CASE WHEN ch.i IS NULL OR r.idx <= ch.i THEN r.cap
+              ELSE ch.lam_num // ch.lam_den
+                   + CASE WHEN r.idx - ch.i <= ch.lam_num % ch.lam_den
+                          THEN 1 ELSE 0 END
+         END AS alloc,
+         CASE WHEN ch.i IS NULL OR r.idx <= ch.i THEN 1 ELSE 0 END AS capped
+  FROM ranked r LEFT JOIN chosen ch ON TRUE
+)
+SELECT lang, n_docs,
+       CAST(t AS BIGINT) AS n_tokens,
+       CAST(cap AS BIGINT) AS cap_tokens,
+       CAST(alloc AS BIGINT) AS alloc_tokens,
+       CAST(alloc * 1000 // t AS BIGINT) AS epochs_milli,
+       CAST(capped AS INT) AS capped
+FROM final
+""",
+)
+def dataset_repeat_factor_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained mixture allocation (the repeat-factor regime of
+    Muennighoff et al. 2023, "Scaling Data-Constrained Language Models"):
+    given a token budget of 1.5x the corpus and a hard cap of
+    {REPEAT_MAX_EPOCHS} epochs per language domain, find the WATER-FILLING
+    allocation — every domain gets an equal share lambda of the budget
+    unless its cap binds, and the waterline lambda is exactly the value
+    where capped + uncapped mass meets the budget. Low-resource languages
+    pin at the epoch cap; the remainder spills into high-resource ones.
+
+    The solve is CLOSED-FORM over windows, not iterative: sort domains by
+    capacity, prefix-sum, and the unique valid split i* satisfies
+    cap_i*(D-i) <= B - P_i < next_cap*(D-i) — one window pass + a 1-row
+    broadcast back. Allocations stay exact integers (floor lambda, then
+    largest-remainder +1s to the first lam_num mod lam_den uncapped
+    domains in sort order), so sum(alloc) == budget exactly and the whole
+    plan hash-checks.
+
+    Scale: corpus work is ONE lang-grain aggregate (map-side combined).
+    The waterline solve runs at domain grain — windows over D rows
+    distribute fine even at D ~ 1e6 web domains; the chosen row is a
+    1-row broadcast. Nothing iterates, nothing collects."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("t"),
+    )
+    cfg = per_lang.agg(
+        F.expr("CAST(SUM(t) * 3 div 2 AS BIGINT)").alias("b"),
+        F.count(F.lit(1)).cast("long").alias("d"),
+        F.sum(F.col("t") * REPEAT_MAX_EPOCHS).cast("long").alias("sum_cap"),
+    )
+    cap = (F.col("t") * REPEAT_MAX_EPOCHS).alias("cap")
+    w = Window.orderBy(F.col("t") * REPEAT_MAX_EPOCHS, "lang")
+    ranked = per_lang.select(
+        "lang",
+        "n_docs",
+        "t",
+        cap,
+        F.row_number().over(w).alias("idx"),
+        F.sum(F.col("t") * REPEAT_MAX_EPOCHS)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("pfx"),
+        F.lead(F.col("t") * REPEAT_MAX_EPOCHS).over(w).alias("next_cap"),
+    )
+    min_cap = ranked.agg(F.min("cap").alias("next_cap"))
+    cand = ranked.crossJoin(F.broadcast(cfg)).select(
+        F.col("idx").alias("i"),
+        (F.col("b") - F.col("pfx")).alias("lam_num"),
+        (F.col("d") - F.col("idx")).alias("lam_den"),
+        "cap",
+        "next_cap",
+        "sum_cap",
+        "b",
+    ).unionByName(
+        cfg.crossJoin(F.broadcast(min_cap)).select(
+            F.lit(0).cast("long").alias("i"),
+            F.col("b").alias("lam_num"),
+            F.col("d").alias("lam_den"),
+            F.lit(None).cast("long").alias("cap"),
+            "next_cap",
+            "sum_cap",
+            "b",
+        )
+    )
+    chosen = cand.filter(
+        (F.col("sum_cap") > F.col("b"))
+        & (F.col("lam_den") > 0)
+        & ((F.col("i") == 0) | (F.col("cap") * F.col("lam_den") <= F.col("lam_num")))
+        & F.col("next_cap").isNotNull()
+        & (F.col("next_cap") * F.col("lam_den") > F.col("lam_num"))
+    ).select("i", "lam_num", "lam_den")
+    final = ranked.join(F.broadcast(chosen), F.lit(True), "left")
+    alloc = F.when(
+        F.col("i").isNull() | (F.col("idx") <= F.col("i")), F.col("cap")
+    ).otherwise(
+        F.expr("lam_num div lam_den")
+        + F.when(
+            F.col("idx") - F.col("i") <= F.col("lam_num") % F.col("lam_den"), 1
+        ).otherwise(0)
+    )
+    capped = (
+        F.when(F.col("i").isNull() | (F.col("idx") <= F.col("i")), 1)
+        .otherwise(0)
+        .cast("int")
+    )
+    return final.select(
+        "lang",
+        "n_docs",
+        F.col("t").cast("long").alias("n_tokens"),
+        F.col("cap").cast("long").alias("cap_tokens"),
+        alloc.cast("long").alias("alloc_tokens"),
+        capped.alias("capped"),
+    ).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "cap_tokens",
+        "alloc_tokens",
+        F.expr("CAST(alloc_tokens * 1000 div n_tokens AS BIGINT)").alias(
+            "epochs_milli"
+        ),
+        "capped",
+    )
