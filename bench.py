@@ -212,6 +212,7 @@ HEADLINE = [
     "events_cuped_adjust",
     "profile_feature_drift",
     "dataset_repeat_factor_mix",
+    "layout_time_travel",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

@@ -145,3 +145,86 @@ def test_repeat_factor_waterfill_theorem(spark, sf_dir):
         assert max(capped_caps) <= min(uncapped_allocs) + 1
     # the fixture is data-constrained by construction: both regimes occur
     assert capped_caps and uncapped_allocs
+
+
+def test_time_travel_snapshot_isolation(spark, sf_dir):
+    """The table-format core properties, from disk: (1) v0's data files
+    are byte-identical before and after later commits; (2) partitions v2
+    did not touch are served by the SAME files in both manifests (no
+    rewrite amplification); (3) AS-OF reads reconstruct each version
+    exactly (v2 has no negative balances, v0 does not depend on v1)."""
+    import hashlib
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from vena_etl_tool_spark.operators.layouts import (
+        _tt_read_version,
+        layout_dir,
+        layout_time_travel,
+    )
+
+    layout_time_travel(spark, sf_dir).collect()
+    root = layout_dir(sf_dir, "time_travel")
+    log_dir = os.path.join(root, "log")
+    manifests = {}
+    for v in (0, 1, 2):
+        with open(os.path.join(log_dir, f"v{v}.json")) as f:
+            manifests[v] = json.load(f)["files_by_pk"]
+
+    def sha(path):
+        with open(path, "rb") as f:
+            return hashlib.sha256(f.read()).hexdigest()
+
+    v0_hashes = {
+        p: sha(p) for files in manifests[0].values() for p in files
+    }
+
+    # v2 manifest reuses v1's files verbatim for untouched partitions
+    untouched = [
+        pk for pk in manifests[1] if manifests[1][pk] == manifests[2].get(pk)
+    ]
+    assert untouched, "some partition must be untouched by the delete"
+
+    all_hashes = {
+        p: sha(p)
+        for m in manifests.values()
+        for files in m.values()
+        for p in files
+    }
+
+    # commit a FURTHER version v3 through the same helpers (delete the
+    # largest balances) — no earlier version's file may change a byte
+    from vena_etl_tool_spark.operators.layouts import _tt_commit, _tt_write_version
+
+    data_root = os.path.join(root, "data")
+    v2_df = _tt_read_version(spark, log_dir, 2)
+    pre_v3 = {(r.key, r.bal_cents) for r in v2_df.collect()}
+    cut = v2_df.agg(F.expr("percentile_approx(bal_cents, 0.9)")).first()[0]
+    affected = sorted(
+        r.pk
+        for r in v2_df.filter(F.col("bal_cents") > cut).select("pk").distinct().collect()
+    )
+    survivors = (
+        v2_df.filter(F.col("pk").isin(affected))
+        .filter(F.col("bal_cents") <= cut)
+        .localCheckpoint()
+    )
+    v3_new = _tt_write_version(survivors, data_root, 3)
+    _tt_commit(log_dir, 3, {**manifests[2], **v3_new})
+
+    for p, h in all_hashes.items():
+        assert sha(p) == h, f"earlier-version file mutated by v3 commit: {p}"
+
+    # AS-OF v2 still reconstructs exactly the pre-v3 snapshot
+    assert {
+        (r.key, r.bal_cents) for r in _tt_read_version(spark, log_dir, 2).collect()
+    } == pre_v3
+    v0_df = _tt_read_version(spark, log_dir, 0)
+    assert v0_df.filter(F.col("bal_cents") < 0).count() > 0
+    assert v2_df.filter(F.col("bal_cents") < 0).count() == 0
+    # deletes are real at every step
+    v1_df = _tt_read_version(spark, log_dir, 1)
+    assert v2_df.count() < v1_df.count()
+    assert _tt_read_version(spark, log_dir, 3).count() < len(pre_v3)
