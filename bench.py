@@ -213,6 +213,7 @@ HEADLINE = [
     "profile_feature_drift",
     "dataset_repeat_factor_mix",
     "layout_time_travel",
+    "stream_window_drift",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

