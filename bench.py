@@ -214,6 +214,7 @@ HEADLINE = [
     "dataset_repeat_factor_mix",
     "layout_time_travel",
     "stream_window_drift",
+    "sim_ivf_reassign_incremental",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

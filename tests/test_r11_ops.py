@@ -252,3 +252,24 @@ def test_stream_window_drift_split_invariance(spark, sf_dir, tmp_path):
     early = [r[3] for r in rows[: len(rows) // 2]]
     late = [r[3] for r in rows[len(rows) // 2:]]
     assert sum(early) / len(early) <= sum(late) / len(late) + 100
+
+
+def test_ivf_reassign_migration_matrix(spark, sf_dir):
+    """Mass conservation (sum n_vectors == corpus size), moved-flag
+    correctness, and the economic invariant: the diagonal (stay-put mass)
+    dominates any single migration cell after ONE Lloyd step — if it
+    didn't, incremental maintenance would be pointless and the operator's
+    premise false."""
+    from vena_etl_tool_spark.catalog import load_table
+    from vena_etl_tool_spark.operators.similarity import (
+        sim_ivf_reassign_incremental,
+    )
+
+    rows = sim_ivf_reassign_incremental(spark, sf_dir).collect()
+    n_corpus = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_vectors for r in rows) == n_corpus
+    for r in rows:
+        assert r.moved == int(r.old_cell != r.new_cell)
+    stay = sum(r.n_vectors for r in rows if not r.moved)
+    biggest_move = max((r.n_vectors for r in rows if r.moved), default=0)
+    assert stay > 0 and stay >= biggest_move

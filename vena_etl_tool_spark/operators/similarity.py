@@ -3339,3 +3339,168 @@ def sim_graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = stats if out is None else out.unionByName(stats)
         cur = nxt
     return out
+
+
+# ---------------------------------------------------------------------------
+# Incremental IVF reassignment (r11) — the MAINTENANCE step between
+# codebook refreshes: after one exact Lloyd update of the centroids, only
+# vectors whose nearest centroid CHANGED need to move postings. The whole
+# op runs in micro-int geometry (coordinates floored to 1e-6 units,
+# squared-L2 in exact integers), so assignment, update, and re-assignment
+# all hash-check — it is the micro-geometry twin of sim_kmeans_lloyd_step
+# with the migration matrix as the product.
+# ---------------------------------------------------------------------------
+
+_REASSIGN_DIST_SPARK = (
+    "aggregate(zip_with(xm, cm, (a, b) -> (a - b) * (a - b)),"
+    " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+)
+_REASSIGN_DIST_DUCK = (
+    "list_sum(list_transform(list_zip(xm, cm),"
+    " p -> (struct_extract(p, 1) - struct_extract(p, 2))"
+    " * (struct_extract(p, 1) - struct_extract(p, 2))))"
+)
+_REASSIGN_OLD_DUCK_VALUES = ",\n    ".join(
+    f"({i}, [" + ", ".join(str(v) for v in row) + "])"
+    for i, row in enumerate(_LLOYD_OLD_MICRO)
+)
+
+
+@register(
+    "sim_ivf_reassign_incremental",
+    tags=("llm", "similarity", "ann", "ivf", "maintenance"),
+    oracle=f"""
+WITH xm AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS xm
+  FROM embeddings
+), oldc AS (
+  SELECT * FROM (VALUES
+    {_REASSIGN_OLD_DUCK_VALUES}
+  ) t(cent, cm)
+), oa AS (
+  SELECT vec_id, cent AS old_cell FROM (
+    SELECT x.vec_id, o.cent,
+           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                              ORDER BY {_REASSIGN_DIST_DUCK}, o.cent) AS rk
+    FROM xm x CROSS JOIN oldc o
+  ) WHERE rk = 1
+), dims AS (
+  SELECT oa.old_cell AS cent,
+         CAST(struct_extract(u.p, 2) - 1 AS BIGINT) AS dim,
+         CAST(struct_extract(u.p, 1) AS HUGEINT) AS x_micro
+  FROM oa JOIN xm USING (vec_id),
+       UNNEST(list_zip(xm.xm, {_LLOYD_DIM_IDX})) AS u(p)
+), agg AS (
+  SELECT cent, dim, COUNT(*) AS n, SUM(x_micro) AS s
+  FROM dims GROUP BY cent, dim
+), newc AS (
+  SELECT cent,
+         list(CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END) * (abs(s) // n)
+                   AS BIGINT) ORDER BY dim) AS cm
+  FROM agg GROUP BY cent
+), na AS (
+  SELECT vec_id, cent AS new_cell FROM (
+    SELECT x.vec_id, c.cent,
+           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                              ORDER BY {_REASSIGN_DIST_DUCK}, c.cent) AS rk
+    FROM xm x CROSS JOIN newc c
+  ) WHERE rk = 1
+)
+SELECT CAST(oa.old_cell AS BIGINT) AS old_cell,
+       CAST(na.new_cell AS BIGINT) AS new_cell,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(oa.old_cell <> na.new_cell AS INT) AS moved
+FROM oa JOIN na USING (vec_id)
+GROUP BY oa.old_cell, na.new_cell
+""",
+)
+def sim_ivf_reassign_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance: assign every vector to its
+    nearest OLD centroid (micro-int squared-L2 argmin against the seeded
+    codebook), refresh the codebook with one exact integer Lloyd update
+    (truncated per-dimension mean of each cell's members), re-assign
+    against the NEW centroids, and emit the MIGRATION MATRIX
+    (old_cell, new_cell, n_vectors, moved). The moved rows are exactly
+    the postings an index maintainer rewrites after a codebook refresh —
+    the diagonal is the mass that stays put, which is the whole economic
+    argument for incremental (vs full-rebuild) maintenance.
+
+    Scale: two broadcast-join assignments (C centroids broadcast; the
+    expansion is map-side xC then a per-vector argmin — the standard IVF
+    assign shape) and one (cell, dim)-grain aggregate for the update
+    (centroid-grain shuffle, never corpus-grain; sums carried 128-bit
+    like the Lloyd twin). The migration matrix is <= C^2 rows. On a real
+    deployment the SAME plan runs with only the DELTA of vectors since
+    the last refresh — the assignment joins are embarrassingly map-side,
+    so incrementality is a filter, not a new topology."""
+    from pyspark.sql import Window as W
+
+    emb = spread_small(load_table(spark, sf_dir, "embeddings"))
+    xm = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"
+        ).alias("xm"),
+    )
+    old_cents = spark.createDataFrame(
+        [(i, list(row)) for i, row in enumerate(_LLOYD_OLD_MICRO)],
+        "cent bigint, cm array<bigint>",
+    )
+    wv = W.partitionBy("vec_id").orderBy("dist", "cent")
+    oa = (
+        xm.crossJoin(F.broadcast(old_cents))
+        .withColumn("dist", F.expr(_REASSIGN_DIST_SPARK))
+        .withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", F.col("cent").alias("old_cell"))
+    )
+    dims = (
+        oa.join(xm, "vec_id")
+        .select(
+            F.col("old_cell").alias("cent"),
+            F.posexplode("xm").alias("dim", "x_micro"),
+        )
+        .select("cent", F.col("dim").cast("long").alias("dim"), "x_micro")
+    )
+    agg = dims.groupBy("cent", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x_micro").cast("decimal(38,0)")).alias("s"),
+    )
+    new_cents = (
+        agg.select(
+            "cent",
+            "dim",
+            F.expr(
+                "CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END)"
+                " * (abs(s) div n) AS BIGINT)"
+            ).alias("c_micro"),
+        )
+        .groupBy("cent")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, c_micro))),"
+                " s -> s.c_micro)"
+            ).alias("cm")
+        )
+    )
+    na = (
+        xm.crossJoin(F.broadcast(new_cents))
+        .withColumn("dist", F.expr(_REASSIGN_DIST_SPARK))
+        .withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", F.col("cent").alias("new_cell"))
+    )
+    return (
+        oa.join(na, "vec_id")
+        .groupBy(
+            F.col("old_cell").cast("long").alias("old_cell"),
+            F.col("new_cell").cast("long").alias("new_cell"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .withColumn(
+            "moved", (F.col("old_cell") != F.col("new_cell")).cast("int")
+        )
+    )
