@@ -215,6 +215,7 @@ HEADLINE = [
     "layout_time_travel",
     "stream_window_drift",
     "sim_ivf_reassign_incremental",
+    "orders_repurchase_survival",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

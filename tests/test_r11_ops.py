@@ -273,3 +273,37 @@ def test_ivf_reassign_migration_matrix(spark, sf_dir):
     stay = sum(r.n_vectors for r in rows if not r.moved)
     biggest_move = max((r.n_vectors for r in rows if r.moved), default=0)
     assert stay > 0 and stay >= biggest_move
+
+
+def test_survival_hazard_table_theorems(spark, sf_dir):
+    """KM identities: risk sets telescope (n_at_risk_b = exits_b +
+    n_at_risk_{b+1}... expressed via enters), total spells equal total
+    orders, hazards bounded, and the derived survival curve is monotone
+    non-increasing in [0, 1]."""
+    from vena_etl_tool_spark.catalog import load_table
+    from vena_etl_tool_spark.operators.analytics import (
+        orders_repurchase_survival,
+    )
+
+    rows = sorted(
+        orders_repurchase_survival(spark, sf_dir).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert rows
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    # every order opens exactly one spell; spells partition across buckets
+    assert sum(r.n_events + r.n_censored for r in rows) == n_orders
+    # risk set telescopes: every spell entering at bucket b leaves the
+    # risk set before the next occupied bucket, so the drop between
+    # consecutive rows is exactly bucket b's enters (= its exits)
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_at_risk - b.n_at_risk == a.n_events + a.n_censored
+    assert rows[0].n_at_risk == n_orders
+    surv = 1.0
+    prev = surv
+    for r in rows:
+        assert 0 <= r.hazard_ppm <= 1_000_000
+        assert r.n_events + r.n_censored <= r.n_at_risk
+        surv *= 1.0 - r.n_events / r.n_at_risk
+        assert 0.0 <= surv <= prev
+        prev = surv

@@ -1846,3 +1846,110 @@ def profile_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (2 * ref_n * cur_n) AS BIGINT)"
         ).alias("feature_tvd_milli"),
     )
+
+
+SURVIVAL_BUCKET_DAYS = 30  # hazard table grain: monthly repurchase buckets
+
+
+@register(
+    "orders_repurchase_survival",
+    tags=("analytics", "survival", "window", "aggregate"),
+    oracle=f"""
+WITH horizon AS (
+  SELECT CAST(MAX(CAST(o_orderdate AS DATE)) - DATE '1970-01-01' AS BIGINT)
+    AS end_day
+  FROM orders
+), seq AS (
+  SELECT o_custkey,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+         LEAD(CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT))
+           OVER (PARTITION BY o_custkey
+                 ORDER BY CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                               AS BIGINT), o_orderkey) AS next_d
+  FROM orders
+), spells AS (
+  SELECT CASE WHEN next_d IS NULL THEN (SELECT end_day FROM horizon) - d
+              ELSE next_d - d END AS gap_days,
+         CASE WHEN next_d IS NULL THEN 0 ELSE 1 END AS observed
+  FROM seq
+), bucketed AS (
+  SELECT gap_days // {SURVIVAL_BUCKET_DAYS} AS bucket,
+         SUM(observed) AS n_events,
+         SUM(1 - observed) AS n_censored,
+         COUNT(*) AS n_enter
+  FROM spells GROUP BY 1
+), risk AS (
+  SELECT bucket, n_events, n_censored,
+         SUM(n_enter) OVER (ORDER BY bucket DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS n_at_risk
+  FROM bucketed
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(bucket * {SURVIVAL_BUCKET_DAYS} AS BIGINT) AS bucket_start_day,
+       CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_censored AS BIGINT) AS n_censored,
+       CAST(n_events * 1000000 // n_at_risk AS BIGINT) AS hazard_ppm
+FROM risk
+""",
+)
+def orders_repurchase_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier hazard table for customer repurchase: every order
+    opens a spell that ends at the customer's NEXT order (event) or at
+    the dataset horizon (right-censored — the defining subtlety naive
+    "average gap" metrics get wrong: censored spells still occupy the
+    risk set up to their length). Per {SURVIVAL_BUCKET_DAYS}-day bucket:
+    the risk set (spells surviving into the bucket, computed as a
+    REVERSE cumulative count — no per-spell explosion), events, censored
+    exits, and the discrete hazard in ppm. The table is the exact-integer
+    core of the KM estimator; the survival curve itself is the cumulative
+    product of (1 - hazard) — float by nature, so it stays OUT of the
+    hash gate and is derived downstream (the invariant test checks it in
+    python).
+
+    Scale: one window (customer-grain lead) over the fact scan, one
+    bucket-grain aggregate, one DESC cumulative window over <=
+    (max_gap/{SURVIVAL_BUCKET_DAYS}) bucket rows. The risk-set trick is
+    the scale story: materializing spell x bucket membership would be
+    quadratic; reverse prefix sums make it bucket-linear."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    asof = orders.agg(F.max(day).alias("end_day"))
+    w = Window.partitionBy("o_custkey").orderBy(day, "o_orderkey")
+    seq = orders.select(
+        day.alias("d"), F.lead(day).over(w).alias("next_d")
+    ).crossJoin(F.broadcast(asof))
+    spells = seq.select(
+        F.when(F.col("next_d").isNull(), F.col("end_day") - F.col("d"))
+        .otherwise(F.col("next_d") - F.col("d"))
+        .alias("gap_days"),
+        F.when(F.col("next_d").isNull(), 0).otherwise(1).alias("observed"),
+    )
+    bucketed = spells.groupBy(
+        F.expr(f"gap_days div {SURVIVAL_BUCKET_DAYS}").alias("bucket")
+    ).agg(
+        F.sum("observed").alias("n_events"),
+        F.sum(F.lit(1) - F.col("observed")).alias("n_censored"),
+        F.count(F.lit(1)).alias("n_enter"),
+    )
+    wdesc = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = bucketed.withColumn("n_at_risk", F.sum("n_enter").over(wdesc))
+    return risk.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        (F.col("bucket") * SURVIVAL_BUCKET_DAYS).cast("long").alias(
+            "bucket_start_day"
+        ),
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_censored").cast("long").alias("n_censored"),
+        F.expr("CAST(n_events * 1000000 div n_at_risk AS BIGINT)").alias(
+            "hazard_ppm"
+        ),
+    )
