@@ -216,6 +216,7 @@ HEADLINE = [
     "stream_window_drift",
     "sim_ivf_reassign_incremental",
     "orders_repurchase_survival",
+    "text_vocab_growth",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

@@ -307,3 +307,35 @@ def test_survival_hazard_table_theorems(spark, sf_dir):
         surv *= 1.0 - r.n_events / r.n_at_risk
         assert 0.0 <= surv <= prev
         prev = surv
+
+
+def test_vocab_growth_heaps_monotonicity(spark, sf_dir):
+    """Growth-curve identities: cumulative columns are non-decreasing;
+    vocab_cum at the last band equals the corpus's exact distinct word
+    count; new_words sums to the same; sublinearity (Heaps): the second
+    half of the corpus adds fewer new types than the first half."""
+    from pyspark.sql import functions as F
+
+    from vena_etl_tool_spark.catalog import load_table
+    from vena_etl_tool_spark.operators.textanalysis import text_vocab_growth
+
+    rows = sorted(text_vocab_growth(spark, sf_dir).collect(), key=lambda r: r.band)
+    assert rows
+    docs = load_table(spark, sf_dir, "documents")
+    true_vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .select("w")
+        .distinct()
+        .count()
+    )
+    assert rows[-1].vocab_cum == true_vocab
+    assert sum(r.new_words for r in rows) == true_vocab
+    assert rows[-1].docs_cum == docs.count()
+    for a, b in zip(rows, rows[1:]):
+        assert b.docs_cum >= a.docs_cum
+        assert b.tokens_cum >= a.tokens_cum
+        assert b.vocab_cum >= a.vocab_cum
+    half = len(rows) // 2
+    first_half_new = rows[half - 1].vocab_cum
+    second_half_new = rows[-1].vocab_cum - first_half_new
+    assert second_half_new < first_half_new

@@ -4042,3 +4042,108 @@ def dataset_repeat_factor_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "capped",
     )
+
+
+VOCAB_GROWTH_BANDS = 10  # corpus-arrival deciles for the growth curve
+
+
+@register(
+    "text_vocab_growth",
+    tags=("llm", "text", "corpus", "aggregate", "window"),
+    oracle=f"""
+WITH mx AS (SELECT MAX(doc_id) AS max_id FROM documents),
+words AS (
+  SELECT d.doc_id, unnest(string_split(d.text, ' ')) AS w
+  FROM documents d
+), banded_docs AS (
+  SELECT d.doc_id,
+         CAST(d.doc_id * {VOCAB_GROWTH_BANDS} // (m.max_id + 1) AS BIGINT)
+           AS band,
+         len(string_split(d.text, ' ')) AS n_tok
+  FROM documents d CROSS JOIN mx m
+), first_seen AS (
+  SELECT w, MIN(doc_id) AS first_doc FROM words GROUP BY w
+), new_per_band AS (
+  SELECT CAST(f.first_doc * {VOCAB_GROWTH_BANDS} // (m.max_id + 1) AS BIGINT)
+           AS band,
+         COUNT(*) AS new_words
+  FROM first_seen f CROSS JOIN mx m
+  GROUP BY 1
+), band_stats AS (
+  SELECT band, COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens
+  FROM banded_docs GROUP BY band
+), merged AS (
+  SELECT b.band, b.n_docs, b.n_tokens, COALESCE(n.new_words, 0) AS new_words
+  FROM band_stats b LEFT JOIN new_per_band n ON n.band = b.band
+)
+SELECT CAST(band AS BIGINT) AS band,
+       CAST(SUM(n_docs) OVER w AS BIGINT) AS docs_cum,
+       CAST(SUM(n_tokens) OVER w AS BIGINT) AS tokens_cum,
+       CAST(SUM(new_words) OVER w AS BIGINT) AS vocab_cum,
+       CAST(new_words AS BIGINT) AS new_words,
+       CAST(SUM(new_words) OVER w * 1000000 // SUM(n_tokens) OVER w AS BIGINT)
+         AS ttr_ppm
+FROM merged
+WINDOW w AS (ORDER BY band ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (the Heaps'-law audit a corpus builder
+    watches while scaling ingestion): documents band into
+    {VOCAB_GROWTH_BANDS} arrival deciles BY doc_id VALUE (no global
+    sort — arrival order is the id), each word attributes to the band of
+    its FIRST occurrence, and the output is the cumulative curve: docs,
+    tokens, vocabulary size, new types per band, and the cumulative
+    type-token ratio in ppm. A flattening new_words column is the
+    saturation signal (diminishing novel content — time to diversify
+    sources); a ttr_ppm that stops falling flags synthetic/templated
+    inflow.
+
+    Scale: one explode to word grain, one WORD-grain min-aggregate
+    (vocabulary-linear, map-side combinable — the shuffle key would ship
+    as xxhash64(word) at 100 TB), one doc-grain band aggregate, and a
+    window over {VOCAB_GROWTH_BANDS} rows. The value-based banding is
+    the scale story: ntile would need a corpus-wide sort; integer
+    division by max_id needs one 1-row broadcast."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("doc_id").alias("max_id"))
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    banded_docs = docs.crossJoin(F.broadcast(mx)).select(
+        F.expr(f"CAST(doc_id * {VOCAB_GROWTH_BANDS} div (max_id + 1) AS BIGINT)")
+        .alias("band"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    first_seen = words.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    new_per_band = (
+        first_seen.crossJoin(F.broadcast(mx))
+        .groupBy(
+            F.expr(
+                f"CAST(first_doc * {VOCAB_GROWTH_BANDS} div (max_id + 1) AS BIGINT)"
+            ).alias("band")
+        )
+        .agg(F.count(F.lit(1)).alias("new_words"))
+    )
+    band_stats = banded_docs.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    )
+    merged = band_stats.join(new_per_band, "band", "left").withColumn(
+        "new_words", F.coalesce("new_words", F.lit(0))
+    )
+    w = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return merged.select(
+        F.col("band").cast("long").alias("band"),
+        F.sum("n_docs").over(w).cast("long").alias("docs_cum"),
+        F.sum("n_tokens").over(w).cast("long").alias("tokens_cum"),
+        F.sum("new_words").over(w).cast("long").alias("vocab_cum"),
+        F.col("new_words").cast("long").alias("new_words"),
+        F.expr(
+            "CAST(SUM(new_words) OVER (ORDER BY band ROWS BETWEEN UNBOUNDED"
+            " PRECEDING AND CURRENT ROW) * 1000000"
+            " div SUM(n_tokens) OVER (ORDER BY band ROWS BETWEEN UNBOUNDED"
+            " PRECEDING AND CURRENT ROW) AS BIGINT)"
+        ).alias("ttr_ppm"),
+    )
