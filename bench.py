@@ -217,6 +217,7 @@ HEADLINE = [
     "sim_ivf_reassign_incremental",
     "orders_repurchase_survival",
     "text_vocab_growth",
+    "sim_rerank_mmr",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

@@ -339,3 +339,71 @@ def test_vocab_growth_heaps_monotonicity(spark, sf_dir):
     first_half_new = rows[half - 1].vocab_cum
     second_half_new = rows[-1].vocab_cum - first_half_new
     assert second_half_new < first_half_new
+
+
+def test_mmr_greedy_matches_pure_python(spark, sf_dir):
+    """Recompute the greedy MMR chain in pure python ints from the
+    operator's own candidate relevances and pair dots (via duckdb) and
+    require identical picks, steps, and scores — plus the MMR theorems:
+    no duplicate picks per query, step-1 is the relevance argmax, and
+    every pick's mmr score is >= any remaining candidate's at that step."""
+    import duckdb
+
+    from vena_etl_tool_spark.operators.retrieval import (
+        MMR_CANDIDATES,
+        MMR_K,
+        RRF_QMAP,
+        sim_rerank_mmr,
+    )
+
+    out = sim_rerank_mmr(spark, sf_dir).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.query_id, {})[r.step] = (
+            r.doc_id,
+            r.rel_scaled,
+            r.msim_scaled,
+            r.mmr_scaled,
+        )
+    assert set(got) == {q for q, _ in RRF_QMAP}
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    xm = dict(
+        con.execute(
+            "SELECT vec_id, list_transform(embedding,"
+            " x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"
+            " FROM embeddings"
+        ).fetchall()
+    )
+
+    def dot(a, b):
+        return sum(int(x) * int(y) for x, y in zip(a, b))
+
+    for query_id, qvec in RRF_QMAP:
+        rel = {
+            v: dot(xm[qvec], emb)
+            for v, emb in xm.items()
+            if v != qvec
+        }
+        cands = sorted(rel, key=lambda v: (-rel[v], v))[:MMR_CANDIDATES]
+        selected = []
+        for step in range(1, MMR_K + 1):
+            best = None
+            for v in cands:
+                if v in selected:
+                    continue
+                msim = max((dot(xm[v], xm[s]) for s in selected), default=0)
+                score = 7 * rel[v] - 3 * msim
+                key = (-score, v)
+                if best is None or key < best[0]:
+                    best = (key, v, msim, score)
+            _, pick, msim, score = best
+            selected.append(pick)
+            assert got[query_id][step] == (pick, rel[pick], msim, score), (
+                query_id,
+                step,
+            )
+        assert len(set(selected)) == MMR_K

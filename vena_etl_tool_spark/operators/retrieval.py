@@ -814,3 +814,220 @@ def retrieval_system_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top1_same",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversification (r11) — Maximal Marginal Relevance (Carbonell &
+# Goldstein 1998): greedy re-ranking that trades relevance against
+# redundancy, the standard last step before a retrieved set feeds a RAG
+# context window. Everything runs in scaled integers (micro-int vector
+# dots; lambda = 0.7 becomes score = 7*rel - 3*maxsim), so the greedy
+# argmax chain is exact and the whole re-rank hash-checks.
+# ---------------------------------------------------------------------------
+
+MMR_CANDIDATES = 20  # relevance top-k entering the re-ranker
+MMR_K = 5  # diversified results emitted per query
+
+_MMR_XM_DUCK = (
+    "list_transform(embedding,"
+    " x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"
+)
+_MMR_DOT_DUCK = (
+    "list_sum(list_transform(list_zip({a}, {b}),"
+    " p -> struct_extract(p, 1) * struct_extract(p, 2)))"
+)
+_MMR_DOT_SPARK = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+    " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+)
+
+
+def _mmr_oracle() -> str:
+    """Unrolled K-step greedy selection as chained CTEs: sel1 is the pure
+    relevance argmax; each later step scores the remaining candidates by
+    7*rel - 3*max(dot to any selected doc) and picks the argmax with
+    doc_id tiebreak — exactly the Spark loop's arithmetic."""
+    dot_q = _MMR_DOT_DUCK.format(a="q.qm", b="x.xm")
+    dot_p = _MMR_DOT_DUCK.format(a="xa.xm", b="xb.xm")
+    steps = []
+    for j in range(2, MMR_K + 1):
+        prev = f"sel{j - 1}"
+        prev_all = " UNION ALL ".join(
+            f"SELECT * FROM sel{i}" for i in range(1, j)
+        )
+        steps.append(f"""
+, picked{j - 1} AS ({prev_all})
+, score{j} AS (
+  SELECT c.query_id, c.vec_id, c.rel,
+         MAX(p.dt) AS msim
+  FROM cand c
+  JOIN picked{j - 1} s ON s.query_id = c.query_id
+  JOIN pairs p ON p.query_id = c.query_id
+             AND p.va = c.vec_id AND p.vb = s.vec_id
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM picked{j - 1} pp
+                         WHERE pp.query_id = c.query_id)
+  GROUP BY c.query_id, c.vec_id, c.rel
+), sel{j} AS (
+  SELECT query_id, vec_id, {j} AS step, rel, msim,
+         7 * rel - 3 * msim AS mmr
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY 7 * rel - 3 * msim DESC, vec_id)
+              AS rk
+    FROM score{j}
+  ) WHERE rk = 1
+)""")
+    union_all = " UNION ALL ".join(f"SELECT * FROM sel{i}" for i in range(1, MMR_K + 1))
+    return f"""
+WITH xm AS (
+  SELECT vec_id, {_MMR_XM_DUCK} AS xm FROM embeddings
+), qmap(query_id, qvec) AS (
+  VALUES {_QMAP_VALUES}
+), qv AS (
+  SELECT m.query_id, m.qvec, x.xm AS qm FROM qmap m JOIN xm x ON x.vec_id = m.qvec
+), cand0 AS (
+  SELECT q.query_id, x.vec_id, {dot_q} AS rel,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+                            ORDER BY {dot_q} DESC, x.vec_id) AS rk
+  FROM qv q JOIN xm x ON x.vec_id <> q.qvec
+), cand AS (
+  SELECT query_id, vec_id, rel FROM cand0 WHERE rk <= {MMR_CANDIDATES}
+), pairs AS (
+  SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb, {dot_p} AS dt
+  FROM cand a
+  JOIN cand b ON b.query_id = a.query_id AND b.vec_id <> a.vec_id
+  JOIN xm xa ON xa.vec_id = a.vec_id
+  JOIN xm xb ON xb.vec_id = b.vec_id
+), sel1 AS (
+  SELECT query_id, vec_id, 1 AS step, rel,
+         CAST(0 AS BIGINT) AS msim, 7 * rel AS mmr
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, vec_id) AS rk
+    FROM cand
+  ) WHERE rk = 1
+){"".join(steps)}
+SELECT query_id, CAST(step AS INT) AS step,
+       CAST(vec_id AS BIGINT) AS doc_id,
+       CAST(rel AS BIGINT) AS rel_scaled,
+       CAST(msim AS BIGINT) AS msim_scaled,
+       CAST(mmr AS BIGINT) AS mmr_scaled
+FROM ({union_all})
+"""
+
+
+@register(
+    "sim_rerank_mmr",
+    tags=("llm", "retrieval", "similarity", "rerank"),
+    oracle=_mmr_oracle(),
+)
+def sim_rerank_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR re-ranking of each hybrid query's dense top-{MMR_CANDIDATES}
+    candidates into {MMR_K} diversified results: step 1 takes the pure
+    relevance argmax; every later step takes
+    argmax(7*rel - 3*max_dot_to_selected) — lambda = 0.7 in scaled
+    integers, micro-int vector dots, doc_id tiebreaks — so the greedy
+    chain is exact on both engines and the re-rank itself sits under the
+    differential gate (msim/mmr columns included, not just the picks).
+
+    Scale: candidate generation is the ANN top-k shape (broadcast query
+    side, per-query window); the re-rank then touches ONLY the
+    {MMR_CANDIDATES}x{MMR_CANDIDATES} per-query dot matrix — serving-side
+    arithmetic, independent of corpus size. The K-step loop is K bounded
+    DataFrame iterations over candidate-grain frames (a few hundred rows
+    at ANY corpus scale), each a broadcastable join — no corpus rescans
+    after the matrix builds."""
+    emb = spread_small(load_table(spark, sf_dir, "embeddings"))
+    xm = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"
+        ).alias("xm"),
+    )
+    qmap = spark.createDataFrame(list(RRF_QMAP), ["query_id", "qvec"])
+    qv = qmap.join(
+        xm.select(F.col("vec_id").alias("qvec"), F.col("xm").alias("qm")), "qvec"
+    )
+    dot_q = _MMR_DOT_SPARK.format(a="qm", b="xm")
+    wq = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), "vec_id")
+    cand = (
+        xm.join(F.broadcast(qv), xm["vec_id"] != qv["qvec"])
+        .select("query_id", "vec_id", F.expr(dot_q).alias("rel"), "xm")
+        .withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= MMR_CANDIDATES)
+        .drop("rk")
+        .localCheckpoint()
+    )
+    dot_p = _MMR_DOT_SPARK.format(a="xa", b="xb")
+    ca = cand.select(
+        "query_id", F.col("vec_id").alias("va"), F.col("xm").alias("xa")
+    )
+    cb = cand.select(
+        F.col("query_id").alias("qb"), F.col("vec_id").alias("vb"), F.col("xm").alias("xb")
+    )
+    pairs = (
+        ca.join(cb, (F.col("query_id") == F.col("qb")) & (F.col("va") != F.col("vb")))
+        .select("query_id", "va", "vb", F.expr(dot_p).alias("dt"))
+        .localCheckpoint()
+    )
+    cand_slim = cand.select("query_id", "vec_id", "rel")
+    sel = (
+        cand_slim.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") == 1)
+        .select(
+            "query_id",
+            "vec_id",
+            F.lit(1).alias("step"),
+            "rel",
+            F.lit(0).cast("long").alias("msim"),
+            (F.col("rel") * 7).alias("mmr"),
+        )
+    )
+    picked = sel
+    for j in range(2, MMR_K + 1):
+        ms = (
+            cand_slim.join(
+                picked.select("query_id", F.col("vec_id").alias("pv")), "query_id"
+            )
+            .join(
+                pairs,
+                (pairs["query_id"] == cand_slim["query_id"])
+                & (pairs["va"] == cand_slim["vec_id"])
+                & (pairs["vb"] == F.col("pv")),
+            )
+            .join(
+                picked.select(
+                    F.col("query_id").alias("q2"), F.col("vec_id").alias("v2")
+                ),
+                (F.col("q2") == cand_slim["query_id"])
+                & (F.col("v2") == cand_slim["vec_id"]),
+                "left_anti",
+            )
+            .groupBy(cand_slim["query_id"].alias("query_id"), "vec_id", "rel")
+            .agg(F.max("dt").alias("msim"))
+        )
+        wmmr = Window.partitionBy("query_id").orderBy(
+            (F.col("rel") * 7 - F.col("msim") * 3).desc(), "vec_id"
+        )
+        pick = (
+            ms.withColumn("rk", F.row_number().over(wmmr))
+            .filter(F.col("rk") == 1)
+            .select(
+                "query_id",
+                "vec_id",
+                F.lit(j).alias("step"),
+                "rel",
+                "msim",
+                (F.col("rel") * 7 - F.col("msim") * 3).alias("mmr"),
+            )
+        )
+        picked = picked.unionByName(pick).localCheckpoint()
+    return picked.select(
+        "query_id",
+        F.col("step").cast("int").alias("step"),
+        F.col("vec_id").cast("long").alias("doc_id"),
+        F.col("rel").cast("long").alias("rel_scaled"),
+        F.col("msim").cast("long").alias("msim_scaled"),
+        F.col("mmr").cast("long").alias("mmr_scaled"),
+    )
