@@ -218,6 +218,7 @@ HEADLINE = [
     "orders_repurchase_survival",
     "text_vocab_growth",
     "sim_rerank_mmr",
+    "ingest_schema_evolution",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

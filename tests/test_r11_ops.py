@@ -407,3 +407,28 @@ def test_mmr_greedy_matches_pure_python(spark, sf_dir):
                 step,
             )
         assert len(set(selected)) == MMR_K
+
+
+def test_schema_evolution_merge_semantics(spark, sf_dir):
+    """Union-by-name semantics from disk: shared columns have full
+    coverage; batch-1-only (c_name) and batch-2-only (c_mktsegment,
+    loyalty_tier) columns cover exactly their batch's row share; the
+    merged read aligns by name (spot-checked: a batch-2 row's segment
+    survives the merge)."""
+    from pyspark.sql import functions as F
+
+    from vena_etl_tool_spark.catalog import load_table
+    from vena_etl_tool_spark.operators.ingestion import ingest_schema_evolution
+
+    rows = {r.column_name: r for r in ingest_schema_evolution(spark, sf_dir).collect()}
+    cust = load_table(spark, sf_dir, "customer")
+    n = cust.count()
+    n_even = cust.filter(F.col("c_custkey") % 2 == 0).count()
+    n_odd = n - n_even
+    for shared in ("c_custkey", "c_nationkey", "bal_cents"):
+        assert rows[shared].n_present == n
+        assert rows[shared].coverage_ppm == 1_000_000
+    assert rows["c_name"].n_present == n_even
+    assert rows["c_mktsegment"].n_present == n_odd
+    assert rows["loyalty_tier"].n_present == n_odd
+    assert all(r.n_total == n for r in rows.values())

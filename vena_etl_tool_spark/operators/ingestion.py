@@ -80,3 +80,121 @@ def ingest_quarantine_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("quarantined").alias("bucket"), "n"
     )
     return good.unionByName(quarantined)
+
+
+LOYALTY_GOLD_CENTS = 500_000  # acctbal >= $5k -> gold in the evolved schema
+
+
+@register(
+    "ingest_schema_evolution",
+    tags=("ingest", "layout", "schema", "sink"),
+    oracle=f"""
+WITH b1 AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_cents
+  FROM customer WHERE c_custkey % 2 = 0
+), b2 AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_cents,
+         c_mktsegment,
+         CASE WHEN CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   >= {LOYALTY_GOLD_CENTS}
+              THEN 'gold' ELSE 'standard' END AS loyalty_tier
+  FROM customer WHERE c_custkey % 2 = 1
+), merged AS (
+  SELECT c_custkey, c_name, c_nationkey, bal_cents,
+         NULL AS c_mktsegment, NULL AS loyalty_tier FROM b1
+  UNION ALL
+  SELECT c_custkey, NULL, c_nationkey, bal_cents,
+         c_mktsegment, loyalty_tier FROM b2
+), counts AS (
+  SELECT 'c_custkey' AS column_name, COUNT(*) AS n_total,
+         COUNT(c_custkey) AS n_present FROM merged
+  UNION ALL
+  SELECT 'c_name', COUNT(*), COUNT(c_name) FROM merged
+  UNION ALL
+  SELECT 'c_nationkey', COUNT(*), COUNT(c_nationkey) FROM merged
+  UNION ALL
+  SELECT 'bal_cents', COUNT(*), COUNT(bal_cents) FROM merged
+  UNION ALL
+  SELECT 'c_mktsegment', COUNT(*), COUNT(c_mktsegment) FROM merged
+  UNION ALL
+  SELECT 'loyalty_tier', COUNT(*), COUNT(loyalty_tier) FROM merged
+)
+SELECT column_name,
+       CAST(n_total AS BIGINT) AS n_total,
+       CAST(n_present AS BIGINT) AS n_present,
+       CAST(n_present * 1000000 // n_total AS BIGINT) AS coverage_ppm
+FROM counts
+""",
+)
+def ingest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution through the ingest path, end-to-end from disk:
+    batch 1 lands with the ORIGINAL schema (custkey, name, nationkey,
+    balance cents); batch 2 lands with the EVOLVED one (name dropped,
+    market segment + a derived loyalty_tier added); the table then reads
+    back with mergeSchema=true — Spark's union-by-name file-schema
+    reconciliation — and the audit reports per-column presence and
+    coverage ppm over the merged view. This is the drift a long-lived
+    ingest pipeline actually faces (producers upgrade one at a time);
+    the oracle simulates the same two-schema union relationally, so a
+    hash match proves Spark's merged read fills absent columns with
+    NULLs and aligns by NAME, never by position.
+
+    Scale: two partition-local writes (no shuffle: the even/odd split is
+    a filter), one merged scan with footer-level schema union (cost ~
+    one footer read per file, not a data pass), and a column-grain
+    unpivot aggregate. mergeSchema's cost at 100 TB is the footer
+    listing; production pins the merged schema in a catalog after first
+    contact — the audit here IS that first-contact report."""
+    from ..catalog import load_table
+    from .layouts import layout_dir
+
+    src = load_table(spark, sf_dir, "customer")
+    cents = (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+    root = layout_dir(sf_dir, "schema_evolution")
+    b1 = src.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey", "c_name", "c_nationkey", cents.alias("bal_cents")
+    )
+    b2 = src.filter(F.col("c_custkey") % 2 == 1).select(
+        "c_custkey",
+        "c_nationkey",
+        cents.alias("bal_cents"),
+        "c_mktsegment",
+        F.when(cents >= LOYALTY_GOLD_CENTS, "gold")
+        .otherwise("standard")
+        .alias("loyalty_tier"),
+    )
+    b1.write.mode("overwrite").parquet(os.path.join(root, "batch=1"))
+    b2.write.mode("overwrite").parquet(os.path.join(root, "batch=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(root, "batch=1"), os.path.join(root, "batch=2")
+    )
+    cols = [
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "bal_cents",
+        "c_mktsegment",
+        "loyalty_tier",
+    ]
+    stack_expr = "stack({n}, {args}) as (column_name, v)".format(
+        n=len(cols),
+        args=", ".join(f"'{c}', CAST({c} AS STRING)" for c in cols),
+    )
+    return (
+        merged.selectExpr(stack_expr)
+        .groupBy("column_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count("v").alias("n_present"),
+        )
+        .select(
+            "column_name",
+            F.col("n_total").cast("long").alias("n_total"),
+            F.col("n_present").cast("long").alias("n_present"),
+            F.expr("CAST(n_present * 1000000 div n_total AS BIGINT)").alias(
+                "coverage_ppm"
+            ),
+        )
+    )
