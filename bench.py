@@ -219,6 +219,7 @@ HEADLINE = [
     "text_vocab_growth",
     "sim_rerank_mmr",
     "ingest_schema_evolution",
+    "multimodal_av_sync_audit",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

@@ -432,3 +432,41 @@ def test_schema_evolution_merge_semantics(spark, sf_dir):
     assert rows["c_mktsegment"].n_present == n_odd
     assert rows["loyalty_tier"].n_present == n_odd
     assert all(r.n_total == n for r in rows.values())
+
+
+def test_av_sync_audit_identities(spark, sf_dir):
+    """Counting identities: sampled == ceil(n_frames/10); matched +
+    orphans == sampled; the orphan set is exactly the frames past the
+    audio end (recomputed per asset in python from the same byte-derived
+    metadata); coverage ppm consistent."""
+    import math
+
+    from vena_etl_tool_spark.catalog import load_table
+    from vena_etl_tool_spark.operators.multimodal import multimodal_av_sync_audit
+
+    rows = {r.doc_id: r for r in multimodal_av_sync_audit(spark, sf_dir).collect()}
+    assert rows
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    checked = 0
+    for d in docs:
+        n_bytes = len(d.text.encode("utf-8"))
+        n_frames = len(d.text) // 50
+        if n_frames == 0:
+            assert d.doc_id not in rows
+            continue
+        rate = 16000 if n_bytes % 2 == 0 else 8000
+        period = 50 if n_bytes % 3 == 0 else 40
+        audio_ms = (n_bytes * 4 * 1000) // rate
+        r = rows[d.doc_id]
+        assert r.n_sampled == math.ceil(n_frames / 10)
+        assert r.n_matched + r.n_orphans == r.n_sampled
+        expect_matched = sum(
+            1 for i in range(r.n_sampled) if i * 10 * period < audio_ms
+        )
+        assert r.n_matched == expect_matched
+        assert r.desync_ms == n_frames * period - audio_ms
+        assert r.covered_ppm == r.n_matched * 1_000_000 // r.n_sampled
+        checked += 1
+    assert checked == len(rows)
+    # the fixture's video stream outruns its audio: orphans must exist
+    assert any(r.n_orphans > 0 for r in rows.values())

@@ -334,6 +334,28 @@ QUERIES = (
     "privacy_l_diversity",
     "text_zipf_buckets",
     "sim_graph_kcore_peel",
+    # r11: t-closeness is QI x domain grid windows (customer replica-fixed
+    # -> expect ~1x); CUPED + survival are one fact window/aggregate each
+    # (events/orders scale -> ~linear); feature drift is bucket-grain
+    # (~linear scan); the waterline solve is domain-grain after one lang
+    # aggregate (~linear scan, constant solve); vocab growth is the
+    # wordfreq vocabulary budget (~linear); reassignment is two broadcast
+    # assignments + a centroid-grain aggregate (~linear); MMR's corpus
+    # work is the candidate top-k scan, the re-rank is k^2-fixed; the
+    # streaming drift monitor is one windowed stateful aggregate
+    # (~linear); schema evolution and time travel are write-bound seed +
+    # rewrite passes (customer replica-fixed -> ~1x write, audit linear).
+    "privacy_t_closeness",
+    "events_cuped_adjust",
+    "profile_feature_drift",
+    "dataset_repeat_factor_mix",
+    "layout_time_travel",
+    "stream_window_drift",
+    "sim_ivf_reassign_incremental",
+    "orders_repurchase_survival",
+    "text_vocab_growth",
+    "sim_rerank_mmr",
+    "ingest_schema_evolution",
     # r10 capstone: per batch one key-grain window + a partition-pruned
     # COW rewrite of affected directories (single batch here, so the
     # row is seed write + one merge pass — write-bound ~linear in the

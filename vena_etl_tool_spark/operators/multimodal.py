@@ -653,3 +653,116 @@ def multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_members",
         (F.col("node") == F.col("label")).alias("keep"),
     )
+
+
+AV_SEG_MS = 5000  # audio segment length (matches multimodal_audio_segments)
+
+
+@register(
+    "multimodal_av_sync_audit",
+    tags=("llm", "multimodal", "join", "audit"),
+    oracle=f"""
+WITH meta AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS n_bytes,
+         CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 16000 ELSE 8000 END
+           AS sample_rate,
+         CAST(octet_length(encode(text)) AS BIGINT) * 4 AS n_samples,
+         CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 50 ELSE 40 END
+           AS frame_period_ms,
+         CAST(length(text) // 50 AS BIGINT) AS n_frames
+  FROM documents
+), streams AS (
+  SELECT doc_id, frame_period_ms, n_frames,
+         n_samples * 1000 // sample_rate AS audio_ms,
+         n_frames * frame_period_ms AS video_ms
+  FROM meta WHERE n_frames > 0
+), frames AS (
+  SELECT s.doc_id, s.audio_ms, s.video_ms,
+         CAST(t.i AS BIGINT) * 10 * s.frame_period_ms AS ts_ms
+  FROM streams s,
+       UNNEST(range(0, CAST(ceil(CAST(n_frames AS DOUBLE) / 10) AS BIGINT)))
+         AS t(i)
+), audited AS (
+  SELECT doc_id, audio_ms, video_ms,
+         COUNT(*) AS n_sampled,
+         SUM(CASE WHEN ts_ms < audio_ms THEN 1 ELSE 0 END) AS n_matched
+  FROM frames GROUP BY doc_id, audio_ms, video_ms
+)
+SELECT doc_id,
+       CAST(n_sampled AS BIGINT) AS n_sampled,
+       CAST(n_matched AS BIGINT) AS n_matched,
+       CAST(n_sampled - n_matched AS BIGINT) AS n_orphans,
+       CAST(video_ms - audio_ms AS BIGINT) AS desync_ms,
+       CAST(n_matched * 1000000 // n_sampled AS BIGINT) AS covered_ppm
+FROM audited
+""",
+)
+def multimodal_av_sync_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio/video stream-alignment audit — the pre-training check a
+    multimodal pipeline runs before pairing frame and audio features:
+    per asset, the video timeline (sampled every 10th frame at the
+    asset's frame period) and the audio timeline (from sample count /
+    rate, the multimodal_audio_segments metadata convention) are
+    compared; frames whose timestamp falls past the audio's end are
+    ORPHANS (the classic trailing-desync), and the audit reports sampled
+    / matched / orphan counts, the signed stream-length skew in ms, and
+    audio coverage in ppm. Metadata is byte-derived (decode-stub
+    convention); in deployment it comes from container headers via the
+    mapInPandas decode seam, and the audit's shape is unchanged.
+
+    Scale: pure per-asset arithmetic — one metadata projection, one
+    bounded explode (every 10th frame), one asset-grain re-aggregate.
+    The segment 'join' is bucket arithmetic (ts div segment), the form a
+    range join reduces to when intervals tile — no pair explosion at any
+    corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_bytes = F.octet_length(F.encode(F.col("text"), "utf-8"))
+    meta = docs.select(
+        "doc_id",
+        F.when(n_bytes % 2 == 0, 16000).otherwise(8000).alias("sample_rate"),
+        (n_bytes.cast("long") * 4).alias("n_samples"),
+        F.when(n_bytes % 3 == 0, 50).otherwise(40).alias("frame_period_ms"),
+        F.floor(F.length("text") / 50).cast("long").alias("n_frames"),
+    )
+    streams = meta.filter(F.col("n_frames") > 0).select(
+        "doc_id",
+        "frame_period_ms",
+        "n_frames",
+        F.expr("n_samples * 1000 div sample_rate").alias("audio_ms"),
+        (F.col("n_frames") * F.col("frame_period_ms")).alias("video_ms"),
+    )
+    n_sampled = F.ceil(F.col("n_frames").cast("double") / 10).cast("long")
+    frames = streams.select(
+        "doc_id",
+        "audio_ms",
+        "video_ms",
+        "frame_period_ms",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_sampled - 1)).alias("i"),
+    ).select(
+        "doc_id",
+        "audio_ms",
+        "video_ms",
+        (F.col("i") * 10 * F.col("frame_period_ms")).alias("ts_ms"),
+    )
+    return (
+        frames.groupBy("doc_id", "audio_ms", "video_ms")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum((F.col("ts_ms") < F.col("audio_ms")).cast("int")).alias(
+                "n_matched"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("n_sampled").cast("long").alias("n_sampled"),
+            F.col("n_matched").cast("long").alias("n_matched"),
+            (F.col("n_sampled") - F.col("n_matched"))
+            .cast("long")
+            .alias("n_orphans"),
+            (F.col("video_ms") - F.col("audio_ms")).cast("long").alias("desync_ms"),
+            F.expr("CAST(n_matched * 1000000 div n_sampled AS BIGINT)").alias(
+                "covered_ppm"
+            ),
+        )
+    )
