@@ -220,6 +220,7 @@ HEADLINE = [
     "sim_rerank_mmr",
     "ingest_schema_evolution",
     "multimodal_av_sync_audit",
+    "embedding_outlier_knn",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

@@ -470,3 +470,56 @@ def test_av_sync_audit_identities(spark, sf_dir):
     assert checked == len(rows)
     # the fixture's video stream outruns its audio: orphans must exist
     assert any(r.n_orphans > 0 for r in rows.values())
+
+
+def test_outlier_knn_python_reference(spark, sf_dir):
+    """Per-vector recompute in pure python ints: cell assignment (argmin
+    micro squared-L2 to the seeded codebook with cent tiebreak), the
+    k-th within-cell neighbor distance with the <k fallback, NULL+flag
+    for singleton cells, and the band arithmetic."""
+    import duckdb
+
+    from vena_etl_tool_spark.operators.similarity import (
+        _LLOYD_OLD_MICRO,
+        OUTLIER_BAND_UNIT,
+        OUTLIER_KNN_K,
+        embedding_outlier_knn,
+    )
+
+    rows = {r.vec_id: r for r in embedding_outlier_knn(spark, sf_dir).collect()}
+    con = duckdb.connect()
+    xm = dict(
+        con.execute(
+            f"SELECT vec_id, list_transform(embedding,"
+            f" x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"
+            f" FROM '{sf_dir}/embeddings.parquet'"
+        ).fetchall()
+    )
+    assert set(rows) == set(xm)
+
+    def d2(a, b):
+        return sum((int(x) - int(y)) ** 2 for x, y in zip(a, b))
+
+    cells = {}
+    for v, emb in xm.items():
+        cells.setdefault(
+            min(
+                range(len(_LLOYD_OLD_MICRO)),
+                key=lambda c: (d2(emb, _LLOYD_OLD_MICRO[c]), c),
+            ),
+            [],
+        ).append(v)
+    for cell, members in cells.items():
+        for v in members:
+            r = rows[v]
+            assert r.cell == cell and r.n_in_cell == len(members)
+            if len(members) == 1:
+                assert r.isolated == 1 and r.kth_dist is None
+                continue
+            dists = sorted(
+                (d2(xm[v], xm[o]), o) for o in members if o != v
+            )
+            expect = dists[min(OUTLIER_KNN_K, len(dists)) - 1][0]
+            assert r.kth_dist == expect
+            assert r.dist_band == expect // OUTLIER_BAND_UNIT
+            assert r.isolated == 0

@@ -3504,3 +3504,140 @@ def sim_ivf_reassign_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "moved", (F.col("old_cell") != F.col("new_cell")).cast("int")
         )
     )
+
+
+_MMR_XM_DUCK_REF = (
+    "list_transform(embedding,"
+    " x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"
+)
+_REASSIGN_DIST_DUCK_REF = (
+    "list_sum(list_transform(list_zip(x.xm, o.cm),"
+    " p -> (struct_extract(p, 1) - struct_extract(p, 2))"
+    " * (struct_extract(p, 1) - struct_extract(p, 2))))"
+)
+
+
+OUTLIER_KNN_K = 3  # distance to the 3rd within-cell neighbor
+OUTLIER_BAND_UNIT = 10**12  # micro^2 units per band (= 1.0 in squared L2)
+
+
+@register(
+    "embedding_outlier_knn",
+    tags=("llm", "similarity", "quality", "outlier"),
+    oracle=f"""
+WITH xm AS (
+  SELECT vec_id, {_MMR_XM_DUCK_REF} AS xm FROM embeddings
+), oldc AS (
+  SELECT * FROM (VALUES
+    {_REASSIGN_OLD_DUCK_VALUES}
+  ) t(cent, cm)
+), assigned AS (
+  SELECT vec_id, xm, cent AS cell FROM (
+    SELECT x.vec_id, x.xm, o.cent,
+           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                              ORDER BY {_REASSIGN_DIST_DUCK_REF}, o.cent) AS rk
+    FROM xm x CROSS JOIN oldc o
+  ) WHERE rk = 1
+), cell_sizes AS (
+  SELECT cell, COUNT(*) AS n_in_cell FROM assigned GROUP BY cell
+), pairs AS (
+  SELECT a.vec_id, a.cell,
+         list_sum(list_transform(list_zip(a.xm, b.xm),
+           p -> (struct_extract(p, 1) - struct_extract(p, 2))
+              * (struct_extract(p, 1) - struct_extract(p, 2)))) AS d,
+         b.vec_id AS nb
+  FROM assigned a JOIN assigned b
+    ON b.cell = a.cell AND b.vec_id <> a.vec_id
+), kth AS (
+  SELECT vec_id, cell, d AS kth_dist FROM (
+    SELECT vec_id, cell, d,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, nb) AS rk,
+           COUNT(*) OVER (PARTITION BY vec_id) AS n_nb
+    FROM pairs
+  ) WHERE rk = LEAST({OUTLIER_KNN_K}, n_nb)
+)
+SELECT a.vec_id,
+       CAST(a.cell AS BIGINT) AS cell,
+       CAST(s.n_in_cell AS BIGINT) AS n_in_cell,
+       CAST(k.kth_dist AS BIGINT) AS kth_dist,
+       CAST(k.kth_dist // {OUTLIER_BAND_UNIT} AS BIGINT) AS dist_band,
+       CAST(s.n_in_cell = 1 AS INT) AS isolated
+FROM assigned a
+JOIN cell_sizes s ON s.cell = a.cell
+LEFT JOIN kth k ON k.vec_id = a.vec_id
+""",
+)
+def embedding_outlier_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-distance outlier scoring for embedding quality pruning (the
+    SemDeDup-adjacent audit in the OTHER direction: instead of pruning
+    near-duplicates, surface vectors with NO near neighbors — corrupt
+    encodes, mislabeled modalities, garbage rows): each vector's distance
+    to its {OUTLIER_KNN_K}rd within-cell neighbor in exact micro-int
+    squared L2, banded into unit-width distance bands, with cell
+    occupancy and an isolated flag for singleton cells (NULL distance —
+    a cell with one member has no neighbor evidence at all).
+
+    Scale: the candidate set is within-IVF-cell (the sim_knn_graph rule:
+    with centroids scaled to occupancy, sum(cell^2) stays linear in n at
+    fixed cell size); assignment is a broadcast argmin; the k-th distance
+    is one within-cell window. At 100 TB the same plan runs with the
+    trained centroid set; the band histogram (not per-vector rows) is
+    the monitored artifact."""
+    from pyspark.sql import Window as W
+
+    emb = spread_small(load_table(spark, sf_dir, "embeddings"))
+    xm = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"
+        ).alias("xm"),
+    )
+    old_cents = spark.createDataFrame(
+        [(i, list(row)) for i, row in enumerate(_LLOYD_OLD_MICRO)],
+        "cent bigint, cm array<bigint>",
+    )
+    wv = W.partitionBy("vec_id").orderBy("dist", "cent")
+    assigned = (
+        xm.crossJoin(F.broadcast(old_cents))
+        .withColumn("dist", F.expr(_REASSIGN_DIST_SPARK))
+        .withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "xm", F.col("cent").alias("cell"))
+    )
+    cell_sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_in_cell"))
+    b = assigned.select(
+        F.col("cell").alias("b_cell"),
+        F.col("vec_id").alias("nb"),
+        F.col("xm").alias("bm"),
+    )
+    pair_dist = (
+        "aggregate(zip_with(xm, bm, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    pairs = assigned.join(
+        b, (F.col("b_cell") == F.col("cell")) & (F.col("nb") != F.col("vec_id"))
+    ).select("vec_id", "cell", F.expr(pair_dist).alias("d"), "nb")
+    wk = W.partitionBy("vec_id").orderBy("d", "nb")
+    wc = W.partitionBy("vec_id")
+    kth = (
+        pairs.withColumn("rk", F.row_number().over(wk))
+        .withColumn("n_nb", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rk") == F.least(F.lit(OUTLIER_KNN_K), F.col("n_nb")))
+        .select("vec_id", F.col("d").alias("kth_dist"))
+    )
+    return (
+        assigned.select("vec_id", "cell")
+        .join(F.broadcast(cell_sizes), "cell")
+        .join(kth, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("long").alias("cell"),
+            F.col("n_in_cell").cast("long").alias("n_in_cell"),
+            F.col("kth_dist").cast("long").alias("kth_dist"),
+            F.expr(f"CAST(kth_dist div {OUTLIER_BAND_UNIT} AS BIGINT)").alias(
+                "dist_band"
+            ),
+            (F.col("n_in_cell") == 1).cast("int").alias("isolated"),
+        )
+    )
