@@ -576,3 +576,67 @@ def test_delete_vectors_reads_are_broadcast_anti(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_t_closeness_grid_is_broadcast_no_sort_join(spark, sf_dir):
+    """The domain x QI grid must come from broadcast joins (the domain is
+    audit-sized by definition); a SortMergeJoin or cartesian on the grid
+    would shuffle row-scale data twice."""
+    plan = plan_of(spark, sf_dir, "privacy_t_closeness")
+    for bad in ("SortMergeJoin", "CartesianProduct"):
+        assert bad not in plan, bad
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_cuped_is_aggregates_plus_broadcasts(spark, sf_dir):
+    """CUPED = one user-grain aggregate + tiny rollups; the pooled-moment
+    and bounds rows ride broadcasts. No sort-merge join anywhere."""
+    plan = plan_of(spark, sf_dir, "events_cuped_adjust")
+    assert "SortMergeJoin" not in plan
+
+
+def test_mmr_rerank_no_corpus_cartesian(spark, sf_dir):
+    """MMR's pair matrix is candidates x candidates per query (equi on
+    query_id); the corpus may only appear under the broadcast candidate
+    top-k, never in a cartesian/NLJ with itself."""
+    plan = plan_of(spark, sf_dir, "sim_rerank_mmr")
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_reassign_assignments_are_broadcast(spark, sf_dir):
+    """Both assignment joins (old + refreshed codebook) broadcast the
+    C-row centroid side; the corpus never shuffles for assignment."""
+    plan = plan_of(spark, sf_dir, "sim_ivf_reassign_incremental")
+    assert "CartesianProduct" not in plan
+    # exactly the two C-row codebook broadcasts (old assignment is
+    # checkpointed and reused, not recomputed per consumer)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    # the final old⋈new migration join at vec_id grain may sort-merge —
+    # both sides arrive hash-partitioned by vec_id from their windows
+    # and the key is 8 bytes; anything sort-merging on a NON-vec_id key
+    # would be a topology change
+    import re
+
+    for ln in plan.splitlines():
+        m = re.search(r"SortMergeJoin \[([a-z_]+)#", ln)
+        if m:
+            assert m.group(1) == "vec_id", ln
+
+
+def test_survival_risk_window_is_bucket_grain(spark, sf_dir):
+    """The risk-set window runs over bucket-grain rows (<= max_gap/30
+    rows) so its single-partition ORDER BY is config-sized; the only
+    row-scale window is the per-customer lead (customer-partitioned)."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "orders_repurchase_survival")
+    win_lines = [ln for ln in plan.splitlines() if re.search(r"\bWindow \[", ln)]
+    assert any("windowspecdefinition(o_custkey" in ln for ln in win_lines)
+
+
+def test_vocab_growth_no_global_sort_on_words(spark, sf_dir):
+    """Banding is by doc_id VALUE (integer division), so no corpus-scale
+    Sort may feed an ntile-style window; the only window runs over the
+    10 band rows."""
+    plan = plan_of(spark, sf_dir, "text_vocab_growth")
+    assert "CartesianProduct" not in plan

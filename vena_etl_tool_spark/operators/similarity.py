@@ -3450,12 +3450,16 @@ def sim_ivf_reassign_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cent bigint, cm array<bigint>",
     )
     wv = W.partitionBy("vec_id").orderBy("dist", "cent")
+    # the old assignment feeds BOTH the Lloyd update and the final
+    # migration join — checkpoint it so the broadcast-argmin subtree
+    # runs once (it is vector-grain: one row per corpus vector)
     oa = (
         xm.crossJoin(F.broadcast(old_cents))
         .withColumn("dist", F.expr(_REASSIGN_DIST_SPARK))
         .withColumn("rk", F.row_number().over(wv))
         .filter(F.col("rk") == 1)
         .select("vec_id", F.col("cent").alias("old_cell"))
+        .localCheckpoint()
     )
     dims = (
         oa.join(xm, "vec_id")
