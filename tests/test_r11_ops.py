@@ -523,3 +523,32 @@ def test_outlier_knn_python_reference(spark, sf_dir):
             assert r.kth_dist == expect
             assert r.dist_band == expect // OUTLIER_BAND_UNIT
             assert r.isolated == 0
+
+
+def test_outlier_multiset_kth_rule_matches_expansion():
+    """The duplicate-collapse k-th rule (min d with cumulative weight >= k,
+    else max d) must equal the k-th element of the EXPANDED neighbor list
+    (clones materialized) for arbitrary weighted multisets — the exactness
+    argument behind the 20x scale fix."""
+    import random
+
+    from vena_etl_tool_spark.operators.similarity import OUTLIER_KNN_K
+
+    rng = random.Random(11)
+    for _ in range(500):
+        multiset = [
+            (rng.randrange(0, 50), rng.randrange(1, 4))
+            for _ in range(rng.randrange(1, 8))
+        ]
+        multiset.sort()
+        expanded = [d for d, w in multiset for _ in range(w)]
+        expect = expanded[min(OUTLIER_KNN_K, len(expanded)) - 1]
+        cum, got = 0, None
+        for d, w in multiset:
+            cum += w
+            if cum >= OUTLIER_KNN_K:
+                got = d
+                break
+        if got is None:
+            got = multiset[-1][0]
+        assert got == expect, (multiset, expanded)

@@ -356,6 +356,8 @@ QUERIES = (
     "text_vocab_growth",
     "sim_rerank_mmr",
     "ingest_schema_evolution",
+    "multimodal_av_sync_audit",
+    "embedding_outlier_knn",
     # r10 capstone: per batch one key-grain window + a partition-pruned
     # COW rewrite of affected directories (single batch here, so the
     # row is seed write + one merge pass — write-bound ~linear in the
