@@ -221,6 +221,8 @@ HEADLINE = [
     "ingest_schema_evolution",
     "multimodal_av_sync_audit",
     "embedding_outlier_knn",
+    "dedup_sorted_neighborhood",
+    "dedup_winnowing",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

@@ -640,3 +640,28 @@ def test_vocab_growth_no_global_sort_on_words(spark, sf_dir):
     10 band rows."""
     plan = plan_of(spark, sf_dir, "text_vocab_growth")
     assert "CartesianProduct" not in plan
+
+
+def test_snm_plan_no_cartesian_and_blocked_windows(spark, sf_dir):
+    """SNM's neighborhood join is an EQUI-join on (block, rank-band) —
+    never a theta BNLJ/cartesian; the rank window is block-partitioned
+    (asserted on the pre-checkpoint logical plan, since the executed plan
+    starts at the materialized rank index)."""
+    from vena_etl_tool_spark.operators.dedup import dedup_sorted_neighborhood
+
+    plan = plan_of(spark, sf_dir, "dedup_sorted_neighborhood")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the logical side: rank windows must be partitioned by the block key
+    df = dedup_sorted_neighborhood(spark, sf_dir)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "windowspecdefinition(blk" in logical or "Window" not in logical
+
+
+def test_winnowing_plan_no_cartesian(spark, sf_dir):
+    """The fingerprint pair join is an inverted-index equi-join (df-capped)
+    — no cartesian/BNLJ anywhere; the per-doc window pipeline runs once
+    behind the fps checkpoint (the first plan replayed it 5x)."""
+    plan = plan_of(spark, sf_dir, "dedup_winnowing")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

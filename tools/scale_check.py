@@ -358,6 +358,14 @@ QUERIES = (
     "ingest_schema_evolution",
     "multimodal_av_sync_audit",
     "embedding_outlier_knn",
+    # r11 second session: SNM is per-block rank windows + an n*(w-1)
+    # bounded band join (~linear); winnowing is per-doc windows + a
+    # df-capped fingerprint join — on the all-clones replica every
+    # fingerprint's df multiplies by REPLICAS, so the [2, cap] df band
+    # governs the candidate volume (same cap-governed class as the
+    # minhash bucket sweep).
+    "dedup_sorted_neighborhood",
+    "dedup_winnowing",
     # r10 capstone: per batch one key-grain window + a partition-pruned
     # COW rewrite of affected directories (single batch here, so the
     # row is seed write + one merge pass — write-bound ~linear in the

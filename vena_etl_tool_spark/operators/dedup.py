@@ -2621,3 +2621,335 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# --- Sorted-neighborhood method (SNM) -------------------------------------
+# Blocking window size: candidate pairs are rows whose rank gap within a
+# block is < SNM_WINDOW (the classic "sliding window of w records").
+SNM_WINDOW = 8
+# Block key: the first SNM_PREFIX_CHARS characters of the sort key. Blocked
+# SNM is the distributed formulation (Hernandez & Stolfo's multi-pass SNM
+# with a coarse first pass): ranks are computed per block, so no global
+# single-partition window exists anywhere in the plan. At 100 TB the prefix
+# is widened until each block fits one task — the trade is the documented
+# SNM boundary loss: records that disagree in the first characters of the
+# sort key were never neighbors under that key anyway.
+SNM_PREFIX_CHARS = 3
+# Verify shingle width (4-gram, one wider than dedup_ngram_jaccard's 3-gram
+# so the two families' thresholds stay independently tunable) and the match
+# cutoff in exact ppm.
+SNM_SHINGLE_K = 4
+SNM_MATCH_PPM = 350_000
+
+_SNM_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, text, string_split(text, ' ') AS words FROM documents
+), ranked AS (
+  SELECT doc_id, substr(text, 1, {SNM_PREFIX_CHARS}) AS blk,
+         ROW_NUMBER() OVER (PARTITION BY substr(text, 1, {SNM_PREFIX_CHARS})
+                            ORDER BY text, doc_id) AS rnk
+  FROM docs
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= {SNM_SHINGLE_K}
+              THEN list_distinct(list_transform(
+                     range(1, len(words) - {SNM_SHINGLE_K - 2}),
+                     i -> concat_ws(' ', words[i], words[i+1], words[i+2], words[i+3])))
+              ELSE [] END AS sh
+  FROM docs
+), cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, b.rnk - a.rnk AS rank_gap
+  FROM ranked a JOIN ranked b
+    ON a.blk = b.blk AND b.rnk > a.rnk AND b.rnk - a.rnk <= {SNM_WINDOW - 1}
+), scored AS (
+  SELECT doc_a, doc_b, rank_gap,
+         CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
+         CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS uni
+  FROM cand
+  JOIN sh sa ON sa.doc_id = cand.doc_a
+  JOIN sh sb ON sb.doc_id = cand.doc_b
+)
+SELECT doc_a, doc_b, rank_gap,
+       CASE WHEN uni > 0 THEN inter * 1000000 // uni ELSE 0 END AS jaccard_ppm,
+       (CASE WHEN uni > 0 THEN inter * 1000000 // uni ELSE 0 END)
+         >= {SNM_MATCH_PPM} AS is_match
+FROM scored
+"""
+
+
+@register(
+    "dedup_sorted_neighborhood",
+    tags=("llm", "dedup", "blocking", "snm"),
+    oracle=_SNM_ORACLE,
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo 1995) — the third
+    classic candidate-generation family next to LSH banding
+    (``dedup_minhash_lsh_pairs``) and prefix filtering
+    (``dedup_prefix_filter_join``): sort by a discriminating key, compare
+    only records within a sliding window of w ranks. Output = every
+    candidate pair with its exact 4-gram-shingle Jaccard (integer ppm) and
+    the verified match flag.
+
+    Distributed shape (100 TB posture):
+    - ranks are per-BLOCK row_numbers (block = first {SNM_PREFIX_CHARS}
+      chars of the sort key), so the sort parallelizes across blocks and
+      no global-window single partition exists; widening the prefix sizes
+      blocks to partitions at any scale.
+    - the neighborhood self-join is an EQUI-join on (block, rank-band):
+      side A explodes each row into its own band and the next
+      (bucket trick: gap <= w-1 implies bucket_b is bucket_a or
+      bucket_a + 1), so Catalyst plans a hash join, never a BNLJ theta
+      join; candidates are bounded by n * (w - 1) rows by construction.
+    - verification joins each side to its per-doc distinct shingle array
+      (computed once, one projection) and scores entirely JVM-side
+      (array_intersect + integer div) — no Python, no re-shuffle of text.
+
+    On this corpus the near-dup clones share long text prefixes, so the
+    raw text IS the discriminating sort key: the window catches 25/25
+    seeded clone pairs at sf0.01 (28/28 at sf0.001) — the recall argument
+    mirrors SNM practice where the key is chosen per domain.
+    """
+    docs = spread_small(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    band = SNM_WINDOW - 1
+    ranked = docs.select(
+        "doc_id",
+        "text",
+        F.substring("text", 1, SNM_PREFIX_CHARS).alias("blk"),
+    ).withColumn(
+        "rnk",
+        F.row_number().over(Window.partitionBy("blk").orderBy("text", "doc_id")),
+    )
+    # Both join sides consume the rank index; materialize the NARROW
+    # projection once (id + 3-char block + rank — the text stays behind)
+    # instead of re-running the scan + rank window per side.
+    ranked = ranked.select("doc_id", "blk", "rnk").localCheckpoint()
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    shingle = F.transform(
+        F.sequence(F.lit(1), n_words - (SNM_SHINGLE_K - 1)),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(words, i),
+            F.element_at(words, i + 1),
+            F.element_at(words, i + 2),
+            F.element_at(words, i + 3),
+        ),
+    )
+    sh = docs.select(
+        "doc_id",
+        F.when(n_words >= SNM_SHINGLE_K, F.array_distinct(shingle))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("sh"),
+    )
+    a = ranked.select(
+        F.col("doc_id").alias("doc_a"),
+        "blk",
+        F.col("rnk").alias("rnk_a"),
+    ).withColumn(
+        "jb",
+        F.explode(
+            F.array(
+                F.expr(f"(rnk_a - 1) div {band}"),
+                F.expr(f"(rnk_a - 1) div {band} + 1"),
+            )
+        ),
+    )
+    b = ranked.select(
+        F.col("doc_id").alias("doc_b"),
+        "blk",
+        F.col("rnk").alias("rnk_b"),
+        F.expr(f"(rnk - 1) div {band}").alias("jb"),
+    )
+    cand = (
+        a.join(b, ["blk", "jb"])
+        .filter((F.col("rnk_b") > F.col("rnk_a")) & (F.col("rnk_b") - F.col("rnk_a") <= band))
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("rnk_b") - F.col("rnk_a")).cast("long").alias("rank_gap"),
+        )
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    scored = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "rank_gap",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("inter"),
+            (
+                F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))
+            ).cast("long").alias("uni"),
+        )
+    )
+    jac = F.expr("CASE WHEN uni > 0 THEN inter * 1000000 div uni ELSE 0 END").cast("long")
+    return scored.select(
+        "doc_a",
+        "doc_b",
+        "rank_gap",
+        jac.alias("jaccard_ppm"),
+        (jac >= SNM_MATCH_PPM).alias("is_match"),
+    )
+
+
+# --- Winnowing fingerprints (MOSS) -----------------------------------------
+# k-gram width and winnowing window: any shared token run of length
+# WINNOW_K + WINNOW_W - 1 (= 8 tokens) is GUARANTEED to select at least one
+# common fingerprint in both documents (the winnowing theorem).
+WINNOW_K = 5
+WINNOW_W = 4
+# Hot-fingerprint guard for the pair join: a fingerprint present in > this
+# many documents is boilerplate, and would emit df^2 candidate rows.
+WINNOW_DF_CAP = 20
+# Report pairs sharing at least this many selected fingerprints.
+WINNOW_MIN_SHARED = 2
+
+_WINNOW_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+), kg AS (
+  SELECT doc_id, pos,
+         md5(concat_ws(' ', tok, lead(tok, 1) OVER w, lead(tok, 2) OVER w,
+                       lead(tok, 3) OVER w, lead(tok, 4) OVER w)) AS h,
+         lead(tok, {WINNOW_K - 1}) OVER w AS t_last
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), kgv AS (
+  SELECT doc_id, pos, h, COUNT(*) OVER (PARTITION BY doc_id) AS n_kg
+  FROM kg WHERE t_last IS NOT NULL
+), winnow AS (
+  -- the full-window filter sits OUTSIDE the window computation: every
+  -- window min sees all w hashes, then only full-window STARTS survive
+  SELECT doc_id, fp FROM (
+    SELECT doc_id, pos, n_kg,
+           MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS fp
+    FROM kgv
+  ) WHERE pos <= n_kg - {WINNOW_W - 1}
+), fps AS (
+  SELECT DISTINCT doc_id, fp FROM winnow
+), counts AS (
+  SELECT doc_id, COUNT(*) AS n_fp FROM fps GROUP BY doc_id
+), keepfp AS (
+  SELECT fp FROM (SELECT fp, COUNT(*) AS n_docs FROM fps GROUP BY fp)
+  WHERE n_docs BETWEEN 2 AND {WINNOW_DF_CAP}
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM fps a JOIN keepfp USING (fp) JOIN fps b USING (fp)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b, p.n_shared, ca.n_fp AS fp_a, cb.n_fp AS fp_b,
+       p.n_shared * 1000000 // least(ca.n_fp, cb.n_fp) AS containment_ppm
+FROM pairs p
+JOIN counts ca ON ca.doc_id = p.doc_a
+JOIN counts cb ON cb.doc_id = p.doc_b
+WHERE p.n_shared >= {WINNOW_MIN_SHARED}
+"""
+
+
+@register(
+    "dedup_winnowing",
+    tags=("llm", "dedup", "fingerprint", "winnowing"),
+    oracle=_WINNOW_ORACLE,
+)
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing local fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD
+    2003 — the MOSS algorithm): hash every {WINNOW_K}-gram, slide a window
+    of {WINNOW_W} consecutive hashes, select each window's minimum. The
+    winnowing theorem guarantees any shared token run of length
+    k + w - 1 = {WINNOW_K + WINNOW_W - 1} selects at least one COMMON
+    fingerprint in both documents — position-robust substring-level
+    near-dup evidence that token-bag fingerprints (``text_fingerprint``)
+    and doc-level MinHash can miss. Output = document pairs sharing >=
+    {WINNOW_MIN_SHARED} selected fingerprints, with each side's
+    fingerprint count and the exact containment ppm
+    (shared / min(|A|, |B|)).
+
+    Distributed shape (100 TB posture):
+    - k-gram hashing + window mins are per-document windows: ONE shuffle
+      on doc_id, then narrow JVM-side md5/min — the fingerprint set that
+      leaves the stage is ~2/(w+1) of the k-gram stream (the paper's
+      expected density), an 8-byte-ish projection of the corpus, never
+      the text bodies.
+    - the pair join is an inverted-index equi-join on fingerprint with a
+      df cap ({WINNOW_DF_CAP}): boilerplate fingerprints shared by many
+      documents are dropped before they can emit df^2 candidates — same
+      hot-key discipline as SHINGLE_DF_CAP / LSH_MAX_BUCKET.
+    - ties inside a window need no position arbitration: fingerprints are
+      a DISTINCT set per document, so min-by-hash alone is deterministic
+      and engine-independent (md5 hex compares bytewise identically in
+      Spark and the oracle).
+    """
+    docs = spread_small(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    kg = toks.select(
+        "doc_id",
+        "pos",
+        F.md5(
+            F.concat_ws(
+                " ",
+                "tok",
+                *[F.lead("tok", i).over(wdoc) for i in range(1, WINNOW_K)],
+            )
+        ).alias("h"),
+        F.lead("tok", WINNOW_K - 1).over(wdoc).alias("t_last"),
+    ).filter(F.col("t_last").isNotNull())
+    kgv = kg.withColumn(
+        "n_kg", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
+    # window min over ALL kgram rows first, THEN keep full-window starts
+    # (pos is 0-based here vs 1-based ordinality in the oracle; both keep
+    # exactly the n_kg - w + 1 full windows)
+    winnow = (
+        kgv.withColumn(
+            "fp", F.min("h").over(wdoc.rowsBetween(0, WINNOW_W - 1))
+        )
+        .filter(F.col("pos") < F.col("n_kg") - (WINNOW_W - 1))
+        .select("doc_id", "fp")
+    )
+    # The fingerprint set feeds FIVE consumers (both pair sides, the df
+    # cap, both count joins): materialize it once — it's the winnowed
+    # projection (~2/(w+1) of the k-gram stream, ids + 32-byte hashes),
+    # never the text — instead of replaying the explode+window subtree
+    # per consumer (the first plan ran it 5x, 15 Window nodes).
+    fps = winnow.distinct().localCheckpoint()
+    counts = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    keepfp = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs").between(2, WINNOW_DF_CAP))
+        .select("fp")
+    )
+    a = fps.join(keepfp, "fp").select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("fp_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("fp_b"))
+    return (
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            "fp_a",
+            "fp_b",
+            F.expr("n_shared * 1000000 div least(fp_a, fp_b)")
+            .cast("long")
+            .alias("containment_ppm"),
+        )
+    )
