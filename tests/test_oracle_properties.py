@@ -1,0 +1,185 @@
+"""Random-corpus property pins for the OLDER subtle dedup oracles
+(ngram Jaccard's df cap, the PPJoin prefix filter's completeness, the
+containment join's per-doc top-N) — DuckDB-only, no Spark session.
+
+The driver gate proves Spark == oracle on the shipped fixtures; these
+prove the oracle SQL == the intended mathematics on ANY corpus, by
+brute-force python recompute over hypothesis-generated documents. In
+particular the prefix-filtering test asserts the completeness theorem
+(no qualifying pair missed) against an implementation-free all-pairs
+truth, which no fixture-based test can do."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import duckdb
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from vena_etl_tool_spark.operators.dedup import (
+    CONT_PAIRS_PER_DOC,
+    CONT_TAU_TENTHS,
+    PPJOIN_T_MILLI,
+    SHINGLE_DF_CAP,
+)
+from vena_etl_tool_spark.registry import all_specs
+
+_SPECS = all_specs()
+
+_VOCAB = ["aa", "ab", "ba", "bb", "ca"]
+
+_doc = st.lists(st.sampled_from(_VOCAB), min_size=1, max_size=18).map(
+    " ".join
+)
+_corpus = st.lists(_doc, min_size=1, max_size=14)
+_clones = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=13), st.sampled_from(_VOCAB)),
+    max_size=4,
+)
+
+# A hot-shingle corpus: enough tiny docs over a 2-token vocabulary that a
+# shingle's document frequency can exceed SHINGLE_DF_CAP (= 100), so the
+# cap semantics actually bind in some examples.
+_hot_corpus = st.lists(
+    st.lists(st.sampled_from(["aa", "ab"]), min_size=3, max_size=5).map(
+        " ".join
+    ),
+    min_size=90,
+    max_size=130,
+)
+
+_settings = settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _run_oracle(name: str, texts: list[str]) -> list[tuple]:
+    con = duckdb.connect()
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts}).astype(
+        {"doc_id": "int64"}
+    )
+    con.register("documents", df)
+    return [tuple(r) for r in con.execute(_SPECS[name].oracle).fetchall()]
+
+
+def _capped_sets(texts: list[str]) -> dict[int, set[str]]:
+    """df-capped distinct 3-gram shingle set per doc (docs with <3 words
+    have no shingles; shingles in > SHINGLE_DF_CAP docs dropped)."""
+    raw = {}
+    for i, t in enumerate(texts):
+        w = t.split(" ")
+        raw[i] = (
+            {" ".join(w[j : j + 3]) for j in range(len(w) - 2)}
+            if len(w) >= 3
+            else set()
+        )
+    df = defaultdict(int)
+    for s in raw.values():
+        for g in s:
+            df[g] += 1
+    return {i: {g for g in s if df[g] <= SHINGLE_DF_CAP} for i, s in raw.items()}
+
+
+def _build(texts, clones):
+    out = list(texts)
+    for idx, tok in clones:
+        if idx < len(texts):
+            out.append(texts[idx] + " " + tok)
+    return out
+
+
+def _check_ngram(texts: list[str]) -> None:
+    got = {(r[0], r[1]): (r[2], r[3]) for r in _run_oracle("dedup_ngram_jaccard", texts)}
+    sets = _capped_sets(texts)
+    ids = sorted(sets)
+    expected = {}
+    for i, da in enumerate(ids):
+        for db in ids[i + 1 :]:
+            inter = len(sets[da] & sets[db])
+            if inter >= 2:
+                uni = len(sets[da] | sets[db])
+                expected[(da, db)] = (inter, inter / uni)
+    assert set(got) == set(expected)
+    for k, (inter, jac) in expected.items():
+        assert got[k][0] == inter
+        assert abs(got[k][1] - jac) <= 5e-7, (k, got[k], jac)
+
+
+@given(texts=_corpus, clones=_clones)
+@_settings
+def test_ngram_jaccard_oracle_matches_brute_force(texts, clones):
+    _check_ngram(_build(texts, clones))
+
+
+@given(texts=_hot_corpus)
+@settings(max_examples=8, deadline=None)
+def test_ngram_jaccard_oracle_df_cap_binds(texts):
+    _check_ngram(texts)
+
+
+@given(texts=_corpus, clones=_clones)
+@_settings
+def test_prefix_filter_oracle_is_complete_and_exact(texts, clones):
+    """The PPJoin completeness theorem, on arbitrary corpora: the oracle's
+    prefix-indexed join must emit EXACTLY the pairs whose df-capped-set
+    Jaccard clears t — computed here with no prefixes, no length filter,
+    no candidate step (brute-force all pairs)."""
+    texts = _build(texts, clones)
+    got = {(r[0], r[1]): (r[2], r[3]) for r in _run_oracle("dedup_prefix_filter_join", texts)}
+    sets = _capped_sets(texts)
+    ids = sorted(sets)
+    expected = {}
+    for i, da in enumerate(ids):
+        for db in ids[i + 1 :]:
+            inter = len(sets[da] & sets[db])
+            uni = len(sets[da] | sets[db])
+            if uni and inter * 1000 >= uni * PPJOIN_T_MILLI:
+                expected[(da, db)] = (inter, inter / uni)
+    assert set(got) == set(expected)
+    for k, (inter, jac) in expected.items():
+        assert got[k][0] == inter
+        assert abs(got[k][1] - jac) <= 5e-7
+
+
+@given(texts=_corpus, clones=_clones)
+@_settings
+def test_containment_oracle_matches_brute_force(texts, clones):
+    texts = _build(texts, clones)
+    got = {
+        (r[0], r[1]): (r[2], r[3], r[4], r[5])
+        for r in _run_oracle("dedup_containment", texts)
+    }
+    # reps: min doc_id per distinct text
+    first = {}
+    for i, t in enumerate(texts):
+        first.setdefault(t, i)
+    rep_texts = {i: t for t, i in first.items()}
+    sets_all = _capped_sets([texts[i] for i in sorted(rep_texts)])
+    ids = sorted(rep_texts)
+    sets = {ids[j]: sets_all[j] for j in range(len(ids))}
+    cand = defaultdict(list)
+    for i, da in enumerate(ids):
+        for db in ids[i + 1 :]:
+            inter = len(sets[da] & sets[db])
+            na, nb = len(sets[da]), len(sets[db])
+            if inter and 10 * inter >= CONT_TAU_TENTHS * min(na, nb):
+                cand[da].append((inter, db, na, nb))
+    expected = {}
+    for da, lst in cand.items():
+        lst.sort(key=lambda t: (-t[0], t[1]))
+        for inter, db, na, nb in lst[:CONT_PAIRS_PER_DOC]:
+            expected[(da, db)] = (
+                inter,
+                inter / na,
+                inter / nb,
+                "a_in_b" if na <= nb else "b_in_a",
+            )
+    assert set(got) == set(expected)
+    for k, (inter, ca, cb, d) in expected.items():
+        g = got[k]
+        assert g[0] == inter and g[3] == d
+        assert abs(g[1] - ca) <= 5e-7 and abs(g[2] - cb) <= 5e-7
