@@ -183,3 +183,51 @@ def test_containment_oracle_matches_brute_force(texts, clones):
         g = got[k]
         assert g[0] == inter and g[3] == d
         assert abs(g[1] - ca) <= 5e-7 and abs(g[2] - cb) <= 5e-7
+
+
+def _levenshtein(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+@given(texts=_corpus, clones=_clones)
+@_settings
+def test_levenshtein_oracle_matches_brute_force(texts, clones):
+    """The blocked-Levenshtein semantics on arbitrary corpora: >= 3 shared
+    capped shingles, byte-length band, DP edit distance (recomputed in
+    python — a third Levenshtein implementation), ratio cutoff."""
+    from vena_etl_tool_spark.operators.dedup import (
+        LEV_MAX_LEN_GAP,
+        LEV_MAX_RATIO,
+        LEV_MIN_SHARED,
+    )
+
+    texts = _build(texts, clones)
+    got = {(r[0], r[1]): (r[2], r[3]) for r in _run_oracle("dedup_levenshtein", texts)}
+    sets = _capped_sets(texts)
+    ids = sorted(sets)
+    expected = {}
+    for i, da in enumerate(ids):
+        for db in ids[i + 1 :]:
+            if len(sets[da] & sets[db]) < LEV_MIN_SHARED:
+                continue
+            ta, tb = texts[da], texts[db]
+            if abs(len(ta) - len(tb)) > LEV_MAX_LEN_GAP:
+                continue
+            d = _levenshtein(ta, tb)
+            ratio = d / max(len(ta), len(tb))
+            if ratio <= LEV_MAX_RATIO:
+                expected[(da, db)] = (d, ratio)
+    assert set(got) == set(expected)
+    for k, (d, ratio) in expected.items():
+        assert got[k][0] == d
+        assert abs(got[k][1] - ratio) <= 5e-7
