@@ -231,3 +231,49 @@ def test_levenshtein_oracle_matches_brute_force(texts, clones):
     for k, (d, ratio) in expected.items():
         assert got[k][0] == d
         assert abs(got[k][1] - ratio) <= 5e-7
+
+
+@given(texts=_corpus, clones=_clones)
+@_settings
+def test_components_oracle_matches_union_find(texts, clones):
+    """The recursive-CTE connected components (shared by
+    dedup_cluster_assign and dedup_cluster_star_contract) on arbitrary
+    graphs: edges = ngram pairs with inter >= 2 and Jaccard >= 0.5,
+    components recomputed with python union-find, root = min reachable
+    id, n_members, keep flag. Chains and cycles arise naturally from
+    hypothesis clones."""
+    texts = _build(texts, clones)
+    got = sorted(
+        tuple(r) for r in _run_oracle("dedup_cluster_assign", texts)
+    )
+    sets = _capped_sets(texts)
+    ids = sorted(sets)
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    edges = []
+    for i, da in enumerate(ids):
+        for db in ids[i + 1 :]:
+            inter = len(sets[da] & sets[db])
+            uni = len(sets[da] | sets[db])
+            if inter >= 2 and uni and inter / uni >= 0.5:
+                edges.append((da, db))
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    roots = {n: find(n) for n in parent}
+    sizes = defaultdict(int)
+    for r in roots.values():
+        sizes[r] += 1
+    expected = sorted(
+        (n, r, sizes[r], n == r) for n, r in roots.items()
+    )
+    assert got == expected
