@@ -277,3 +277,81 @@ def test_components_oracle_matches_union_find(texts, clones):
         (n, r, sizes[r], n == r) for n, r in roots.items()
     )
     assert got == expected
+
+
+def _minhash_expected(texts):
+    """Pure-python recompute of the full MinHash-LSH oracle: md5-60bit
+    shingle hashes, 32 fixed permutations, 8 bands of 4, bucket cap,
+    candidate join, distinct-hash verify, rounded-Jaccard threshold."""
+    import hashlib as _hl
+
+    from vena_etl_tool_spark.operators.dedup import (
+        _A,
+        _B,
+        BAND_ROWS,
+        LSH_MAX_BUCKET,
+        MERSENNE,
+        N_MINHASH,
+    )
+
+    hsets = {}
+    sizes = {}
+    for i, t in enumerate(texts):
+        w = t.split(" ")
+        if len(w) < 3:
+            continue
+        shingles = {" ".join(w[j : j + 3]) for j in range(len(w) - 2)}
+        hs = {int(_hl.md5(s.encode()).hexdigest()[:15], 16) for s in shingles}
+        hsets[i] = hs
+        sizes[i] = len(shingles)
+    sigs = {
+        d: [
+            min(((h & 2147483647) * _A[i] + _B[i]) % MERSENNE for h in hs)
+            for i in range(N_MINHASH)
+        ]
+        for d, hs in hsets.items()
+        if hs
+    }
+    buckets = defaultdict(list)
+    for d, sig in sigs.items():
+        for b in range(N_MINHASH // BAND_ROWS):
+            key = ":".join(
+                [str(b)] + [str(sig[b * BAND_ROWS + r]) for r in range(BAND_ROWS)]
+            )
+            buckets[(b, key)].append(d)
+    cand = set()
+    for members in buckets.values():
+        if len(members) > LSH_MAX_BUCKET:
+            continue
+        ms = sorted(members)
+        for x, da in enumerate(ms):
+            for db in ms[x + 1 :]:
+                cand.add((da, db))
+    expected = {}
+    for da, db in cand:
+        inter = len(hsets[da] & hsets[db])
+        jac = round(inter / (sizes[da] + sizes[db] - inter), 6)
+        if jac >= 0.5:
+            expected[(da, db)] = jac
+    return expected
+
+
+@given(texts=_corpus, clones=_clones)
+@_settings
+def test_minhash_lsh_oracle_matches_python(texts, clones):
+    texts = _build(texts, clones)
+    got = {(r[0], r[1]): r[2] for r in _run_oracle("dedup_minhash_lsh_pairs", texts)}
+    expected = _minhash_expected(texts)
+    assert set(got) == set(expected)
+    for k, jac in expected.items():
+        assert abs(got[k] - jac) <= 5e-7
+
+
+@given(texts=_hot_corpus)
+@settings(max_examples=5, deadline=None)
+def test_minhash_lsh_oracle_bucket_cap_binds(texts):
+    """On a clone-dense corpus, identical signatures pile >50 docs into
+    one bucket and the cap must drop it on both engines identically."""
+    got = {(r[0], r[1]): r[2] for r in _run_oracle("dedup_minhash_lsh_pairs", texts)}
+    expected = _minhash_expected(texts)
+    assert set(got) == set(expected)
