@@ -355,3 +355,55 @@ def test_minhash_lsh_oracle_bucket_cap_binds(texts):
     got = {(r[0], r[1]): r[2] for r in _run_oracle("dedup_minhash_lsh_pairs", texts)}
     expected = _minhash_expected(texts)
     assert set(got) == set(expected)
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(
+                # marker tokens from several languages + noise, so argmax
+                # ties and zero-score rows arise constantly
+                ["the", "fast", "data", "row", "hash", "key",
+                 "window", "spark", "table", "zz", "qq"]
+            ),
+            min_size=0,
+            max_size=12,
+        ).map(" ".join),
+        min_size=1,
+        max_size=12,
+    ),
+    langs=st.lists(st.sampled_from(["en", "es", "de", "fr", "zh"]), min_size=12, max_size=12),
+)
+@_settings
+def test_langid_oracle_matches_python(texts, langs):
+    """The marker-count scores and the argmax TIE PRECEDENCE (en > es >
+    de > fr > zh) — the classic cross-engine argmax hazard — recomputed
+    in python on adversarial marker mixes (incl. all-zero scores, where
+    every CASE arm ties and 'en' must win on both engines)."""
+    from vena_etl_tool_spark.operators.textanalysis import LANG_MARKERS
+
+    con = duckdb.connect()
+    df = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": [langs[i % len(langs)] for i in range(len(texts))],
+        }
+    ).astype({"doc_id": "int64"})
+    con.register("documents", df)
+    got = sorted(
+        tuple(r) for r in con.execute(_SPECS["text_langid"].oracle).fetchall()
+    )
+    order = ("en", "es", "de", "fr", "zh")
+    expected = []
+    for i, t in enumerate(texts):
+        words = t.split(" ")
+        s = {
+            lang: sum(w in LANG_MARKERS[lang] for w in words) for lang in order
+        }
+        best = max(s.values())
+        pred = next(lang for lang in order if s[lang] == best)
+        expected.append(
+            (i, langs[i % len(langs)], s["en"], s["es"], s["de"], s["fr"], s["zh"], pred)
+        )
+    assert got == sorted(expected)
