@@ -407,3 +407,92 @@ def test_langid_oracle_matches_python(texts, langs):
             (i, langs[i % len(langs)], s["en"], s["es"], s["de"], s["fr"], s["zh"], pred)
         )
     assert got == sorted(expected)
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(
+                # words engineered to trip each gopher gate: stopwords,
+                # symbol carriers, non-alpha, long/short lengths
+                ["the", "a", "of", "to", "x", "##", "a...b",
+                 "1word", "supercalifragilistic", "ab"]
+            ),
+            min_size=1,
+            max_size=60,
+        ).map(" ".join),
+        min_size=1,
+        max_size=10,
+    )
+)
+@_settings
+def test_gopher_rules_oracle_matches_python(texts):
+    """Every Gopher gate recomputed in python — word-count bounds, the
+    milli integer-division mean-word-length and symbol/alpha ratios at
+    their exact boundaries, the >= 2 distinct stopword rule — then the
+    (source, lang) rollup with n_pass_all as the product of gates."""
+    from vena_etl_tool_spark.operators.textanalysis import _GOPHER_STOPWORDS
+
+    con = duckdb.connect()
+    df = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": [("en", "zh")[i % 2] for i in range(len(texts))],
+            "source": [f"s{i % 2}" for i in range(len(texts))],
+        }
+    ).astype({"doc_id": "int64"})
+    con.register("documents", df)
+    got = sorted(
+        tuple(r) for r in con.execute(_SPECS["text_gopher_rules"].oracle).fetchall()
+    )
+    agg = defaultdict(lambda: [0] * 7)
+    for i, t in enumerate(texts):
+        words = t.split(" ")
+        n = len(words)
+        sum_wlen = sum(len(w) for w in words)
+        n_alpha = sum(1 for w in words if w[:1].isalpha() and w[:1].isascii())
+        n_symbol = sum(1 for w in words if "#" in w or "..." in w)
+        stop_hits = sum(s in words for s in _GOPHER_STOPWORDS)
+        ok = [
+            50 <= n <= 100000,
+            3000 <= sum_wlen * 1000 // n <= 10000,
+            n_symbol * 1000 // n <= 100,
+            n_alpha * 1000 // n >= 800,
+            stop_hits >= 2,
+        ]
+        row = agg[(f"s{i % 2}", ("en", "zh")[i % 2])]
+        row[0] += 1
+        for j, o in enumerate(ok):
+            row[1 + j] += not o
+        row[6] += all(ok)
+    expected = sorted((src, lg, *vals) for (src, lg), vals in agg.items())
+    assert got == expected
+
+
+@given(ids=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=40, unique=True))
+@_settings
+def test_split_assign_oracle_matches_python(ids):
+    """The content-addressed md5 split rule on arbitrary doc_ids — the
+    cross-engine contract is md5 of the DECIMAL string of the id."""
+    import hashlib as _hl
+
+    con = duckdb.connect()
+    df = pd.DataFrame(
+        {
+            "doc_id": ids,
+            "text": ["t"] * len(ids),
+            "lang": [("en", "fr")[i % 2] for i in range(len(ids))],
+        }
+    ).astype({"doc_id": "int64"})
+    con.register("documents", df)
+    got = sorted(
+        tuple(r) for r in con.execute(_SPECS["dataset_split_assign"].oracle).fetchall()
+    )
+    agg = defaultdict(int)
+    for i, d in enumerate(ids):
+        h = _hl.md5(str(d).encode()).hexdigest()[0]
+        split = "train" if h in "0123456789ab" else ("val" if h in "cd" else "test")
+        agg[(split, ("en", "fr")[i % 2])] += 1
+    expected = sorted((s, lg, n) for (s, lg), n in agg.items())
+    assert got == expected
