@@ -496,3 +496,72 @@ def test_split_assign_oracle_matches_python(ids):
         agg[(split, ("en", "fr")[i % 2])] += 1
     expected = sorted((s, lg, n) for (s, lg), n in agg.items())
     assert got == expected
+
+
+@given(texts=_corpus, clones=_clones)
+@_settings
+def test_repetition_ratio_oracle_matches_python(texts, clones):
+    """Duplicate-bigram fraction + top-bigram share recomputed in python
+    (positional bigrams, NOT distinct — repetition is the signal here);
+    one-word docs must be absent from the output on both sides."""
+    texts = _build(texts, clones)
+    got = {r[0]: r[1:] for r in _run_oracle("text_repetition_ratio", texts)}
+    expected = {}
+    for i, t in enumerate(texts):
+        w = t.split(" ")
+        if len(w) < 2:
+            continue
+        from collections import Counter
+
+        cnt = Counter(" ".join(w[j : j + 2]) for j in range(len(w) - 1))
+        n = sum(cnt.values())
+        expected[i] = (n, len(cnt), 1.0 - len(cnt) / n, max(cnt.values()) / n)
+    assert set(got) == set(expected)
+    for k, (n, d, dup, top) in expected.items():
+        g = got[k]
+        assert (g[0], g[1]) == (n, d)
+        assert abs(g[2] - dup) <= 5e-7 and abs(g[3] - top) <= 5e-7
+
+
+@given(
+    texts=st.lists(
+        # tiny vocabulary + long docs so term frequencies span several
+        # power-of-two bands and sit exactly ON band edges (freq = 2^b)
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=40).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@_settings
+def test_zipf_buckets_oracle_matches_python(texts):
+    from vena_etl_tool_spark.operators.textanalysis import ZIPF_MAX_BAND
+
+    con = duckdb.connect()
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts}).astype(
+        {"doc_id": "int64"}
+    )
+    con.register("documents", df)
+    got = sorted(
+        tuple(r) for r in con.execute(_SPECS["text_zipf_buckets"].oracle).fetchall()
+    )
+    from collections import Counter
+
+    tf = Counter(w for t in texts for w in t.split(" ") if w != "")
+    total = sum(tf.values())
+
+    def band(f):
+        for b in range(ZIPF_MAX_BAND):
+            if f < (1 << (b + 1)):
+                return b
+        return ZIPF_MAX_BAND
+
+    agg = defaultdict(list)
+    for term, f in tf.items():
+        agg[band(f)].append(f)
+    expected = sorted(
+        (b, len(fs), sum(fs), min(fs), max(fs), sum(fs) * 1_000_000 // total)
+        for b, fs in agg.items()
+    )
+    assert got == expected
