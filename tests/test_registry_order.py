@@ -49,14 +49,17 @@ def test_rotation_completes_oracle_backed_coverage():
         f"undeclared driver-coverage residue: "
         f"{sorted(set(residue) ^ set(registry.ROTATION_RESIDUE))}"
     )
-    # r10: the window froze at round start with the full r9 residue (15)
-    # seated plus 35 single-green picks from the 45-query r5-evidence
-    # cohort — zero spare seats — so the residue list reopens EMPTY and
-    # accumulates only operators added during r10. Bound: after a green
-    # r10 run the r11 window = residue + the 10 deferred double-green r5
-    # picks + oldest r6-evidence picks (49 queries), so cap r10 residue
-    # at 15.
-    assert len(registry.ROTATION_RESIDUE) <= 15
+    # The residue cap keeps the NEXT generated window able to seat the
+    # full residue (first driver rows for every new op within one round)
+    # while still re-validating a healthy cohort. Original cap: 15 (35
+    # re-validation seats). Raised to 25 in the third r11 work session
+    # when the docs/ROUND12_PREP.md candidates landed early: a 25-seat
+    # residue still leaves 25 re-validation picks in the 50-seat r12
+    # window — every new operator gets its first driver row in r12, the
+    # r6-straggler ratchet just spreads over r12+r13 instead of closing
+    # in r12 alone. The window generator (tools/gen_next_window.py)
+    # derives both halves from the same CORRECTNESS files either way.
+    assert len(registry.ROTATION_RESIDUE) <= 25
 
 
 def test_window_holds_at_least_50():

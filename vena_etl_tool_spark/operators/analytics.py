@@ -1953,3 +1953,175 @@ def orders_repurchase_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hazard_ppm"
         ),
     )
+
+
+# --- Difference-in-differences readout --------------------------------------
+# Shared select-list fragment for the per-variant DiD rows (Spark `div` /
+# DuckDB `//`): exact per-user cents ratios plus the variant's own pre->post
+# delta in sign-safe milli-cents per user.
+def _did_outputs(divop: str, dec: str) -> str:
+    delta = _SIGNSAFE_DIV.format(
+        num=f"(CAST(sy_v AS {dec}) - CAST(sx_v AS {dec})) * 1000",
+        den=f"CAST(n_v AS {dec})",
+        divop=divop,
+        fallback="CAST(0 AS BIGINT)",
+    )
+    return (
+        f"CAST(n_v AS BIGINT) AS n_users, "
+        f"CAST(sx_v AS BIGINT) AS pre_cents, "
+        f"CAST(sy_v AS BIGINT) AS post_cents, "
+        f"CAST(sx_v {divop} n_v AS BIGINT) AS pre_per_user_cents, "
+        f"CAST(sy_v {divop} n_v AS BIGINT) AS post_per_user_cents, "
+        f"{delta} AS delta_per_user_milli"
+    )
+
+
+# The lift row's DiD estimate with a COMMON denominator (n_a * n_b), so the
+# subtraction happens on exact integers before the one division:
+# ((dB)*nA - (dA)*nB) * 1000 / (nA * nB), sign-safe.
+def _did_lift(divop: str, dec: str) -> str:
+    num = (
+        f"((CAST(b.post_cents AS {dec}) - CAST(b.pre_cents AS {dec}))"
+        f" * CAST(a.n_users AS {dec})"
+        f" - (CAST(a.post_cents AS {dec}) - CAST(a.pre_cents AS {dec}))"
+        f" * CAST(b.n_users AS {dec})) * 1000"
+    )
+    den = f"CAST(a.n_users AS {dec}) * CAST(b.n_users AS {dec})"
+    return _SIGNSAFE_DIV.format(
+        num=num, den=den, divop=divop, fallback="CAST(0 AS BIGINT)"
+    )
+
+
+@register(
+    "events_did_readout",
+    tags=("events", "analytics", "experiment", "did"),
+    oracle=f"""
+WITH bounds AS (
+  SELECT (CAST(floor(epoch(MIN(ts))) AS BIGINT)
+          + CAST(floor(epoch(MAX(ts))) AS BIGINT)) // 2 AS mid_s
+  FROM events
+), per_user AS (
+  SELECT e.user_id,
+         CASE WHEN ('0x' || substr(md5('ab:' || CAST(e.user_id AS VARCHAR)), 1, 12))::BIGINT % 2 = 0
+              THEN 'A' ELSE 'B' END AS variant,
+         CAST(COALESCE(SUM(CASE WHEN e.event_type = 'purchase'
+                   AND CAST(floor(epoch(e.ts)) AS BIGINT) <= b.mid_s
+                   THEN CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   ELSE 0 END), 0) AS HUGEINT) AS x,
+         CAST(COALESCE(SUM(CASE WHEN e.event_type = 'purchase'
+                   AND CAST(floor(epoch(e.ts)) AS BIGINT) > b.mid_s
+                   THEN CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   ELSE 0 END), 0) AS HUGEINT) AS y
+  FROM events e CROSS JOIN bounds b
+  GROUP BY e.user_id, b.mid_s
+), by_variant AS (
+  SELECT variant, CAST(COUNT(*) AS HUGEINT) AS n_v,
+         SUM(x) AS sx_v, SUM(y) AS sy_v
+  FROM per_user GROUP BY variant
+), rows_out AS (
+  SELECT variant, {_did_outputs("//", "HUGEINT")}
+  FROM by_variant
+)
+SELECT * FROM rows_out
+UNION ALL
+SELECT 'B-A', b.n_users - a.n_users,
+       b.pre_cents - a.pre_cents, b.post_cents - a.post_cents,
+       b.pre_per_user_cents - a.pre_per_user_cents,
+       b.post_per_user_cents - a.post_per_user_cents,
+       {_did_lift("//", "HUGEINT")}
+FROM (SELECT * FROM rows_out WHERE variant = 'A') a,
+     (SELECT * FROM rows_out WHERE variant = 'B') b
+""",
+)
+def events_did_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences experiment readout — the panel-data
+    companion to ``events_cuped_adjust`` (same deterministic md5 variant
+    assignment, same event-time midpoint split): each variant reports its
+    PRE- and POST-period purchase cents and per-user means, and the 'B-A'
+    lift row carries the DiD estimate
+    (post_B - pre_B) - (post_A - pre_A) per user, computed with a COMMON
+    denominator (n_A * n_B) so the subtraction happens on exact integers
+    BEFORE the single division. Where CUPED regresses out the covariate,
+    DiD differences out the level — both readouts hash-check end to end
+    because every number is an integral ratio.
+
+    Exactness: cents sums are exact integers; per-user means are integral
+    ratios; the delta/DiD columns are sign-safe milli-cents-per-user
+    (magnitude division + explicit sign — DuckDB floors, Spark
+    truncates). 128-bit intermediates (decimal(38,0) / HUGEINT) hold the
+    cents x users x 1000 products with ~1e18 headroom at any plausible N.
+
+    Scale: one user-grain aggregate over the fact scan (map-side
+    combined) into a 2-row variant aggregate — the cheapest experiment
+    readout shape; the lift row is a broadcast self-product of two
+    single rows. Nothing iterates."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch_s = F.col("ts").cast("timestamp").cast("long")
+    bounds = ev.agg(
+        ((F.min(epoch_s) + F.max(epoch_s)) / 2).cast("long").alias("mid_s")
+    )
+    variant = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    is_purchase = F.col("event_type") == "purchase"
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id", variant.alias("variant"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(is_purchase & (epoch_s <= F.col("mid_s")), cents).otherwise(
+                        F.lit(0)
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("decimal(38,0)")
+            .alias("x"),
+            F.coalesce(
+                F.sum(
+                    F.when(is_purchase & (epoch_s > F.col("mid_s")), cents).otherwise(
+                        F.lit(0)
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("decimal(38,0)")
+            .alias("y"),
+        )
+    )
+    by_variant = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_v"),
+        F.sum("x").alias("sx_v"),
+        F.sum("y").alias("sy_v"),
+    )
+    rows_out = by_variant.selectExpr(
+        "variant", *_did_outputs("div", "DECIMAL(38,0)").split(", ")
+    )
+    a = rows_out.filter(F.col("variant") == "A").alias("a")
+    b = rows_out.filter(F.col("variant") == "B").alias("b")
+    diff = a.crossJoin(b).select(
+        F.lit("B-A").alias("variant"),
+        *[
+            (F.col(f"b.{c}") - F.col(f"a.{c}")).alias(c)
+            for c in (
+                "n_users",
+                "pre_cents",
+                "post_cents",
+                "pre_per_user_cents",
+                "post_per_user_cents",
+            )
+        ],
+        F.expr(_did_lift("div", "DECIMAL(38,0)")).alias("delta_per_user_milli"),
+    )
+    return rows_out.unionByName(diff)
