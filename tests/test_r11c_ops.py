@@ -92,3 +92,67 @@ def test_did_agrees_with_cuped_population(spark, sf_dir):
         assert did[v].n_users == cuped[v].n_users
         assert did[v].pre_cents == cuped[v].x_cents
         assert did[v].post_cents == cuped[v].y_cents
+
+
+def test_market_basket_reproduces_from_pure_python(spark, sf_dir):
+    """Recompute the full rule table with exact python ints from the same
+    parquet (a third engine): basket universe, per-item counts, pair
+    supports, and every ppm ratio must match cell for cell."""
+    import duckdb
+
+    from vena_etl_tool_spark.operators.analytics import (
+        BASKET_CAP,
+        BASKET_MIN_SUPPORT,
+        orders_market_basket,
+    )
+
+    rows = orders_market_basket(spark, sf_dir).collect()
+    assert rows
+
+    con = duckdb.connect()
+    items = con.execute(
+        f"SELECT DISTINCT l_orderkey, l_partkey FROM '{sf_dir}/lineitem.parquet'"
+    ).fetchall()
+    from collections import Counter, defaultdict
+
+    baskets: dict[int, set[int]] = defaultdict(set)
+    for ok, pk in items:
+        baskets[ok].add(pk)
+    baskets = {ok: ps for ok, ps in baskets.items() if len(ps) <= BASKET_CAP}
+    n_orders = len(baskets)
+    item_cnt: Counter = Counter()
+    pair_cnt: Counter = Counter()
+    for ps in baskets.values():
+        srt = sorted(ps)
+        item_cnt.update(srt)
+        for i, a in enumerate(srt):
+            for b in srt[i + 1 :]:
+                pair_cnt[(a, b)] += 1
+    expect = {p: c for p, c in pair_cnt.items() if c >= BASKET_MIN_SUPPORT}
+    assert {(r.part_a, r.part_b) for r in rows} == set(expect)
+    for r in rows:
+        c_ab = expect[(r.part_a, r.part_b)]
+        c_a, c_b = item_cnt[r.part_a], item_cnt[r.part_b]
+        assert (r.basket_cnt, r.cnt_a, r.cnt_b) == (c_ab, c_a, c_b)
+        assert r.support_ppm == c_ab * 1_000_000 // n_orders
+        assert r.conf_a_to_b_ppm == c_ab * 1_000_000 // c_a
+        assert r.conf_b_to_a_ppm == c_ab * 1_000_000 // c_b
+        assert r.lift_ppm == c_ab * n_orders * 1_000_000 // (c_a * c_b)
+
+
+def test_market_basket_rule_algebra(spark, sf_dir):
+    """Structural rule algebra the hash can't articulate: pairs are
+    canonically ordered, support never exceeds either item count,
+    confidence dominates support, and a lift above 1e6 (positive
+    association) appears for at least one rule at the gate SF."""
+    from vena_etl_tool_spark.operators.analytics import orders_market_basket
+
+    rows = orders_market_basket(spark, sf_dir).collect()
+    assert all(r.part_a < r.part_b for r in rows)
+    for r in rows:
+        assert r.basket_cnt <= min(r.cnt_a, r.cnt_b)
+        assert r.conf_a_to_b_ppm >= r.support_ppm
+        assert r.conf_b_to_a_ppm >= r.support_ppm
+        assert 0 < r.conf_a_to_b_ppm <= 1_000_000
+        assert 0 < r.conf_b_to_a_ppm <= 1_000_000
+    assert any(r.lift_ppm > 1_000_000 for r in rows)

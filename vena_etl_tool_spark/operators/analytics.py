@@ -2125,3 +2125,135 @@ def events_did_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_did_lift("div", "DECIMAL(38,0)")).alias("delta_per_user_milli"),
     )
     return rows_out.unionByName(diff)
+
+
+# --- Market-basket association rules ----------------------------------------
+# Baskets larger than this many DISTINCT parts are dropped whole before the
+# pair join: candidate volume is sum(basket_size^2), so one pathological
+# basket of m items would emit m^2 pairs. TPC-H-ish baskets top out well
+# under the cap (max 17 at sf0.1); the cap is the 100 TB guard, same
+# discipline as SHINGLE_DF_CAP / LSH_MAX_BUCKET.
+BASKET_CAP = 30
+# Pairs must co-occur in at least this many baskets to be reported — the
+# classic min-support cut, applied as early as possible (right on the pair
+# aggregate) so rule scoring only touches the survivors.
+BASKET_MIN_SUPPORT = 2
+
+
+@register(
+    "orders_market_basket",
+    tags=("orders", "analytics", "association", "basket"),
+    oracle=f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), sized AS (
+  SELECT l_orderkey FROM items GROUP BY l_orderkey
+  HAVING COUNT(*) <= {BASKET_CAP}
+), universe AS (
+  SELECT i.l_orderkey, i.l_partkey FROM items i JOIN sized s USING (l_orderkey)
+), nb AS (
+  SELECT CAST(COUNT(DISTINCT l_orderkey) AS HUGEINT) AS n_orders FROM universe
+), item_cnt AS (
+  SELECT l_partkey, CAST(COUNT(*) AS HUGEINT) AS cnt FROM universe GROUP BY 1
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(COUNT(*) AS HUGEINT) AS cnt_ab
+  FROM universe a
+  JOIN universe b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}
+)
+SELECT p.part_a, p.part_b,
+       CAST(p.cnt_ab AS BIGINT) AS basket_cnt,
+       CAST(ca.cnt AS BIGINT) AS cnt_a,
+       CAST(cb.cnt AS BIGINT) AS cnt_b,
+       CAST(p.cnt_ab * 1000000 // nb.n_orders AS BIGINT) AS support_ppm,
+       CAST(p.cnt_ab * 1000000 // ca.cnt AS BIGINT) AS conf_a_to_b_ppm,
+       CAST(p.cnt_ab * 1000000 // cb.cnt AS BIGINT) AS conf_b_to_a_ppm,
+       CAST(p.cnt_ab * nb.n_orders * 1000000 // (ca.cnt * cb.cnt) AS BIGINT)
+         AS lift_ppm
+FROM pairs p
+JOIN item_cnt ca ON ca.l_partkey = p.part_a
+JOIN item_cnt cb ON cb.l_partkey = p.part_b
+CROSS JOIN nb
+""",
+)
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets (Agrawal &
+    Srikant's Apriori setting, restricted to 2-itemsets — the rule grain
+    retail/co-purchase analytics actually ships): for every part pair
+    co-occurring in >= {BASKET_MIN_SUPPORT} baskets, the exact support,
+    both directed confidences and the lift, all as integer ppm.
+
+    Exactness: counts are counts; support/confidence/lift are integral
+    ratios via integer division. The lift numerator
+    cnt_ab * n_orders * 1e6 multiplies three counts — 128-bit
+    intermediates (decimal(38,0) / HUGEINT) on BOTH engines, because the
+    product overflows int64 long before the inputs are big (the
+    ROUND12_PREP width note).
+
+    Scale shape (100 TB posture):
+    - the pair generator is a SELF-EQUI-JOIN on l_orderkey (never a
+      cross product): candidate volume is sum(basket_size^2), bounded by
+      {BASKET_CAP}^2 per basket because oversized baskets are dropped
+      WHOLE before the join (one early aggregate on the same orderkey
+      partitioning the join reuses — no extra shuffle).
+    - min-support cuts on the pair aggregate itself; only the ~thousands
+      of surviving rules reach the scoring joins, which AQE then
+      broadcasts.
+    - the universe frame (distinct id pairs, two bigint columns — never
+      rows of the fact table) feeds four consumers and is materialized
+      once with localCheckpoint."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    sized = (
+        items.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .filter(F.col("bsz") <= BASKET_CAP)
+        .select("l_orderkey")
+    )
+    # Narrow (orderkey, partkey) projection reused by the scalar count,
+    # the per-item counts and BOTH pair-join sides: materialize once.
+    universe = items.join(sized, "l_orderkey").localCheckpoint()
+    nb = universe.agg(
+        F.count_distinct("l_orderkey").cast("decimal(38,0)").alias("n_orders")
+    )
+    item_cnt = universe.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("cnt")
+    )
+    a = universe.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = universe.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("cnt_ab"))
+        .filter(F.col("cnt_ab") >= BASKET_MIN_SUPPORT)
+    )
+    ca = item_cnt.select(F.col("l_partkey").alias("part_a"), F.col("cnt").alias("cnt_a_d"))
+    cb = item_cnt.select(F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cnt_b_d"))
+    return (
+        pairs.join(ca, "part_a")
+        .join(cb, "part_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("cnt_ab").cast("long").alias("basket_cnt"),
+            F.col("cnt_a_d").cast("long").alias("cnt_a"),
+            F.col("cnt_b_d").cast("long").alias("cnt_b"),
+            F.expr("CAST(cnt_ab * 1000000 div n_orders AS BIGINT)").alias(
+                "support_ppm"
+            ),
+            F.expr("CAST(cnt_ab * 1000000 div cnt_a_d AS BIGINT)").alias(
+                "conf_a_to_b_ppm"
+            ),
+            F.expr("CAST(cnt_ab * 1000000 div cnt_b_d AS BIGINT)").alias(
+                "conf_b_to_a_ppm"
+            ),
+            F.expr(
+                "CAST(cnt_ab * n_orders * 1000000 div (cnt_a_d * cnt_b_d) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
