@@ -156,3 +156,40 @@ def test_market_basket_rule_algebra(spark, sf_dir):
         assert 0 < r.conf_a_to_b_ppm <= 1_000_000
         assert 0 < r.conf_b_to_a_ppm <= 1_000_000
     assert any(r.lift_ppm > 1_000_000 for r in rows)
+
+
+def test_equidepth_boundaries_reproduce_from_pure_python(spark, sf_dir):
+    """Sort the raw column in python and pick the k-th element directly —
+    the distributed two-phase selection must return exactly those rows,
+    and the boundary sequence must be monotone in the total order."""
+    import duckdb
+
+    from vena_etl_tool_spark.operators.aggregates import (
+        EQD_TILES,
+        profile_histogram_equidepth,
+    )
+
+    rows = sorted(
+        profile_histogram_equidepth(spark, sf_dir).collect(), key=lambda r: r.tile
+    )
+    assert [r.tile for r in rows] == list(range(1, EQD_TILES))
+
+    con = duckdb.connect()
+    vals = con.execute(
+        f"SELECT o_totalprice, o_orderkey FROM '{sf_dir}/orders.parquet'"
+    ).fetchall()
+    vals.sort()
+    n = len(vals)
+    for r in rows:
+        k = n * r.tile // EQD_TILES
+        assert r.boundary_rank == k
+        price, okey = vals[k - 1]  # k is a 1-based rank
+        assert (r.boundary_price, r.boundary_orderkey) == (price, okey)
+    bounds = [(r.boundary_price, r.boundary_orderkey) for r in rows]
+    assert bounds == sorted(bounds)
+    # equi-depth property: the boundaries split the table into tiles
+    # whose sizes differ by at most 1 (rank arithmetic, no duplicates
+    # under the unique (price, orderkey) order)
+    ranks = [0] + [r.boundary_rank for r in rows] + [n]
+    depths = [b - a for a, b in zip(ranks, ranks[1:])]
+    assert max(depths) - min(depths) <= 1

@@ -1270,3 +1270,108 @@ def profile_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = agg if out is None else out.unionByName(agg)
     return out
+
+
+# --- Equi-depth histogram (distributed exact selection) ---------------------
+# Probe bucket width for the two-phase boundary selection: phase 1 counts
+# rows per fixed-width bucket (tiny aggregate), phase 2 windows ONLY the
+# <= EQD_TILES-1 buckets that contain a decile boundary.
+EQD_PROBE_W = 25_000.0
+EQD_TILES = 10
+
+
+@register(
+    "profile_histogram_equidepth",
+    tags=("aggregate", "profiling", "histogram", "quantile"),
+    oracle=f"""
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM orders),
+tiles AS (
+  SELECT t, (c * t) // {EQD_TILES} AS k
+  FROM n CROSS JOIN (SELECT unnest(range(1, {EQD_TILES})) AS t)
+), ranked AS (
+  SELECT o_totalprice, o_orderkey,
+         ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn
+  FROM orders
+)
+SELECT CAST(t AS BIGINT) AS tile, k AS boundary_rank,
+       CAST(floor(o_totalprice / {EQD_PROBE_W}) AS BIGINT) AS bucket,
+       o_totalprice AS boundary_price,
+       o_orderkey AS boundary_orderkey
+FROM tiles JOIN ranked ON rn = k
+""",
+)
+def profile_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram boundaries over orders.o_totalprice — the
+    exact decile cut points (the sibling profile_histogram_equiwidth's
+    docstring defers to): boundary t is the k_t-th smallest row under
+    the unique total order (o_totalprice, o_orderkey), k_t = n*t/10.
+
+    The Spark side is the DISTRIBUTED SELECTION algorithm, not a global
+    sort: phase 1 aggregates row counts per fixed-width probe bucket
+    (map-side combinable, ~range/W rows however big the table) and a
+    cumulative sum over that tiny bucket list locates, for each target
+    rank k_t, the one bucket containing it plus the residual rank within
+    it; phase 2 row_number-windows ONLY those <= {EQD_TILES - 1} boundary
+    buckets — each a ~1/{EQD_TILES}-of-one-bucket sliver of the table,
+    partitioned by bucket so no global single-partition window exists
+    anywhere. The oracle is the direct single-node formulation (one
+    global ROW_NUMBER), so the two engines cross-check the algorithm,
+    not a shared plan.
+
+    Exactness: k_t = n*t div {EQD_TILES} is rank arithmetic; boundary
+    prices are raw doubles read from the scan — no float math at all."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice",
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") / EQD_PROBE_W).cast("long").alias("bucket"),
+    )
+    bcnt = orders.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    # cumulative over the bucket list: ~range/W rows, single tiny window
+    cum = bcnt.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    n = bcnt.agg(F.sum("cnt").cast("long").alias("c"))
+    tiles = (
+        n.select(F.explode(F.sequence(F.lit(1), F.lit(EQD_TILES - 1))).alias("t"), "c")
+        .select(
+            F.col("t").cast("long").alias("tile"),
+            F.expr(f"CAST(c * t div {EQD_TILES} AS BIGINT)").alias("boundary_rank"),
+        )
+    )
+    # tiny theta join (<= 9 tiles x ~range/W buckets, both broadcast-sized):
+    # rank k lands in the unique bucket with cum - cnt < k <= cum
+    located = tiles.join(
+        F.broadcast(cum),
+        (F.col("boundary_rank") <= F.col("cum"))
+        & (F.col("boundary_rank") > F.col("cum") - F.col("cnt")),
+    ).select(
+        "tile",
+        "boundary_rank",
+        "bucket",
+        (F.col("boundary_rank") - (F.col("cum") - F.col("cnt"))).alias("local_rank"),
+    )
+    # phase 2: window ONLY the boundary buckets, partitioned by bucket
+    hot = located.select("bucket").distinct()
+    slivers = orders.join(F.broadcast(hot), "bucket").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("bucket").orderBy("o_totalprice", "o_orderkey")
+        ),
+    )
+    return (
+        located.join(
+            slivers,
+            (located["bucket"] == slivers["bucket"])
+            & (located["local_rank"] == slivers["rn"]),
+        )
+        .select(
+            "tile",
+            "boundary_rank",
+            located["bucket"].alias("bucket"),
+            F.col("o_totalprice").alias("boundary_price"),
+            F.col("o_orderkey").alias("boundary_orderkey"),
+        )
+    )
