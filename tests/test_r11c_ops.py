@@ -193,3 +193,51 @@ def test_equidepth_boundaries_reproduce_from_pure_python(spark, sf_dir):
     ranks = [0] + [r.boundary_rank for r in rows] + [n]
     depths = [b - a for a, b in zip(ranks, ranks[1:])]
     assert max(depths) - min(depths) <= 1
+
+
+def test_substring_spans_reproduce_from_pure_python(spark, sf_dir):
+    """Recompute the duplicated-span coverage with a direct python
+    interval union over the same parquet (a third engine, no islands
+    idiom: literally mark covered positions in a set) and require
+    equality on every row — plus the bounds the metric promises."""
+    import duckdb
+    from collections import defaultdict
+
+    from vena_etl_tool_spark.operators.dedup import (
+        SPAN_K,
+        text_substring_dedup_spans,
+    )
+
+    rows = {r.doc_id: r for r in text_substring_dedup_spans(spark, sf_dir).collect()}
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    grams: dict[tuple, set[int]] = defaultdict(set)
+    tok_lists = {}
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        tok_lists[doc_id] = toks
+        for i in range(len(toks) - SPAN_K + 1):
+            grams[tuple(toks[i : i + SPAN_K])].add(doc_id)
+    assert len(rows) == len(docs)
+    any_cov = any_zero = False
+    for doc_id, toks in tok_lists.items():
+        covered: set[int] = set()
+        starts = 0
+        for i in range(len(toks) - SPAN_K + 1):
+            if len(grams[tuple(toks[i : i + SPAN_K])]) >= 2:
+                starts += 1
+                covered.update(range(i, i + SPAN_K))
+        r = rows[doc_id]
+        assert r.n_tok == len(toks)
+        assert r.n_matched_grams == starts
+        assert r.covered_tok == len(covered)
+        assert r.coverage_ppm == len(covered) * 1_000_000 // len(toks)
+        assert 0 <= r.covered_tok <= r.n_tok
+        any_cov |= r.covered_tok > 0
+        any_zero |= r.covered_tok == 0
+    # discriminating power at the gate SF: the fixture's seeded clones
+    # give nonzero coverage, and non-clones stay at zero
+    assert any_cov and any_zero

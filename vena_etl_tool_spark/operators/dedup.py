@@ -2953,3 +2953,156 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("containment_ppm"),
         )
     )
+
+
+# --- Exact duplicated-span coverage (substring-level dedup metric) ----------
+# Run length for the span metric: a position is covered when it sits inside
+# a SPAN_K-token run shared verbatim with at least one OTHER document (the
+# "deduplicating training data" exact-substring criterion, scaled to this
+# corpus's short documents — the paper uses 50 BPE tokens).
+SPAN_K = 8
+
+_SPAN_LEADS = ", ".join(f"lead(tok, {i}) OVER w" for i in range(1, SPAN_K))
+
+_SPAN_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+), ntok AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+), kg AS (
+  SELECT doc_id, pos,
+         md5(concat_ws(' ', tok, {_SPAN_LEADS})) AS h,
+         lead(tok, {SPAN_K - 1}) OVER w AS t_last
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), kgo AS (
+  SELECT doc_id, pos, h FROM kg WHERE t_last IS NOT NULL
+), shared AS (
+  SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS df FROM kgo GROUP BY h)
+  WHERE df >= 2
+), hits AS (
+  SELECT DISTINCT doc_id, pos FROM kgo JOIN shared USING (h)
+), flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                   OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                      > {SPAN_K}
+              THEN 1 ELSE 0 END AS brk
+  FROM hits
+), islands AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM flagged
+), isl_cov AS (
+  SELECT doc_id, isl, MAX(pos) - MIN(pos) + {SPAN_K} AS cov,
+         COUNT(*) AS n_starts
+  FROM islands GROUP BY 1, 2
+), per_doc AS (
+  SELECT doc_id, CAST(SUM(n_starts) AS BIGINT) AS n_matched_grams,
+         CAST(SUM(cov) AS BIGINT) AS covered_tok
+  FROM isl_cov GROUP BY doc_id
+)
+SELECT n.doc_id, n.n_tok,
+       COALESCE(p.n_matched_grams, 0) AS n_matched_grams,
+       COALESCE(p.covered_tok, 0) AS covered_tok,
+       COALESCE(p.covered_tok, 0) * 1000000 // n.n_tok AS coverage_ppm
+FROM ntok n LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+@register(
+    "text_substring_dedup_spans",
+    tags=("llm", "dedup", "substring", "coverage"),
+    oracle=_SPAN_ORACLE,
+)
+def text_substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span coverage (Lee, Ippolito et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better") — the
+    exact complement of ``dedup_winnowing``'s SAMPLED fingerprints: for
+    every document, the fraction of its tokens lying inside a
+    >= {SPAN_K}-token run that appears verbatim in at least one OTHER
+    document. This is the per-document metric the paper thresholds to
+    drop or trim duplicated text before LM training. Every document
+    emits a row (zero coverage included), so the corpus-wide coverage
+    distribution — not just the offenders — is hash-checked.
+
+    Distributed shape (100 TB posture):
+    - NO pair join anywhere: 'shared with another doc' is a distinct-doc
+      count >= 2 per k-gram hash — an aggregate on the 16-byte hash
+      column — followed by a semi-join of occurrences against the shared
+      set. Candidate volume is the occurrence stream itself, linear in
+      corpus tokens, immune to the df^2 blowup that forces caps on the
+      pair-emitting families.
+    - interval union is the ISLANDS idiom per document: one lag + one
+      running sum + one (doc, island) aggregate, all on the matched
+      starts only (ids and integer positions — the text never reaches a
+      shuffle). Same-length intervals make coverage per island exactly
+      max(pos) - min(pos) + {SPAN_K}, so adjacency needs no arbitration
+      (contiguous islands sum to identical coverage either way).
+    - the WHERE-before-window trap (memory: oracle-discipline) is
+      respected on both sides: the full-k-gram filter wraps OUTSIDE the
+      lead window, and the island windows run on the filtered hits."""
+    docs = spread_small(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    ntok = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    kg = toks.select(
+        "doc_id",
+        "pos",
+        F.md5(
+            F.concat_ws(
+                " ",
+                "tok",
+                *[F.lead("tok", i).over(wdoc) for i in range(1, SPAN_K)],
+            )
+        ).alias("h"),
+        F.lead("tok", SPAN_K - 1).over(wdoc).alias("t_last"),
+    ).filter(F.col("t_last").isNotNull()).select("doc_id", "pos", "h")
+    # occurrences feed both the df aggregate and the hit semi-join; the
+    # frame is ids + positions + 32-char hashes — materialize once
+    kgo = kg.localCheckpoint()
+    shared = (
+        kgo.select("h", "doc_id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("h")
+    )
+    hits = kgo.join(shared, "h").select("doc_id", "pos").distinct()
+    prev = F.lag("pos").over(wdoc)
+    flagged = hits.withColumn(
+        "brk",
+        F.when(prev.isNull() | (F.col("pos") - prev > SPAN_K), 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "isl", F.sum("brk").over(wdoc.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    isl_cov = islands.groupBy("doc_id", "isl").agg(
+        (F.max("pos") - F.min("pos") + SPAN_K).alias("cov"),
+        F.count(F.lit(1)).alias("n_starts"),
+    )
+    per_doc = isl_cov.groupBy("doc_id").agg(
+        F.sum("n_starts").cast("long").alias("n_matched_grams"),
+        F.sum("cov").cast("long").alias("covered_tok"),
+    )
+    return (
+        ntok.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            F.coalesce("n_matched_grams", F.lit(0)).cast("long").alias(
+                "n_matched_grams"
+            ),
+            F.coalesce("covered_tok", F.lit(0)).cast("long").alias("covered_tok"),
+            F.expr(
+                "CAST(COALESCE(covered_tok, 0) * 1000000 div n_tok AS BIGINT)"
+            ).alias("coverage_ppm"),
+        )
+    )
