@@ -241,3 +241,85 @@ def test_substring_spans_reproduce_from_pure_python(spark, sf_dir):
     # discriminating power at the gate SF: the fixture's seeded clones
     # give nonzero coverage, and non-clones stay at zero
     assert any_cov and any_zero
+
+
+def test_snm_multipass_reproduces_from_pure_python(spark, sf_dir):
+    """Recompute both SNM passes, the union and the verification scores
+    in pure python over the same parquet and require cell equality."""
+    import duckdb
+    from collections import defaultdict
+
+    from vena_etl_tool_spark.operators.dedup import (
+        SNM_MATCH_PPM,
+        SNM_PREFIX_CHARS,
+        SNM_SHINGLE_K,
+        SNM_WINDOW,
+        dedup_snm_multipass,
+    )
+
+    rows = {
+        (r.doc_a, r.doc_b): r for r in dedup_snm_multipass(spark, sf_dir).collect()
+    }
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+
+    def pass_pairs(keyed: list[tuple[str, int]]) -> set[tuple[int, int]]:
+        blocks: dict[str, list[int]] = defaultdict(list)
+        for key, doc_id in sorted(keyed):
+            blocks[key[:SNM_PREFIX_CHARS]].append(doc_id)
+        out: set[tuple[int, int]] = set()
+        for ids in blocks.values():
+            for i, a in enumerate(ids):
+                for b in ids[i + 1 : i + SNM_WINDOW]:
+                    out.add((min(a, b), max(a, b)))
+        return out
+
+    p1 = pass_pairs([(text, doc_id) for doc_id, text in docs])
+    p2 = pass_pairs([(text[::-1], doc_id) for doc_id, text in docs])
+    assert set(rows) == p1 | p2
+
+    sh = {
+        doc_id: {
+            " ".join(toks[i : i + SNM_SHINGLE_K])
+            for i in range(len(toks) - SNM_SHINGLE_K + 1)
+        }
+        if len(toks := text.split(" ")) >= SNM_SHINGLE_K
+        else set()
+        for doc_id, text in docs
+    }
+    for (a, b), r in rows.items():
+        assert r.in_pass1 == ((a, b) in p1)
+        assert r.in_pass2 == ((a, b) in p2)
+        inter = len(sh[a] & sh[b])
+        uni = len(sh[a] | sh[b])
+        jac = inter * 1_000_000 // uni if uni else 0
+        assert r.jaccard_ppm == jac
+        assert r.is_match == (jac >= SNM_MATCH_PPM)
+    # the multi-pass mechanism earns its keep at the gate SF: each pass
+    # contributes pairs the other misses
+    assert any(r.in_pass1 and not r.in_pass2 for r in rows.values())
+    assert any(r.in_pass2 and not r.in_pass1 for r in rows.values())
+
+
+def test_snm_multipass_contains_single_pass(spark, sf_dir):
+    """Pass 1 of the multi-pass operator IS the registered single-pass
+    operator's candidate set (canonicalized), with identical verdicts —
+    the union can only ADD recall, never change a pass-1 score."""
+    from vena_etl_tool_spark.operators.dedup import (
+        dedup_snm_multipass,
+        dedup_sorted_neighborhood,
+    )
+
+    single = {
+        (min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b)): (r.jaccard_ppm, r.is_match)
+        for r in dedup_sorted_neighborhood(spark, sf_dir).collect()
+    }
+    multi = {
+        (r.doc_a, r.doc_b): (r.jaccard_ppm, r.is_match)
+        for r in dedup_snm_multipass(spark, sf_dir).collect()
+        if r.in_pass1
+    }
+    assert multi == single

@@ -3106,3 +3106,217 @@ def text_substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage_ppm"),
         )
     )
+
+
+# --- Multi-pass sorted neighborhood -----------------------------------------
+# Pass 2 sort key: the CHARACTER-REVERSED text. Hernandez & Stolfo's
+# multi-pass SNM runs several cheap passes with INDEPENDENT keys and unions
+# the candidate sets — a clone pair that drifted apart under one key (e.g.
+# an edit in the first words) stays adjacent under another. The reversed
+# key is maximally independent of the prefix key while needing no new
+# semantics: suffix-stable edits sort together.
+
+_SNM_MP_PASS = """
+  SELECT least(a.doc_id, b.doc_id) AS doc_a,
+         greatest(a.doc_id, b.doc_id) AS doc_b
+  FROM {r} a JOIN {r} b
+    ON a.blk = b.blk AND b.rnk > a.rnk AND b.rnk - a.rnk <= {band}
+"""
+
+_SNM_MP_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, text, reverse(text) AS rtext,
+         string_split(text, ' ') AS words
+  FROM documents
+), r1 AS (
+  SELECT doc_id, substr(text, 1, {SNM_PREFIX_CHARS}) AS blk,
+         ROW_NUMBER() OVER (PARTITION BY substr(text, 1, {SNM_PREFIX_CHARS})
+                            ORDER BY text, doc_id) AS rnk
+  FROM docs
+), r2 AS (
+  SELECT doc_id, substr(rtext, 1, {SNM_PREFIX_CHARS}) AS blk,
+         ROW_NUMBER() OVER (PARTITION BY substr(rtext, 1, {SNM_PREFIX_CHARS})
+                            ORDER BY rtext, doc_id) AS rnk
+  FROM docs
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= {SNM_SHINGLE_K}
+              THEN list_distinct(list_transform(
+                     range(1, len(words) - {SNM_SHINGLE_K - 2}),
+                     i -> concat_ws(' ', words[i], words[i+1], words[i+2], words[i+3])))
+              ELSE [] END AS sh
+  FROM docs
+), cand AS (
+  SELECT doc_a, doc_b, MAX(p1) = 1 AS in_pass1, MAX(p2) = 1 AS in_pass2
+  FROM (
+    SELECT doc_a, doc_b, 1 AS p1, 0 AS p2
+    FROM ({_SNM_MP_PASS.format(r="r1", band=SNM_WINDOW - 1)})
+    UNION ALL
+    SELECT doc_a, doc_b, 0 AS p1, 1 AS p2
+    FROM ({_SNM_MP_PASS.format(r="r2", band=SNM_WINDOW - 1)})
+  ) GROUP BY doc_a, doc_b
+), scored AS (
+  SELECT doc_a, doc_b, in_pass1, in_pass2,
+         CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
+         CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))
+              AS BIGINT) AS uni
+  FROM cand
+  JOIN sh sa ON sa.doc_id = cand.doc_a
+  JOIN sh sb ON sb.doc_id = cand.doc_b
+)
+SELECT doc_a, doc_b, in_pass1, in_pass2,
+       CASE WHEN uni > 0 THEN inter * 1000000 // uni ELSE 0 END AS jaccard_ppm,
+       (CASE WHEN uni > 0 THEN inter * 1000000 // uni ELSE 0 END)
+         >= {SNM_MATCH_PPM} AS is_match
+FROM scored
+"""
+
+
+def _snm_mp_pairs(ranked: DataFrame) -> DataFrame:
+    """Canonicalized candidate pairs from one ranked pass — the same
+    (block, rank-band) equi-join bucket trick as the single-pass
+    operator, but emitting (least, greatest) ids so passes union."""
+    band = SNM_WINDOW - 1
+    a = ranked.select(
+        F.col("doc_id").alias("id_a"), "blk", F.col("rnk").alias("rnk_a")
+    ).withColumn(
+        "jb",
+        F.explode(
+            F.array(
+                F.expr(f"(rnk_a - 1) div {band}"),
+                F.expr(f"(rnk_a - 1) div {band} + 1"),
+            )
+        ),
+    )
+    b = ranked.select(
+        F.col("doc_id").alias("id_b"),
+        "blk",
+        F.col("rnk").alias("rnk_b"),
+        F.expr(f"(rnk - 1) div {band}").alias("jb"),
+    )
+    return (
+        a.join(b, ["blk", "jb"])
+        .filter(
+            (F.col("rnk_b") > F.col("rnk_a"))
+            & (F.col("rnk_b") - F.col("rnk_a") <= band)
+        )
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+        )
+    )
+
+
+@register(
+    "dedup_snm_multipass",
+    tags=("llm", "dedup", "blocking", "snm"),
+    oracle=_SNM_MP_ORACLE,
+)
+def dedup_snm_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-pass sorted neighborhood (Hernandez & Stolfo 1995, §4 — the
+    form the paper actually recommends): run the cheap windowed pass
+    twice with INDEPENDENT sort keys (raw text; character-reversed
+    text), union the candidate sets, and verify each candidate ONCE with
+    the exact 4-gram-shingle Jaccard. Output = canonicalized pairs with
+    per-pass provenance flags (which key(s) surfaced the pair), the
+    score and the match verdict — the provenance columns make the
+    multi-pass recall mechanism itself hash-checked: pairs only one key
+    finds are exactly the single-pass family's documented boundary loss.
+
+    Distributed shape: both passes are the single-pass operator's plan —
+    per-block ranks (no global window), (block, rank-band) EQUI-join —
+    over the SAME one corpus scan; the union is a pair-grain aggregate
+    on 16 bytes of ids; verification joins the per-doc shingle arrays
+    computed once. Candidates stay bounded by 2 * n * (w - 1).
+    """
+    docs = spread_small(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).withColumn("rtext", F.reverse("text"))
+    # Both ranked passes and the shingle table come from this one narrow
+    # scan; checkpoint the ranked projections (id + block + rank only).
+    r1 = (
+        docs.select(
+            "doc_id",
+            F.substring("text", 1, SNM_PREFIX_CHARS).alias("blk"),
+            F.row_number()
+            .over(
+                Window.partitionBy(F.substring("text", 1, SNM_PREFIX_CHARS)).orderBy(
+                    "text", "doc_id"
+                )
+            )
+            .alias("rnk"),
+        )
+    ).localCheckpoint()
+    r2 = (
+        docs.select(
+            "doc_id",
+            F.substring("rtext", 1, SNM_PREFIX_CHARS).alias("blk"),
+            F.row_number()
+            .over(
+                Window.partitionBy(F.substring("rtext", 1, SNM_PREFIX_CHARS)).orderBy(
+                    "rtext", "doc_id"
+                )
+            )
+            .alias("rnk"),
+        )
+    ).localCheckpoint()
+    cand = (
+        _snm_mp_pairs(r1)
+        .withColumn("p1", F.lit(1))
+        .withColumn("p2", F.lit(0))
+        .unionByName(
+            _snm_mp_pairs(r2).withColumn("p1", F.lit(0)).withColumn("p2", F.lit(1))
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            (F.max("p1") == 1).alias("in_pass1"),
+            (F.max("p2") == 1).alias("in_pass2"),
+        )
+    )
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    shingle = F.transform(
+        F.sequence(F.lit(1), n_words - (SNM_SHINGLE_K - 1)),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(words, i),
+            F.element_at(words, i + 1),
+            F.element_at(words, i + 2),
+            F.element_at(words, i + 3),
+        ),
+    )
+    sh = docs.select(
+        "doc_id",
+        F.when(n_words >= SNM_SHINGLE_K, F.array_distinct(shingle))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("sh"),
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    scored = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "in_pass1",
+            "in_pass2",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("inter"),
+            (
+                F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))
+            )
+            .cast("long")
+            .alias("uni"),
+        )
+    )
+    jac = F.expr("CASE WHEN uni > 0 THEN inter * 1000000 div uni ELSE 0 END").cast(
+        "long"
+    )
+    return scored.select(
+        "doc_a",
+        "doc_b",
+        "in_pass1",
+        "in_pass2",
+        jac.alias("jaccard_ppm"),
+        (jac >= SNM_MATCH_PPM).alias("is_match"),
+    )
