@@ -323,3 +323,75 @@ def test_snm_multipass_contains_single_pass(spark, sf_dir):
         if r.in_pass1
     }
     assert multi == single
+
+
+def test_rake_reproduces_from_pure_python(spark, sf_dir):
+    """Full RAKE recompute in pure python per document (segmentation,
+    deg/freq, floored word scores, phrase sums, top-k under the total
+    order) — every emitted row must match."""
+    import duckdb
+    from collections import Counter, defaultdict
+
+    from vena_etl_tool_spark.operators.textanalysis import (
+        RAKE_TOP_K,
+        STOPWORDS,
+        text_rake_keywords,
+    )
+
+    got = defaultdict(list)
+    for r in text_rake_keywords(spark, sf_dir).collect():
+        got[r.doc_id].append(r)
+    for rs in got.values():
+        rs.sort(key=lambda r: r.rank)
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    stop = set(STOPWORDS)
+    n_docs_with_rows = 0
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        phrases: list[list[str]] = []
+        cur: list[str] = []
+        for t in toks:
+            if t in stop:
+                if cur:
+                    phrases.append(cur)
+                cur = []
+            else:
+                cur.append(t)
+        if cur:
+            phrases.append(cur)
+        freq: Counter = Counter()
+        deg: Counter = Counter()
+        for p in phrases:
+            for w in p:
+                freq[w] += 1
+                deg[w] += len(p) - 1
+        wscore = {w: deg[w] * 1000 // freq[w] for w in freq}
+        cand: dict[str, tuple[int, int, int]] = {}
+        for p in phrases:
+            key = " ".join(p)
+            score = sum(wscore[w] for w in p)
+            if key in cand:
+                n_words, n_occ, s = cand[key]
+                cand[key] = (n_words, n_occ + 1, s)
+            else:
+                cand[key] = (len(p), 1, score)
+        top = sorted(cand.items(), key=lambda kv: (-kv[1][2], kv[0]))[:RAKE_TOP_K]
+        rows = got.get(doc_id, [])
+        assert len(rows) == len(top)
+        if rows:
+            n_docs_with_rows += 1
+        for rank, (r, (phrase, (n_words, n_occ, score))) in enumerate(
+            zip(rows, top), start=1
+        ):
+            assert (r.rank, r.phrase, r.n_words, r.n_occurrences, r.score_milli) == (
+                rank,
+                phrase,
+                n_words,
+                n_occ,
+                score,
+            )
+    assert n_docs_with_rows > 0

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import load_table
 from ..registry import register
+from ._shared import spread_small
 
 # tiny deterministic stopword list used by the quality score
 STOPWORDS = ("the", "a", "of", "and", "to", "in")
@@ -4146,4 +4147,138 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div SUM(n_tokens) OVER (ORDER BY band ROWS BETWEEN UNBOUNDED"
             " PRECEDING AND CURRENT ROW) AS BIGINT)"
         ).alias("ttr_ppm"),
+    )
+
+
+# --- RAKE keyword extraction ------------------------------------------------
+# RAKE delimiters: the repo's deterministic stopword list. Candidate phrases
+# are maximal stopword-free token runs; keep the top-RAKE_TOP_K phrases per
+# document under the usual total order.
+RAKE_TOP_K = 3
+
+
+@register(
+    "text_rake_keywords",
+    tags=("llm", "text", "keywords", "rake"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+), marked AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN list_contains({list(STOPWORDS)!r}, tok) THEN 1 ELSE 0 END
+           AS is_stop
+  FROM toks
+), seg AS (
+  SELECT doc_id, pos, tok, is_stop,
+         SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos) AS seg
+  FROM marked
+), member AS (
+  SELECT doc_id, seg, pos, tok,
+         COUNT(*) OVER (PARTITION BY doc_id, seg) AS phrase_len
+  FROM seg WHERE is_stop = 0
+), word_stats AS (
+  SELECT doc_id, tok, COUNT(*) AS freq, SUM(phrase_len - 1) AS deg
+  FROM member GROUP BY 1, 2
+), scored_member AS (
+  SELECT m.doc_id, m.seg, m.pos, m.tok,
+         w.deg * 1000 // w.freq AS wscore
+  FROM member m JOIN word_stats w ON w.doc_id = m.doc_id AND w.tok = m.tok
+), phrases AS (
+  SELECT doc_id, seg,
+         string_agg(tok, ' ' ORDER BY pos) AS phrase,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(wscore) AS BIGINT) AS score_milli
+  FROM scored_member GROUP BY 1, 2
+), dedup AS (
+  SELECT doc_id, phrase, n_words, score_milli,
+         CAST(COUNT(*) AS BIGINT) AS n_occurrences
+  FROM phrases GROUP BY 1, 2, 3, 4
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score_milli DESC, phrase) AS rnk
+  FROM dedup
+)
+SELECT doc_id, CAST(rnk AS BIGINT) AS rank, phrase, n_words,
+       n_occurrences, score_milli
+FROM ranked WHERE rnk <= {RAKE_TOP_K}
+""",
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose, Engel, Cramer & Cowley 2010) — the
+    classic unsupervised keyword operator, per document exactly as the
+    paper defines it: candidate phrases are maximal stopword-free token
+    runs; each word scores deg(w)/freq(w) from the document's own
+    co-occurrence stats (deg = sum of (phrase_len - 1) over the word's
+    phrase occurrences); a phrase scores the sum of its member word
+    scores; the top {RAKE_TOP_K} phrases per document are kept under the
+    total order (score DESC, phrase ASC).
+
+    Exactness: freq/deg are counts; word scores ship as integer milli
+    (deg * 1000 div freq) and the phrase score is the SUM of those
+    integers — both engines sum the same floored values, so no float
+    exists anywhere (summing floored ratios, not flooring the sum, is
+    the pinned convention).
+
+    Scale shape: RAKE is per-document by definition, so EVERYTHING
+    partitions on doc_id — segmentation is one running-sum window,
+    phrase stats one window count, word stats a (doc, word) aggregate,
+    and the member-score join co-partitions on (doc, word). No corpus-
+    wide state at all: the operator is embarrassingly parallel over
+    documents at any scale, and the only rows that survive to the
+    output are {RAKE_TOP_K} per document."""
+    docs = spread_small(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    ).withColumn("is_stop", F.array_contains(stop_arr, F.col("tok")).cast("int"))
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    seg = toks.withColumn(
+        "seg", F.sum("is_stop").over(wdoc.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    member = (
+        seg.filter(F.col("is_stop") == 0)
+        .withColumn(
+            "phrase_len", F.count(F.lit(1)).over(Window.partitionBy("doc_id", "seg"))
+        )
+        .select("doc_id", "seg", "pos", "tok", "phrase_len")
+    )
+    word_stats = member.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.col("phrase_len") - 1).alias("deg"),
+    )
+    scored_member = member.join(word_stats, ["doc_id", "tok"]).select(
+        "doc_id",
+        "seg",
+        "pos",
+        "tok",
+        F.expr("deg * 1000 div freq").alias("wscore"),
+    )
+    phrases = scored_member.groupBy("doc_id", "seg").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s.tok,
+            ),
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("wscore").cast("long").alias("score_milli"),
+    )
+    dedup = phrases.groupBy("doc_id", "phrase", "n_words", "score_milli").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    ranked = dedup.withColumn(
+        "rank",
+        F.row_number()
+        .over(
+            Window.partitionBy("doc_id").orderBy(
+                F.col("score_milli").desc(), F.col("phrase")
+            )
+        )
+        .cast("long"),
+    )
+    return ranked.filter(F.col("rank") <= RAKE_TOP_K).select(
+        "doc_id", "rank", "phrase", "n_words", "n_occurrences", "score_milli"
     )
