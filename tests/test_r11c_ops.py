@@ -395,3 +395,80 @@ def test_rake_reproduces_from_pure_python(spark, sf_dir):
                 score,
             )
     assert n_docs_with_rows > 0
+
+
+def test_hnsw_layered_walk_reproduces_from_pure_python(spark, sf_dir):
+    """Recompute the level rule, the layer-0 greedy descent from each
+    emitted layer-1 seed, the truth argmax and the final cosine in pure
+    python (scaled-integer dot fold), and require equality with every
+    emitted row."""
+    import math
+
+    import duckdb
+
+    from vena_etl_tool_spark.operators.similarity import (
+        HNSW_L0_HOPS,
+        HNSW_SKIP,
+        N_QUERIES,
+        _mutual_graph_persisted,
+        sim_ann_hnsw_greedy_layered,
+    )
+
+    rows = sim_ann_hnsw_greedy_layered(spark, sf_dir).collect()
+    assert len(rows) == N_QUERIES
+
+    con = duckdb.connect()
+    emb = {
+        vec_id: e
+        for vec_id, e in con.execute(
+            f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet'"
+        ).fetchall()
+    }
+
+    def sq(v) -> float:
+        return sum(int(math.floor(float(x) * float(x) * 1e12)) for x in v) / 1e12
+
+    def cos(qi: int, ci: int) -> float:
+        q, c = emb[qi], emb[ci]
+        dot = sum(
+            int(math.floor(float(x) * float(y) * 1e12)) for x, y in zip(q, c)
+        ) / 1e12
+        return dot / (math.sqrt(sq(q)) * math.sqrt(sq(c)))
+
+    def is_l1(vec_id: int) -> bool:
+        return int(hashlib.md5(f"lvl:{vec_id}".encode()).hexdigest()[:12], 16) % HNSW_SKIP == 0
+
+    # layer-1 nodes live at the dedup'd representative grain
+    reps: dict[tuple, int] = {}
+    for vec_id, e in emb.items():
+        key = tuple(e)
+        reps[key] = min(reps.get(key, vec_id), vec_id)
+    l1_nodes = {v for v in reps.values() if is_l1(v)}
+    assert l1_nodes
+    entry = min(l1_nodes)
+
+    adj: dict[int, set[int]] = {}
+    for r in _mutual_graph_persisted(spark, sf_dir).select("vec_a", "vec_b").collect():
+        adj.setdefault(r.vec_a, set()).add(r.vec_b)
+        adj.setdefault(r.vec_b, set()).add(r.vec_a)
+    graph_nodes = set(adj)
+
+    for r in rows:
+        assert r.entry_node == entry
+        assert r.l1_seed in l1_nodes  # the layer-1 walk stays on layer 1
+        # layer-0 descent from the emitted seed, recomputed in python
+        cur = r.l1_seed
+        for _ in range(HNSW_L0_HOPS):
+            cands = ({cur} | adj.get(cur, set())) - {r.query_id}
+            cur = max(cands, key=lambda c: (cos(r.query_id, c), -c))
+        assert r.final_node == cur
+        truth = max(
+            graph_nodes - {r.query_id}, key=lambda c: (cos(r.query_id, c), -c)
+        )
+        assert r.truth_node == truth
+        assert r.hit_top1 == int(r.final_node == r.truth_node)
+        assert r.final_cosine == pytest.approx(
+            round(cos(r.query_id, r.final_node), 6), abs=0
+        )
+    # the hierarchy must navigate better than chance at the gate SF
+    assert sum(r.hit_top1 for r in rows) > 0

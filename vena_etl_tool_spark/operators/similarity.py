@@ -3695,3 +3695,327 @@ def embedding_outlier_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_in_cell") == 1).cast("int").alias("isolated"),
         )
     )
+
+
+# --- Two-layer navigable-graph search (HNSW-shaped) -------------------------
+# Level rule (content-addressed, the distributed stand-in for HNSW's
+# geometric level draw): a vector joins layer 1 iff the first 48 bits of
+# md5('lvl:' || vec_id) are divisible by HNSW_SKIP — an expected 1/8 of the
+# graph nodes, reproducible across engines and partitionings.
+HNSW_SKIP = 8
+HNSW_L1_K = 4  # directed out-degree of the layer-1 graph
+HNSW_L1_HOPS = 3  # greedy hops on layer 1 (the coarse descent)
+HNSW_L0_HOPS = 3  # greedy hops on layer 0, seeded by the layer-1 terminal
+
+_HNSW_LVL_DUCK = (
+    "('0x' || substr(md5('lvl:' || CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT"
+    f" % {HNSW_SKIP} = 0"
+)
+
+
+def _hnsw_walk_oracle() -> str:
+    """Unroll BOTH fixed-step walks as CTE chains (the sim_ann_graph_greedy
+    convention): HNSW_L1_HOPS hops over the directed layer-1 edges, then
+    HNSW_L0_HOPS hops over the bidirectional layer-0 mutual graph."""
+    hops = []
+    for h in range(1, HNSW_L1_HOPS + 1):
+        prev = f"w1_{h - 1}"
+        hops.append(f"""
+, c1_{h} AS (
+  SELECT w.query_id, e.dst AS cand FROM {prev} w JOIN l1edges e ON e.src = w.cur
+  UNION ALL
+  SELECT query_id, cur AS cand FROM {prev}
+), w1_{h} AS (
+  SELECT query_id, cand AS cur FROM (
+    SELECT t.query_id, t.cand,
+           ROW_NUMBER() OVER (
+             PARTITION BY t.query_id
+             ORDER BY {_walk_cos_duck("q", "s")} DESC, t.cand) AS rk
+    FROM c1_{h} t
+    JOIN scored s ON s.vec_id = t.cand
+    JOIN qv q ON q.query_id = t.query_id
+    WHERE t.cand <> t.query_id
+  ) WHERE rk = 1
+)""")
+    for h in range(1, HNSW_L0_HOPS + 1):
+        prev = "seed" if h == 1 else f"w0_{h - 1}"
+        hops.append(f"""
+, c0_{h} AS (
+  SELECT w.query_id, c.dst AS cand FROM {prev} w JOIN bidir c ON c.src = w.cur
+  UNION ALL
+  SELECT query_id, cur AS cand FROM {prev}
+), w0_{h} AS (
+  SELECT query_id, cand AS cur FROM (
+    SELECT t.query_id, t.cand,
+           ROW_NUMBER() OVER (
+             PARTITION BY t.query_id
+             ORDER BY {_walk_cos_duck("q", "s")} DESC, t.cand) AS rk
+    FROM c0_{h} t
+    JOIN scored s ON s.vec_id = t.cand
+    JOIN qv q ON q.query_id = t.query_id
+    WHERE t.cand <> t.query_id
+  ) WHERE rk = 1
+)""")
+    return f"""
+WITH {{ctes}}, l1nodes AS (
+  SELECT vec_id FROM assigned WHERE {_HNSW_LVL_DUCK}
+), l1m AS (
+  SELECT s.vec_id, s.embedding, s.sq_norm, s.cent
+  FROM assigned s JOIN l1nodes n ON n.vec_id = s.vec_id
+), l1pairs AS (
+  SELECT a.vec_id AS ai, b.vec_id AS bi,
+         {{pair_dot}} / (SQRT(a.sq_norm) * SQRT(b.sq_norm)) AS cosine
+  FROM l1m a JOIN l1m b ON a.cent = b.cent AND a.vec_id < b.vec_id
+), l1directed AS (
+  SELECT u.e.src AS src, u.e.dst AS dst, cosine
+  FROM l1pairs, UNNEST([{{{{'src': ai, 'dst': bi}}}}, {{{{'src': bi, 'dst': ai}}}}]) AS u(e)
+), l1edges AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rk
+    FROM l1directed
+  ) WHERE rk <= {HNSW_L1_K}
+), bidir AS (
+  SELECT vec_a AS src, vec_b AS dst FROM mutual
+  UNION ALL SELECT vec_b, vec_a FROM mutual
+), l1entry AS (
+  SELECT MIN(vec_id) AS node FROM l1nodes
+), qv AS (
+  SELECT vec_id AS query_id, embedding,
+         (SELECT CAST(SUM(CAST(FLOOR(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
+          FROM UNNEST(embedding) AS u(x)) AS sq_norm
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), w1_0 AS (
+  SELECT q.query_id, e.node AS cur FROM qv q, l1entry e
+){''.join(hops[:HNSW_L1_HOPS])}
+, seed AS (
+  SELECT query_id, cur FROM w1_{HNSW_L1_HOPS}
+){''.join(hops[HNSW_L1_HOPS:])}
+, truth AS (
+  SELECT query_id, cand AS best_node FROM (
+    SELECT q.query_id, s.vec_id AS cand,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_walk_cos_duck("q", "s")} DESC, s.vec_id) AS rk
+    FROM qv q
+    JOIN scored s ON s.vec_id IN (SELECT src FROM bidir)
+    WHERE s.vec_id <> q.query_id
+  ) WHERE rk = 1
+)
+SELECT w.query_id,
+       (SELECT node FROM l1entry) AS entry_node,
+       sd.cur AS l1_seed,
+       w.cur AS final_node,
+       ROUND({_walk_cos_duck("q", "s")}, 6) AS final_cosine,
+       t.best_node AS truth_node,
+       CAST(w.cur = t.best_node AS INT) AS hit_top1
+FROM w0_{HNSW_L0_HOPS} w
+JOIN seed sd ON sd.query_id = w.query_id
+JOIN qv q ON q.query_id = w.query_id
+JOIN scored s ON s.vec_id = w.cur
+JOIN truth t ON t.query_id = w.query_id
+"""
+
+
+@register(
+    "sim_ann_hnsw_greedy_layered",
+    tags=("llm", "similarity", "graph", "ann", "hnsw"),
+    oracle=_hnsw_walk_oracle().format(
+        # the CTE block carries its own placeholders — resolve them first,
+        # then splice (str.format never rescans substituted values)
+        ctes=_KNN_GRAPH_CTES.format(
+            scores=_ivf_scores_duck(), pair_dot=_knn_pair_dot_duck()
+        ),
+        pair_dot=_knn_pair_dot_duck(),
+    ),
+)
+def sim_ann_hnsw_greedy_layered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-layer navigable-graph search (HNSW-shaped, Malkov & Yashunin
+    2016): a sparse UPPER layer — an expected 1/{HNSW_SKIP} of the graph
+    nodes by a content-addressed md5 level rule, wired with DIRECTED
+    top-{HNSW_L1_K} within-cell cosine edges (HNSW layer edges are not
+    reciprocal-filtered) — is walked greedily for {HNSW_L1_HOPS} hops
+    from the minimum layer-1 node; its terminal SEEDS the layer-0 walk
+    ({HNSW_L0_HOPS} greedy hops over the bidirectional mutual-kNN
+    graph). Compared to ``sim_ann_graph_greedy``'s flat walk from a
+    fixed entry, the descent starts layer 0 near the query — the
+    recall-per-hop argument that makes hierarchical graphs the serving
+    default. Output: per query the entry, the layer-1 seed, the final
+    node with its exact cosine, and hit_top1 against the true best
+    reachable graph node.
+
+    Scale shape: the layer-1 graph build is the mutual-graph build
+    restricted to the sampled nodes — within-cell self-join on the
+    centroid id, candidate volume sum(cell_sample²) ≈ 1/{HNSW_SKIP}² of
+    the layer-0 build; both walks are fixed-step frontier joins
+    (N_QUERIES rows broadcast per hop against the partitioned edge
+    lists); the level rule is a map-side expression, so layer
+    assignment shuffles nothing. The oracle unrolls BOTH walks as CTE
+    chains — the full hierarchical descent is hash-checked hop by hop."""
+    emb = with_sq_norm(spread_small(load_table(spark, sf_dir, "embeddings")))
+    reps = with_sq_norm(
+        spread_small(load_table(spark, sf_dir, "embeddings"))
+        .groupBy("embedding")
+        .agg(F.min("vec_id").alias("vec_id"))
+    )
+    assigned = reps.select(
+        "vec_id", "embedding", "sq_norm",
+        F.expr(_ivf_scores_spark()).alias("scores"),
+    ).select(
+        "vec_id",
+        "embedding",
+        "sq_norm",
+        (F.expr("array_position(scores, array_min(scores))") - 1)
+        .cast("int")
+        .alias("cent"),
+    )
+    lvl = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("lvl:"), F.col("vec_id").cast("string"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("long")
+        % HNSW_SKIP
+        == 0
+    )
+    l1m = assigned.filter(lvl)
+    a = l1m.select(
+        "cent",
+        F.col("vec_id").alias("ai"),
+        F.col("embedding").alias("a_emb"),
+        F.col("sq_norm").alias("a_sq"),
+    )
+    b = l1m.select(
+        F.col("cent").alias("b_cent"),
+        F.col("vec_id").alias("bi"),
+        F.col("embedding").alias("b_emb"),
+        F.col("sq_norm").alias("b_sq"),
+    )
+    l1pairs = a.join(
+        b, (F.col("cent") == F.col("b_cent")) & (F.col("ai") < F.col("bi"))
+    ).select(
+        "ai",
+        "bi",
+        (
+            dot_exact(F.col("a_emb"), F.col("b_emb"))
+            / (F.sqrt("a_sq") * F.sqrt("b_sq"))
+        ).alias("cosine"),
+    )
+    l1directed = l1pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("ai").alias("src"), F.col("bi").alias("dst")),
+                F.struct(F.col("bi").alias("src"), F.col("ai").alias("dst")),
+            )
+        ).alias("e"),
+        "cosine",
+    ).select("e.src", "e.dst", "cosine")
+    l1edges = (
+        l1directed.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
+            ),
+        )
+        .filter(F.col("rk") <= HNSW_L1_K)
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    l1entry = l1m.agg(F.min("vec_id").alias("entry_node"))
+    edges = _mutual_graph_persisted(spark, sf_dir).select("vec_a", "vec_b")
+    bidir = edges.select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    ).unionAll(
+        edges.select(F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"))
+    )
+    qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("sq_norm").alias("q_sq"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("cand"),
+        F.col("embedding").alias("c_emb"),
+        F.col("sq_norm").alias("c_sq"),
+    )
+    cos = dot_exact(F.col("q_emb"), F.col("c_emb")) / (
+        F.sqrt("q_sq") * F.sqrt("c_sq")
+    )
+
+    def argmax(scored: DataFrame) -> DataFrame:
+        return (
+            scored.groupBy("query_id")
+            .agg(
+                F.max(
+                    F.struct(F.col("_cos"), (-F.col("cand")).alias("_nc"))
+                ).alias("_m")
+            )
+            .select("query_id", (-F.col("_m._nc")).alias("cand"))
+        )
+
+    def best(cand_df: DataFrame) -> DataFrame:
+        scored = (
+            F.broadcast(cand_df.filter(F.col("cand") != F.col("query_id")))
+            .join(corpus, "cand")
+            .join(F.broadcast(qv), "query_id")
+            .withColumn("_cos", cos)
+        )
+        return argmax(scored)
+
+    def hop(walk: DataFrame, edge_df: DataFrame) -> DataFrame:
+        cand = walk.join(edge_df, walk["cur"] == edge_df["src"]).select(
+            "query_id", F.col("dst").alias("cand")
+        ).unionAll(walk.select("query_id", F.col("cur").alias("cand")))
+        return (
+            best(cand)
+            .select("query_id", F.col("cand").alias("cur"))
+            .localCheckpoint()
+        )
+
+    walk = qv.select("query_id").crossJoin(F.broadcast(l1entry)).select(
+        "query_id", F.col("entry_node").alias("cur")
+    )
+    for _ in range(HNSW_L1_HOPS):
+        walk = hop(walk, l1edges)
+    seed = walk.select("query_id", F.col("cur").alias("l1_seed")).localCheckpoint()
+    walk = seed.select("query_id", F.col("l1_seed").alias("cur"))
+    for _ in range(HNSW_L0_HOPS):
+        walk = hop(walk, bidir)
+    nodes = bidir.select(F.col("src").alias("cand")).distinct()
+    truth_scored = (
+        corpus.join(nodes, "cand")
+        .crossJoin(F.broadcast(qv))
+        .filter(F.col("cand") != F.col("query_id"))
+        .withColumn("_cos", cos)
+    )
+    truth = argmax(truth_scored).select(
+        "query_id", F.col("cand").alias("truth_node")
+    )
+    final = (
+        walk.select("query_id", F.col("cur").alias("cand"))
+        .join(corpus, "cand")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            F.col("cand").alias("final_node"),
+            F.round(cos, 6).alias("final_cosine"),
+        )
+    )
+    return (
+        final.crossJoin(F.broadcast(l1entry))
+        .join(seed, "query_id")
+        .join(truth, "query_id")
+        .select(
+            "query_id",
+            "entry_node",
+            "l1_seed",
+            "final_node",
+            "final_cosine",
+            "truth_node",
+            (F.col("final_node") == F.col("truth_node")).cast("int").alias(
+                "hit_top1"
+            ),
+        )
+    )
