@@ -665,3 +665,76 @@ def test_winnowing_plan_no_cartesian(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "dedup_winnowing")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_did_is_aggregates_plus_broadcasts(spark, sf_dir):
+    """DiD = the CUPED budget minus the second moments: one user-grain
+    aggregate + a 2-row variant rollup; bounds and the lift self-product
+    ride broadcasts. No sort-merge join anywhere."""
+    plan = plan_of(spark, sf_dir, "events_did_readout")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_market_basket_pair_join_is_order_keyed(spark, sf_dir):
+    """The pair generator must be the l_orderkey equi-self-join — never a
+    cartesian; the only nested-loop join is the broadcast 1-row n_orders
+    scalar."""
+    plan = plan_of(spark, sf_dir, "orders_market_basket")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_equidepth_windows_are_bucket_partitioned(spark, sf_dir):
+    """The two-phase selection may window ONLY per probe bucket (phase 2
+    slivers); the lone nested-loop join is the 9-tile x bucket-list
+    locator, both sides config-sized. No global-partition row_number over
+    the fact table."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "profile_histogram_equidepth")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    for ln in plan.splitlines():
+        if re.search(r"row_number\(\) windowspecdefinition\(", ln):
+            assert "windowspecdefinition(bucket" in ln, ln
+
+
+def test_substring_spans_all_doc_partitioned_no_pair_join(spark, sf_dir):
+    """No pair join exists anywhere in the span metric (the df>=2
+    semi-join replaces it): no cartesian, no nested loop, and every
+    window partitions on doc_id."""
+    plan = plan_of(spark, sf_dir, "text_substring_dedup_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for ln in plan.splitlines():
+        if "windowspecdefinition(" in ln:
+            assert "windowspecdefinition(doc_id" in ln, ln
+
+
+def test_snm_multipass_stays_equi_join(spark, sf_dir):
+    """Both passes keep the (block, rank-band) bucket trick: hash/sort
+    equi-joins only — a theta neighborhood join would BNLJ."""
+    plan = plan_of(spark, sf_dir, "dedup_snm_multipass")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rake_is_doc_partitioned(spark, sf_dir):
+    """RAKE is per-document by definition: no join wider than (doc_id,
+    tok), no cartesian/NLJ, every window partitioned on doc_id."""
+    plan = plan_of(spark, sf_dir, "text_rake_keywords")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for ln in plan.splitlines():
+        if "windowspecdefinition(" in ln:
+            assert "windowspecdefinition(doc_id" in ln, ln
+
+
+def test_hnsw_layered_bounded_broadcast_nlj(spark, sf_dir):
+    """The layered walk may nested-loop only on broadcast scalar/query
+    frames (entry rows, the 20-query truth scan); the layer-1 graph
+    build and every hop join stay equi-keyed. No cartesian."""
+    plan = plan_of(spark, sf_dir, "sim_ann_hnsw_greedy_layered")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 3

@@ -1343,15 +1343,24 @@ def profile_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # tiny theta join (<= 9 tiles x ~range/W buckets, both broadcast-sized):
     # rank k lands in the unique bucket with cum - cnt < k <= cum
-    located = tiles.join(
-        F.broadcast(cum),
-        (F.col("boundary_rank") <= F.col("cum"))
-        & (F.col("boundary_rank") > F.col("cum") - F.col("cnt")),
-    ).select(
-        "tile",
-        "boundary_rank",
-        "bucket",
-        (F.col("boundary_rank") - (F.col("cum") - F.col("cnt"))).alias("local_rank"),
+    # <= EQD_TILES-1 rows consumed by BOTH the hot-bucket list and the
+    # final rank join — materialize once so the locator subtree (and its
+    # tiny nested-loop join) doesn't replay per consumer
+    located = (
+        tiles.join(
+            F.broadcast(cum),
+            (F.col("boundary_rank") <= F.col("cum"))
+            & (F.col("boundary_rank") > F.col("cum") - F.col("cnt")),
+        )
+        .select(
+            "tile",
+            "boundary_rank",
+            "bucket",
+            (F.col("boundary_rank") - (F.col("cum") - F.col("cnt"))).alias(
+                "local_rank"
+            ),
+        )
+        .localCheckpoint()
     )
     # phase 2: window ONLY the boundary buckets, partitioned by bucket
     hot = located.select("bucket").distinct()
