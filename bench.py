@@ -223,6 +223,14 @@ HEADLINE = [
     "embedding_outlier_knn",
     "dedup_sorted_neighborhood",
     "dedup_winnowing",
+    # --- third r11 work session (ROUND12_PREP candidates, built early) ---
+    "events_did_readout",
+    "orders_market_basket",
+    "profile_histogram_equidepth",
+    "text_substring_dedup_spans",
+    "dedup_snm_multipass",
+    "text_rake_keywords",
+    "sim_ann_hnsw_greedy_layered",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

@@ -372,6 +372,25 @@ QUERIES = (
     # replica's 10x events/customers... customers are replica-FIXED, so
     # the seed is constant and the merge delta grows with events).
     "stream_merge_cow_sink",
+    # r11 third session: DiD is the CUPED budget minus second moments
+    # (events scale -> ~linear); market basket's pair join is bounded by
+    # basket-size^2 per order with baskets preserved per replica
+    # (~linear); equi-depth is one bucket-grain aggregate + windows over
+    # <= 9 boundary buckets (~linear); the span metric is the linear
+    # occurrence semi-join (no pair join exists — on the all-clones
+    # replica the shared set grows but hits stay one row per occurrence);
+    # multipass SNM doubles the single-pass budget (two key orders, one
+    # verify); RAKE is per-document by definition; the layered walk
+    # inherits the kNN graph's clone collapse, so the layer-1 build on
+    # representatives is replica-FIXED and the walks are query-count
+    # bounded (~1x plus the scan).
+    "events_did_readout",
+    "orders_market_basket",
+    "profile_histogram_equidepth",
+    "text_substring_dedup_spans",
+    "dedup_snm_multipass",
+    "text_rake_keywords",
+    "sim_ann_hnsw_greedy_layered",
 )
 # Replica multiple for the scaled corpus. Default 10; override with
 # SPARK_GRAFT_REPLICAS (e.g. 100) for a two-decade probe on a focused
