@@ -231,6 +231,7 @@ HEADLINE = [
     "dedup_snm_multipass",
     "text_rake_keywords",
     "sim_ann_hnsw_greedy_layered",
+    "text_substring_dedup_trim",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

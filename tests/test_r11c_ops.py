@@ -472,3 +472,50 @@ def test_hnsw_layered_walk_reproduces_from_pure_python(spark, sf_dir):
         )
     # the hierarchy must navigate better than chance at the gate SF
     assert sum(r.hit_top1 for r in rows) > 0
+
+
+def test_substring_trim_agrees_with_span_metric(spark, sf_dir):
+    """The trim is the metric's complement, row for row: kept_tok =
+    n_tok - covered_tok; the trimmed text has exactly kept_tok tokens;
+    zero-coverage documents come back verbatim; and re-splitting the
+    trimmed text reproduces the python interval-union keep set."""
+    import duckdb
+    from collections import defaultdict
+
+    from vena_etl_tool_spark.operators.dedup import (
+        SPAN_K,
+        text_substring_dedup_spans,
+        text_substring_dedup_trim,
+    )
+
+    spans = {r.doc_id: r for r in text_substring_dedup_spans(spark, sf_dir).collect()}
+    trims = {r.doc_id: r for r in text_substring_dedup_trim(spark, sf_dir).collect()}
+    assert set(spans) == set(trims)
+
+    con = duckdb.connect()
+    docs = dict(
+        con.execute(
+            f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    )
+    grams: dict[tuple, set[int]] = defaultdict(set)
+    for doc_id, text in docs.items():
+        toks = text.split(" ")
+        for i in range(len(toks) - SPAN_K + 1):
+            grams[tuple(toks[i : i + SPAN_K])].add(doc_id)
+    for doc_id, text in docs.items():
+        toks = text.split(" ")
+        covered: set[int] = set()
+        for i in range(len(toks) - SPAN_K + 1):
+            if len(grams[tuple(toks[i : i + SPAN_K])]) >= 2:
+                covered.update(range(i, i + SPAN_K))
+        expect = " ".join(t for i, t in enumerate(toks) if i not in covered)
+        t, s = trims[doc_id], spans[doc_id]
+        assert t.kept_tok == s.n_tok - s.covered_tok
+        assert t.trimmed_text == expect
+        if s.covered_tok == 0:
+            assert t.trimmed_text == text
+        if t.kept_tok:
+            assert len(t.trimmed_text.split(" ")) == t.kept_tok
+        else:
+            assert t.trimmed_text == ""

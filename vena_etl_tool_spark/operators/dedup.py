@@ -3320,3 +3320,150 @@ def dedup_snm_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
         jac.alias("jaccard_ppm"),
         (jac >= SNM_MATCH_PPM).alias("is_match"),
     )
+
+
+_SPAN_TRIM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+), ntok AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+), kg AS (
+  SELECT doc_id, pos,
+         md5(concat_ws(' ', tok, {_SPAN_LEADS})) AS h,
+         lead(tok, {SPAN_K - 1}) OVER w AS t_last
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), kgo AS (
+  SELECT doc_id, pos, h FROM kg WHERE t_last IS NOT NULL
+), shared AS (
+  SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS df FROM kgo GROUP BY h)
+  WHERE df >= 2
+), hits AS (
+  SELECT DISTINCT doc_id, pos FROM kgo JOIN shared USING (h)
+), flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                   OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                      > {SPAN_K}
+              THEN 1 ELSE 0 END AS brk
+  FROM hits
+), islands AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM flagged
+), isl_span AS (
+  SELECT doc_id, isl, MIN(pos) AS minp, MAX(pos) AS maxp
+  FROM islands GROUP BY 1, 2
+), covered AS (
+  SELECT DISTINCT doc_id, unnest(range(minp, maxp + {SPAN_K})) AS pos
+  FROM isl_span
+), kept AS (
+  SELECT t.doc_id,
+         COALESCE(string_agg(t.tok, ' ' ORDER BY t.pos), '') AS trimmed_text,
+         CAST(COUNT(t.tok) AS BIGINT) AS kept_tok
+  FROM toks t LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.pos = t.pos
+  WHERE c.pos IS NULL
+  GROUP BY t.doc_id
+)
+SELECT n.doc_id, n.n_tok,
+       COALESCE(k.kept_tok, 0) AS kept_tok,
+       COALESCE(k.trimmed_text, '') AS trimmed_text
+FROM ntok n LEFT JOIN kept k USING (doc_id)
+"""
+
+
+@register(
+    "text_substring_dedup_trim",
+    tags=("llm", "dedup", "substring", "trim"),
+    oracle=_SPAN_TRIM_ORACLE,
+)
+def text_substring_dedup_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INTERVENTION ``text_substring_dedup_spans`` only measures:
+    remove every token inside a duplicated >= {SPAN_K}-token run (Lee,
+    Ippolito et al. 2021 cut the shared substring from all but one
+    occurrence; this is the strict all-occurrences variant, the
+    conservative training-set posture) and emit the trimmed document.
+    Output per document: original and kept token counts plus the
+    trimmed text itself — the actual corpus a downstream tokenizer
+    would consume, hash-checked verbatim.
+
+    Distributed shape: identical to the span metric (no pair join — the
+    df >= 2 semi-join marks shared k-grams) plus one islands expansion:
+    covered positions explode from the per-island [min, max + k - 1]
+    ranges (bounded by each doc's token count), the keep set is one
+    LEFT ANTI join on (doc, pos), and reassembly is a per-doc ordered
+    concat — all partitioned on doc_id, text bodies shuffle exactly
+    once (into the final concat)."""
+    docs = spread_small(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    ntok = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    kg = toks.select(
+        "doc_id",
+        "pos",
+        F.md5(
+            F.concat_ws(
+                " ",
+                "tok",
+                *[F.lead("tok", i).over(wdoc) for i in range(1, SPAN_K)],
+            )
+        ).alias("h"),
+        F.lead("tok", SPAN_K - 1).over(wdoc).alias("t_last"),
+    ).filter(F.col("t_last").isNotNull()).select("doc_id", "pos", "h")
+    kgo = kg.localCheckpoint()
+    shared = (
+        kgo.select("h", "doc_id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("h")
+    )
+    hits = kgo.join(shared, "h").select("doc_id", "pos").distinct()
+    prev = F.lag("pos").over(wdoc)
+    islands = hits.withColumn(
+        "brk",
+        F.when(prev.isNull() | (F.col("pos") - prev > SPAN_K), 1).otherwise(0),
+    ).withColumn(
+        "isl", F.sum("brk").over(wdoc.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    covered = (
+        islands.groupBy("doc_id", "isl")
+        .agg(F.min("pos").alias("minp"), F.max("pos").alias("maxp"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("minp"), F.col("maxp") + (SPAN_K - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = (
+        toks.join(covered, ["doc_id", "pos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s.tok,
+                ),
+            ).alias("trimmed_text"),
+            F.count(F.lit(1)).cast("long").alias("kept_tok"),
+        )
+    )
+    return (
+        ntok.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            F.coalesce("kept_tok", F.lit(0)).cast("long").alias("kept_tok"),
+            F.coalesce("trimmed_text", F.lit("")).alias("trimmed_text"),
+        )
+    )
