@@ -232,6 +232,7 @@ HEADLINE = [
     "text_rake_keywords",
     "sim_ann_hnsw_greedy_layered",
     "text_substring_dedup_trim",
+    "profile_correlation_matrix",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

@@ -519,3 +519,53 @@ def test_substring_trim_agrees_with_span_metric(spark, sf_dir):
             assert len(t.trimmed_text.split(" ")) == t.kept_tok
         else:
             assert t.trimmed_text == ""
+
+
+def test_correlation_matrix_reproduces_from_pure_python(spark, sf_dir):
+    """Recompute every pairwise correlation with exact python ints (and
+    one final float sqrt/division, as specced) over the same parquet and
+    require equality — plus the Pearson bounds and the known TPC-H
+    structure (quantity drives extendedprice; discount/tax are
+    independent draws, near-zero corr)."""
+    import math
+
+    import duckdb
+
+    from vena_etl_tool_spark.operators.aggregates import (
+        profile_correlation_matrix,
+    )
+
+    rows = {(r.col_a, r.col_b): r for r in profile_correlation_matrix(spark, sf_dir).collect()}
+    assert len(rows) == 6
+
+    con = duckdb.connect()
+    data = con.execute(
+        f"""SELECT CAST(l_quantity AS BIGINT),
+                   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT),
+                   CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT),
+                   CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT)
+            FROM '{sf_dir}/lineitem.parquet'"""
+    ).fetchall()
+    cols = list(zip(*data))
+    names = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    n = len(data)
+    for i in range(4):
+        for j in range(i + 1, 4):
+            x, y = cols[i], cols[j]
+            sx, sy = sum(x), sum(y)
+            sxx = sum(v * v for v in x)
+            syy = sum(v * v for v in y)
+            sxy = sum(a * b for a, b in zip(x, y))
+            num = n * sxy - sx * sy
+            dx, dy = n * sxx - sx * sx, n * syy - sy * sy
+            expect = round(float(num) / (math.sqrt(float(dx)) * math.sqrt(float(dy))), 6)
+            r = rows[(names[i], names[j])]
+            assert r.n_rows == n
+            assert r.corr == pytest.approx(expect, abs=0)
+            assert -1.0 <= r.corr <= 1.0
+    # structural sanity: the fixture's numeric columns are independent
+    # draws (unlike real TPC-H, extendedprice does NOT derive from
+    # quantity here), so every pair sits near zero — but the six exact
+    # values still differ, so the hash gate has discriminating power
+    assert all(abs(r.corr) < 0.2 for r in rows.values())
+    assert len({r.corr for r in rows.values()}) == 6

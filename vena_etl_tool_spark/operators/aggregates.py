@@ -1384,3 +1384,122 @@ def profile_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderkey").alias("boundary_orderkey"),
         )
     )
+
+
+# --- Pearson correlation matrix (profiling) ---------------------------------
+# Integer measurement units per column (exact moments): quantity is whole,
+# money/rate columns scale to cents / percent points.
+_CORR_COLS = (
+    ("l_quantity", "CAST(l_quantity AS BIGINT)"),
+    ("l_extendedprice", "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"),
+    ("l_discount", "CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)"),
+    ("l_tax", "CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT)"),
+)
+
+
+def _corr_expr(dec: str) -> str:
+    """Shared corr formula over exact integer moments (n, sx, sy, sxx,
+    syy, sxy already cast to ``dec``): numerator and variance terms are
+    exact 128-bit integers; the one float step is the final
+    correctly-rounded double division + sqrt (the cosine discipline),
+    rounded to 6 dp on both engines."""
+    num = "(n * sxy - sx * sy)"
+    dx = "(n * sxx - sx * sx)"
+    dy = "(n * syy - sy * sy)"
+    return (
+        f"CASE WHEN {dx} > 0 AND {dy} > 0 THEN "
+        f"ROUND(CAST({num} AS DOUBLE) / (SQRT(CAST({dx} AS DOUBLE)) * "
+        f"SQRT(CAST({dy} AS DOUBLE))), 6) ELSE NULL END"
+    )
+
+
+def _corr_oracle() -> str:
+    aggs = [f"CAST(COUNT(*) AS HUGEINT) AS n"]
+    for name, unit in _CORR_COLS:
+        c = name.split("_", 1)[1]
+        aggs.append(f"SUM(CAST({unit} AS HUGEINT)) AS s_{c}")
+        aggs.append(
+            f"SUM(CAST({unit} AS HUGEINT) * CAST({unit} AS HUGEINT)) AS s_{c}{c}"
+        )
+    pairs = []
+    names = [n for n, _ in _CORR_COLS]
+    for i, (na, ua) in enumerate(_CORR_COLS):
+        for nb, ub in _CORR_COLS[i + 1 :]:
+            a, b = na.split("_", 1)[1], nb.split("_", 1)[1]
+            aggs.append(
+                f"SUM(CAST({ua} AS HUGEINT) * CAST({ub} AS HUGEINT)) AS s_{a}{b}"
+            )
+            pairs.append(
+                f"SELECT '{na}' AS col_a, '{nb}' AS col_b, CAST(n AS BIGINT) AS n_rows, "
+                f"{_corr_expr('HUGEINT')} AS corr FROM "
+                f"(SELECT n, s_{a} AS sx, s_{b} AS sy, s_{a}{a} AS sxx, "
+                f"s_{b}{b} AS syy, s_{a}{b} AS sxy FROM m)"
+            )
+    return (
+        "WITH m AS (SELECT " + ", ".join(aggs) + " FROM lineitem)\n"
+        + "\nUNION ALL\n".join(pairs)
+    )
+
+
+@register(
+    "profile_correlation_matrix",
+    tags=("aggregate", "profiling", "statistics", "correlation"),
+    oracle=_corr_oracle(),
+)
+def profile_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations over lineitem's numeric columns —
+    the profiling primitive behind feature selection and drift root-
+    causing (which columns move together), as a 6-row matrix upper
+    triangle. Both engines' native corr() aggregates in floating point
+    with merge-order-dependent rounding, so the portable form computes
+    EXACT integer sufficient statistics (each column scaled to whole
+    units — cents / percent points; sums, squares and cross products in
+    128-bit integers, one map-side-combinable pass for all 15 moments)
+    and spends its single float step on the final correctly-rounded
+    double division + sqrt, rounded to 6 dp — the cosine discipline.
+
+    Scale shape: ONE scan, one 15-aggregate map-side-combined reduce to
+    a single row, and a 6-row projection from that row. The cheapest
+    possible correlation matrix at any table size; adding columns grows
+    the moment count quadratically but the plan shape not at all."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("n")]
+    for name, unit in _CORR_COLS:
+        c = name.split("_", 1)[1]
+        u = F.expr(unit).cast("decimal(38,0)")
+        aggs.append(F.sum(u).alias(f"s_{c}"))
+        aggs.append(F.sum(u * u).alias(f"s_{c}{c}"))
+    for i, (na, ua) in enumerate(_CORR_COLS):
+        for nb, ub in _CORR_COLS[i + 1 :]:
+            a, b = na.split("_", 1)[1], nb.split("_", 1)[1]
+            aggs.append(
+                F.sum(
+                    F.expr(ua).cast("decimal(38,0)") * F.expr(ub).cast("decimal(38,0)")
+                ).alias(f"s_{a}{b}")
+            )
+    # ONE row feeding six pair projections — materialize it so the full
+    # scan + 15-moment aggregate doesn't replay per output row
+    m = li.agg(*aggs).localCheckpoint()
+    outs = []
+    for i, (na, _) in enumerate(_CORR_COLS):
+        for nb, _ in _CORR_COLS[i + 1 :]:
+            a, b = na.split("_", 1)[1], nb.split("_", 1)[1]
+            outs.append(
+                m.selectExpr(
+                    f"'{na}' AS col_a",
+                    f"'{nb}' AS col_b",
+                    "CAST(n AS BIGINT) AS n_rows",
+                    f"s_{a} AS sx",
+                    f"s_{b} AS sy",
+                    f"s_{a}{a} AS sxx",
+                    f"s_{b}{b} AS syy",
+                    f"s_{a}{b} AS sxy",
+                    "n",
+                ).selectExpr(
+                    "col_a", "col_b", "n_rows", f"{_corr_expr('DECIMAL(38,0)')} AS corr"
+                )
+            )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
