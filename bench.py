@@ -233,6 +233,7 @@ HEADLINE = [
     "sim_ann_hnsw_greedy_layered",
     "text_substring_dedup_trim",
     "profile_correlation_matrix",
+    "orders_pareto_abc",
 ]
 
 # The 49-query r5 headline, FROZEN as an explicit list (not computed from

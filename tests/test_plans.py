@@ -738,3 +738,39 @@ def test_hnsw_layered_bounded_broadcast_nlj(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "sim_ann_hnsw_greedy_layered")
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 3
+
+
+def test_substring_trim_stays_doc_partitioned(spark, sf_dir):
+    """The trim inherits the span metric's topology: no pair join, no
+    cartesian/NLJ, windows on doc_id only (the covered-positions explode
+    and the anti keep-join are doc-keyed)."""
+    plan = plan_of(spark, sf_dir, "text_substring_dedup_trim")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for ln in plan.splitlines():
+        if "windowspecdefinition(" in ln:
+            assert "windowspecdefinition(doc_id" in ln, ln
+
+
+def test_correlation_matrix_is_one_checkpointed_pass(spark, sf_dir):
+    """All 15 moments come from ONE checkpointed scan-aggregate; the six
+    pair rows are projections of that row — no join of any kind in the
+    final plan."""
+    plan = plan_of(spark, sf_dir, "profile_correlation_matrix")
+    for bad in ("SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan, bad
+
+
+def test_pareto_abc_windows_are_band_partitioned(spark, sf_dir):
+    """The cumulative decomposition may window part-grain rows ONLY per
+    revenue band; the lone nested-loop join is the broadcast 1-row total.
+    (The tiny descending band-list window is checkpointed out of this
+    plan.)"""
+    import re
+
+    plan = plan_of(spark, sf_dir, "orders_pareto_abc")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    for ln in plan.splitlines():
+        if re.search(r"row_number\(\) windowspecdefinition\(", ln):
+            assert "windowspecdefinition(band" in ln, ln

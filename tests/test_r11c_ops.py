@@ -569,3 +569,47 @@ def test_correlation_matrix_reproduces_from_pure_python(spark, sf_dir):
     # values still differ, so the hash gate has discriminating power
     assert all(abs(r.corr) < 0.2 for r in rows.values())
     assert len({r.corr for r in rows.values()}) == 6
+
+
+def test_pareto_abc_reproduces_from_pure_python(spark, sf_dir):
+    """Recompute the whole ABC table in pure python (exact e-4 revenue,
+    global sort, inclusive cumulative, ppm shares, class cuts) and
+    require equality — the two-phase band decomposition must equal the
+    textbook global formulation exactly."""
+    import duckdb
+
+    from vena_etl_tool_spark.operators.analytics import (
+        ABC_A_PPM,
+        ABC_B_PPM,
+        orders_pareto_abc,
+    )
+
+    rows = {r.l_partkey: r for r in orders_pareto_abc(spark, sf_dir).collect()}
+
+    con = duckdb.connect()
+    rev = con.execute(
+        f"""SELECT l_partkey,
+                   SUM(CAST(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(18,4)) * 10000 AS BIGINT))
+            FROM '{sf_dir}/lineitem.parquet' GROUP BY 1"""
+    ).fetchall()
+    rev = [(pk, int(r)) for pk, r in rev]
+    rev.sort(key=lambda t: (-t[1], t[0]))
+    total = sum(r for _, r in rev)
+    assert len(rows) == len(rev)
+    cum = 0
+    for rnk, (pk, r_e4) in enumerate(rev, start=1):
+        cum += r_e4
+        ppm = cum * 1_000_000 // total
+        cls = "A" if ppm <= ABC_A_PPM else ("B" if ppm <= ABC_B_PPM else "C")
+        r = rows[pk]
+        assert (r.rnk, r.rev_e4, r.cum_rev_e4, r.cum_ppm, r.abc_class) == (
+            rnk,
+            r_e4,
+            cum,
+            ppm,
+            cls,
+        )
+    # all three classes appear and ranks are a permutation of 1..n
+    assert {r.abc_class for r in rows.values()} == {"A", "B", "C"}
+    assert sorted(r.rnk for r in rows.values()) == list(range(1, len(rev) + 1))

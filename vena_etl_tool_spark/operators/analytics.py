@@ -2257,3 +2257,131 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift_ppm"),
         )
     )
+
+
+# --- Pareto / ABC inventory classification ----------------------------------
+# Revenue band width for the two-phase cumulative decomposition, in e-4
+# dollar units ($10k bands): phase 1 aggregates band totals (tiny), phase 2
+# windows only WITHIN bands, so no global part-grain single-partition
+# window exists. Class cut points are the classic 70/90 cumulative shares.
+ABC_BAND_E4 = 100_000_000
+ABC_A_PPM = 700_000
+ABC_B_PPM = 900_000
+_ABC_CLASS = (
+    "CASE WHEN cum_ppm <= {a} THEN 'A' WHEN cum_ppm <= {b} THEN 'B' "
+    "ELSE 'C' END"
+).format(a=ABC_A_PPM, b=ABC_B_PPM)
+
+
+@register(
+    "orders_pareto_abc",
+    tags=("orders", "analytics", "pareto", "abc"),
+    oracle=f"""
+WITH rev AS (
+  SELECT l_partkey,
+         SUM(CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                  * 10000 AS BIGINT)) AS rev_e4
+  FROM lineitem GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(rev_e4) AS HUGEINT) AS total FROM rev
+), ranked AS (
+  SELECT l_partkey, rev_e4,
+         ROW_NUMBER() OVER (ORDER BY rev_e4 DESC, l_partkey) AS rnk,
+         SUM(rev_e4) OVER (ORDER BY rev_e4 DESC, l_partkey
+                           ROWS UNBOUNDED PRECEDING) AS cum_rev_e4
+  FROM rev
+), shared AS (
+  SELECT l_partkey, CAST(rnk AS BIGINT) AS rnk,
+         CAST(rev_e4 AS BIGINT) AS rev_e4,
+         CAST(cum_rev_e4 AS BIGINT) AS cum_rev_e4,
+         CAST(CAST(cum_rev_e4 AS HUGEINT) * 1000000 // t.total AS BIGINT)
+           AS cum_ppm
+  FROM ranked CROSS JOIN tot t
+)
+SELECT l_partkey, rnk, rev_e4, cum_rev_e4, cum_ppm,
+       {_ABC_CLASS} AS abc_class
+FROM shared
+""",
+)
+def orders_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC inventory classification — every part ranked by its
+    exact lifetime revenue with the INCLUSIVE cumulative revenue share
+    (integer ppm) and the classic A (top {ABC_A_PPM // 10000}%) /
+    B (to {ABC_B_PPM // 10000}%) / C class, the analytics primitive
+    behind stock-policy and SKU-rationalization reporting.
+
+    The Spark side is the TWO-PHASE cumulative decomposition (the
+    equi-depth selection's trick applied to running sums): phase 1
+    buckets parts into $10k revenue bands and aggregates band totals and
+    counts — a tiny list whose descending cumulative is one window over
+    ~dozens of rows; phase 2 windows only WITHIN each band (partitioned
+    by band), and each part's global rank / cumulative revenue is the
+    higher-bands total plus its intra-band running value. No global
+    part-grain single-partition window exists anywhere; the oracle IS
+    the direct global-window formulation, so the gate cross-checks the
+    decomposition against the textbook definition.
+
+    Exactness: per-row revenue is the deterministic double product cast
+    to DECIMAL(18,4), summed in exact e-4-dollar integers; the share is
+    integer ppm with a 128-bit numerator."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))"
+                    " * 10000 AS BIGINT)"
+                )
+            ).alias("rev_e4")
+        )
+        .withColumn("band", F.expr(f"rev_e4 div {ABC_BAND_E4}"))
+    )
+    bands = rev.groupBy("band").agg(
+        F.sum("rev_e4").alias("band_rev"), F.count(F.lit(1)).alias("band_cnt")
+    )
+    # descending cumulative over the ~dozens-row band list, then shift to
+    # the EXCLUSIVE higher-bands prefix each member adds its running value to
+    wband = Window.orderBy(F.col("band").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    bands = bands.select(
+        "band",
+        (F.sum("band_rev").over(wband) - F.col("band_rev")).alias("above_rev"),
+        (F.sum("band_cnt").over(wband) - F.col("band_cnt")).alias("above_cnt"),
+    ).localCheckpoint()
+    tot = rev.agg(F.sum("rev_e4").cast("decimal(38,0)").alias("total"))
+    wintra = Window.partitionBy("band").orderBy(
+        F.col("rev_e4").desc(), F.col("l_partkey")
+    )
+    return (
+        rev.join(F.broadcast(bands), "band")
+        .select(
+            "l_partkey",
+            (F.col("above_cnt") + F.row_number().over(wintra)).cast("long").alias(
+                "rnk"
+            ),
+            "rev_e4",
+            (
+                F.col("above_rev")
+                + F.sum("rev_e4").over(wintra.rowsBetween(Window.unboundedPreceding, 0))
+            )
+            .cast("long")
+            .alias("cum_rev_e4"),
+        )
+        .join(F.broadcast(tot), F.lit(True))
+        .withColumn(
+            "cum_ppm",
+            F.expr(
+                "CAST(CAST(cum_rev_e4 AS DECIMAL(38,0)) * 1000000 div total AS BIGINT)"
+            ),
+        )
+        .select(
+            "l_partkey",
+            "rnk",
+            "rev_e4",
+            "cum_rev_e4",
+            "cum_ppm",
+            F.expr(_ABC_CLASS).alias("abc_class"),
+        )
+    )
