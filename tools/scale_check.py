@@ -391,6 +391,14 @@ QUERIES = (
     "dedup_snm_multipass",
     "text_rake_keywords",
     "sim_ann_hnsw_greedy_layered",
+    # r11 third session (cont.): the trim is the span metric plus one
+    # islands expansion + anti join (same no-pair-join class); the
+    # correlation matrix is ONE 15-moment map-side-combined pass
+    # (~linear scan, constant output); ABC is a part-grain aggregate +
+    # band-partitioned windows (~linear, catalog-grain output).
+    "text_substring_dedup_trim",
+    "profile_correlation_matrix",
+    "orders_pareto_abc",
 )
 # Replica multiple for the scaled corpus. Default 10; override with
 # SPARK_GRAFT_REPLICAS (e.g. 100) for a two-decade probe on a focused
