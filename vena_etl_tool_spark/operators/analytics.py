@@ -2294,8 +2294,10 @@ WITH rev AS (
   SELECT l_partkey, CAST(rnk AS BIGINT) AS rnk,
          CAST(rev_e4 AS BIGINT) AS rev_e4,
          CAST(cum_rev_e4 AS BIGINT) AS cum_rev_e4,
-         CAST(CAST(cum_rev_e4 AS HUGEINT) * 1000000 // t.total AS BIGINT)
-           AS cum_ppm
+         CASE WHEN t.total > 0
+              THEN CAST(CAST(cum_rev_e4 AS HUGEINT) * 1000000 // t.total
+                        AS BIGINT)
+              ELSE 0 END AS cum_ppm
   FROM ranked CROSS JOIN tot t
 )
 SELECT l_partkey, rnk, rev_e4, cum_rev_e4, cum_ppm,
@@ -2373,7 +2375,8 @@ def orders_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "cum_ppm",
             F.expr(
-                "CAST(CAST(cum_rev_e4 AS DECIMAL(38,0)) * 1000000 div total AS BIGINT)"
+                "CASE WHEN total > 0 THEN CAST(CAST(cum_rev_e4 AS DECIMAL(38,0))"
+                " * 1000000 div total AS BIGINT) ELSE 0 END"
             ),
         )
         .select(
