@@ -74,3 +74,31 @@ def test_spark_matches_oracle_on_random_corpora(spark, name):
         _diff_on_random_corpus(spark, name, full)
 
     run()
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "text_substring_dedup_spans",
+        "text_substring_dedup_trim",
+        "dedup_snm_multipass",
+        "text_rake_keywords",
+    ],
+)
+def test_spark_matches_oracle_on_random_corpora_r11c(spark, name):
+    """Close the triangle for the third-session document operators too:
+    the registered Spark implementation against its registered oracle on
+    hypothesis corpora with the driver's comparator (the DuckDB-side
+    property layer in test_r11c_properties.py carries the example
+    count)."""
+
+    @given(texts=_corpus, clones=_clones)
+    @_settings
+    def run(texts, clones):
+        full = list(texts)
+        for idx, tok in clones:
+            if idx < len(texts):
+                full.append(texts[idx] + " " + tok)
+        _diff_on_random_corpus(spark, name, full)
+
+    run()
