@@ -92,6 +92,54 @@ def test_minhash_hot_bucket_cap(spark, planted_docs):
     assert (0, 100) in capped_keys and (1, 101) in capped_keys  # real dups kept
 
 
+def test_ml_minhash_join_matches_approx_join(spark, planted_docs):
+    """OPTIMIZATION r11 pin: the native bucket-join + array_intersect
+    rewrite of ml_minhash_pairs must emit rows BIT-IDENTICAL to the
+    library's approxSimilarityJoin on the same fitted model (same
+    candidate set, same keyDistance arithmetic, same round) — including
+    a clone-heavy block (identical minhash rows in every bucket) and a
+    singleton-token doc."""
+    import pyspark.sql.functions as F
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    from vena_etl_tool_spark.operators.ml_lsh import ml_minhash_pairs
+
+    clones = spark.createDataFrame(
+        [(500 + i, "clone block text shared verbatim for bucket stress") for i in range(6)]
+        + [(600, "solo")],
+        "doc_id long, text string",
+    )
+    docs = planted_docs.unionByName(clones)
+
+    toks = docs.select("doc_id", F.split("text", " ").alias("tokens")).filter(
+        F.size("tokens") > 0
+    )
+    tf = HashingTF(
+        inputCol="tokens", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+    feats = tf.transform(toks)
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=8, seed=42
+    ).fit(feats)
+    ref = (
+        model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
+        .filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+        )
+    )
+    ref_rows = {(r.doc_a, r.doc_b, r.jaccard_dist) for r in ref.collect()}
+    new_rows = {
+        (r.doc_a, r.doc_b, r.jaccard_dist) for r in ml_minhash_pairs(docs).collect()
+    }
+    assert new_rows == ref_rows
+    assert {(a, b) for a, b, _ in new_rows} >= {
+        (500 + i, 500 + j) for i in range(6) for j in range(i + 1, 6)
+    }
+
+
 def test_ml_minhash_agrees_with_sql_minhash(planted_docs):
     """The pyspark.ml MinHashLSH twin finds the same planted duplicates as
     the pure-SQL pipeline (cross-validation of the two implementations)."""
