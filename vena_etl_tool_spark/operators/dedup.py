@@ -2343,17 +2343,27 @@ def _lsh_recall_audit_df(
         F.min((h32 * F.lit(_A[i]) + F.lit(_B[i])) % F.lit(MERSENNE)).alias(f"mh{i}")
         for i in range(N_MINHASH)
     ]
+    # OPTIMIZATION r11: per_doc feeds FIVE consumers (truth sets ×2,
+    # verify sets ×2, the signature side) and the final summary row fans
+    # out into four single-row aggregates — without truncation each
+    # consumer replayed the whole collect_list + 32-permutation aggregate
+    # (the before-plan was 1,596 lines / 136 Exchange nodes). An eager
+    # localCheckpoint materializes the doc-grain frame once per
+    # invocation (every run still pays its own build — no cross-run
+    # carry) and every consumer scans the checkpointed rows (guide §2.4:
+    # share one exchange; §3.3: truncate reused subtrees).
     per_doc = with_h.groupBy("doc_id").agg(
         F.collect_list("h").alias("hs"),
         F.count(F.lit(1)).alias("n"),
         *mins,
-    )
+    ).localCheckpoint()
     # --- blocked exact truth ---
     hot_w = Window.partitionBy("h")
     bidx = (
         with_h.withColumn("_df", F.count(F.lit(1)).over(hot_w))
         .filter(F.col("_df") <= SHINGLE_DF_CAP)
         .drop("_df")
+        .localCheckpoint()  # feeds both sides of the truth self-join
     )
     ta = bidx.select(F.col("h").alias("th"), F.col("doc_id").alias("doc_a"))
     tb = bidx.select(F.col("h").alias("th2"), F.col("doc_id").alias("doc_b"))
@@ -2371,12 +2381,17 @@ def _lsh_recall_audit_df(
     sets_b = per_doc.select(
         F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"), F.col("n").alias("nb")
     )
+    # truth / cand / verified each feed two consumers (the hits join and
+    # their own count row): checkpoint the small id-pair lists so the
+    # inverted-index join, the band self-join and the verify join each
+    # run ONCE per invocation instead of once per consumer.
     truth = (
         tcand.join(sets_a, "doc_a")
         .join(sets_b, "doc_b")
         .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
         .filter(jac >= F.lit(LSH_AUDIT_THRESHOLD))
         .select("doc_a", "doc_b")
+        .localCheckpoint()
     )
     # --- LSH candidates + verified (the production pipeline's shape) ---
     sig = per_doc.select(
@@ -2401,6 +2416,7 @@ def _lsh_recall_audit_df(
         )
         .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
         .distinct()
+        .localCheckpoint()
     )
     verified = (
         cand.join(sets_a, "doc_a")
@@ -2408,6 +2424,7 @@ def _lsh_recall_audit_df(
         .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
         .filter(jac >= F.lit(LSH_AUDIT_THRESHOLD))
         .select("doc_a", "doc_b")
+        .localCheckpoint()
     )
     hits = verified.join(truth, ["doc_a", "doc_b"]).agg(
         F.count(F.lit(1)).cast("long").alias("n_hits")
@@ -2563,7 +2580,14 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc grain, the prefix self-join, and a verify join over candidates
     only. Exact where LSH is probabilistic — the trade is the verify
     join's intersection count vs signature comparison."""
-    sh = _capped_shingle_postings(spark, sf_dir)
+    # OPTIMIZATION r11: the capped-postings subtree (shingle explode +
+    # df-cap window) fed FOUR consumers (dfreq, the ranked join, and both
+    # verify sides) and the prefix frame two (both sides of the candidate
+    # self-join) — each consumer replayed the explode (the before-plan
+    # was 864 lines / 66 Exchange nodes). Eager localCheckpoints build
+    # each shared frame once per invocation (guide §2.4/§3.3); every run
+    # still pays its own materialization.
+    sh = _capped_shingle_postings(spark, sf_dir).localCheckpoint()
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     w_doc = Window.partitionBy("doc_id").orderBy("df", "sh")
     ranked = (
@@ -2571,10 +2595,14 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w_doc))
         .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
     )
-    prefix = ranked.filter(
-        F.col("pos")
-        <= F.col("n") - F.expr(f"(n * {PPJOIN_T_MILLI} + 999) div 1000") + 1
-    ).select("doc_id", "sh", "n")
+    prefix = (
+        ranked.filter(
+            F.col("pos")
+            <= F.col("n") - F.expr(f"(n * {PPJOIN_T_MILLI} + 999) div 1000") + 1
+        )
+        .select("doc_id", "sh", "n")
+        .localCheckpoint()
+    )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
         a.join(
