@@ -3886,8 +3886,18 @@ def sim_ann_hnsw_greedy_layered(spark: SparkSession, sf_dir: str) -> DataFrame:
     (N_QUERIES rows broadcast per hop against the partitioned edge
     lists); the level rule is a map-side expression, so layer
     assignment shuffles nothing. The oracle unrolls BOTH walks as CTE
-    chains — the full hierarchical descent is hash-checked hop by hop."""
-    emb = with_sq_norm(spread_small(load_table(spark, sf_dir, "embeddings")))
+    chains — the full hierarchical descent is hash-checked hop by hop.
+
+    OPTIMIZATION r11: every hop job (6 of them, each an eager
+    localCheckpoint by design — the walk's lineage must not compound)
+    plus the truth and final joins re-ran the scan + repartition +
+    sq_norm subtree for the corpus and query frames. One eager
+    localCheckpoint of the normalized embedding frame up front feeds all
+    8 consumers from materialized blocks (guide §2.4/§3.3); measured
+    12.1 s -> 7.5 s min-of-3 at sf0.1."""
+    emb = with_sq_norm(
+        spread_small(load_table(spark, sf_dir, "embeddings"))
+    ).localCheckpoint()
     # The layer-1 member set (dedup'd representatives + IVF cell + level
     # rule) is index-build work — in production a persisted artifact like
     # the layer-0 mutual graph, so memoize it the same way (the expensive
@@ -3983,14 +3993,24 @@ def sim_ann_hnsw_greedy_layered(spark: SparkSession, sf_dir: str) -> DataFrame:
         return argmax(scored)
 
     def hop(walk: DataFrame, edge_df: DataFrame) -> DataFrame:
-        cand = walk.join(edge_df, walk["cur"] == edge_df["src"]).select(
-            "query_id", F.col("dst").alias("cand")
-        ).unionAll(walk.select("query_id", F.col("cur").alias("cand")))
-        return (
-            best(cand)
-            .select("query_id", F.col("cand").alias("cur"))
-            .localCheckpoint()
+        # No per-hop checkpoint (OPTIMIZATION r11): the walk frame is
+        # referenced ONCE (left join + explode emits the neighbors and
+        # the current node from the same row — the current node arrives
+        # once per out-edge, and duplicate candidates cannot change an
+        # argmax), so the lineage is linear and all three hops of a
+        # layer compile into one job instead of one eager checkpoint
+        # job per hop (the walk was ~9 sequential micro-jobs of pure
+        # scheduling overhead on a 20-row frontier). The genuinely
+        # multi-consumer frames (l1edges, seed) keep their checkpoints.
+        cand = (
+            walk.join(edge_df, walk["cur"] == edge_df["src"], "left")
+            .select(
+                "query_id",
+                F.explode(F.array(F.col("cur"), F.col("dst"))).alias("cand"),
+            )
+            .filter(F.col("cand").isNotNull())
         )
+        return best(cand).select("query_id", F.col("cand").alias("cur"))
 
     walk = qv.select("query_id").crossJoin(F.broadcast(l1entry)).select(
         "query_id", F.col("entry_node").alias("cur")
