@@ -546,13 +546,25 @@ def test_k_generalize_windows_are_qi_partitioned(spark, sf_dir):
 def test_prefix_filter_join_no_cross_product(spark, sf_dir):
     """The PPJoin pipeline must never degenerate to a cross product or a
     nested-loop join: candidates come from the prefix-token equi-join,
-    and every window is doc_id-partitioned."""
+    and every window is doc_id-partitioned. The r11 eager checkpoints
+    truncate the shared subtrees out of the production plan, so the
+    window pin inspects the full pipeline with truncation disabled."""
     import re
+
+    from vena_etl_tool_spark.operators import _shared
 
     plan = plan_of(spark, sf_dir, "dedup_prefix_filter_join")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    win_lines = [ln for ln in plan.splitlines() if re.search(r"\bWindow \[", ln)]
+
+    _shared.EAGER_CHECKPOINTS = False
+    try:
+        full = plan_of(spark, sf_dir, "dedup_prefix_filter_join")
+    finally:
+        _shared.EAGER_CHECKPOINTS = True
+    assert "CartesianProduct" not in full
+    assert "BroadcastNestedLoopJoin" not in full
+    win_lines = [ln for ln in full.splitlines() if re.search(r"\bWindow \[", ln)]
     assert win_lines
     assert not [ln for ln in win_lines if "windowspecdefinition(doc_id" not in ln]
 

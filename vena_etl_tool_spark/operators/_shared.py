@@ -24,6 +24,24 @@ def dsum(col: Column | str, scale: int = 2) -> Column:
     return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
 
 
+# OPTIMIZATION r11: eager localCheckpoints truncate subtrees that feed
+# multiple consumers (opt guide §2.4/§3.3) so each shared frame is built
+# once per invocation instead of once per consumer. Truncation also hides
+# the upstream pipeline from explain(), so plan-pin tests flip this to
+# False to inspect the full logical plan; runtime results are identical
+# either way. Every invocation still pays its own materialization — no
+# caching across runs.
+EAGER_CHECKPOINTS = True
+
+
+def ckpt(df: "DataFrame") -> "DataFrame":
+    import sys
+
+    if sys.modules[__name__].EAGER_CHECKPOINTS:
+        return df.localCheckpoint()
+    return df
+
+
 def spread_small(df: "DataFrame") -> "DataFrame":
     """Repartition a narrow input up to the session's default parallelism.
 

@@ -48,6 +48,12 @@ INCR_BAND_CAP = 50
 # default).
 LSH_MAX_BUCKET = 50
 
+# OPTIMIZATION r11: eager localCheckpoints truncate subtrees that feed
+# multiple consumers (guide §2.4/§3.3); the shared toggle lives in
+# _shared so plan-pin tests can flip it to inspect full logical plans.
+from ._shared import ckpt as _ckpt  # noqa: E402
+
+
 # MinHash parameters: 32 permutations in 8 bands of 4 rows.
 N_MINHASH = 32
 BAND_ROWS = 4
@@ -2352,18 +2358,19 @@ def _lsh_recall_audit_df(
     # invocation (every run still pays its own build — no cross-run
     # carry) and every consumer scans the checkpointed rows (guide §2.4:
     # share one exchange; §3.3: truncate reused subtrees).
-    per_doc = with_h.groupBy("doc_id").agg(
-        F.collect_list("h").alias("hs"),
-        F.count(F.lit(1)).alias("n"),
-        *mins,
-    ).localCheckpoint()
+    per_doc = _ckpt(
+        with_h.groupBy("doc_id").agg(
+            F.collect_list("h").alias("hs"),
+            F.count(F.lit(1)).alias("n"),
+            *mins,
+        )
+    )
     # --- blocked exact truth ---
     hot_w = Window.partitionBy("h")
-    bidx = (
+    bidx = _ckpt(  # feeds both sides of the truth self-join
         with_h.withColumn("_df", F.count(F.lit(1)).over(hot_w))
         .filter(F.col("_df") <= SHINGLE_DF_CAP)
         .drop("_df")
-        .localCheckpoint()  # feeds both sides of the truth self-join
     )
     ta = bidx.select(F.col("h").alias("th"), F.col("doc_id").alias("doc_a"))
     tb = bidx.select(F.col("h").alias("th2"), F.col("doc_id").alias("doc_b"))
@@ -2385,13 +2392,12 @@ def _lsh_recall_audit_df(
     # their own count row): checkpoint the small id-pair lists so the
     # inverted-index join, the band self-join and the verify join each
     # run ONCE per invocation instead of once per consumer.
-    truth = (
+    truth = _ckpt(
         tcand.join(sets_a, "doc_a")
         .join(sets_b, "doc_b")
         .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
         .filter(jac >= F.lit(LSH_AUDIT_THRESHOLD))
         .select("doc_a", "doc_b")
-        .localCheckpoint()
     )
     # --- LSH candidates + verified (the production pipeline's shape) ---
     sig = per_doc.select(
@@ -2416,15 +2422,14 @@ def _lsh_recall_audit_df(
         )
         .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
         .distinct()
-        .localCheckpoint()
     )
-    verified = (
+    cand = _ckpt(cand)
+    verified = _ckpt(
         cand.join(sets_a, "doc_a")
         .join(sets_b, "doc_b")
         .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
         .filter(jac >= F.lit(LSH_AUDIT_THRESHOLD))
         .select("doc_a", "doc_b")
-        .localCheckpoint()
     )
     hits = verified.join(truth, ["doc_a", "doc_b"]).agg(
         F.count(F.lit(1)).cast("long").alias("n_hits")
@@ -2587,7 +2592,7 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # was 864 lines / 66 Exchange nodes). Eager localCheckpoints build
     # each shared frame once per invocation (guide §2.4/§3.3); every run
     # still pays its own materialization.
-    sh = _capped_shingle_postings(spark, sf_dir).localCheckpoint()
+    sh = _ckpt(_capped_shingle_postings(spark, sf_dir))
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     w_doc = Window.partitionBy("doc_id").orderBy("df", "sh")
     ranked = (
@@ -2595,13 +2600,12 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w_doc))
         .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
     )
-    prefix = (
+    prefix = _ckpt(
         ranked.filter(
             F.col("pos")
             <= F.col("n") - F.expr(f"(n * {PPJOIN_T_MILLI} + 999) div 1000") + 1
         )
         .select("doc_id", "sh", "n")
-        .localCheckpoint()
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
