@@ -3209,6 +3209,10 @@ def sim_maxsim_plaid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         sub = sub.withColumn(
             f"n{s}", F.sqrt(dot_exact(F.col(f"s{s}"), F.col(f"s{s}")))
         )
+    # OPTIMIZATION r11 (guide §2.4): sub (scan + 16 centroid scores + 4
+    # slices + 4 norm folds) feeds corpus, queries and probes — four
+    # plan consumers; build it once per invocation
+    sub = _ckpt(sub)
 
     def maxsim(qp: str, cp: str):
         maxes = [
@@ -3989,7 +3993,18 @@ def sim_ann_hnsw_greedy_layered(spark: SparkSession, sf_dir: str) -> DataFrame:
     sq_norm subtree for the corpus and query frames. One eager
     localCheckpoint of the normalized embedding frame up front feeds all
     8 consumers from materialized blocks (guide §2.4/§3.3); measured
-    12.1 s -> 7.5 s min-of-3 at sf0.1."""
+    12.1 s -> 7.5 s min-of-3 at sf0.1.
+
+    Second cut (the sim_ann_graph_greedy restructure, guide §1.2): both
+    layers' adjacency frames CARRY the destination vectors (edge list ⋈
+    corpus once each, checkpointed — the navigable-index posting
+    layout), and the walk frame carries (q_emb, q_sq, cur, cur_cos), so
+    a hop is one frontier ⋈ adj left join + explode + struct-argmax —
+    no per-hop corpus or query re-join, and the final re-scoring join
+    is gone (the carried cur_cos IS cos(q, cur), computed by the
+    identical dot_exact expression at the hop that selected cur). The
+    candidate filter (cand != query_id, post-explode) and the
+    empty-candidate drop-out semantics are exactly the first cut's."""
     emb = with_sq_norm(
         spread_small(load_table(spark, sf_dir, "embeddings"))
     ).localCheckpoint()
@@ -4078,44 +4093,90 @@ def sim_ann_hnsw_greedy_layered(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", (-F.col("_m._nc")).alias("cand"))
         )
 
-    def best(cand_df: DataFrame) -> DataFrame:
-        scored = (
-            F.broadcast(cand_df.filter(F.col("cand") != F.col("query_id")))
-            .join(corpus, "cand")
-            .join(F.broadcast(qv), "query_id")
-            .withColumn("_cos", cos)
+    # Adjacency WITH destination vectors, one checkpointed frame per
+    # layer (an HNSW shard stores neighbor vectors next to the links)
+    adj_l1 = _ckpt(
+        l1edges.join(corpus, l1edges["dst"] == corpus["cand"]).select(
+            "src", "cand", "c_emb", "c_sq"
         )
-        return argmax(scored)
+    )
+    adj_l0 = _ckpt(
+        bidir.join(corpus, bidir["dst"] == corpus["cand"]).select(
+            "src", "cand", "c_emb", "c_sq"
+        )
+    )
 
-    def hop(walk: DataFrame, edge_df: DataFrame) -> DataFrame:
-        # No per-hop checkpoint (OPTIMIZATION r11): the walk frame is
-        # referenced ONCE (left join + explode emits the neighbors and
-        # the current node from the same row — the current node arrives
-        # once per out-edge, and duplicate candidates cannot change an
-        # argmax), so the lineage is linear and all three hops of a
-        # layer compile into one job instead of one eager checkpoint
-        # job per hop (the walk was ~9 sequential micro-jobs of pure
-        # scheduling overhead on a 20-row frontier). The genuinely
-        # multi-consumer frames (l1edges, seed) keep their checkpoints.
-        cand = (
-            walk.join(edge_df, walk["cur"] == edge_df["src"], "left")
+    def hop(walk: DataFrame, adj: DataFrame) -> DataFrame:
+        # Single-reference hop, no per-hop checkpoint: the left join +
+        # explode emits the current node and each neighbor from the same
+        # row (the current node arrives once per out-edge; duplicate
+        # candidates cannot change an argmax; LEFT join because a
+        # layer-1 entry or seed can be edge-less — the explode keeps the
+        # cur candidate, null neighbors drop). The post-explode filter
+        # (cand != query_id) reproduces the first cut's candidate set
+        # exactly, including the empty-set drop-out corner.
+        return (
+            walk.join(adj, walk["cur"] == adj["src"], "left")
             .select(
                 "query_id",
-                F.explode(F.array(F.col("cur"), F.col("dst"))).alias("cand"),
+                "q_emb",
+                "q_sq",
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("cur").alias("cand"),
+                            F.col("cur_cos").alias("_cos"),
+                        ),
+                        F.struct(F.col("cand").alias("cand"), cos.alias("_cos")),
+                    )
+                ).alias("c"),
             )
-            .filter(F.col("cand").isNotNull())
+            .filter(
+                F.col("c.cand").isNotNull()
+                & (F.col("c.cand") != F.col("query_id"))
+            )
+            .groupBy("query_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("c._cos").alias("_cos"),
+                        (-F.col("c.cand")).alias("_nc"),
+                        F.col("q_emb").alias("q_emb"),
+                        F.col("q_sq").alias("q_sq"),
+                    )
+                ).alias("_m")
+            )
+            .select(
+                "query_id",
+                F.col("_m.q_emb").alias("q_emb"),
+                F.col("_m.q_sq").alias("q_sq"),
+                (-F.col("_m._nc")).alias("cur"),
+                F.col("_m._cos").alias("cur_cos"),
+            )
         )
-        return best(cand).select("query_id", F.col("cand").alias("cur"))
 
-    walk = qv.select("query_id").crossJoin(F.broadcast(l1entry)).select(
-        "query_id", F.col("entry_node").alias("cur")
+    # frontier carries the query vector and the current node's cosine
+    # (computed here by the same expression the hops use; if the entry
+    # IS the query the value is filtered out at hop 1, like the first
+    # cut's cand != query_id filter)
+    e_emb = corpus.join(
+        F.broadcast(l1entry), F.col("cand") == F.col("entry_node")
+    ).select("entry_node", "c_emb", "c_sq")
+    walk = qv.crossJoin(F.broadcast(e_emb)).select(
+        "query_id",
+        "q_emb",
+        "q_sq",
+        F.col("entry_node").alias("cur"),
+        cos.alias("cur_cos"),
     )
     for _ in range(HNSW_L1_HOPS):
-        walk = hop(walk, l1edges)
-    seed = walk.select("query_id", F.col("cur").alias("l1_seed")).localCheckpoint()
-    walk = seed.select("query_id", F.col("l1_seed").alias("cur"))
+        walk = hop(walk, adj_l1)
+    # the L1 terminal is multi-consumer (seeds layer 0 AND joins the
+    # output row), so it keeps the checkpoint
+    walk = _ckpt(walk)
+    seed = walk.select("query_id", F.col("cur").alias("l1_seed"))
     for _ in range(HNSW_L0_HOPS):
-        walk = hop(walk, bidir)
+        walk = hop(walk, adj_l0)
     nodes = bidir.select(F.col("src").alias("cand")).distinct()
     truth_scored = (
         corpus.join(nodes, "cand")
@@ -4126,15 +4187,12 @@ def sim_ann_hnsw_greedy_layered(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = argmax(truth_scored).select(
         "query_id", F.col("cand").alias("truth_node")
     )
-    final = (
-        walk.select("query_id", F.col("cur").alias("cand"))
-        .join(corpus, "cand")
-        .join(F.broadcast(qv), "query_id")
-        .select(
-            "query_id",
-            F.col("cand").alias("final_node"),
-            F.round(cos, 6).alias("final_cosine"),
-        )
+    # the carried cosine IS cos(q, cur) — same expression at the hop
+    # that selected cur, so no re-scoring join
+    final = walk.select(
+        "query_id",
+        F.col("cur").alias("final_node"),
+        F.round(F.col("cur_cos"), 6).alias("final_cosine"),
     )
     return (
         final.crossJoin(F.broadcast(l1entry))
