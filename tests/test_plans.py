@@ -546,9 +546,11 @@ def test_k_generalize_windows_are_qi_partitioned(spark, sf_dir):
 def test_prefix_filter_join_no_cross_product(spark, sf_dir):
     """The PPJoin pipeline must never degenerate to a cross product or a
     nested-loop join: candidates come from the prefix-token equi-join,
-    and every window is doc_id-partitioned. The r11 eager checkpoints
-    truncate the shared subtrees out of the production plan, so the
-    window pin inspects the full pipeline with truncation disabled."""
+    and every window is keyed (doc_id for the per-doc rank/size, sh for
+    the fused df+cap count — no GLOBAL single-partition window anywhere).
+    The r11 eager checkpoints truncate the shared subtrees out of the
+    production plan, so the window pin inspects the full pipeline with
+    truncation disabled."""
     import re
 
     from vena_etl_tool_spark.operators import _shared
@@ -566,7 +568,12 @@ def test_prefix_filter_join_no_cross_product(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in full
     win_lines = [ln for ln in full.splitlines() if re.search(r"\bWindow \[", ln)]
     assert win_lines
-    assert not [ln for ln in win_lines if "windowspecdefinition(doc_id" not in ln]
+    assert not [
+        ln
+        for ln in win_lines
+        if "windowspecdefinition(doc_id" not in ln
+        and "windowspecdefinition(sh" not in ln
+    ]
 
 
 def test_maxsim_plaid_candidate_join_is_cell_keyed(spark, sf_dir):

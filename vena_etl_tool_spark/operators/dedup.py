@@ -1593,7 +1593,10 @@ def incr_admit(spark: SparkSession, batch_docs: DataFrame, state: str) -> DataFr
     new_docs = batch_docs.select(
         "doc_id", "source", F.md5("text").alias("th")
     )
-    new_per_doc = _minhash_per_doc(batch_docs)
+    # OPTIMIZATION r11 (guide §2.4): the batch's shingle explode + 32-min
+    # aggregate feeds BOTH the band build and the verification join —
+    # build it once per invocation instead of once per consumer
+    new_per_doc = _ckpt(_minhash_per_doc(batch_docs))
     new_bands = _per_doc_bands(new_per_doc)
     cand = (
         new_bands.alias("n")
@@ -2629,13 +2632,26 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # was 864 lines / 66 Exchange nodes). Eager localCheckpoints build
     # each shared frame once per invocation (guide §2.4/§3.3); every run
     # still pays its own materialization.
-    sh = _ckpt(_capped_shingle_postings(spark, sf_dir))
-    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    #
+    # Second cut (guide §2.2 shuffle once per grain): the first cut
+    # counted document frequency TWICE over the same postings — once
+    # inside the cap (groupBy(sh) + join) and again as `dfreq`
+    # (groupBy(sh) + join) because the cap discards its count. One
+    # count-over-Window(sh) computes df, applies the cap, and KEEPS the
+    # column for the rarest-first order: three sh-grain exchanges
+    # become one (values identical — the cap drops whole shingle
+    # groups, so surviving dfs are unchanged). Hot-shingle rows
+    # colocate under either formulation; they exceed the cap and die in
+    # the same pass. Measured (sh+prefix stages, first-run): 9.2 s →
+    # 3.3 s, bit-identical prefix rows.
+    sh = _ckpt(
+        _doc_shingles(spark, sf_dir)
+        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("sh")))
+        .filter(F.col("df") <= SHINGLE_DF_CAP)
+    )
     w_doc = Window.partitionBy("doc_id").orderBy("df", "sh")
-    ranked = (
-        sh.join(dfreq, "sh")
-        .withColumn("pos", F.row_number().over(w_doc))
-        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    ranked = sh.withColumn("pos", F.row_number().over(w_doc)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
     )
     prefix = _ckpt(
         ranked.filter(
