@@ -3378,7 +3378,10 @@ def sim_graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = bidir
     for r in range(1, KCORE_ROUNDS + 1):
         deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-        surv = deg.filter(F.col("d") >= KCORE_K).select("src")
+        # OPTIMIZATION r11 (guide §2.4): surv feeds BOTH semi-join sides
+        # and the round's n_nodes count — checkpoint the node-grain frame
+        # so the degree aggregate runs once per round, not three times
+        surv = _ckpt(deg.filter(F.col("d") >= KCORE_K).select("src"))
         s1 = surv.select(F.col("src").alias("_s1"))
         s2 = surv.select(F.col("src").alias("_s2"))
         nxt = (
