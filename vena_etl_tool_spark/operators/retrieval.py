@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import load_table
 from ..registry import register
+from ._shared import ckpt as _ckpt
 from ._shared import spread_small
 from .similarity import dot_exact, with_sq_norm
 from .textanalysis import _BM25_CTES, BM25_TOP_K, text_bm25_search
@@ -722,9 +723,18 @@ def retrieval_system_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: both ranker lists are the registered operators' own top-k
     shapes (corpus-scan-bounded); everything after is list-sized —
     intersection join, ≤ C(k,2) pair rows per query, four tiny
-    aggregates. The evaluation adds nothing corpus-scale."""
-    lex = text_bm25_search(spark, sf_dir).select(
-        "query_id", "doc_id", F.col("rk").alias("l_rk")
+    aggregates. The evaluation adds nothing corpus-scale.
+
+    OPTIMIZATION r11 (guide §2.4): lex (the full BM25 pipeline) fed the
+    common join AND the top-1 pick, dense (corpus scan + window) the
+    same, and common fed both Kendall self-join sides plus the overlap
+    count — so the two ranker pipelines each ran twice and the common
+    list three times per invocation. The three list-sized frames are
+    checkpointed once each."""
+    lex = _ckpt(
+        text_bm25_search(spark, sf_dir).select(
+            "query_id", "doc_id", F.col("rk").alias("l_rk")
+        )
     )
     emb = with_sq_norm(spread_small(load_table(spark, sf_dir, "embeddings")))
     qmap = spark.createDataFrame(list(RRF_QMAP), ["query_id", "qvec"])
@@ -751,8 +761,11 @@ def retrieval_system_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("d_rk") <= RRF_DEPTH)
         .select("query_id", "doc_id", "d_rk")
     )
-    common = lex.join(dense, ["query_id", "doc_id"]).select(
-        "query_id", "doc_id", "l_rk", "d_rk"
+    dense = _ckpt(dense)
+    common = _ckpt(
+        lex.join(dense, ["query_id", "doc_id"]).select(
+            "query_id", "doc_id", "l_rk", "d_rk"
+        )
     )
     ca = common.select(
         "query_id",
