@@ -543,7 +543,7 @@ def test_k_generalize_windows_are_qi_partitioned(spark, sf_dir):
         assert "windowspecdefinition(c_" in ln or "windowspecdefinition(bal_bucket" in ln, ln
 
 
-def test_prefix_filter_join_no_cross_product(spark, sf_dir):
+def test_prefix_filter_join_no_cross_product(spark, sf_dir, monkeypatch):
     """The PPJoin pipeline must never degenerate to a cross product or a
     nested-loop join: candidates come from the prefix-token equi-join,
     and every window is keyed (doc_id for the per-doc rank/size, sh for
@@ -559,11 +559,10 @@ def test_prefix_filter_join_no_cross_product(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
-    _shared.EAGER_CHECKPOINTS = False
-    try:
-        full = plan_of(spark, sf_dir, "dedup_prefix_filter_join")
-    finally:
-        _shared.EAGER_CHECKPOINTS = True
+    # monkeypatch (not a bare try/finally on the module global): the
+    # restore is fixture-guaranteed even if plan_of raises mid-flip
+    monkeypatch.setattr(_shared, "EAGER_CHECKPOINTS", False)
+    full = plan_of(spark, sf_dir, "dedup_prefix_filter_join")
     assert "CartesianProduct" not in full
     assert "BroadcastNestedLoopJoin" not in full
     win_lines = [ln for ln in full.splitlines() if re.search(r"\bWindow \[", ln)]

@@ -44,7 +44,9 @@ def main() -> int:
         return 2
 
     plans_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLANS", "r12"),
     )
     os.makedirs(plans_dir, exist_ok=True)
 

@@ -35,9 +35,7 @@ EAGER_CHECKPOINTS = True
 
 
 def ckpt(df: "DataFrame") -> "DataFrame":
-    import sys
-
-    if sys.modules[__name__].EAGER_CHECKPOINTS:
+    if EAGER_CHECKPOINTS:
         return df.localCheckpoint()
     return df
 

@@ -2414,11 +2414,9 @@ def _lsh_recall_audit_df(
     )
     ta = bidx.select(F.col("h").alias("th"), F.col("doc_id").alias("doc_a"))
     tb = bidx.select(F.col("h").alias("th2"), F.col("doc_id").alias("doc_b"))
-    tcand = (
-        ta.join(tb, (F.col("th") == F.col("th2")) & (F.col("doc_a") < F.col("doc_b")))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    tcand = ta.join(
+        tb, (F.col("th") == F.col("th2")) & (F.col("doc_a") < F.col("doc_b"))
+    ).select("doc_a", "doc_b")
     jac = F.round(
         F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")), 6
     )
@@ -2428,18 +2426,7 @@ def _lsh_recall_audit_df(
     sets_b = per_doc.select(
         F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"), F.col("n").alias("nb")
     )
-    # truth / cand / verified each feed two consumers (the hits join and
-    # their own count row): checkpoint the small id-pair lists so the
-    # inverted-index join, the band self-join and the verify join each
-    # run ONCE per invocation instead of once per consumer.
-    truth = _ckpt(
-        tcand.join(sets_a, "doc_a")
-        .join(sets_b, "doc_b")
-        .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
-        .filter(jac >= F.lit(LSH_AUDIT_THRESHOLD))
-        .select("doc_a", "doc_b")
-    )
-    # --- LSH candidates + verified (the production pipeline's shape) ---
+    # --- LSH candidates (the production pipeline's shape) ---
     sig = per_doc.select(
         "doc_id",
         F.array(*[F.col(f"mh{i}") for i in range(N_MINHASH)]).alias("minhash"),
@@ -2453,34 +2440,44 @@ def _lsh_recall_audit_df(
     )
     ba = bands.alias("ba")
     bb = bands.alias("bb")
-    cand = (
-        ba.join(
-            bb,
-            (F.col("ba.band_id") == F.col("bb.band_id"))
-            & (F.col("ba.band_key") == F.col("bb.band_key"))
-            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
-        )
-        .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
-        .distinct()
+    ccand = ba.join(
+        bb,
+        (F.col("ba.band_id") == F.col("bb.band_id"))
+        & (F.col("ba.band_key") == F.col("bb.band_key"))
+        & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+    ).select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
+    # OPTIMIZATION r12 (guide §2.4 / §1.2 algorithm first): the r11 cut
+    # verified the truth-candidate and LSH-candidate pair lists in TWO
+    # separate sets_a⋈sets_b joins, re-joined them for n_hits, and fanned
+    # the summary into four single-row aggregates + three crossJoins
+    # (each behind its own eager checkpoint job). Near-dup truth and LSH
+    # candidates overlap heavily by construction, so the exact
+    # set-intersection — the audit's dominant cost — ran twice for most
+    # pairs. Fused: tag each pair list, union, dedupe both lists in ONE
+    # pair-grain aggregate (absorbing the two per-list DISTINCTs), verify
+    # ONCE per distinct pair, and compute all four counts in ONE
+    # aggregate — n_truth = truth-reachable ∧ jac≥t, n_candidates = LSH
+    # pairs, n_verified = LSH ∧ jac≥t, n_hits = both lists ∧ jac≥t
+    # (exactly the old verified⋈truth join membership). Same numbers,
+    # one verify pass, 5 fewer jobs per invocation.
+    pairs = (
+        tcand.withColumn("t", F.lit(True)).withColumn("c", F.lit(False))
+    ).unionAll(
+        ccand.withColumn("t", F.lit(False)).withColumn("c", F.lit(True))
+    ).groupBy("doc_a", "doc_b").agg(
+        F.max("t").alias("t"), F.max("c").alias("c")
     )
-    cand = _ckpt(cand)
-    verified = _ckpt(
-        cand.join(sets_a, "doc_a")
+    ok = jac >= F.lit(LSH_AUDIT_THRESHOLD)
+    return (
+        pairs.join(sets_a, "doc_a")
         .join(sets_b, "doc_b")
         .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
-        .filter(jac >= F.lit(LSH_AUDIT_THRESHOLD))
-        .select("doc_a", "doc_b")
-    )
-    hits = verified.join(truth, ["doc_a", "doc_b"]).agg(
-        F.count(F.lit(1)).cast("long").alias("n_hits")
-    )
-    n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
-    n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
-    n_ver = verified.agg(F.count(F.lit(1)).cast("long").alias("n_verified"))
-    return (
-        n_truth.crossJoin(F.broadcast(n_cand))
-        .crossJoin(F.broadcast(n_ver))
-        .crossJoin(F.broadcast(hits))
+        .agg(
+            F.count_if(F.col("t") & ok).cast("long").alias("n_truth"),
+            F.count_if(F.col("c")).cast("long").alias("n_candidates"),
+            F.count_if(F.col("c") & ok).cast("long").alias("n_verified"),
+            F.count_if(F.col("t") & F.col("c") & ok).cast("long").alias("n_hits"),
+        )
         .select(
             "n_truth",
             "n_candidates",
@@ -2518,10 +2515,11 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: clone collapse first (map-side-combined), then the
     shingle explode feeds BOTH sides: the truth path is one df-capped
-    inverted-index self-join + intersection re-join (the
-    dedup_ngram_jaccard shape); the LSH path is the signature aggregate +
-    band self-join + set-intersect verify (the dedup_minhash_lsh_pairs
-    shape); the final row is four broadcast single-row aggregates.
+    inverted-index self-join, the LSH path the signature aggregate +
+    band self-join (the dedup_minhash_lsh_pairs shape); the two tagged
+    pair lists union into one pair-grain dedup, ONE set-intersect
+    verify pass scores every distinct pair, and a single aggregate
+    emits all four counts (OPTIMIZATION r12).
     Audit-shaped: this FULL variant is the fixture gate; the registered
     ``dedup_lsh_recall_audit_stratum`` twin is the posture a 100 TB
     cluster runs (and the one the bench times — VERDICT r8 #3)."""

@@ -22,7 +22,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import load_table
 from ..registry import register
-from ._shared import ckpt as _ckpt
 from ._shared import spread_small
 from .similarity import dot_exact, with_sq_norm
 from .textanalysis import _BM25_CTES, BM25_TOP_K, text_bm25_search
@@ -725,16 +724,17 @@ def retrieval_system_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection join, ≤ C(k,2) pair rows per query, four tiny
     aggregates. The evaluation adds nothing corpus-scale.
 
-    OPTIMIZATION r11 (guide §2.4): lex (the full BM25 pipeline) fed the
-    common join AND the top-1 pick, dense (corpus scan + window) the
-    same, and common fed both Kendall self-join sides plus the overlap
-    count — so the two ranker pipelines each ran twice and the common
-    list three times per invocation. The three list-sized frames are
-    checkpointed once each."""
-    lex = _ckpt(
-        text_bm25_search(spark, sf_dir).select(
-            "query_id", "doc_id", F.col("rk").alias("l_rk")
-        )
+    OPTIMIZATION r12 (VERDICT r11 item 2): r11 checkpointed lex, dense
+    and common (guide §2.4 — each feeds 2-3 plan consumers), which WON
+    under fresh-session min-of-3 but REGRESSED in every full-sweep bench
+    run (1.96 s → 2.28-2.51 s): under the bench's steady-state posture
+    the upstream pipelines replay from session caches, so the frames are
+    too cheap to recompute for three eager materialization jobs to pay
+    off — the pipeline_pretrain_flagship lesson again. All three
+    checkpoints reverted; A/B'd under bench conditions this round
+    (tools/bench_ab.py) rather than opt_measure."""
+    lex = text_bm25_search(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rk").alias("l_rk")
     )
     emb = with_sq_norm(spread_small(load_table(spark, sf_dir, "embeddings")))
     qmap = spark.createDataFrame(list(RRF_QMAP), ["query_id", "qvec"])
@@ -761,11 +761,8 @@ def retrieval_system_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("d_rk") <= RRF_DEPTH)
         .select("query_id", "doc_id", "d_rk")
     )
-    dense = _ckpt(dense)
-    common = _ckpt(
-        lex.join(dense, ["query_id", "doc_id"]).select(
-            "query_id", "doc_id", "l_rk", "d_rk"
-        )
+    common = lex.join(dense, ["query_id", "doc_id"]).select(
+        "query_id", "doc_id", "l_rk", "d_rk"
     )
     ca = common.select(
         "query_id",
