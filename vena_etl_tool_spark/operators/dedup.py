@@ -1017,6 +1017,16 @@ def connected_components(edges: DataFrame, src: str, dst: str, max_iter: int = 2
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    # OPTIMIZATION r12 — MEASURED AND REJECTED: applying the hook+shortcut
+    # update TWICE per checkpointed round (same fixed point by
+    # monotonicity; half the checkpoint/count jobs) regressed under bench
+    # conditions — sim_semantic_clusters 3.24 → 5.10 s min-of-5,
+    # multimodal_phash_clusters 3.42 → 4.60 s — because the second
+    # sub-step references the UNCHECKPOINTED first update twice (its
+    # msgs join and its own hook), replaying the 3-join sub-step subtree
+    # inside every round's job; the replay costs more than the saved
+    # round latency at every scale where the per-round frame is worth
+    # checkpointing at all. The r11 single-update round stays.
     for _ in range(max_iter):
         msgs = (
             bidir.join(labels, bidir["src"] == labels["node"])
@@ -1561,23 +1571,40 @@ def incr_build_state(old_docs: DataFrame, state: str) -> str:
     table derives from READING it back — a columnar scan of 32 ints per
     doc (parquet prunes the heavy ``hs`` arrays), not a second shingle
     explode+aggregate. The admit side later reads the same per-doc file
-    pruned the other way (doc_id/hs/n_sh, no signature columns)."""
+    pruned the other way (doc_id/hs/n_sh, no signature columns).
+
+    OPTIMIZATION r12 (guide §2.6 overlap independent jobs): the exact
+    text-hash table shares nothing with the per-doc → bands chain (it
+    scans only doc texts), so its write runs on a driver thread while
+    the chain's two jobs run — Spark schedules both FIFO and the hash
+    job back-fills the chain's stage tails instead of waiting for the
+    whole chain. Same three state files, same contents; one fewer
+    serial job wall-clock."""
     import os as _os
+    from concurrent.futures import ThreadPoolExecutor
 
     per_doc_path = _os.path.join(state, "doc_sets")
-    _minhash_per_doc(old_docs).write.mode("overwrite").parquet(per_doc_path)
-    persisted = old_docs.sparkSession.read.parquet(per_doc_path)
-    old_bands = _per_doc_bands(persisted)
-    bsz_w = Window.partitionBy("band_id", "band_key")
-    old_bands_capped = (
-        old_bands.withColumn("_bsz", F.count(F.lit(1)).over(bsz_w))
-        .filter(F.col("_bsz") <= INCR_BAND_CAP)
-        .drop("_bsz")
-    )
-    old_bands_capped.write.mode("overwrite").parquet(_os.path.join(state, "bands"))
-    old_docs.select(F.md5("text").alias("th")).distinct().write.mode(
-        "overwrite"
-    ).parquet(_os.path.join(state, "text_hashes"))
+
+    def write_text_hashes() -> None:
+        old_docs.select(F.md5("text").alias("th")).distinct().write.mode(
+            "overwrite"
+        ).parquet(_os.path.join(state, "text_hashes"))
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        th_job = pool.submit(write_text_hashes)
+        _minhash_per_doc(old_docs).write.mode("overwrite").parquet(per_doc_path)
+        persisted = old_docs.sparkSession.read.parquet(per_doc_path)
+        old_bands = _per_doc_bands(persisted)
+        bsz_w = Window.partitionBy("band_id", "band_key")
+        old_bands_capped = (
+            old_bands.withColumn("_bsz", F.count(F.lit(1)).over(bsz_w))
+            .filter(F.col("_bsz") <= INCR_BAND_CAP)
+            .drop("_bsz")
+        )
+        old_bands_capped.write.mode("overwrite").parquet(
+            _os.path.join(state, "bands")
+        )
+        th_job.result()  # surface any failure; join before callers read state
     return state
 
 
@@ -2656,24 +2683,57 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pos")
             <= F.col("n") - F.expr(f"(n * {PPJOIN_T_MILLI} + 999) div 1000") + 1
         )
-        .select("doc_id", "sh", "n")
+        .select("doc_id", "sh", "n", "pos")
     )
-    a, b = prefix.alias("a"), prefix.alias("b")
+    # OPTIMIZATION r12 (guide §1.2 algorithm first — the PPJoin-family
+    # ASYMMETRIC INDEXING PREFIX, Xiao et al.): the r11 candidate join
+    # collided the full ℓ_p = n − ⌈t·n⌉ + 1 probing prefixes on BOTH
+    # sides. Tighter, still lossless: for a qualifying pair (J ≥ t) the
+    # overlap o ≥ ⌈t/(1+t)·(n_s + n_z)⌉ ≥ ⌈2t/(1+t)·n_s⌉ for the SMALLER
+    # record s (since n_z ≥ n_s), and o ≥ ⌈t·n_z⌉ for the larger (length
+    # filter). By the prefix lemma (|x∩y| ≥ o ⟹ the (|x|−o+1)-prefixes
+    # intersect) every qualifying pair already shares a token within the
+    # smaller record's ℓ_i = n − ⌈2t/(1+t)·n⌉ + 1 INDEX prefix and the
+    # larger's ℓ_p probe prefix — so the join only collides index
+    # postings (≈ n/3 of each doc at t = 0.5) against probe postings
+    # (≈ n/2), never probe × probe. Smaller-record role by (n, doc_id)
+    # lexicographic order: equal-size pairs qualify through either side,
+    # so the strict order generates each exactly once. Verification is
+    # unchanged and exact, so output rows are identical — the oracle's
+    # symmetric-prefix cand CTE is a superset of these candidates, and
+    # both verify to the same ≥ t pairs.
+    idx = prefix.filter(
+        F.col("pos")
+        <= F.col("n")
+        - F.expr(
+            f"(n * {2 * PPJOIN_T_MILLI} + {1000 + PPJOIN_T_MILLI} - 1)"
+            f" div {1000 + PPJOIN_T_MILLI}"
+        )
+        + 1
+    )
+    i, p = idx.alias("i"), prefix.alias("p")
+    smaller_first = (F.col("i.n") < F.col("p.n")) | (
+        (F.col("i.n") == F.col("p.n")) & (F.col("i.doc_id") < F.col("p.doc_id"))
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
+        i.join(
+            p,
+            (F.col("i.sh") == F.col("p.sh"))
+            & smaller_first
             & (
-                F.greatest(F.col("a.n"), F.col("b.n")) * PPJOIN_T_MILLI
-                <= F.least(F.col("a.n"), F.col("b.n")) * 1000
+                F.greatest(F.col("i.n"), F.col("p.n")) * PPJOIN_T_MILLI
+                <= F.least(F.col("i.n"), F.col("p.n")) * 1000
             ),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n").alias("na"),
-            F.col("b.n").alias("nb"),
+            F.least(F.col("i.doc_id"), F.col("p.doc_id")).alias("doc_a"),
+            F.greatest(F.col("i.doc_id"), F.col("p.doc_id")).alias("doc_b"),
+            F.when(F.col("i.doc_id") < F.col("p.doc_id"), F.col("i.n"))
+            .otherwise(F.col("p.n"))
+            .alias("na"),
+            F.when(F.col("i.doc_id") < F.col("p.doc_id"), F.col("p.n"))
+            .otherwise(F.col("i.n"))
+            .alias("nb"),
         )
         .distinct()
     )
@@ -3483,6 +3543,12 @@ def text_substring_dedup_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntok = docs.select(
         "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok")
     )
+    # OPTIMIZATION r12 — MEASURED AND REJECTED (the untested r11 backlog
+    # item): checkpointing toks (it feeds the k-gram window AND the
+    # keep-side anti-join/concat) lost under bench conditions, 1.97 →
+    # 2.28 s min-of-5 — materializing the token-grain rows costs more
+    # than replaying the posexplode, the same verdict as the
+    # pipeline_pretrain_flagship text-frame checkpoint.
     toks = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
     )

@@ -18,6 +18,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 
@@ -676,7 +677,11 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-cluster m x m scoring becomes the applyInPandas tensor kernel
     already used by dedup_embedding_cosine."""
     emb = with_sq_norm(spread_small(load_table(spark, sf_dir, "embeddings")))
-    assigned = (
+    # OPTIMIZATION r12 (guide §2.4): assigned feeds the size aggregate,
+    # the capped self-join input AND the final verdict join — three plan
+    # consumers each replaying the 16-centroid score fold + sq_norm over
+    # the corpus; build it once per invocation.
+    assigned = _ckpt(
         emb.select(
             "vec_id", "label", "embedding", "sq_norm",
             F.expr(_ivf_scores_spark()).alias("scores"),
@@ -2987,6 +2992,69 @@ MAXSIM_SUBV = 4  # sub-vectors per embedding (64 dims -> 4 x 16)
 MAXSIM_DIM = 16
 
 
+def _np_dot_floor(a: "np.ndarray", b: "np.ndarray") -> "np.ndarray":
+    """Row-wise dot_exact over (n, MAXSIM_DIM) float64 blocks — bit-identical
+    to the SQL fold: (x*y)*1e12 elementwise left-assoc in float64, floor
+    (|terms| ≤ ~2.5e13 < 2^53 so floor and the int64 cast are exact), int64
+    row-sum (exact in any order), cast back (≤ 16·2.5e13 < 2^53, exactly
+    representable), divide by 1e12."""
+    return (
+        np.floor((a * b) * 1e12).astype(np.int64).sum(axis=1).astype(np.float64)
+        / 1e12
+    )
+
+
+def _maxsim_np_score(q: "np.ndarray", c: "np.ndarray") -> "np.ndarray":
+    """MaxSim score per row pair, (n, 64) × (n, 64) → (n,) float64:
+    Σ_qi max_cj dot(q_qi, c_cj) / (|q_qi|·|c_cj|). Every step mirrors the
+    JVM/DuckDB expression bit for bit: dot_exact via _np_dot_floor, IEEE
+    sqrt for the norms, division in the same (dot / (qn * cn)) shape,
+    GREATEST = plain max (associative and exact for the finite scores
+    these norms produce; no zero-norm sub-vector exists — embeddings are
+    dense random doubles, and the oracle hash gate would catch a NaN
+    divergence), and the qi-sum accumulated LEFT-ASSOCIATED in index
+    order, never np.sum (pairwise summation would re-associate floats)."""
+    c_norms = [
+        np.sqrt(
+            _np_dot_floor(
+                c[:, cj * MAXSIM_DIM : (cj + 1) * MAXSIM_DIM],
+                c[:, cj * MAXSIM_DIM : (cj + 1) * MAXSIM_DIM],
+            )
+        )
+        for cj in range(MAXSIM_SUBV)
+    ]
+    score = None
+    for qi in range(MAXSIM_SUBV):
+        qs = q[:, qi * MAXSIM_DIM : (qi + 1) * MAXSIM_DIM]
+        qn = np.sqrt(_np_dot_floor(qs, qs))
+        best = None
+        for cj in range(MAXSIM_SUBV):
+            cs = c[:, cj * MAXSIM_DIM : (cj + 1) * MAXSIM_DIM]
+            cos = _np_dot_floor(qs, cs) / (qn * c_norms[cj])
+            best = cos if best is None else np.maximum(best, cos)
+        score = best if score is None else score + best
+    return score
+
+
+def _maxsim_series(q_emb: pd.Series, c_emb: pd.Series) -> pd.Series:
+    """Arrow-batched MaxSim scorer body (OPTIMIZATION r12, guide §4):
+    replaces the 16-sub-vector-dot interpreted HOF tree evaluated per
+    candidate pair. The JVM fold allocated a zipped array per element
+    pair (pair-quadratic allocation — the reason the MaxSim queries
+    degraded far more than linearly under full-sweep GC ambient); here
+    whole Arrow batches hit four numpy slices and the exact int64
+    algebra above. Wrapped with F.pandas_udf at the call site, not at
+    module level — creating a UDF needs an active session, and executor
+    Python workers import this module without one."""
+    q = np.asarray(q_emb.tolist(), dtype=np.float64)
+    c = np.asarray(c_emb.tolist(), dtype=np.float64)
+    return pd.Series(_maxsim_np_score(q, c))
+
+
+def _maxsim_kernel_udf():
+    return F.pandas_udf(_maxsim_series, "double")
+
+
 def _maxsim_duck() -> str:
     def dot(l: str, r: str) -> str:
         return (
@@ -3048,44 +3116,22 @@ def sim_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     feeds this exact scorer as the rerank stage (candidates ≪ corpus),
     which is precisely how production ColBERT serves (PLAID's
     centroid-prune + exact MaxSim rerank)."""
+    # OPTIMIZATION r12 (guide §4): scored via the Arrow-batched
+    # _maxsim_series kernel on the raw embeddings (bit-identical algebra,
+    # see _maxsim_np_score) instead of the 16-dot interpreted HOF tree —
+    # same change as sim_maxsim_plaid_rerank, same exactness argument.
     emb = spread_small(load_table(spark, sf_dir, "embeddings"))
-    sub = emb.select(
-        "vec_id",
-        "label",
-        *[
-            F.slice("embedding", s * MAXSIM_DIM + 1, MAXSIM_DIM).alias(f"s{s}")
-            for s in range(MAXSIM_SUBV)
-        ],
-    )
-    for s in range(MAXSIM_SUBV):
-        sub = sub.withColumn(
-            f"n{s}", F.sqrt(dot_exact(F.col(f"s{s}"), F.col(f"s{s}")))
-        )
-    q = sub.filter(F.col("vec_id") < N_QUERIES).select(
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
-        *[F.col(f"s{s}").alias(f"qs{s}") for s in range(MAXSIM_SUBV)],
-        *[F.col(f"n{s}").alias(f"qn{s}") for s in range(MAXSIM_SUBV)],
+        F.col("embedding").alias("q_emb"),
     )
-    c = sub.select(
+    c = emb.select(
         F.col("vec_id").alias("doc_id"),
         F.col("label").alias("doc_label"),
-        *[F.col(f"s{s}").alias(f"cs{s}") for s in range(MAXSIM_SUBV)],
-        *[F.col(f"n{s}").alias(f"cn{s}") for s in range(MAXSIM_SUBV)],
+        F.col("embedding").alias("c_emb"),
     )
     pairs = c.join(F.broadcast(q), F.col("doc_id") != F.col("query_id"))
-    maxes = [
-        F.greatest(
-            *[
-                dot_exact(F.col(f"qs{qi}"), F.col(f"cs{cj}"))
-                / (F.col(f"qn{qi}") * F.col(f"cn{cj}"))
-                for cj in range(MAXSIM_SUBV)
-            ]
-        )
-        for qi in range(MAXSIM_SUBV)
-    ]
-    score = maxes[0]
-    for m in maxes[1:]:
-        score = score + m
+    score = _maxsim_kernel_udf()(F.col("q_emb"), F.col("c_emb"))
     scored = pairs.select(
         "query_id", "doc_id", "doc_label", score.alias("maxsim_raw")
     )
@@ -3197,51 +3243,37 @@ def sim_maxsim_plaid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB deployment replaces with a sampled-stratum audit (the
     dedup_lsh_recall_audit_stratum pattern)."""
     emb = spread_small(load_table(spark, sf_dir, "embeddings"))
-    sub = emb.select(
-        "vec_id",
-        F.expr(_ivf_scores_spark()).alias("scores"),
-        *[
-            F.slice("embedding", s * MAXSIM_DIM + 1, MAXSIM_DIM).alias(f"s{s}")
-            for s in range(MAXSIM_SUBV)
-        ],
-    )
-    for s in range(MAXSIM_SUBV):
-        sub = sub.withColumn(
-            f"n{s}", F.sqrt(dot_exact(F.col(f"s{s}"), F.col(f"s{s}")))
+    # OPTIMIZATION r12 (guide §4): the r11 cut pre-sliced 4 sub-vectors +
+    # 4 norm folds in the JVM and scored candidates with a 16-dot
+    # interpreted HOF tree per pair (allocation per element pair — the
+    # pair-quadratic cost that degraded 4× under full-sweep GC ambient).
+    # Both score sites now call the Arrow-batched _maxsim_kernel on the
+    # RAW embeddings (slices + norms recomputed inside the kernel with
+    # the identical IEEE ops, see _maxsim_np_score), so `sub` shrinks to
+    # (vec_id, scores, embedding) and the pair rows ship 2×64 doubles
+    # instead of 8 slices + 8 norms. Guide §2.4: sub still feeds corpus,
+    # queries and probes — checkpointed once per invocation.
+    sub = _ckpt(
+        emb.select(
+            "vec_id", F.expr(_ivf_scores_spark()).alias("scores"), "embedding"
         )
-    # OPTIMIZATION r11 (guide §2.4): sub (scan + 16 centroid scores + 4
-    # slices + 4 norm folds) feeds corpus, queries and probes — four
-    # plan consumers; build it once per invocation
-    sub = _ckpt(sub)
+    )
+
+    _maxsim_kernel = _maxsim_kernel_udf()
 
     def maxsim(qp: str, cp: str):
-        maxes = [
-            F.greatest(
-                *[
-                    dot_exact(F.col(f"{qp}s{qi}"), F.col(f"{cp}s{cj}"))
-                    / (F.col(f"{qp}n{qi}") * F.col(f"{cp}n{cj}"))
-                    for cj in range(MAXSIM_SUBV)
-                ]
-            )
-            for qi in range(MAXSIM_SUBV)
-        ]
-        out = maxes[0]
-        for m in maxes[1:]:
-            out = out + m
-        return out
+        return _maxsim_kernel(F.col(f"{qp}_emb"), F.col(f"{cp}_emb"))
 
     corpus = sub.select(
         F.col("vec_id").alias("doc_id"),
         (F.expr("array_position(scores, array_min(scores))") - 1)
         .cast("int")
         .alias("cent"),
-        *[F.col(f"s{s}").alias(f"cs{s}") for s in range(MAXSIM_SUBV)],
-        *[F.col(f"n{s}").alias(f"cn{s}") for s in range(MAXSIM_SUBV)],
+        F.col("embedding").alias("c_emb"),
     )
     queries = sub.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
-        *[F.col(f"s{s}").alias(f"qs{s}") for s in range(MAXSIM_SUBV)],
-        *[F.col(f"n{s}").alias(f"qn{s}") for s in range(MAXSIM_SUBV)],
+        F.col("embedding").alias("q_emb"),
     )
     prn_w = Window.partitionBy("query_id").orderBy("s", "p_cent")
     probes = (
