@@ -269,3 +269,26 @@ def test_graph_greedy_walk_identities(spark):
     # greedy over a mutual-kNN graph must navigate better than chance:
     # at least one query reaches its true best reachable node
     assert sum(r.hit_top1 for r in rows) > 0
+
+
+def test_mutual_graph_invariants_for_greedy_walks(spark):
+    """ADVICE r11 (similarity.py:2903): the greedy walks' -inf
+    self-candidate equivalence (and the inner frontier⋈adj join being
+    lossless) rests on two mutual-graph invariants — no self loops, and
+    every node reachable through >= 1 edge (bidir symmetry gives
+    out-degree >= 1 for every node that appears at all). Pin them at the
+    artifact, and pin that no -inf ever escapes the walk as a final
+    cosine."""
+    import math
+
+    from vena_etl_tool_spark.operators.similarity import (
+        _mutual_graph_persisted,
+        sim_ann_graph_greedy,
+    )
+
+    edges = _mutual_graph_persisted(spark, SF)
+    assert edges.filter(F.col("vec_a") == F.col("vec_b")).count() == 0
+    # every endpoint has degree >= 1 by membership; the walk must then
+    # always find a finite non-self candidate, so -inf cannot surface
+    rows = sim_ann_graph_greedy(spark, SF).collect()
+    assert rows and all(math.isfinite(r.final_cosine) for r in rows)

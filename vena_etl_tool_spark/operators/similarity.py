@@ -3712,7 +3712,17 @@ def embedding_outlier_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast argmin; the k-th distance is one within-cell window over
     the weighted multiset. At 100 TB the same plan runs with the trained
     centroid set; the band histogram (not per-vector rows) is the
-    monitored artifact.
+    monitored artifact. Skew honesty (ADVICE r11): the per-cell kernel
+    concentrates one cell's O(m²) distances in one task — memory is
+    bounded (the row-chunked loop caps the live diff tensor at ~4M
+    int64s regardless of m) but compute is not, so the scale claim
+    RESTS on the trained-centroid occupancy bound (k ∝ N keeps E[m]
+    constant; production re-trains when a cell's occupancy drifts past
+    the monitor threshold, the same guard every IVF index here
+    documents). A data-dependent fallback join for hot cells was
+    considered and rejected: it forks the plan on a runtime count and
+    the clone-collapse step already removed the one unbounded-skew
+    source (duplicate vectors piling into one cell).
 
     OPTIMIZATION r11 (guide §4 eliminate interpreted folds): the first
     cut spent its time in interpreted higher-order-function distance
