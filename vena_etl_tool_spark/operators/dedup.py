@@ -2737,16 +2737,31 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    x = sh.select(F.col("doc_id").alias("x_doc"), F.col("sh").alias("shx"))
-    y = sh.select(F.col("doc_id").alias("y_doc"), F.col("sh").alias("shy"))
+    # OPTIMIZATION r12 (guide §2.3 fewer rows across the exchange; the
+    # r12 sf1 probe named this stage): the posting-row verify exploded
+    # candidates × |sh(doc_a)| into an ~40×-larger row-grain intermediate
+    # before the second join could count matches — ~80M skinny string
+    # rows at the 10× probe corpus, GC-bound and non-parallelizing
+    # (21.2 s at 8 cores vs 20.5 s at 32). Verifying against per-doc
+    # COLLECTED sets moves the same bytes in pair-grain rows (two
+    # duplicate-free arrays per candidate) and counts the intersection
+    # with one array_intersect — identical `inter` (postings are
+    # distinct per doc on both engines), no pair-times-posting row
+    # explosion. r11 measured this variant a wash at sf0.1 (overhead-
+    # bound); the 10× probe is where it pays: 20.5 s → measured below.
+    docsets = sh.groupBy("doc_id").agg(F.collect_list("sh").alias("shs"))
+    sa = docsets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
+    sb = docsets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
     verified = (
-        cand.join(x, F.col("doc_a") == F.col("x_doc"))
-        .join(
-            y,
-            (F.col("doc_b") == F.col("y_doc")) & (F.col("shx") == F.col("shy")),
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "na",
+            "nb",
+            F.size(F.array_intersect("shs_a", "shs_b")).cast("long").alias("inter"),
         )
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("inter"))
     )
     return (
         verified.filter(
